@@ -1,0 +1,452 @@
+"""DataStream — the reference's core abstraction, Spark-first.
+
+Reference: eel-core/src/main/scala/io/eels/datastream/DataStream.scala.
+The reference implements every operator as a delegating pub/sub subscriber
+over in-process row chunks; here every operator is a *declarative* PySpark
+DataFrame transformation, so Catalyst gets predicate pushdown, column
+pruning, broadcast selection and AQE for free, and the same code scales
+from local[32] to a 1000-executor cluster.
+
+Order-sensitive reference ops (``take``/``drop``/``takeWhile``/``dropWhile``/
+``concat``/``zip``) have no implicit row order in a distributed setting, so
+they take explicit order columns (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eel_spark import schema as eel_schema
+
+ColumnLike = Column | str
+
+
+def _col(c: ColumnLike) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def _cond(c: Column | str) -> Column:
+    """Accept either a Column predicate or a SQL boolean expression string."""
+    return c if isinstance(c, Column) else F.expr(c)
+
+
+class DataStream:
+    """Fluent, lazy, Catalyst-backed table of rows.
+
+    Mirrors io.eels.datastream.DataStream (DataStream.scala:33) but is a
+    zero-copy wrapper around a PySpark DataFrame: no operator here ever
+    materializes data on the driver (unlike the reference's ``join``/
+    ``cartesian``/``substract`` which ``collect`` the other side —
+    DataStream.scala:438,270,739).
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- schema ------------------------------------------------------------
+    @property
+    def schema(self) -> T.StructType:
+        return self.df.schema
+
+    @property
+    def field_names(self) -> list[str]:
+        return list(self.df.columns)
+
+    def print_schema(self) -> None:
+        self.df.printSchema()
+
+    def _wrap(self, df: DataFrame) -> "DataStream":
+        return DataStream(df)
+
+    # -- row-wise transforms ----------------------------------------------
+    def map_field(self, name: str, fn: ColumnLike | Callable[[Column], Column]) -> "DataStream":
+        """mapField (DataStream.scala:49) — rewrite one column.
+
+        ``fn`` may be a Column expression, a SQL string, or a callable
+        ``Column -> Column`` (the declarative analogue of eel's
+        ``Any => Any``).
+        """
+        expr = fn(F.col(name)) if callable(fn) and not isinstance(fn, Column) else _cond(fn)
+        return self._wrap(self.df.withColumn(name, expr))
+
+    def map_field_if_exists(self, name: str, fn) -> "DataStream":
+        """mapFieldIfExists (DataStream.scala:58)."""
+        if name not in self.df.columns:
+            return self
+        return self.map_field(name, fn)
+
+    def map_rows(
+        self, fn: Callable, schema: T.StructType | str | None = None
+    ) -> "DataStream":
+        """Escape hatch for eel's arbitrary ``map(Row => Row)``
+        (DataStream.scala:40): Arrow-batched ``mapInPandas`` (never
+        row-at-a-time Python). Prefer ``map_field``/``add_field`` —
+        those stay JVM-side.
+        """
+        return self._wrap(self.df.mapInPandas(fn, schema or self.df.schema))
+
+    def foreach(self, fn: Callable[[Any], None]) -> "DataStream":
+        """foreach (DataStream.scala:371) — side effect per row (action)."""
+        self.df.foreach(fn)
+        return self
+
+    # -- filtering ---------------------------------------------------------
+    def filter(self, predicate: Column | str) -> "DataStream":
+        """filter (DataStream.scala:67,79,93) — Column or SQL string;
+        pushed down to the scan by Catalyst."""
+        return self._wrap(self.df.filter(_cond(predicate)))
+
+    where = filter
+
+    def filter_not(self, predicate: Column | str) -> "DataStream":
+        """filterNot (DataStream.scala:108)."""
+        return self._wrap(self.df.filter(~_cond(predicate)))
+
+    def filter_field(self, name: str, value: Any) -> "DataStream":
+        """field-equality filter (DataStream.scala:79 specialization)."""
+        return self._wrap(self.df.filter(F.col(name) == F.lit(value)))
+
+    def drop_null_rows(self) -> "DataStream":
+        """dropNullRows (DataStream.scala:462)."""
+        return self._wrap(self.df.na.drop("any"))
+
+    def replace_null_values(self, default: Any, subset: list[str] | None = None) -> "DataStream":
+        """replaceNullValues (DataStream.scala:755)."""
+        return self._wrap(self.df.na.fill(default, subset=subset))
+
+    def sample(self, k: int, on: ColumnLike) -> "DataStream":
+        """sample(k) (DataStream.scala:665) — keep all but every k-th row.
+
+        The reference uses a racy shared counter; distributed-safe version
+        keys off a deterministic hash of ``on`` so the same rows are kept on
+        every execution and on every cluster size.
+        """
+        return self._wrap(self.df.filter(F.pmod(F.xxhash64(_col(on)), F.lit(k)) != 0))
+
+    # -- projections / schema surgery -------------------------------------
+    def projection(self, *fields: str) -> "DataStream":
+        """projection (DataStream.scala:705-733) — column pruning reaches
+        the parquet scan (ReadSchema)."""
+        flat: list[str] = []
+        for f in fields:
+            flat.extend([p.strip() for p in f.split(",")] if isinstance(f, str) and "," in f else [f])
+        return self._wrap(self.df.selectExpr(*flat))
+
+    def add_field(
+        self, name: str, value: Any = None, expr: ColumnLike | None = None,
+        error_if_exists: bool = True,
+    ) -> "DataStream":
+        """addField family (DataStream.scala:774-854): constant default or
+        expression-computed."""
+        if name in self.df.columns:
+            if error_if_exists:
+                raise ValueError(f"Field {name} already exists")
+            return self
+        column = _cond(expr) if expr is not None else F.lit(value)
+        return self._wrap(self.df.withColumn(name, column))
+
+    def rename_field(self, name_from: str, name_to: str) -> "DataStream":
+        """renameField (DataStream.scala:450)."""
+        return self._wrap(self.df.withColumnRenamed(name_from, name_to))
+
+    def remove_field(self, name: str, case_sensitive: bool = True) -> "DataStream":
+        """dropField/removeField (DataStream.scala:464-479)."""
+        if case_sensitive:
+            targets = [c for c in self.df.columns if c == name]
+        else:
+            targets = [c for c in self.df.columns if c.lower() == name.lower()]
+        if not targets:
+            raise ValueError(f"Unknown field {name}")
+        return self._wrap(self.df.drop(*targets))
+
+    drop_field = remove_field
+
+    def remove_field_if_exists(self, name: str, case_sensitive: bool = True) -> "DataStream":
+        """removeFieldIfExists (DataStream.scala:494-513)."""
+        try:
+            return self.remove_field(name, case_sensitive)
+        except ValueError:
+            return self
+
+    def remove_fields(self, pattern: str | re.Pattern) -> "DataStream":
+        """removeFields(regex) (DataStream.scala:481-492)."""
+        rx = re.compile(pattern) if isinstance(pattern, str) else pattern
+        keep = [c for c in self.df.columns if not rx.fullmatch(c)]
+        return self._wrap(self.df.select(*keep))
+
+    drop_fields = remove_fields
+
+    def replace_field(self, name: str, new_name: str, expr: ColumnLike) -> "DataStream":
+        """replaceField (DataStream.scala:356) — swap a field definition."""
+        return self._wrap(self.df.withColumn(name, _cond(expr)).withColumnRenamed(name, new_name))
+
+    def replace_field_type(
+        self, target: str | T.DataType | re.Pattern, datatype: str | T.DataType
+    ) -> "DataStream":
+        """replaceFieldType by field name, by current datatype, or by name
+        regex (DataStream.scala:344, 868, 872)."""
+        dt = eel_schema.eel_type(datatype) if isinstance(datatype, str) else datatype
+        df = self.df
+        if isinstance(target, str):
+            df = df.withColumn(target, F.col(target).cast(dt))
+        elif isinstance(target, T.DataType):
+            for f in df.schema.fields:
+                if f.dataType == target:
+                    df = df.withColumn(f.name, F.col(f.name).cast(dt))
+        else:
+            for c in df.columns:
+                if target.fullmatch(c):
+                    df = df.withColumn(c, F.col(c).cast(dt))
+        return self._wrap(df)
+
+    def align(self, schema: T.StructType) -> "DataStream":
+        """align (DataStream.scala:122) — reorder to the target schema, drop
+        extraneous fields, cast to target types; missing fields error."""
+        missing = [f.name for f in schema.fields if f.name not in self.df.columns]
+        if missing:
+            raise ValueError(f"Cannot align: missing fields {missing}")
+        return self._wrap(
+            self.df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+        )
+
+    def to_lowercase_schema(self) -> "DataStream":
+        """withLowerCaseSchema (DataStream.scala:95)."""
+        return self._wrap(self.df.toDF(*[c.lower() for c in self.df.columns]))
+
+    def strip_chars_from_field_names(self, chars: Sequence[str]) -> "DataStream":
+        """stripCharsFromFieldNames (DataStream.scala:590)."""
+        bad = set(chars)
+        renamed = ["".join(ch for ch in c if ch not in bad) for c in self.df.columns]
+        return self._wrap(self.df.toDF(*renamed))
+
+    # -- value replacement (update/replace family, DataStream.scala:605-657)
+    def replace_value(self, name: str, from_value: Any, target: Any) -> "DataStream":
+        """replace(fieldName, from, target) (DataStream.scala:644)."""
+        c = F.col(name)
+        return self._wrap(
+            self.df.withColumn(name, F.when(c == F.lit(from_value), F.lit(target)).otherwise(c))
+        )
+
+    def replace_value_all(self, from_value: Any, target: Any) -> "DataStream":
+        """replace(from, target) across all fields (DataStream.scala:652)."""
+        df = self.df
+        for f in df.schema.fields:
+            try:
+                lit = F.lit(from_value).cast(f.dataType)
+            except Exception:
+                continue
+            c = F.col(f.name)
+            df = df.withColumn(
+                f.name, F.when(c == lit, F.lit(target).cast(f.dataType)).otherwise(c)
+            )
+        return self._wrap(df)
+
+    update = replace_value
+
+    # -- ordered / positional ops (explicit order: SURVEY.md §3) ----------
+    def take(self, n: int) -> "DataStream":
+        """take (DataStream.scala:165) — limit; Spark pushes the limit into
+        the scan where possible."""
+        return self._wrap(self.df.limit(n))
+
+    def drop(self, n: int, order_by: Sequence[ColumnLike]) -> "DataStream":
+        """drop(n) (DataStream.scala:200) over an explicit total order."""
+        return self._wrap(self.df.sort(*[_col(c) for c in order_by]).offset(n))
+
+    def take_while(self, predicate: Column | str, order_by: Sequence[ColumnLike]) -> "DataStream":
+        """takeWhile (DataStream.scala:137): keep the maximal prefix (in the
+        given order) where predicate holds — windowed running-AND, fully
+        distributed (no driver loop)."""
+        w = Window.orderBy(*[_col(c) for c in order_by]).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        flag = F.min(_cond(predicate).cast("int")).over(w)
+        return self._wrap(
+            self.df.withColumn("__tw", flag).filter(F.col("__tw") == 1).drop("__tw")
+        )
+
+    def drop_while(self, predicate: Column | str, order_by: Sequence[ColumnLike]) -> "DataStream":
+        """dropWhile (DataStream.scala:214) — complement of take_while."""
+        w = Window.orderBy(*[_col(c) for c in order_by]).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        flag = F.min(_cond(predicate).cast("int")).over(w)
+        return self._wrap(
+            self.df.withColumn("__dw", flag).filter(F.col("__dw") == 0).drop("__dw")
+        )
+
+    def zip_with_index(self, name: str, order_by: Sequence[ColumnLike]) -> "DataStream":
+        """0-based dense index over an explicit order (helper for concat)."""
+        w = Window.orderBy(*[_col(c) for c in order_by])
+        return self._wrap(self.df.withColumn(name, F.row_number().over(w) - 1))
+
+    def concat(
+        self, other: "DataStream",
+        order_left: Sequence[ColumnLike], order_right: Sequence[ColumnLike],
+    ) -> "DataStream":
+        """concat (DataStream.scala:380) — positional zip of two streams.
+
+        The reference pairs rows by arrival order through a blocking queue;
+        distributed version pairs by row index over explicit per-side
+        orders, then equi-joins on the index.
+        """
+        left = self.zip_with_index("__zip_idx", order_left).df
+        right = other.zip_with_index("__zip_idx", order_right).df
+        return self._wrap(left.join(right, "__zip_idx", "inner").drop("__zip_idx"))
+
+    # -- combining streams -------------------------------------------------
+    def union(self, other: "DataStream") -> "DataStream":
+        """union/++ (DataStream.scala:685) — by name, schema-checked."""
+        return self._wrap(self.df.unionByName(other.df))
+
+    __add__ = union
+
+    def intersection(self, other: "DataStream") -> "DataStream":
+        """intersection (DataStream.scala:745) — distributed, not
+        driver-materialized like the reference."""
+        return self._wrap(self.df.intersect(other.df))
+
+    def subtract(self, other: "DataStream") -> "DataStream":
+        """substract [sic] (DataStream.scala:735)."""
+        return self._wrap(self.df.exceptAll(other.df))
+
+    def cartesian(self, other: "DataStream") -> "DataStream":
+        """cartesian (DataStream.scala:267) — crossJoin; Spark broadcasts
+        the smaller side (BroadcastNestedLoopJoin) instead of collecting it
+        to the driver."""
+        return self._wrap(self.df.crossJoin(other.df))
+
+    def join(
+        self, key: str | Sequence[str], other: "DataStream", how: str = "inner",
+        broadcast_other: bool | None = None,
+    ) -> "DataStream":
+        """join(key, other) (DataStream.scala:426).
+
+        The reference inflates the entire other stream into a driver-side
+        hash map — its doc says "always use the smallest datastream as the
+        parameter". Here the planner chooses broadcast vs shuffle by
+        statistics (AQE included); ``broadcast_other=True`` forces the hint
+        for known-small dimension tables.
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        right = other.df
+        if broadcast_other:
+            right = F.broadcast(right)
+        return self._wrap(self.df.join(right, on=keys, how=how))
+
+    # -- grouping ----------------------------------------------------------
+    def group_by(self, *keys: ColumnLike) -> "GroupedDataStream":
+        """groupBy (DataStream.scala:248)."""
+        from eel_spark.grouped import GroupedDataStream
+
+        return GroupedDataStream(self.df, [_col(k) for k in keys])
+
+    def aggregated(self) -> "GroupedDataStream":
+        """aggregated() (DataStream.scala:241) — whole-dataset aggregation."""
+        from eel_spark.grouped import GroupedDataStream
+
+        return GroupedDataStream(self.df, [])
+
+    # -- reshaping ---------------------------------------------------------
+    def explode(self, column: ColumnLike, alias: str | None = None) -> "DataStream":
+        """explode (DataStream.scala:856) — one row per array element,
+        JVM-side generator (no Python flatMap)."""
+        name = alias or (column if isinstance(column, str) else "col")
+        others = [c for c in self.df.columns if c != column]
+        return self._wrap(self.df.select(*others, F.explode(_col(column)).alias(name)))
+
+    def explode_rows(self, fn: Callable, schema: T.StructType | str) -> "DataStream":
+        """eel's arbitrary Row=>Seq[Row] explode — Arrow-batched
+        ``mapInPandas`` (pandas in, any number of rows out)."""
+        return self._wrap(self.df.mapInPandas(fn, schema))
+
+    # -- observability -----------------------------------------------------
+    def listener(self, name: str = "eel_metrics", *metrics: Column) -> tuple["DataStream", Observation]:
+        """listener (DataStream.scala:302) — the Spark-native answer is an
+        Observation: metrics computed during the action, no second pass."""
+        obs = Observation(name)
+        observed = self.df.observe(obs, *(metrics or [F.count(F.lit(1)).alias("rows")]))
+        return self._wrap(observed), obs
+
+    def tee(self) -> tuple["DataStream", "DataStream"]:
+        """tee/multiplex (DataStream.scala:561,945) — in Spark the DAG is
+        shareable; both returned streams reference the same lineage, and
+        ``persist()`` makes the share physical."""
+        return self, DataStream(self.df)
+
+    def persist(self) -> "DataStream":
+        self.df.persist()
+        return self
+
+    # -- actions -----------------------------------------------------------
+    def collect(self) -> list:
+        return self.df.collect()
+
+    def collect_values(self) -> list[tuple]:
+        return [tuple(r) for r in self.df.collect()]
+
+    def count(self) -> int:
+        return self.df.count()
+
+    size = count
+
+    def head(self):
+        return self.df.first()
+
+    def exists(self, predicate: Column | str) -> bool:
+        """exists (DataStream.scala:927) — limit(1) short-circuits."""
+        return self.df.filter(_cond(predicate)).limit(1).count() > 0
+
+    def find(self, predicate: Column | str):
+        """find (DataStream.scala:936)."""
+        return self.df.filter(_cond(predicate)).first()
+
+    def min_by(self, order: ColumnLike):
+        """minBy (DataStream.scala:515) — single-pass min_by aggregate."""
+        cols = [F.min_by(F.struct(*self.df.columns), _col(order))]
+        return self.df.agg(*cols).first()[0]
+
+    def max_by(self, order: ColumnLike):
+        """maxBy (DataStream.scala:534)."""
+        return self.df.agg(F.max_by(F.struct(*self.df.columns), _col(order))).first()[0]
+
+    def to_data_table(self):
+        """toDataTable (DataStream.scala:1021) → pandas (Arrow transfer)."""
+        return self.df.toPandas()
+
+    def iterator(self):
+        """iterator (DataStream.scala:285) — streamed to the driver
+        partition-by-partition, never fully materialized."""
+        return self.df.toLocalIterator()
+
+    def to(self, sink, parallelism: int | None = None) -> int:
+        """to(sink) (DataStream.scala:1011). Returns rows written."""
+        return sink.write(self, parallelism=parallelism)
+
+    # -- plan inspection ---------------------------------------------------
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+
+# ---------------------------------------------------------------------------
+# constructors (DataStream.scala:1024-1096)
+# ---------------------------------------------------------------------------
+
+def from_values(
+    spark: SparkSession, schema: T.StructType | list[str], values: Iterable[Sequence[Any]]
+) -> DataStream:
+    """DataStream.fromValues (DataStream.scala:1093)."""
+    values = [tuple(v) for v in values]
+    if isinstance(schema, list):
+        schema = eel_schema.infer_schema(schema, values)
+    return DataStream(spark.createDataFrame(values, schema))
+
+
+def from_rows(spark: SparkSession, schema: T.StructType, rows: Iterable[Any]) -> DataStream:
+    """DataStream.fromRows (DataStream.scala:1064)."""
+    return DataStream(spark.createDataFrame(list(rows), schema))

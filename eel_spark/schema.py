@@ -1,0 +1,159 @@
+"""Schema layer — the eel datatype lattice re-expressed on Spark types.
+
+Reference: eel-schema/src/main/scala/io/eels/schema/schema.scala (datatypes),
+Field.scala (Field/metadata/nullable), SchemaFn.scala (JVM value → datatype),
+SchemaMerger.scala (field-union merge).
+
+We keep the reference's *model* (named, ordered, nullable fields with a
+closed datatype lattice) but store it as a native Spark ``StructType`` so
+every operator stays inside Catalyst.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import re
+from typing import Any, Iterable
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# eel datatype name <-> Spark type (schema.scala sealed trait DataType)
+# ---------------------------------------------------------------------------
+
+_EEL_TO_SPARK: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "byte": T.ByteType(),
+    "short": T.ShortType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.DecimalType(38, 0),  # eel BigIntType = unbounded integer
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "char": T.StringType(),
+    "varchar": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp_millis": T.TimestampType(),
+    "timestamp_micros": T.TimestampType(),
+    "time_millis": T.LongType(),
+    "time_micros": T.LongType(),
+    "enum": T.StringType(),
+}
+
+_DECIMAL_RE = re.compile(r"decimal\((\d+)\s*,\s*(\d+)\)")
+
+
+def eel_type(name: str) -> T.DataType:
+    """Resolve an eel datatype name (e.g. ``"decimal(38,5)"``) to Spark."""
+    n = name.strip().lower()
+    m = _DECIMAL_RE.fullmatch(n)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if n.startswith("array<") and n.endswith(">"):
+        return T.ArrayType(eel_type(n[6:-1]))
+    try:
+        return _EEL_TO_SPARK[n]
+    except KeyError:
+        raise ValueError(f"Unknown eel datatype: {name}") from None
+
+
+def field(name: str, datatype: str | T.DataType = "string", nullable: bool = True) -> T.StructField:
+    """eel ``Field(name, datatype, nullable)`` → Spark StructField."""
+    dt = eel_type(datatype) if isinstance(datatype, str) else datatype
+    return T.StructField(name, dt, nullable)
+
+
+def struct(*fields: T.StructField | str) -> T.StructType:
+    """eel ``StructType(fields...)``; bare strings become string fields."""
+    return T.StructType([field(f) if isinstance(f, str) else f for f in fields])
+
+
+# ---------------------------------------------------------------------------
+# SchemaFn: infer a Spark type from a Python value (SchemaFn.scala:toDataType)
+# ---------------------------------------------------------------------------
+
+def infer_type(value: Any) -> T.DataType:
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, _decimal.Decimal):
+        sign, digits, exp = value.as_tuple()
+        scale = max(0, -exp)
+        return T.DecimalType(max(len(digits), scale) + 1, scale)
+    if isinstance(value, str):
+        return T.StringType()
+    if isinstance(value, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(value, _dt.datetime):
+        return T.TimestampType()
+    if isinstance(value, _dt.date):
+        return T.DateType()
+    if isinstance(value, (list, tuple)) and value:
+        return T.ArrayType(infer_type(value[0]))
+    if isinstance(value, dict) and value:
+        k, v = next(iter(value.items()))
+        return T.MapType(infer_type(k), infer_type(v))
+    return T.StringType()
+
+
+def infer_schema(names: Iterable[str], rows: Iterable[Iterable[Any]]) -> T.StructType:
+    names = list(names)
+    types: list[T.DataType | None] = [None] * len(names)
+    for row in rows:
+        for i, v in enumerate(row):
+            if types[i] is None and v is not None:
+                types[i] = infer_type(v)
+        if all(t is not None for t in types):
+            break
+    return T.StructType(
+        [T.StructField(n, t or T.StringType(), True) for n, t in zip(names, types)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SchemaMerger.scala — field-union merge with numeric widening
+# ---------------------------------------------------------------------------
+
+_WIDEN_ORDER = [
+    T.ByteType(),
+    T.ShortType(),
+    T.IntegerType(),
+    T.LongType(),
+    T.FloatType(),
+    T.DoubleType(),
+]
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+        return _WIDEN_ORDER[max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))]
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        whole = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(38, whole + scale), scale)
+    return T.StringType()
+
+
+def merge_schemas(*schemas: T.StructType) -> T.StructType:
+    """Union of fields across schemas; shared names get widened types."""
+    out: list[T.StructField] = []
+    index: dict[str, int] = {}
+    for schema in schemas:
+        for f in schema.fields:
+            if f.name in index:
+                prev = out[index[f.name]]
+                out[index[f.name]] = T.StructField(
+                    f.name, _widen(prev.dataType, f.dataType), prev.nullable or f.nullable
+                )
+            else:
+                index[f.name] = len(out)
+                out.append(f)
+    return T.StructType(out)
