@@ -115,3 +115,494 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataStream:
         )
         .to_datastream()
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (join: customer ⋈ orders ⋈ lineitem, top-k)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT
+  l_orderkey,
+  {sql_money_sum(_DISC4, 4)} AS revenue,
+  CAST(o_orderdate AS DATE) AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Top-10 unshipped-revenue orders for one market segment.
+
+    Scale: customer is a dimension at every SF → broadcast both joins'
+    small sides; the lineitem shipdate filter pushes to the scan; the
+    top-10 is a TakeOrderedAndProject (no global sort materialization).
+    """
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .projection("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderdate < timestamp '1997-01-01 00:00:00'")
+        .projection("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > timestamp '1997-01-01 00:00:00'"
+    )
+    joined = li.rename_field("l_orderkey", "o_orderkey").join(
+        "o_orderkey",
+        orders.join("o_custkey", cust.rename_field("c_custkey", "o_custkey")),
+    )
+    out = (
+        joined.group_by(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .agg(money_sum(_disc4(), 4).alias("revenue"))
+        .to_datastream()
+    )
+    return DataStream(
+        out.df.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    ).projection("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataStream:
+    """EXISTS → left-semi join; Spark never materializes the subquery,
+    and the semi-join short-circuits per key."""
+    orders = table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1997-01-01 00:00:00'"
+    )
+    li = table(spark, sf_dir, "lineitem").projection("l_orderkey", "l_shipdate")
+    semi = orders.df.join(
+        li.df,
+        on=[
+            li.df.l_orderkey == orders.df.o_orderkey,
+            li.df.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        ],
+        how="left_semi",
+    )
+    return (
+        DataStream(semi)
+        .group_by("o_orderpriority")
+        .count("order_count")
+        .to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way join)
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = f"""
+SELECT n_name, {sql_money_sum(_DISC4, 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("q5_local_supplier_volume", _Q5_SQL)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Classic star join: every dimension side broadcasts; the only
+    shuffle is the final small group-by on n_name."""
+    region = table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    nation = table(spark, sf_dir, "nation").rename_field("n_regionkey", "r_regionkey")
+    asia_nations = nation.join("r_regionkey", region, broadcast_other=True)
+    supplier = (
+        table(spark, sf_dir, "supplier")
+        .rename_field("s_nationkey", "n_nationkey")
+        .join("n_nationkey", asia_nations.projection("n_nationkey", "n_name"),
+              broadcast_other=True)
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1998-01-01 00:00:00'"
+    ).projection("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").projection("c_custkey", "c_nationkey")
+    li = table(spark, sf_dir, "lineitem").projection(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.rename_field("l_suppkey", "s_suppkey")
+        .join("s_suppkey", supplier, broadcast_other=True)
+        .rename_field("l_orderkey", "o_orderkey")
+        .join("o_orderkey", orders)
+        .rename_field("o_custkey", "c_custkey")
+        .join("c_custkey", cust, broadcast_other=True)
+        .filter("c_nationkey = n_nationkey")
+    )
+    return (
+        joined.group_by("n_name")
+        .agg(money_sum(_disc4(), 4).alias("revenue"))
+        .to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change (scan + scalar agg)
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+SELECT {sql_money_sum(f"({_EPC}) * ({_DC})", 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataStream:
+    """All three predicates push to the parquet scan (min/max row-group
+    skipping at scale); global agg is a two-stage partial/final."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = cents("l_extendedprice") * cents("l_discount")
+    return (
+        li.filter(
+            "l_shipdate >= timestamp '1996-01-01 00:00:00' AND "
+            "l_shipdate < timestamp '1997-01-01 00:00:00' AND "
+            "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        )
+        .aggregated()
+        .agg(money_sum(rev, 4).alias("revenue"))
+        .to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned items (top-20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, {sql_money_sum(_DISC4, 4)} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", _Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Fact-side filters first, broadcast dims, TakeOrdered top-20."""
+    orders = table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1996-07-01 00:00:00'"
+    ).projection("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'").projection(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").projection("n_nationkey", "n_name")
+    joined = (
+        li.rename_field("l_orderkey", "o_orderkey")
+        .join("o_orderkey", orders)
+        .rename_field("o_custkey", "c_custkey")
+        .join("c_custkey", cust, broadcast_other=True)
+        .rename_field("c_nationkey", "n_nationkey")
+        .join("n_nationkey", nation, broadcast_other=True)
+    )
+    grouped = (
+        joined.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money_sum(_disc4(), 4).alias("revenue"))
+        .to_datastream()
+    )
+    return DataStream(
+        grouped.df.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+    ).projection("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted: no shipmode column) — priority classes per line volume
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT
+  o_orderpriority,
+  SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q12_priority_lines", _Q12_SQL)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Conditional aggregation (SUM CASE) — single shuffle on the join key,
+    group-by rides the same exchange under AQE."""
+    orders = table(spark, sf_dir, "orders").projection("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= timestamp '1996-01-01 00:00:00' AND "
+        "l_shipdate < timestamp '1997-01-01 00:00:00'"
+    ).projection("l_orderkey", "l_quantity")
+    joined = li.rename_field("l_orderkey", "o_orderkey").join("o_orderkey", orders)
+    return (
+        joined.group_by("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("l_quantity") <= 25, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue ratio
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = f"""
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC4} ELSE 0 END) AS DOUBLE)
+        / CAST(SUM({_DISC4}) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Ratio of exact integer sums → deterministic double; part is a
+    broadcast dimension."""
+    part = table(spark, sf_dir, "part").projection("p_partkey", "p_type")
+    li = table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= timestamp '1996-09-01 00:00:00' AND "
+        "l_shipdate < timestamp '1996-10-01 00:00:00'"
+    )
+    joined = li.rename_field("l_partkey", "p_partkey").join(
+        "p_partkey", part, broadcast_other=True
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc4()).otherwise(F.lit(0)))
+    total = F.sum(_disc4())
+    return (
+        joined.aggregated()
+        .agg((F.lit(100.0) * promo.cast("double") / total.cast("double")).alias("promo_revenue"))
+        .to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large volume customers (agg → having → join back)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       o_totalprice, {sql_money_sum(_QC)} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM({_QC}) > 15000
+)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customers", _Q18_SQL)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Self-aggregation of the fact table feeding a semi-join: the HAVING
+    list is orders-of-magnitude smaller than lineitem, so it broadcasts
+    back against the fact table under AQE."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.group_by("l_orderkey")
+        .agg(F.sum(_qc()).alias("qty_c"))
+        .to_datastream()
+        .filter("qty_c > 15000")
+        .projection("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").projection("c_custkey", "c_name")
+    semi = DataStream(
+        orders.df.join(big.df, orders.df.o_orderkey == big.df.l_orderkey, "left_semi")
+    )
+    joined = (
+        li.projection("l_orderkey", "l_quantity")
+        .rename_field("l_orderkey", "o_orderkey")
+        .join("o_orderkey", semi)
+        .rename_field("o_custkey", "c_custkey")
+        .join("c_custkey", cust, broadcast_other=True)
+    )
+    grouped = (
+        joined.group_by(
+            "c_name", "c_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"), "o_totalprice",
+        )
+        .agg(money_sum(_qc()).alias("sum_qty"))
+        .to_datastream()
+    )
+    return DataStream(
+        grouped.df.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+    ).projection("c_name", "c_custkey", "o_orderkey", "orderdate", "o_totalprice", "sum_qty")
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive predicate revenue (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT {sql_money_sum(_DISC4, 4)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("q19_disjunctive_revenue", _Q19_SQL)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataStream:
+    """OR-of-ANDs across both join sides: Catalyst derives the common
+    residual predicates and keeps part broadcast."""
+    part = table(spark, sf_dir, "part").projection("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").projection(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.rename_field("l_partkey", "p_partkey").join(
+        "p_partkey", part, broadcast_other=True
+    ).filter(
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR "
+        "(p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) OR "
+        "(p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"
+    )
+    return (
+        joined.aggregated().agg(money_sum(_disc4(), 4).alias("revenue")).to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-like — cheapest supplier per part (window dedup / argmin)
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+) WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+@query("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataStream:
+    """argmin-per-group via rank window with a unique tie-break; the
+    distinct pair list shrinks the fact table before any join."""
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .projection("l_partkey", "l_suppkey")
+        .df.distinct()
+    )
+    part = table(spark, sf_dir, "part").projection("p_partkey", "p_name").df
+    supp = table(spark, sf_dir, "supplier").projection(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).df
+    from pyspark.sql import Window
+
+    joined = (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    out = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
+# Q22-like — rich inactive customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {sql_money_sum(sql_cents('c_acctbal'))} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM({sql_cents('c_acctbal')}) AS DOUBLE) / COUNT(*) / 100.0
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@query("q22_rich_inactive", _Q22_SQL)
+def q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Scalar average (exact integer-cents → deterministic threshold),
+    broadcast to every partition; NOT EXISTS → left-anti join."""
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter("c_acctbal > 0.0")
+        .aggregated()
+        .agg(money_avg(cents("c_acctbal")).alias("avg_bal"))
+        .to_datastream()
+    )
+    orders = table(spark, sf_dir, "orders").projection("o_custkey")
+    rich = DataStream(cust.df.crossJoin(F.broadcast(avg_bal.df))).filter(
+        "c_acctbal > avg_bal"
+    )
+    inactive = DataStream(
+        rich.df.join(orders.df, rich.df.c_custkey == orders.df.o_custkey, "left_anti")
+    )
+    return (
+        inactive.group_by("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(cents("c_acctbal")).alias("totacctbal"),
+        )
+        .to_datastream()
+    )
