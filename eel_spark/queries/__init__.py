@@ -6,12 +6,8 @@ correctness gate runs both sides at sf=0.01.
 
 from __future__ import annotations
 
-from eel_spark.queries import tpch
+# importing the modules registers their queries
+from eel_spark.queries import ops, tpch  # noqa: F401
+from eel_spark.queries.registry import ORACLE, QUERIES
 
-_MODULES = [tpch]
-
-QUERIES: dict = {}
-ORACLE: dict = {}
-for _m in _MODULES:
-    QUERIES.update(_m.QUERIES)
-    ORACLE.update(_m.ORACLE)
+__all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,372 @@
+"""Operator-demonstration queries: one gated query per DataStream operator
+family from SURVEY.md §2.1 (projection, schema surgery, set ops, cartesian,
+explode, value replacement, deterministic sampling, argmax, windows, pivot,
+ordered prefix ops), each with a DuckDB oracle.
+
+These are intentionally small, surgical queries: the point is that each
+reference operator, re-expressed on Spark, produces oracle-identical
+results — the TPC-H suite covers the heavy plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from eel_spark.datastream import DataStream
+from eel_spark.queries.tables import sql_cents, cents, money_sum, sql_money_sum, table
+from eel_spark.queries.registry import query
+
+
+# -- projection / filter / derive (ops §2.1 #1,2,3,28,32,19,21) -------------
+
+_OPS_DERIVE_SQL = """
+SELECT p_partkey AS part_id,
+       p_retailprice,
+       ROUND(p_retailprice * 0.9, 4) AS sale_price,
+       UPPER(p_brand) AS brand
+FROM part
+WHERE p_size >= 25 AND p_type <> 'PROMO'
+"""
+
+
+@query("ops_project_derive", _OPS_DERIVE_SQL)
+def ops_project_derive(spark: SparkSession, sf_dir: str) -> DataStream:
+    """projection + filter + add_field + rename_field + remove_fields —
+    all column pruning/pushdown-friendly (scan reads 5 columns only)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter("p_size >= 25 AND p_type <> 'PROMO'")
+        .add_field("sale_price", expr=F.round(F.col("p_retailprice") * 0.9, 4))
+        .add_field("brand", expr=F.upper("p_brand"))
+        .rename_field("p_partkey", "part_id")
+        .projection("part_id", "p_retailprice", "sale_price", "brand")
+    )
+
+
+# -- value replacement / null handling (§2.1 #25,31,20) ---------------------
+
+_OPS_REPLACE_SQL = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'incident' ELSE event_type END AS event_type,
+       COALESCE(NULLIF(props, '{}'), '<empty>') AS props
+FROM events
+WHERE user_id % 7 = 0
+"""
+
+
+@query("ops_replace_values", _OPS_REPLACE_SQL)
+def ops_replace_values(spark: SparkSession, sf_dir: str) -> DataStream:
+    """replace_value (update) + replaceNullValues on a synthesized null."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter("user_id % 7 = 0")
+        .projection("event_id", "event_type", "props")
+        .replace_value("event_type", "error", "incident")
+        .map_field("props", F.nullif(F.col("props"), F.lit("{}")))
+        .replace_null_values("<empty>", subset=["props"])
+    )
+    return ev
+
+
+# -- deterministic sample (§2.1 #26) ----------------------------------------
+
+_OPS_SAMPLE_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (l_orderkey * 31 + l_linenumber) % 10 <> 0
+"""
+
+
+@query("ops_sample_mod", _OPS_SAMPLE_SQL)
+def ops_sample_mod(spark: SparkSession, sf_dir: str) -> DataStream:
+    """sample(k) semantics (keep all but every k-th row) with a
+    deterministic key — cluster-size-independent, unlike the reference's
+    shared counter (DataStream.scala:665)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .projection("l_orderkey", "l_linenumber", "l_quantity")
+        .filter((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10 != 0)
+    )
+
+
+# -- set operations (§2.1 #27,29,30) ----------------------------------------
+
+_OPS_SETOPS_SQL = """
+WITH big_spenders AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000),
+     builders     AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM builders)
+UNION ALL
+SELECT custkey, 'builder_only' AS tag
+FROM (SELECT custkey FROM builders EXCEPT ALL SELECT DISTINCT custkey FROM big_spenders)
+"""
+
+
+@query("ops_set_operations", _OPS_SETOPS_SQL)
+def ops_set_operations(spark: SparkSession, sf_dir: str) -> DataStream:
+    """union + intersection + subtract — all shuffle-based distributed set
+    ops (the reference collects one side to the driver)."""
+    spenders = (
+        table(spark, sf_dir, "orders")
+        .filter("o_totalprice > 300000")
+        .projection("o_custkey")
+        .rename_field("o_custkey", "custkey")
+    )
+    builders = (
+        table(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .projection("c_custkey")
+        .rename_field("c_custkey", "custkey")
+    )
+    both = builders.intersection(spenders).add_field("tag", "both")
+    only = builders.subtract(DataStream(spenders.df.distinct())).add_field(
+        "tag", "builder_only"
+    )
+    return both.union(only)
+
+
+# -- distinct (exact dedup over keys) ---------------------------------------
+
+_OPS_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@query("ops_distinct", _OPS_DISTINCT_SQL)
+def ops_distinct(spark: SparkSession, sf_dir: str) -> DataStream:
+    return DataStream(
+        table(spark, sf_dir, "lineitem").projection("l_returnflag", "l_linestatus").df.distinct()
+    )
+
+
+# -- cartesian (§2.1 #12) ---------------------------------------------------
+
+_OPS_CARTESIAN_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@query("ops_cartesian", _OPS_CARTESIAN_SQL)
+def ops_cartesian(spark: SparkSession, sf_dir: str) -> DataStream:
+    """crossJoin → BroadcastNestedLoopJoin; the reference materializes the
+    right side on the driver (DataStream.scala:270)."""
+    return (
+        table(spark, sf_dir, "region")
+        .projection("r_name")
+        .cartesian(table(spark, sf_dir, "nation").projection("n_name"))
+    )
+
+
+# -- explode (§2.1 #33) -----------------------------------------------------
+
+_OPS_EXPLODE_SQL = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 100)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 25
+"""
+
+
+@query("ops_explode_tokens", _OPS_EXPLODE_SQL)
+def ops_explode_tokens(spark: SparkSession, sf_dir: str) -> DataStream:
+    """explode over a split array — JVM generator, no Python flatMap."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter("doc_id < 100")
+        .add_field("tokens", expr=F.split("text", " "))
+        .projection("tokens")
+        .explode("tokens", alias="token")
+        .filter("token <> ''")
+    )
+    counted = docs.group_by("token").count("freq").to_datastream()
+    return DataStream(counted.df.orderBy(F.desc("freq"), F.asc("token")).limit(25))
+
+
+# -- argmin/argmax (§2.1 #22) -----------------------------------------------
+
+_OPS_ARGMAX_SQL = """
+SELECT user_id, event_id AS top_event_id, value AS top_value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("ops_argmax_per_user", _OPS_ARGMAX_SQL)
+def ops_argmax_per_user(spark: SparkSession, sf_dir: str) -> DataStream:
+    """maxBy per group (DataStream.scala:534 generalized): rank window
+    with unique tie-break — one shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    out = (
+        ev.df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("top_event_id"),
+            F.col("value").alias("top_value"),
+        )
+    )
+    return DataStream(out)
+
+
+# -- window: running aggregate ----------------------------------------------
+
+_OPS_RUNNING_SQL = f"""
+SELECT event_id, user_id,
+       CAST(SUM({sql_cents('value')}) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS running_value
+FROM events
+WHERE user_id < 5
+"""
+
+
+@query("ops_running_sum", _OPS_RUNNING_SQL)
+def ops_running_sum(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Cumulative sum per key over event time (exact integer-cents)."""
+    ev = table(spark, sf_dir, "events").filter("user_id < 5")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ev.df.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0)).alias("running_value"),
+    )
+    return DataStream(out)
+
+
+# -- window: lag/sessionize -------------------------------------------------
+
+_OPS_SESSION_SQL = """
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
+FROM (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM (
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+  )
+  GROUP BY user_id, session_id
+)
+GROUP BY user_id
+"""
+
+
+@query("ops_sessionize", _OPS_SESSION_SQL)
+def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Gap-based sessionization: lag → flag → running sum → two-level agg.
+    The streaming twin (session_window / applyInPandasWithState) lives in
+    eel_spark.streaming; this is the batch-exact version."""
+    ev = table(spark, sf_dir, "events").df
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(wo))
+    flagged = lagged.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    return DataStream(out)
+
+
+# -- pivot ------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_OPS_PIVOT_SQL = """
+SELECT user_id,
+       COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
+       COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+       COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
+       COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@query("ops_pivot_event_counts", _OPS_PIVOT_SQL)
+def ops_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Pivot with an explicit value list — single-pass, no second scan to
+    discover distinct values (the at-scale rule for pivot)."""
+    ev = table(spark, sf_dir, "events").df
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=_EVENT_TYPES)
+    )
+    return DataStream(out)
+
+
+# -- ordered prefix ops: takeWhile oracle -----------------------------------
+
+_OPS_TAKEWHILE_SQL = """
+SELECT event_id, user_id, value FROM events
+WHERE event_id < (SELECT COALESCE(MIN(event_id), 9223372036854775807)
+                  FROM events WHERE NOT (value < 495.0))
+"""
+
+
+@query("ops_take_while", _OPS_TAKEWHILE_SQL)
+def ops_take_while(spark: SparkSession, sf_dir: str) -> DataStream:
+    """take_while over an explicit total order (SURVEY.md §3): windowed
+    running-AND, no driver iteration."""
+    return (
+        table(spark, sf_dir, "events")
+        .projection("event_id", "user_id", "value")
+        .take_while(F.col("value") < 495.0, order_by=["event_id"])
+    )
+
+
+# -- tumbling time buckets (batch twin of streaming windows) ----------------
+
+_OPS_TUMBLING_SQL = f"""
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_money_sum(sql_cents('value'))} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("ops_tumbling_window", _OPS_TUMBLING_SQL)
+def ops_tumbling_window(spark: SparkSession, sf_dir: str) -> DataStream:
+    """1-hour tumbling aggregation keyed by epoch bucket (tz-free); the
+    streaming version (watermark + window()) is in eel_spark.streaming."""
+    ev = table(spark, sf_dir, "events").df
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    out = ev.groupBy(
+        bucket.alias("bucket_start"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(cents("value")).alias("total_value"),
+    )
+    return DataStream(out)

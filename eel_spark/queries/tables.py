@@ -30,6 +30,19 @@ TABLES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark only reads
+        # as a long (spark.sql.legacy.parquet.nanosAsLong). Read the nanos
+        # and surface a real timestamp column (micros, truncated exactly
+        # like DuckDB's epoch_us on TIMESTAMP_NS → identical values).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # session may have it fixed already
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        return DataStream(df)
     return DataStream(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 

@@ -22,22 +22,7 @@ from eel_spark.queries.tables import (
     sql_cents, sql_money_avg, sql_money_sum, table,
 )
 
-QUERIES = {}
-ORACLE = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str):
-            out = fn(spark, sf_dir)
-            return out.df if isinstance(out, DataStream) else out
-        wrapped.__name__ = name
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return wrapped
-    return deco
+from eel_spark.queries.registry import query
 
 
 # integer-cents building blocks shared by the money queries (see tables.py):

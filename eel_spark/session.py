@@ -39,6 +39,8 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- determinism for the duckdb oracle comparison ---
         .config("spark.sql.session.timeZone", "UTC")
+        # test data's events.parquet uses TIMESTAMP(NANOS)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quieter local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("EEL_SPARK_DRIVER_MEM", "8g"))
