@@ -1,0 +1,129 @@
+"""Hashing primitives for near-duplicate detection — all JVM expressions.
+
+MinHash: k independent permutations approximated by ``xxhash64(shingle,
+seed_i)`` minima — the standard trick (Broder '97); each signature row is
+an array<long> of k minima. SimHash: per-token 64-bit hashes vote on each
+bit, sign of the vote is the fingerprint bit (Charikar '02).
+
+Everything here stays inside whole-stage codegen: shingling is
+``transform`` over a split array, hashing is ``xxhash64``, banding is
+``slice`` + ``hash`` — no Python in the path, so the same code runs on a
+100 TB corpus with per-row cost independent of cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from eel_spark.functions.text import normalized_text, tokens
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from normalized text."""
+    t = tokens(normalized_text(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
+    """array<long> of ``num_hashes`` minima: min over shingles of
+    xxhash64(shingle, seed). Empty input → MAX_LONG sentinels.
+
+    NB: seeds are captured via closure factory — a pyspark higher-order
+    lambda's arity is significant (a 2-arg lambda receives the array
+    index as its second argument), so ``lambda s, i=i`` would silently
+    hash with the positional index instead of the seed.
+    """
+
+    def hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = [
+        F.array_min(F.transform(shingle_arr, hash_with_seed(i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*[F.coalesce(h, F.lit(2**63 - 1)) for h in sig])
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, key:long>> — LSH band keys: hash of each
+    band's slice. Two docs sharing any band key are candidate pairs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band))
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (arrays pre-distinct)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash-estimated Jaccard: fraction of equal signature slots."""
+    eq = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    )
+    return eq.cast("double") / F.size(sig_a).cast("double")
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash of the token multiset.
+
+    Bit b of the fingerprint = 1 iff more token-hashes have bit b set than
+    unset. Computed as 64 per-bit votes via aggregate over the token
+    hashes — pure codegen, no UDF.
+    """
+    hs = F.transform(tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+
+    def bit_vote(b: int):
+        # closure factory: the merge lambda must be exactly 2-ary
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), bit_vote(b))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    XOR — single JVM intrinsic)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_bands(fingerprint: Column, bands: int = 4) -> Column:
+    """Split a 64-bit fingerprint into ``bands`` chunks (pigeonhole: two
+    fingerprints within (bands-1) hamming distance share ≥1 exact chunk)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(fingerprint, b * width).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )

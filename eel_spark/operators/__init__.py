@@ -1,0 +1,3 @@
+from eel_spark.operators import dedup, multimodal, similarity
+
+__all__ = ["dedup", "multimodal", "similarity"]

@@ -1,0 +1,202 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+Four families (SURVEY.md §2.4): exact (hash group-by), MinHash+LSH
+(shingle → signature → band → bucket-join → verify), SimHash (bit-vote
+fingerprint → hamming band join), and n-gram Jaccard verification.
+
+The scale invariant across all of them: **all-pairs comparison only ever
+happens inside an LSH/band bucket**, never globally — candidate-pair count
+is bounded by bucket sizes, and every stage is a DataFrame op (shuffles on
+band keys, no driver-side state, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eel_spark.functions import hashes
+from eel_spark.functions.text import normalized_text
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs.
+
+    Returns (content_hash, n_docs, doc_ids sorted) for groups with >1 doc.
+    Hash group-by: one shuffle on the 128-bit content hash — the exact-dup
+    strategy that works unchanged at any corpus size.
+    """
+    h = F.md5(normalized_text(text_col).cast("binary"))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Survivor set: min-id doc per normalized content hash."""
+    h = F.md5(normalized_text(text_col).cast("binary"))
+    survivors = (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(survivors.select(id_col), on=id_col, how="left_semi")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH.
+
+    Pipeline: shingle → k-min signature → band keys → self-join on
+    (band, key) → distinct (id_a < id_b) pairs with estimated Jaccard.
+    The self-join shuffles on band keys, so work scales with bucket
+    sizes, not n². ``bands``/``num_hashes`` set the similarity threshold
+    s ≈ (1/bands)^(bands/num_hashes).
+    """
+    rows = num_hashes // bands
+    sig = hashes.minhash_signature(hashes.shingles(text_col, shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    banded = with_sig.select(
+        id_col, "sig", F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select(id_col, "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hashes.estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs verified by *exact* n-gram Jaccard ≥ threshold.
+
+    Verification joins the shingle sets back only for LSH candidates —
+    the expensive exact Jaccard runs on a bounded pair set.
+    """
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            hashes.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: 64-bit fingerprint, band join (pigeonhole
+    guarantees recall for hamming ≤ bands-1), hamming verify."""
+    fp = df.select(F.col(id_col), hashes.simhash64(text_col).alias("fp"))
+    banded = fp.select(
+        id_col, "fp", F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b")
+    ).select(id_col, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            hashes.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Embedding near-dups: random-hyperplane LSH bucket (sign bits of
+    ``n_planes`` fixed pseudo-random projections) then exact cosine verify
+    within buckets. Deterministic planes derive from xxhash64 of
+    (dimension, plane) — no RNG state to ship."""
+    from eel_spark.functions import vectors
+
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    # pseudo-random plane component in [-1,1): hash(d, p) scaled
+    def plane_component(p: int):
+        # closure factory (1-ary lambda; 2-ary would receive the index)
+        return lambda d: (
+            F.xxhash64(d.cast("string"), F.lit(p)).cast("double") / F.lit(float(2**63))
+        )
+
+    def plane_dot(p: int):
+        comps = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.transform(dim_idx, plane_component(p)),
+            lambda x, r: x * r,
+        )
+        return F.aggregate(comps, F.lit(0.0), lambda a, v: a + v)
+
+    sig = F.concat_ws(
+        "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
+    )
+    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", vectors.cosine(F.col("v_a"), F.col("v_b")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

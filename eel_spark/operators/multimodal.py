@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas functions via
+``mapInPandas``.
+
+The decode kernels are STUBS (the container has no image/audio libraries;
+each stub raises NotImplementedError unless ``fake=True`` substitutes a
+deterministic synthetic result). The Spark-side contract — schemas,
+batch iteration, partition sizing, UDF signatures — is real and tested:
+swapping a stub for PIL/torchaudio changes one inner function, not the
+pipeline.
+
+Scale notes: binary payloads dominate row size, so ``target_rows_per_batch``
+and a ``repartition`` by byte-budget (``pack_by_bytes``) keep Arrow batches
+bounded; metadata-only transformations never touch the payload column
+(column pruning drops it at the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (payload = seeded
+    bytes; metadata consistent with payload size)."""
+    rows = []
+    for i in range(n):
+        payload = bytes((i * 31 + j) % 256 for j in range(128 + (i % 5) * 64))
+        rows.append(
+            (i, payload, ["image", "audio", "video"][i % 3],
+             (64 + i % 32, 48 + i % 16, 1000 * (i % 7), "synthetic"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_image_stub(payload: bytes, fake: bool) -> list[float]:
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic test double"
+        )
+    # deterministic 8-dim "feature": byte-histogram moments
+    if payload is None or len(payload) == 0:
+        return [0.0] * 8
+    return [float(sum(payload[k::8]) % 997) / 997.0 for k in range(8)]
+
+
+def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """payload → feature vector via Arrow-batched mapInPandas.
+
+    Real plumbing: batch iterator in, batch iterator out, bounded memory;
+    the stub kernel is the only non-production line.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "features": pdf["payload"].map(
+                        lambda p: _decode_image_stub(p, fake)
+                    ),
+                }
+            )
+            yield out
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes per-row frame timestamps to
+    sample (metadata-only — payload column pruned away), the shape a real
+    decoder fans out over. Returns (media_id, frame_ts_ms array).
+    """
+    return df.filter(F.col("media_type") == "video").select(
+        "media_id",
+        F.when(
+            F.col("meta.duration_ms") > 0,
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("frame_ts_ms"),
+    )
+
+
+def pack_by_bytes(df: DataFrame, byte_col: F.Column, target_mb: int = 64) -> DataFrame:
+    """Repartition so each partition holds ~target_mb of payload — the
+    knob that keeps Arrow batches and executor memory bounded when rows
+    are megabytes each."""
+    total = df.agg(F.sum(byte_col).alias("b")).first()["b"] or 0
+    parts = max(1, int(total / (target_mb * 1024 * 1024)))
+    return df.repartition(parts)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a crossJoin with the (broadcast)
+query set, fully distributed, exact. Scale path: IVF — a kmeans-lite
+centroid assignment bucketizes vectors; queries probe only the nearest
+``n_probe`` cells, bounding the candidate set by cell sizes (the standard
+billion-scale ANN layout, expressed as two broadcast joins + a window
+top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eel_spark.functions import vectors
+
+
+def brute_force_topk(
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries_df is broadcast (query sets are small relative to the corpus);
+    the per-pair kernel is a JVM fold; the top-k is a rank window
+    partitioned by query — no global sort, no driver collect.
+    ``exclude_self`` drops corpus rows whose id equals the query id before
+    ranking (for corpus-internal queries).
+    """
+    q = F.broadcast(
+        queries_df.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = vectors_df.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        vectors.cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def train_centroids(
+    vectors_df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 3,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kmeans-lite: deterministic init (hash-mod of id picks seeds), then
+    ``iterations`` rounds of assign + mean — each round is one broadcast
+    join + one groupBy (no MLlib dependency, no driver loops over data).
+
+    Returns (cell_id, centroid array<double>).
+    """
+    v = vectors_df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    if sample_mod > 1:
+        v = v.filter(F.pmod(F.xxhash64(F.col("__id")), sample_mod) == 0)
+    # deterministic seeds: first vector in each of n_cells hash buckets
+    seeded = v.withColumn("cell_id", F.pmod(F.xxhash64(F.col("__id")), n_cells))
+    w = Window.partitionBy("cell_id").orderBy("__id")
+    centroids = (
+        seeded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", F.col("__v").alias("centroid"))
+    )
+    for _ in range(iterations):
+        assigned = _assign_cells(v, centroids, "__v")
+        centroids = (
+            assigned.select("cell_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mean")))
+                    ),
+                    lambda s: s.mean,
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFrame:
+    """Assign each row to its nearest centroid via broadcast + argmin."""
+    c = F.broadcast(centroids)
+    scored = df.crossJoin(c).withColumn(
+        "__dist", vectors.l2_distance(F.col(vec_expr), F.col("centroid"))
+    )
+    w = Window.partitionBy(df.columns[0] if df.columns else "__id").orderBy(
+        F.asc("__dist"), F.asc("cell_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__dist", "centroid")
+    )
+
+
+def ivf_topk(
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF ANN: corpus pre-assigned to cells; each query probes its
+    ``n_probe`` nearest cells only. Candidate count ∝ probed-cell sizes —
+    the 100 TB path (brute force touches every vector per query; IVF
+    touches ~n_probe/n_cells of them)."""
+    corpus = _assign_cells(
+        vectors_df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        ),
+        centroids,
+        "__v",
+    )
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist", vectors.l2_distance(F.col("__qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.asc("__dist"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qv", "cell_id")
+    )
+    scored = probes.join(corpus, "cell_id").select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        vectors.cosine(F.col("__v"), F.col("__qv")).alias("cos"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )

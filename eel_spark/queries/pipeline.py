@@ -1,0 +1,274 @@
+"""Gated queries for the LLM-pipeline operators (SURVEY.md §2.4): text
+analysis, dedup families, similarity search, multimodal plumbing — over
+the ``documents`` and ``embeddings`` tables.
+
+SQL-expressible ops carry an exact DuckDB oracle; the LSH/IVF/multimodal
+ops are registered rows-only (the driver records the weaker check) and are
+correctness-tested against planted duplicates in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from eel_spark.datastream import DataStream
+from eel_spark.functions import text as TX
+from eel_spark.operators import dedup, multimodal, similarity
+from eel_spark.queries.registry import query
+from eel_spark.queries.tables import table
+
+# DuckDB fragments mirroring functions/text.py exactly
+_SQL_TOKENS = "list_filter(string_split({t}, ' '), x -> x <> '')"
+_SQL_NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+
+
+def _sql_stopcount(t: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_SQL_TOKENS.format(t=t)}, x -> list_contains({arr}, x)))"
+
+
+# ---------------------------------------------------------------------------
+# token / char stats per language label
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len({_SQL_TOKENS.format(t='text')})) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       SUM(LENGTH(text)) AS total_text_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("text_token_stats", _TOKEN_STATS_SQL)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Whitespace token counting — all integer aggregation, JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.group_by("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(F.length("text")).alias("total_text_chars"),
+        )
+        .to_datastream()
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document quality metrics (exact int / deterministic double)
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_TOKENS.format(t='text')} AS toks,
+         LENGTH(text) AS n_chars_measured,
+         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       n_chars_measured,
+       CAST(len(list_filter(toks, x -> LENGTH(x) >= 6)) AS DOUBLE)
+         / len(toks) AS long_token_ratio,
+       CAST(n_spaces AS DOUBLE) / n_chars_measured AS whitespace_ratio
+FROM t
+WHERE len(toks) > 0
+"""
+
+
+@query("text_quality_metrics", _QUALITY_SQL)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Per-doc quality signals (length, long-token ratio, whitespace
+    ratio) — the row-filter primitives a corpus-cleaning pass applies
+    before training."""
+    docs = table(spark, sf_dir, "documents").df
+    toks = TX.tokens("text")
+    long_toks = F.size(F.filter(toks, lambda t: F.length(t) >= 6))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (long_toks.cast("double") / F.size(toks)).alias("long_token_ratio"),
+        TX.whitespace_ratio("text").alias("whitespace_ratio"),
+    ).filter(F.col("n_tokens") > 0)
+    return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
+# language ID heuristic (marker-token argmax)
+# ---------------------------------------------------------------------------
+
+def _langid_sql() -> str:
+    langs = list(TX.LANG_MARKERS)
+    n = max(8, len(langs))
+    score_cols = ",\n         ".join(
+        f"{_sql_stopcount('text', TX.LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in langs
+    )
+    keys = {lang: f"(s_{lang} * {n} - {i})" for i, lang in enumerate(langs)}
+    g = "GREATEST(" + ", ".join(keys.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {g} = {keys[lang]} THEN '{lang}'" for lang in langs
+    ) + " END"
+    any_hit = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ") > 0"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM documents
+)
+SELECT predicted_lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM (SELECT doc_id, CASE WHEN {any_hit} THEN {case} ELSE 'und' END AS predicted_lang
+      FROM scored)
+GROUP BY predicted_lang
+"""
+
+
+@query("text_language_id", _langid_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Marker-vocabulary language ID — pure codegen argmax, identical
+    integer encoding on both engines (functions/text.py:lang_id)."""
+    docs = table(spark, sf_dir, "documents").df
+    out = (
+        docs.select("doc_id", TX.lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+    return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
+# content fingerprinting + exact dedup survivors
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_SQL = f"""
+SELECT source,
+       COUNT(DISTINCT substr(md5({_SQL_NORM.format(t='text')}), 1, 16)) AS n_fingerprints,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
+@query("text_fingerprints", _FINGERPRINT_SQL)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataStream:
+    """md5-prefix content fingerprints (engine-portable) per source."""
+    docs = table(spark, sf_dir, "documents").df
+    out = docs.groupBy("source").agg(
+        F.countDistinct(TX.fingerprint("text")).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return DataStream(out)
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_SQL_NORM.format(t='text')}) AS h FROM documents)
+  GROUP BY h
+) s ON d.doc_id = s.doc_id
+"""
+
+
+@query("dedup_exact_survivors", _DEDUP_EXACT_SQL)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Exact dedup: min-id survivor per normalized-content hash (one
+    shuffle on the 128-bit hash; operators/dedup.py:dedup_exact)."""
+    docs = table(spark, sf_dir, "documents").df
+    return DataStream(
+        dedup.dedup_exact(docs, "text", "doc_id").select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force exact top-k (oracled — cosine is bit-identical)
+# ---------------------------------------------------------------------------
+
+_ANN_SQL = """
+WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+     pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CASE WHEN sqrt(list_aggregate(list_transform(q.v, x -> x*x), 'sum')) > 0
+               AND sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum')) > 0
+              THEN list_aggregate(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), 'sum')
+                   / sqrt(list_aggregate(list_transform(q.v, x -> x*x), 'sum'))
+                   / sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum'))
+              ELSE 0.0 END AS cos
+  FROM d q, d c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+) WHERE rank <= 10
+"""
+
+
+@query("ann_brute_force_topk", _ANN_SQL)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries ×
+    corpus, JVM fold kernel, per-query rank window. The IVF variant
+    (ann_ivf_topk) is the sublinear scale path."""
+    emb = table(spark, sf_dir, "embeddings").df
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=10, exclude_self=True,
+    )
+    return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible at reasonable complexity): LSH + IVF +
+# multimodal — verified against planted data in tests/.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH candidate pairs with exact-Jaccard verification
+    (bounded bucket joins; operators/dedup.py)."""
+    docs = table(spark, sf_dir, "documents").df
+    return dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16
+    ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"),
+             F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
+    """SimHash hamming-band near-dup pairs (operators/dedup.py)."""
+    docs = table(spark, sf_dir, "documents").df
+    return dedup.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=8, bands=4)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF ANN: centroid bucketing + n_probe cells per query — the
+    sublinear alternative to brute force (operators/similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings").df
+    cents = similarity.train_centroids(emb, n_cells=8, iterations=2)
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str):
+    """Binary-column plumbing: synthetic media table → Arrow-batched
+    mapInPandas feature extraction (stub kernel, real batch contract)."""
+    media = multimodal.synth_media(spark, n=64)
+    return multimodal.extract_image_features(media, fake=True)

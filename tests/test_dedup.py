@@ -1,0 +1,101 @@
+"""Dedup operators vs planted duplicates (the non-SQL-oracle ops get their
+correctness gate here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "every single morning before the sun rises over the quiet hills"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "speedy")),        # near dup of 0
+        (3, BASE.replace("dog", "wolf").replace("cat", "lynx")),  # near dup
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution with vectorized operators "
+            "running on large clusters of commodity machines every day"),
+        (5, "THE  Quick  Brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden outside "
+            "every single morning before the sun rises over the quiet hills"),
+        # normalized-exact dup of 0 (case/whitespace)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_duplicates_groups(corpus):
+    groups = dedup.exact_duplicates(corpus, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1, 5]
+
+
+def test_dedup_exact_survivors(corpus):
+    survivors = sorted(r["doc_id"] for r in dedup.dedup_exact(corpus, "text", "doc_id").collect())
+    assert survivors == [0, 2, 3, 4]
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = dedup.minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups + near dups of 0 must surface; the unrelated doc must not
+    assert (0, 1) in found and (0, 5) in found
+    assert (0, 2) in found or (0, 3) in found
+    assert not any(4 in p for p in found)
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_minhash_estimates_track_exact(corpus):
+    pairs = dedup.minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.3, num_hashes=64, bands=16
+    ).collect()
+    for r in pairs:
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35  # 64 perms → coarse
+
+
+def test_simhash_finds_near_dups(corpus):
+    pairs = dedup.simhash_near_duplicates(
+        corpus, "text", "doc_id", max_hamming=10, bands=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 5) in found  # identical → hamming 0
+    assert not any(4 in p for p in found)
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham[(0, 1)] == 0 and ham[(0, 5)] == 0
+
+
+def test_embedding_near_duplicates(spark):
+    import math
+
+    def unit(seed: int, dim: int = 16, jitter: float = 0.0):
+        vals = [math.sin(seed * 31 + j) + (jitter if j == 0 else 0) for j in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = [
+        (0, unit(1)),
+        (1, unit(1)),            # identical
+        (2, unit(1, jitter=0.05)),  # very close
+        (3, unit(7)),            # unrelated
+        (4, unit(13)),           # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = dedup.embedding_near_duplicates(
+        df, "embedding", "vec_id", threshold=0.95, n_planes=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert all(p in {(0, 1), (0, 2), (1, 2)} for p in found)

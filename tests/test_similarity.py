@@ -1,0 +1,68 @@
+"""Similarity search: brute-force exactness and IVF recall on planted
+cluster structure."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_spark.operators import similarity
+
+
+def _unit(seed: int, dim: int = 8, jitter: float = 0.0):
+    vals = [math.sin(seed * 17 + j) + jitter * math.cos(j * seed) for j in range(dim)]
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # 3 clusters of 10 vectors each around distinct directions
+    rows = []
+    vid = 0
+    for c in (1, 5, 11):
+        for j in range(10):
+            rows.append((vid, c, _unit(c, jitter=0.05 * j)))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, cluster: int, embedding: array<double>")
+
+
+def test_brute_force_topk_exact(clustered):
+    queries = clustered.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(
+        clustered, queries, k=5, exclude_self=True
+    ).collect()
+    assert len(got) == 5
+    # top-5 neighbours of a cluster-1 member are all cluster-1 members (ids 1..9)
+    assert all(1 <= r["vec_id"] <= 9 for r in got)
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    cos = [r["cos"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_matches_brute_force_on_clusters(clustered):
+    queries = clustered.filter("vec_id IN (0, 10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(clustered, n_cells=3, iterations=3)
+    assert cents.count() == 3
+    bf = similarity.brute_force_topk(clustered, queries, k=3, exclude_self=True)
+    ivf = similarity.ivf_topk(clustered, queries, cents, k=3, n_probe=2, exclude_self=True)
+    bf_map = {(r["query_id"], r["rank"]): r["vec_id"] for r in bf.collect()}
+    ivf_rows = ivf.collect()
+    # IVF with enough probes recovers the brute-force top-1 per query
+    top1 = {r["query_id"]: r["vec_id"] for r in ivf_rows if r["rank"] == 1}
+    for q in (0, 10, 20):
+        assert top1[q] == bf_map[(q, 1)]
+
+
+def test_train_centroids_deterministic(clustered):
+    a = similarity.train_centroids(clustered, n_cells=3, iterations=2).collect()
+    b = similarity.train_centroids(clustered, n_cells=3, iterations=2).collect()
+    am = {r["cell_id"]: r["centroid"] for r in a}
+    bm = {r["cell_id"]: r["centroid"] for r in b}
+    assert am == bm
