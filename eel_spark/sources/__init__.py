@@ -1,0 +1,36 @@
+from eel_spark.sources.files import (
+    AvroSink,
+    AvroSource,
+    CsvSink,
+    CsvSource,
+    DevNullSink,
+    FilePattern,
+    JsonSink,
+    JsonSource,
+    OrcSink,
+    OrcSource,
+    ParquetSink,
+    ParquetSource,
+    TextSource,
+)
+from eel_spark.sources.hive import HiveSink, HiveSource, HiveTable
+from eel_spark.sources.jdbc import (
+    BucketPartitionStrategy,
+    HashPartitionStrategy,
+    JdbcSink,
+    JdbcSource,
+    RangePartitionStrategy,
+    SinglePartitionStrategy,
+)
+from eel_spark.sources.kafka import KafkaSink, KafkaSource
+
+__all__ = [
+    "ParquetSource", "ParquetSink", "CsvSource", "CsvSink", "JsonSource",
+    "JsonSink", "OrcSource", "OrcSink", "AvroSource", "AvroSink",
+    "TextSource", "FilePattern", "DevNullSink",
+    "HiveSource", "HiveSink", "HiveTable",
+    "JdbcSource", "JdbcSink", "RangePartitionStrategy",
+    "HashPartitionStrategy", "BucketPartitionStrategy",
+    "SinglePartitionStrategy",
+    "KafkaSource", "KafkaSink",
+]

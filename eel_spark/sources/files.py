@@ -1,0 +1,306 @@
+"""File sources/sinks — the reference's component/{parquet,csv,json,orc,
+avro,sequence} re-expressed as Spark readers/writers.
+
+Key behaviors carried over:
+- ParquetSource predicate + projection pushdown (ParquetPredicateBuilder.
+  scala, ParquetSource.scala:withPredicate/withProjection) → here they are
+  *free*: filters/selects on the returned DataStream reach the scan via
+  Catalyst (verified in tests/test_plans.py).
+- RollingParquetWriter.scala (roll by record count) → ``max_records_per_file``.
+- CsvSource options (CsvSource.scala: delimiter/header/nulls/schema-infer)
+  → reader options passthrough.
+- FilePattern.scala (glob expansion) → Spark path globs + pathGlobFilter.
+- Statistics (parquet footer counts, Statistics.scala) → pyarrow metadata.
+
+Every sink's ``write`` returns the row count, mirroring ``to(sink)``
+(DataStream.scala:1011) — counted via a Spark Observation (no second scan).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eel_spark.datastream import DataStream
+
+
+class Source:
+    """A Source produces a DataStream (Source.scala:toDataStream)."""
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        raise NotImplementedError
+
+    def schema(self, spark: SparkSession) -> T.StructType:
+        return self.to_datastream(spark).schema
+
+
+class Sink:
+    """A Sink consumes a DataStream, returning rows written."""
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        raise NotImplementedError
+
+    def _write_df(
+        self, df: DataFrame, fmt: str, path: str | None,
+        mode: str, options: dict[str, Any], partition_by: list[str] | None = None,
+        parallelism: int | None = None,
+    ) -> int:
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        if parallelism:
+            observed = observed.repartition(parallelism)
+        writer = observed.write.format(fmt).mode(mode).options(**options)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if path is None:
+            writer.save()
+        else:
+            writer.save(path)
+        return obs.get["rows"]
+
+
+# ---------------------------------------------------------------------------
+# Parquet
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ParquetSource(Source):
+    """ParquetSource.scala — with free predicate/projection pushdown."""
+
+    path: str | list[str]
+    merge_schema: bool = False
+    options: dict[str, Any] = dc_field(default_factory=dict)
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        reader = spark.read.options(**self.options)
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        paths = self.path if isinstance(self.path, list) else [self.path]
+        return DataStream(reader.parquet(*paths))
+
+    def statistics(self) -> dict[str, int]:
+        """Statistics.scala: footer-level counts without a Spark job."""
+        import pyarrow.parquet as pq
+
+        paths = self.path if isinstance(self.path, list) else [self.path]
+        files: list[str] = []
+        for p in paths:
+            files.extend(sorted(_glob.glob(p)) or [p])
+        rows = row_groups = 0
+        total_bytes = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rows += md.num_rows
+            row_groups += md.num_row_groups
+            total_bytes += md.serialized_size
+        return {"rows": rows, "row_groups": row_groups, "files": len(files)}
+
+
+@dataclass
+class ParquetSink(Sink):
+    """ParquetSink.scala + RollingParquetWriter.scala (max_records_per_file)."""
+
+    path: str
+    mode: str = "overwrite"
+    compression: str = "snappy"
+    max_records_per_file: int | None = None
+    partition_by: list[str] | None = None
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        opts: dict[str, Any] = {"compression": self.compression}
+        if self.max_records_per_file:
+            opts["maxRecordsPerFile"] = str(self.max_records_per_file)
+        return self._write_df(
+            ds.df, "parquet", self.path, self.mode, opts, self.partition_by, parallelism
+        )
+
+
+# ---------------------------------------------------------------------------
+# CSV
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CsvSource(Source):
+    """CsvSource.scala: header/delimiter/quote/null handling + inference."""
+
+    path: str
+    header: bool = True
+    delimiter: str = ","
+    quote: str = '"'
+    null_value: str = ""
+    infer_schema: bool = True
+    schema: T.StructType | None = None
+    options: dict[str, Any] = dc_field(default_factory=dict)
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        reader = (
+            spark.read.option("header", self.header)
+            .option("sep", self.delimiter)
+            .option("quote", self.quote)
+            .option("nullValue", self.null_value)
+            .options(**self.options)
+        )
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        elif self.infer_schema:
+            reader = reader.option("inferSchema", "true")
+        return DataStream(reader.csv(self.path))
+
+
+@dataclass
+class CsvSink(Sink):
+    path: str
+    mode: str = "overwrite"
+    header: bool = True
+    delimiter: str = ","
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        return self._write_df(
+            ds.df, "csv", self.path, self.mode,
+            {"header": self.header, "sep": self.delimiter}, None, parallelism,
+        )
+
+
+# ---------------------------------------------------------------------------
+# JSON
+# ---------------------------------------------------------------------------
+
+@dataclass
+class JsonSource(Source):
+    """JsonSource.scala (JSON-lines; multiline for document arrays)."""
+
+    path: str
+    multiline: bool = False
+    schema: T.StructType | None = None
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        reader = spark.read.option("multiLine", self.multiline)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return DataStream(reader.json(self.path))
+
+
+@dataclass
+class JsonSink(Sink):
+    path: str
+    mode: str = "overwrite"
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        return self._write_df(ds.df, "json", self.path, self.mode, {}, None, parallelism)
+
+
+# ---------------------------------------------------------------------------
+# ORC
+# ---------------------------------------------------------------------------
+
+@dataclass
+class OrcSource(Source):
+    """OrcSource.scala — predicate pushdown via ORC SearchArguments is
+    automatic in Spark's ORC reader."""
+
+    path: str
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        return DataStream(spark.read.orc(self.path))
+
+
+@dataclass
+class OrcSink(Sink):
+    """OrcSink.scala incl. bloom-filter columns option."""
+
+    path: str
+    mode: str = "overwrite"
+    bloom_filter_columns: list[str] | None = None
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        opts: dict[str, Any] = {}
+        if self.bloom_filter_columns:
+            opts["orc.bloom.filter.columns"] = ",".join(self.bloom_filter_columns)
+        return self._write_df(ds.df, "orc", self.path, self.mode, opts, None, parallelism)
+
+
+# ---------------------------------------------------------------------------
+# Avro (gated: spark-avro jar not bundled in this container)
+# ---------------------------------------------------------------------------
+
+class _AvroGate:
+    @staticmethod
+    def check(spark: SparkSession) -> None:
+        try:
+            spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+        except Exception:
+            raise RuntimeError(
+                "Avro support requires the spark-avro package "
+                "(org.apache.spark:spark-avro_2.13); add it via "
+                "spark.jars.packages. The API surface is wired; only the "
+                "format jar is absent in this container."
+            ) from None
+
+
+@dataclass
+class AvroSource(Source):
+    path: str
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        _AvroGate.check(spark)
+        return DataStream(spark.read.format("avro").load(self.path))
+
+
+@dataclass
+class AvroSink(Sink):
+    path: str
+    mode: str = "overwrite"
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        _AvroGate.check(ds.df.sparkSession)
+        return self._write_df(ds.df, "avro", self.path, self.mode, {}, None, parallelism)
+
+
+# ---------------------------------------------------------------------------
+# Text / glob / dev-null
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TextSource(Source):
+    """Line-per-row text (the practical stand-in for SequenceSource —
+    hadoop sequence files are a JVM-era niche; wholeTextFiles-style
+    ingestion is covered by ``whole_file=True``)."""
+
+    path: str
+    whole_file: bool = False
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        reader = spark.read
+        if self.whole_file:
+            reader = reader.option("wholetext", "true")
+        return DataStream(reader.text(self.path))
+
+
+@dataclass
+class FilePattern(Source):
+    """FilePattern.scala: glob expansion with filtering."""
+
+    pattern: str
+    format: str = "parquet"
+    path_glob_filter: str | None = None
+    recursive: bool = False
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        reader = spark.read.format(self.format)
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
+        if self.recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        return DataStream(reader.load(self.pattern))
+
+
+class DevNullSink(Sink):
+    """DevNullSink.scala → the noop format (full execution, no output)."""
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        return self._write_df(ds.df, "noop", None, "overwrite", {}, None, parallelism)

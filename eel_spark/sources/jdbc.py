@@ -1,0 +1,135 @@
+"""JDBC source/sink with the reference's partition strategies.
+
+Reference: eel-core component/jdbc/ — JdbcSource with
+RangePartitionStrategy (split a numeric column into N ranges),
+HashPartitionStrategy (mod of a hash → N predicate partitions),
+BucketPartitionStrategy (explicit value buckets), SinglePartition,
+JdbcSink with create-table + batched inserts.
+
+Spark mapping: Range → the native ``partitionColumn/lowerBound/upperBound/
+numPartitions`` reader path; Hash/Bucket → the ``predicates=[...]`` reader
+(one partition per predicate). Both make N executors each open their own
+JDBC connection and read disjoint slices — the distributed version of the
+reference's threaded publisher.
+
+Gated: no JDBC driver jar ships in this container; construction and plan
+assembly are tested, connection attempts raise the driver's error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from eel_spark.datastream import DataStream
+from eel_spark.sources.files import Sink, Source
+
+
+class JdbcPartitionStrategy:
+    def reader_kwargs(self) -> dict[str, Any]:
+        return {}
+
+    def predicates(self) -> list[str] | None:
+        return None
+
+
+@dataclass
+class SinglePartitionStrategy(JdbcPartitionStrategy):
+    """SinglePartitionStrategy.scala — one connection, one partition."""
+
+
+@dataclass
+class RangePartitionStrategy(JdbcPartitionStrategy):
+    """RangePartitionStrategy.scala: numeric column split into even ranges."""
+
+    column: str
+    lower_bound: int
+    upper_bound: int
+    num_partitions: int
+
+    def reader_kwargs(self) -> dict[str, Any]:
+        return {
+            "column": self.column,
+            "lowerBound": str(self.lower_bound),
+            "upperBound": str(self.upper_bound),
+            "numPartitions": self.num_partitions,
+        }
+
+
+@dataclass
+class HashPartitionStrategy(JdbcPartitionStrategy):
+    """HashPartitionStrategy.scala: mod-N split via predicate pushdown.
+
+    Uses ANSI ``MOD(column, N) = i`` so each executor reads one residue
+    class; works on any integral key without knowing its range.
+    """
+
+    column: str
+    num_partitions: int
+
+    def predicates(self) -> list[str]:
+        n = self.num_partitions
+        return [f"MOD({self.column}, {n}) = {i}" for i in range(n)]
+
+
+@dataclass
+class BucketPartitionStrategy(JdbcPartitionStrategy):
+    """BucketPartitionStrategy.scala: explicit value buckets per partition."""
+
+    column: str
+    buckets: list[list[Any]] = dc_field(default_factory=list)
+
+    def predicates(self) -> list[str]:
+        def fmt(v: Any) -> str:
+            return f"'{v}'" if isinstance(v, str) else str(v)
+
+        return [
+            f"{self.column} IN ({', '.join(fmt(v) for v in bucket)})"
+            for bucket in self.buckets
+        ]
+
+
+@dataclass
+class JdbcSource(Source):
+    """JdbcSource.scala: url + query/table, fetch size, partitioning."""
+
+    url: str
+    table: str  # table name or "(SELECT ...) AS q" subquery
+    strategy: JdbcPartitionStrategy = dc_field(default_factory=SinglePartitionStrategy)
+    fetch_size: int = 1000
+    properties: dict[str, str] = dc_field(default_factory=dict)
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        props = {"fetchsize": str(self.fetch_size), **self.properties}
+        preds = self.strategy.predicates()
+        if preds is not None:
+            df = spark.read.jdbc(
+                self.url, self.table, predicates=preds, properties=props
+            )
+        else:
+            kwargs = self.strategy.reader_kwargs()
+            df = spark.read.jdbc(self.url, self.table, properties=props, **kwargs)
+        return DataStream(df)
+
+
+@dataclass
+class JdbcSink(Sink):
+    """JdbcSink.scala: batched inserts; mode maps create-table semantics
+    (overwrite ≈ withCreateTable(true))."""
+
+    url: str
+    table: str
+    mode: str = "append"
+    batch_size: int = 1000
+    properties: dict[str, str] = dc_field(default_factory=dict)
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        df: DataFrame = ds.df
+        if parallelism:
+            df = df.repartition(parallelism)
+        n = df.count()
+        props = {"batchsize": str(self.batch_size), **self.properties}
+        df.write.jdbc(self.url, self.table, mode=self.mode, properties=props)
+        return n
