@@ -1,0 +1,242 @@
+"""Structured Streaming — the distributed answer to the reference's
+push-based pub/sub core.
+
+The reference's DataStream *is* a stream (Publisher/Subscriber over row
+chunks, DataStream.scala:33) but single-process and unmanaged: no
+watermarks, no state store, no exactly-once sinks. This module maps that
+model onto Structured Streaming: file/rate sources → windowed/stateful
+transforms → parquet/memory sinks with checkpoints.
+
+Everything is built for event-time correctness at scale: watermarks bound
+state, window aggregations are partial+final, and the custom stateful
+operator uses applyInPandasWithState (Arrow-batched per-key state).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-arrival stream (the micro-batch twin of eel's source
+    publisher): new files under ``path`` become micro-batches."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic rate source shaped like the events table."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return df.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ["click", "view", "purchase", "signup", "error"]]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("value"), 10000) / 100.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data watermark.
+
+    The watermark bounds state: at 100 TB/day ingest, state is
+    O(active windows × key cardinality), not O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Built-in session windows (gap-based), the declarative twin of the
+    batch sessionization in queries/ops.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "session_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "n_events LONG, total DOUBLE, last_ts TIMESTAMP"
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel: per-user running session (count/sum) with a
+    processing-time timeout closing the session."""
+    if state.hasTimedOut:
+        n, total, _ = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total": total, "closed": True}]
+        )
+        return
+    n, total = 0, 0.0
+    if state.exists:
+        n, total, _ = state.get
+    last_ts = None
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_ts = pdf["ts"].max()
+    state.update((n, total, last_ts))
+    state.setTimeoutDuration(30_000)
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "total": total, "closed": False}]
+    )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionization — the escape hatch for
+    stateful logic session_window can't express (custom close conditions,
+    per-key models). Arrow-batched; state is per-key, store-backed,
+    timeout-bounded."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def rolling_parquet_stream_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    max_records_per_file: int = 100_000,
+    trigger_seconds: int | None = None,
+    partition_by: list[str] | None = None,
+):
+    """RollingParquetWriter.scala as a streaming sink: exactly-once parquet
+    with bounded file sizes; returns the StreamingQuery handle."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+@dataclass
+class EventStream:
+    """Convenience facade: replay a static events table as a stream (for
+    tests/demos) or attach to a live directory."""
+
+    spark: SparkSession
+    path: str
+
+    def stream(self) -> DataFrame:
+        try:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        import os
+
+        path, glob_filter = self.path, None
+        if os.path.isfile(path):  # file streams want a directory + filter
+            path, glob_filter = os.path.dirname(path), os.path.basename(path)
+        reader = self.spark.readStream
+        if glob_filter:
+            reader = reader.option("pathGlobFilter", glob_filter)
+        df = reader.schema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.LongType()),  # nanos in testdata
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            )
+        ).parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
