@@ -15,7 +15,18 @@ import os
 import time
 
 HEADLINE = [
+    # TPC-H-style core: scan-agg, filtered join chains, semi/anti, disjunctive
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    # LLM-pipeline: dedup families, text scoring, ANN
+    "dedup_exact_survivors",
+    "dedup_minhash_pairs",
+    "text_quality_metrics",
+    "ann_brute_force_topk",
 ]
 
 

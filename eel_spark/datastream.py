@@ -233,16 +233,22 @@ class DataStream:
         )
 
     def replace_value_all(self, from_value: Any, target: Any) -> "DataStream":
-        """replace(from, target) across all fields (DataStream.scala:652)."""
+        """replace(from, target) across all fields (DataStream.scala:652).
+
+        ``try_cast`` (not ``cast``): under ANSI mode an incompatible
+        literal→column cast is a *runtime* error; try_cast folds to NULL so
+        incompatible columns are left untouched, matching the reference's
+        equality-only semantics.
+        """
         df = self.df
         for f in df.schema.fields:
-            try:
-                lit = F.lit(from_value).cast(f.dataType)
-            except Exception:
-                continue
+            lit = F.lit(from_value).try_cast(f.dataType)
             c = F.col(f.name)
             df = df.withColumn(
-                f.name, F.when(c == lit, F.lit(target).cast(f.dataType)).otherwise(c)
+                f.name,
+                F.when(
+                    lit.isNotNull() & (c == lit), F.lit(target).try_cast(f.dataType)
+                ).otherwise(c),
             )
         return self._wrap(df)
 

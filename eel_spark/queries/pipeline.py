@@ -189,7 +189,9 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataStream:
 
 
 # ---------------------------------------------------------------------------
-# ANN: brute-force exact top-k (oracled — cosine is bit-identical)
+# ANN: brute-force exact top-k (oracled — ranking on exact cosine, the
+# reported value rounded to 4 decimals: engines' fold orders differ in the
+# last ulp, SURVEY.md §6)
 # ---------------------------------------------------------------------------
 
 _ANN_SQL = """
@@ -206,7 +208,7 @@ WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM d q, d c
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
 )
-SELECT query_id, vec_id, cos, rank FROM (
+SELECT query_id, vec_id, ROUND(cos, 4) AS cos, rank FROM (
   SELECT query_id, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM pairs
@@ -226,7 +228,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataStream:
     out = similarity.brute_force_topk(
         emb, queries, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=10, exclude_self=True,
-    )
+    ).withColumn("cos", F.round("cos", 4))
     return DataStream(out)
 
 

@@ -1,0 +1,288 @@
+"""Unit tests for every DataStream operator (SURVEY.md §2.1) against
+hand-computed expectations on tiny in-memory tables."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eel_spark.datastream import DataStream, from_rows, from_values
+
+PEOPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+    ]
+)
+PEOPLE = [
+    ("ada", "london", 36),
+    ("grace", "arlington", 85),
+    ("alan", "london", 41),
+    ("edsger", "austin", 72),
+]
+
+
+@pytest.fixture
+def people(spark):
+    return from_values(spark, PEOPLE_SCHEMA, PEOPLE)
+
+
+def vals(ds: DataStream):
+    return sorted(tuple(r) for r in ds.df.collect())
+
+
+# -- constructors ----------------------------------------------------------
+
+def test_from_values_and_rows(spark):
+    ds = from_values(spark, PEOPLE_SCHEMA, PEOPLE)
+    assert ds.count() == 4
+    assert ds.field_names == ["name", "city", "age"]
+    ds2 = from_rows(spark, PEOPLE_SCHEMA, [tuple(p) for p in PEOPLE])
+    assert vals(ds) == vals(ds2)
+
+
+# -- row-wise transforms ---------------------------------------------------
+
+def test_map_field_callable_and_sql(people):
+    up = people.map_field("name", lambda c: F.upper(c))
+    assert sorted(r["name"] for r in up.collect()) == ["ADA", "ALAN", "EDSGER", "GRACE"]
+    doubled = people.map_field("age", "age * 2")
+    assert sorted(r["age"] for r in doubled.collect()) == [72, 82, 144, 170]
+
+
+def test_map_field_if_exists(people):
+    same = people.map_field_if_exists("nope", lambda c: F.upper(c))
+    assert vals(same) == vals(people)
+    changed = people.map_field_if_exists("city", lambda c: F.initcap(c))
+    assert "London" in {r["city"] for r in changed.collect()}
+
+
+def test_map_rows_arrow(people):
+    def add_decade(batches):
+        for pdf in batches:
+            pdf["age"] = pdf["age"] + 10
+            yield pdf
+
+    out = people.map_rows(add_decade)
+    assert sorted(r["age"] for r in out.collect()) == [46, 51, 82, 95]
+
+
+# -- filtering -------------------------------------------------------------
+
+def test_filter_column_and_sql_and_not(people):
+    assert people.filter(F.col("age") > 50).count() == 2
+    assert people.filter("age > 50").count() == 2
+    assert people.filter_not("age > 50").count() == 2
+    assert people.filter_field("city", "london").count() == 2
+
+
+def test_null_handling(spark):
+    ds = from_values(
+        spark, PEOPLE_SCHEMA, [("x", None, 1), (None, "y", 2), ("z", "w", None)]
+    )
+    assert ds.drop_null_rows().count() == 0
+    filled = ds.replace_null_values("?", subset=["name", "city"])
+    assert {r["name"] for r in filled.collect()} == {"x", "?", "z"}
+
+
+def test_sample_deterministic(people):
+    s1 = vals(people.sample(2, on="name"))
+    s2 = vals(people.sample(2, on="name"))
+    assert s1 == s2  # deterministic, unlike the reference's racy counter
+    assert 0 < len(s1) < 4
+
+
+# -- projections / schema surgery -----------------------------------------
+
+def test_projection_and_add_rename_remove(people):
+    proj = people.projection("name", "age")
+    assert proj.field_names == ["name", "age"]
+    added = people.add_field("country", value="uk")
+    assert {r["country"] for r in added.collect()} == {"uk"}
+    with pytest.raises(ValueError):
+        people.add_field("age", value=0)
+    computed = people.add_field("age2", expr="age * age")
+    assert {r["age2"] for r in computed.filter("name = 'ada'").collect()} == {36 * 36}
+    ren = people.rename_field("city", "town")
+    assert "town" in ren.field_names and "city" not in ren.field_names
+    rem = people.remove_field("AGE", case_sensitive=False)
+    assert rem.field_names == ["name", "city"]
+    with pytest.raises(ValueError):
+        people.remove_field("nope")
+    assert vals(people.remove_field_if_exists("nope")) == vals(people)
+    rx = people.remove_fields(re.compile(r".a.*"))  # name matches, city/age don't
+    assert rx.field_names == ["city", "age"]
+
+
+def test_replace_field_and_type(people):
+    swapped = people.replace_field("age", "age_str", "cast(age as string)")
+    assert swapped.schema["age_str"].dataType == T.StringType()
+    by_name = people.replace_field_type("age", T.LongType())
+    assert by_name.schema["age"].dataType == T.LongType()
+    by_type = people.replace_field_type(T.IntegerType(), T.DoubleType())
+    assert by_type.schema["age"].dataType == T.DoubleType()
+    by_rx = people.replace_field_type(re.compile("a.e"), "long")
+    assert by_rx.schema["age"].dataType == T.LongType()
+
+
+def test_align_and_case_and_strip(spark, people):
+    target = T.StructType(
+        [T.StructField("age", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    aligned = people.align(target)
+    assert aligned.field_names == ["age", "name"]
+    assert aligned.schema["age"].dataType == T.LongType()
+    with pytest.raises(ValueError):
+        people.align(T.StructType([T.StructField("missing", T.StringType())]))
+    upper = DataStream(people.df.toDF("NAME", "City", "AGE"))
+    assert upper.to_lowercase_schema().field_names == ["name", "city", "age"]
+    weird = DataStream(people.df.toDF("na me", "ci#ty", "a.g.e"))
+    assert weird.strip_chars_from_field_names([" ", "#", "."]).field_names == [
+        "name", "city", "age",
+    ]
+
+
+def test_replace_values(people):
+    r = people.replace_value("city", "london", "LDN")
+    assert {x["city"] for x in r.collect()} == {"LDN", "arlington", "austin"}
+    r2 = people.replace_value_all("london", "LDN")
+    assert {x["city"] for x in r2.collect()} == {"LDN", "arlington", "austin"}
+    assert r2.filter("name = 'ada'").count() == 1  # other columns untouched
+
+
+# -- ordered / positional ops ----------------------------------------------
+
+def test_take_drop(people):
+    assert people.take(2).count() == 2
+    dropped = people.drop(1, order_by=["age"])
+    assert sorted(r["age"] for r in dropped.collect()) == [41, 72, 85]
+
+
+def test_take_while_drop_while(spark):
+    ds = from_values(
+        spark,
+        T.StructType([T.StructField("i", T.IntegerType()), T.StructField("v", T.IntegerType())]),
+        [(1, 5), (2, 6), (3, 2), (4, 9)],
+    )
+    tw = ds.take_while("v > 3", order_by=["i"])
+    assert sorted(r["i"] for r in tw.collect()) == [1, 2]
+    dw = ds.drop_while("v > 3", order_by=["i"])
+    assert sorted(r["i"] for r in dw.collect()) == [3, 4]
+
+
+def test_concat_zip(spark):
+    a = from_values(
+        spark, T.StructType([T.StructField("x", T.IntegerType())]), [(1,), (2,), (3,)]
+    )
+    b = from_values(
+        spark, T.StructType([T.StructField("y", T.StringType())]), [("a",), ("b",), ("c",)]
+    )
+    zipped = a.concat(b, order_left=["x"], order_right=["y"])
+    assert vals(zipped) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# -- combining streams -----------------------------------------------------
+
+def test_union_intersection_subtract(spark, people):
+    other = from_values(spark, PEOPLE_SCHEMA, [("ada", "london", 36), ("new", "nyc", 1)])
+    assert people.union(other).count() == 6
+    assert (people + other).count() == 6
+    assert vals(people.intersection(other)) == [("ada", "london", 36)]
+    assert people.subtract(other).count() == 3
+
+
+def test_cartesian_and_join(spark, people):
+    dims = from_values(
+        spark,
+        T.StructType(
+            [T.StructField("city", T.StringType()), T.StructField("pop", T.IntegerType())]
+        ),
+        [("london", 9), ("austin", 1)],
+    )
+    assert people.cartesian(dims).count() == 8
+    joined = people.join("city", dims, broadcast_other=True)
+    assert joined.count() == 3
+    assert {r["pop"] for r in joined.collect()} == {9, 1}
+    left = people.join("city", dims, how="left")
+    assert left.count() == 4
+
+
+# -- grouping --------------------------------------------------------------
+
+def test_group_by_and_aggregated(people):
+    g = (
+        people.group_by("city")
+        .count()
+        .sum("age")
+        .avg("age")
+        .min("age", alias="youngest")
+        .max("age")
+        .to_datastream()
+    )
+    rows = {r["city"]: r for r in g.collect()}
+    assert rows["london"]["count"] == 2
+    assert rows["london"]["sum_age"] == 77
+    assert rows["london"]["youngest"] == 36
+    assert rows["london"]["max_age"] == 41
+    total = people.aggregated().sum("age").to_datastream().collect()[0]
+    assert total["sum_age"] == 36 + 85 + 41 + 72
+    with pytest.raises(ValueError):
+        people.aggregated().to_datastream()
+
+
+# -- reshaping -------------------------------------------------------------
+
+def test_explode(spark):
+    ds = from_values(
+        spark,
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("xs", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+        [("a", [1, 2]), ("b", [3])],
+    )
+    ex = ds.explode("xs", alias="x")
+    assert vals(ex) == [("a", 1), ("a", 2), ("b", 3)]
+
+
+def test_explode_rows_arrow(people):
+    def dup(batches):
+        for pdf in batches:
+            yield pd.concat([pdf, pdf])
+
+    out = people.explode_rows(dup, people.schema)
+    assert out.count() == 8
+
+
+# -- observability / actions -----------------------------------------------
+
+def test_listener_observation(people):
+    observed, obs = people.listener("m", F.count(F.lit(1)).alias("rows"))
+    observed.count()
+    assert obs.get["rows"] == 4
+
+
+def test_tee(people):
+    a, b = people.tee()
+    assert a.count() == b.count() == 4
+
+
+def test_actions(people):
+    assert people.size() == 4
+    assert people.head() is not None
+    assert people.exists("age > 80")
+    assert not people.exists("age > 100")
+    assert people.find("age = 72")["name"] == "edsger"
+    assert people.min_by("age")["name"] == "ada"
+    assert people.max_by("age")["name"] == "grace"
+    pdf = people.to_data_table()
+    assert len(pdf) == 4 and list(pdf.columns) == ["name", "city", "age"]
+    assert len(list(people.iterator())) == 4
+    assert len(people.collect_values()) == 4

@@ -1,0 +1,93 @@
+"""Plan-quality audit (SURVEY.md §4): assert via .explain that the
+flagship plans have the properties that matter at 100 TB — predicate
+pushdown into the parquet scan, column pruning (ReadSchema), broadcast
+joins for dimension tables, and no Python (BatchEvalPython) in the
+measured query set."""
+
+from __future__ import annotations
+
+import pytest
+
+from eel_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jdf = getattr(df, "_jdf", None)
+    if jdf is not None:
+        return jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown(spark):
+    """q6 is a pure scan+filter+agg: every predicate must reach the scan."""
+    plan = plan_str(QUERIES["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least the shipdate range must be pushed, not just IsNotNull
+    assert "GreaterThanOrEqual(l_shipdate" in plan or "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_q6_column_pruning(spark):
+    """q6 touches 4 lineitem columns; the scan must not read all 16."""
+    plan = plan_str(QUERIES["q6_forecast_revenue"](spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    read_cols = [p.split(":")[0] for p in read_schema.split("struct<")[1].split(",")]
+    assert len(read_cols) <= 5, f"scan reads too many columns: {read_cols}"
+
+
+def test_q3_broadcast_dimension(spark):
+    """customer (filtered) is small vs lineitem: the join must broadcast,
+    not shuffle both sides."""
+    plan = plan_str(QUERIES["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    """q5 joins 5 tables; every dimension join should be broadcast —
+    only the big-side agg should shuffle."""
+    plan = plan_str(QUERIES["q5_local_supplier_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_in_measured_queries(spark):
+    """SURVEY §4 rule 5: everything in the measured (oracle-gated) query
+    set is JVM-only — no BatchEvalPython / ArrowEvalPython / mapInPandas
+    stages."""
+    from eel_spark.queries import ORACLE
+
+    offenders = []
+    for name in sorted(ORACLE):
+        plan = plan_str(QUERIES[name](spark, SF), "extended")
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            if marker in plan:
+                offenders.append((name, marker))
+    assert not offenders, f"python in hot path: {offenders}"
+
+
+def test_q1_partial_aggregation(spark):
+    """The groupBy must be partial+final hash aggregation (map-side
+    combine), never a raw shuffle of all rows."""
+    plan = plan_str(QUERIES["q1_pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q1_whole_stage_codegen(spark):
+    # an un-executed AdaptiveSparkPlan reports 0 codegen subtrees, so
+    # build this one plan with AQE off to see the real codegen layout.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_str(QUERIES["q1_pricing_summary"](spark, SF), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    found = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert found >= 2  # scan+partial-agg stage and final-agg stage
