@@ -1,0 +1,174 @@
+"""Command-line interface — the Spark-first analogue of eel-cli
+(eel-cli/src/main/scala/io/eels/cli: ShowSchemaMain, StreamMain,
+AnalyzeMain, plus an ad-hoc SQL runner standing in for SqlContext).
+
+Commands:
+  schema  <src>                      print the schema of a source
+  stream  <src> <sink> [transforms]  copy source → sink (filter/projection
+                                     /partitioning applied declaratively,
+                                     so pushdown happens even for a copy)
+  analyze <src> [--columns a,b]      per-column stats in ONE distributed
+                                     pass (count/nulls/distinct/min/max)
+  sql     <query> --table name=path  run SQL over registered parquet views
+
+Source/sink syntax: ``format:path`` (``parquet:/data/x``); bare paths
+infer format from the extension, defaulting to parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from eel_spark.datastream import DataStream
+from eel_spark.session import get_session
+from eel_spark.sources import (
+    CsvSink, CsvSource, JsonSink, JsonSource, OrcSink, OrcSource,
+    ParquetSink, ParquetSource, TextSource,
+)
+
+_SOURCES = {
+    "parquet": ParquetSource,
+    "csv": CsvSource,
+    "json": JsonSource,
+    "orc": OrcSource,
+    "text": TextSource,
+}
+_SINKS = {
+    "parquet": ParquetSink,
+    "csv": CsvSink,
+    "json": JsonSink,
+    "orc": OrcSink,
+}
+_EXT_FORMATS = {"parquet", "csv", "json", "orc", "txt", "text"}
+
+
+def _split_format(uri: str, default: str = "parquet") -> tuple[str, str]:
+    if ":" in uri and uri.split(":", 1)[0] in _SOURCES:
+        fmt, path = uri.split(":", 1)
+        return fmt, path
+    ext = uri.rsplit(".", 1)[-1].lower()
+    if ext in _EXT_FORMATS:
+        return ("text" if ext == "txt" else ext), uri
+    return default, uri
+
+
+def _source(uri: str):
+    fmt, path = _split_format(uri)
+    return _SOURCES[fmt](path)
+
+
+def _sink(uri: str, args: argparse.Namespace):
+    fmt, path = _split_format(uri)
+    if fmt not in _SINKS:
+        raise SystemExit(f"unsupported sink format: {fmt}")
+    kwargs = {}
+    if fmt == "parquet":
+        if args.max_records_per_file:
+            kwargs["max_records_per_file"] = args.max_records_per_file
+        if args.partition_by:
+            kwargs["partition_by"] = args.partition_by.split(",")
+    return _SINKS[fmt](path, **kwargs)
+
+
+def cmd_schema(args: argparse.Namespace) -> int:
+    spark = get_session("eel-cli")
+    schema = _source(args.src).schema(spark)
+    if args.json:
+        print(schema.json())
+    else:
+        for f in schema.fields:
+            nullable = "" if f.nullable else " NOT NULL"
+            print(f"{f.name}: {f.dataType.simpleString()}{nullable}")
+    return 0
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    spark = get_session("eel-cli")
+    ds = _source(args.src).to_datastream(spark)
+    if args.filter:
+        ds = ds.filter(args.filter)
+    if args.projection:
+        ds = ds.projection(*args.projection.split(","))
+    rows = ds.to(_sink(args.sink, args), parallelism=args.parallelism)
+    print(f"{rows} rows written to {args.sink}")
+    return 0
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    spark = get_session("eel-cli")
+    ds = _source(args.src).to_datastream(spark)
+    cols = args.columns.split(",") if args.columns else ds.field_names
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}__nonnull"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    row = ds.df.agg(*aggs).first()
+    out = {"rows": row["__rows"], "columns": {}}
+    for c in cols:
+        out["columns"][c] = {
+            "nulls": row["__rows"] - row[f"{c}__nonnull"],
+            "approx_distinct": row[f"{c}__distinct"],
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+        }
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    spark = get_session("eel-cli")
+    for spec in args.table or []:
+        name, path = spec.split("=", 1)
+        _source(path).to_datastream(spark).df.createOrReplaceTempView(name)
+    result = DataStream(spark.sql(args.query))
+    n = args.limit
+    for r in result.take(n).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="eel_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("schema", help="print the schema of a source")
+    ps.add_argument("src")
+    ps.add_argument("--json", action="store_true")
+    ps.set_defaults(fn=cmd_schema)
+
+    pt = sub.add_parser("stream", help="copy a source to a sink")
+    pt.add_argument("src")
+    pt.add_argument("sink")
+    pt.add_argument("--filter", help="SQL predicate applied before write")
+    pt.add_argument("--projection", help="comma-separated columns/exprs")
+    pt.add_argument("--partition-by", help="comma-separated partition columns")
+    pt.add_argument("--max-records-per-file", type=int)
+    pt.add_argument("--parallelism", type=int)
+    pt.set_defaults(fn=cmd_stream)
+
+    pa = sub.add_parser("analyze", help="per-column statistics (one pass)")
+    pa.add_argument("src")
+    pa.add_argument("--columns", help="comma-separated subset")
+    pa.set_defaults(fn=cmd_analyze)
+
+    pq = sub.add_parser("sql", help="run SQL over registered sources")
+    pq.add_argument("query")
+    pq.add_argument("--table", action="append", metavar="name=path")
+    pq.add_argument("--limit", type=int, default=100)
+    pq.set_defaults(fn=cmd_sql)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

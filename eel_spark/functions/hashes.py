@@ -82,14 +82,27 @@ def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return eq.cast("double") / F.size(sig_a).cast("double")
 
 
+def token_hashes(text: Column | str) -> Column:
+    """array<long> of xxhash64 per token. Project this through its own
+    select before feeding simhash64_from_hashes — inlined into the 64
+    bit-vote aggregates it would be recomputed per bit."""
+    return F.transform(tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+
+
 def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash of the token multiset.
+    """64-bit SimHash of the token multiset (convenience form; for the
+    hot path use token_hashes + simhash64_from_hashes across a projection
+    boundary)."""
+    return simhash64_from_hashes(token_hashes(text))
+
+
+def simhash64_from_hashes(hs: Column) -> Column:
+    """SimHash from a pre-computed token-hash array.
 
     Bit b of the fingerprint = 1 iff more token-hashes have bit b set than
     unset. Computed as 64 per-bit votes via aggregate over the token
     hashes — pure codegen, no UDF.
     """
-    hs = F.transform(tokens(normalized_text(text)), lambda t: F.xxhash64(t))
 
     def bit_vote(b: int):
         # closure factory: the merge lambda must be exactly 2-ary

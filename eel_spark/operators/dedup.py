@@ -49,6 +49,40 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(survivors.select(id_col), on=id_col, how="left_semi")
 
 
+def _candidates_from_sigs(
+    sig_tbl: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band-join candidate pairs from a (id, sig) table, with estimated
+    Jaccard from the rejoined signatures."""
+    rows = num_hashes // bands
+    # Band rows stay narrow (id, band, key): carrying the 64-slot signature
+    # through the explode + self-join would multiply shuffle width ×bands.
+    banded = sig_tbl.select(
+        id_col, F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # signatures rejoin only for the (bounded) candidate set
+    sig_a = sig_tbl.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_tbl.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hashes.estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+        )
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -64,31 +98,18 @@ def minhash_candidates(
     The self-join shuffles on band keys, so work scales with bucket
     sizes, not n². ``bands``/``num_hashes`` set the similarity threshold
     s ≈ (1/bands)^(bands/num_hashes).
-    """
-    rows = num_hashes // bands
-    sig = hashes.minhash_signature(hashes.shingles(text_col, shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
-    banded = with_sig.select(
-        id_col, "sig", F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select(id_col, "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    The shingle array is projected through its own select FIRST: inlining
+    the shingle expression into the 64 per-slot transforms makes Catalyst
+    re-evaluate shingling per slot (measured 20× slower at sf0.01).
+    """
+    shingled = df.select(
+        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    sig_tbl = shingled.select(
+        id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
     )
-    pairs = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        hashes.estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
-    )
+    return _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands)
 
 
 def minhash_near_duplicates(
@@ -104,13 +125,25 @@ def minhash_near_duplicates(
 
     Verification joins the shingle sets back only for LSH candidates —
     the expensive exact Jaccard runs on a bounded pair set.
+
+    The (id, shingles) and (id, sig) tables are persisted: the plan uses
+    each in 2-3 branches (band join, both signature rejoins, both shingle
+    rejoins), and recomputing shingling per branch dominates runtime.
+    Both tables are O(corpus) narrow rows — at 100 TB you'd stage them to
+    a table; MEMORY_AND_DISK is the single-job equivalent. Spark's
+    ContextCleaner reclaims the blocks once the DataFrames are dropped.
     """
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("shingles")
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    from pyspark import StorageLevel
+
+    shingled = df.select(
+        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_tbl = shingled.select(
+        id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands)
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -133,7 +166,13 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """SimHash near-dups: 64-bit fingerprint, band join (pigeonhole
     guarantees recall for hamming ≤ bands-1), hamming verify."""
-    fp = df.select(F.col(id_col), hashes.simhash64(text_col).alias("fp"))
+    # token hashes projected once, then 64 bit-votes over the stored array
+    # (same projection-boundary trick as minhash_candidates)
+    fp = df.select(
+        F.col(id_col), hashes.token_hashes(text_col).alias("__th")
+    ).select(
+        F.col(id_col), hashes.simhash64_from_hashes(F.col("__th")).alias("fp")
+    )
     banded = fp.select(
         id_col, "fp", F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b")
     ).select(id_col, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))

@@ -1,0 +1,54 @@
+"""CLI surface (eel-cli analogue): schema / stream / analyze / sql driven
+in-process through main()."""
+
+from __future__ import annotations
+
+import json
+
+from eel_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_schema(capsys, spark):
+    assert main(["schema", f"{SF}/nation.parquet"]) == 0
+    out = capsys.readouterr().out
+    assert "n_nationkey: int" in out and "n_name: string" in out
+
+
+def test_stream_copy_with_filter(tmp_path, capsys, spark):
+    dest = str(tmp_path / "nations_copy")
+    rc = main([
+        "stream", f"{SF}/nation.parquet", f"parquet:{dest}",
+        "--filter", "n_regionkey = 0", "--projection", "n_nationkey,n_name",
+    ])
+    assert rc == 0
+    assert "rows written" in capsys.readouterr().out
+    got = spark.read.parquet(dest)
+    assert got.columns == ["n_nationkey", "n_name"]
+    assert got.count() == 5
+
+
+def test_stream_to_csv_roundtrip(tmp_path, capsys, spark):
+    dest = str(tmp_path / "region_csv")
+    assert main(["stream", f"{SF}/region.parquet", f"csv:{dest}"]) == 0
+    back = spark.read.option("header", "true").csv(dest)
+    assert back.count() == 5
+
+
+def test_analyze(capsys, spark):
+    assert main(["analyze", f"{SF}/region.parquet"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows"] == 5
+    assert stats["columns"]["r_name"]["nulls"] == 0
+    assert stats["columns"]["r_regionkey"]["min"] == "0"
+
+
+def test_sql(capsys, spark):
+    rc = main([
+        "sql", "SELECT COUNT(*) AS n FROM r WHERE r_regionkey >= 0",
+        "--table", f"r={SF}/region.parquet",
+    ])
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert rows == [{"n": 5}]
