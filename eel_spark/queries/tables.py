@@ -41,7 +41,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
             pass  # session may have it fixed already
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # integer DIV, not floor(x/1000.0): epoch-nanos exceed double's
+            # 53-bit exact range, so float division is off-by-one µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return DataStream(df)
     return DataStream(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 

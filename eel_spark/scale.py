@@ -1,0 +1,92 @@
+"""Skew-handling utilities (SURVEY.md §4 rule 2).
+
+AQE's skew-join splitting (on by default in session.py) handles most
+runtime skew; these helpers cover the cases AQE can't re-plan:
+
+- ``salted_join``: a shuffle join where one key dominates (AQE splits
+  oversized *partitions*, but a single giant key inside one partition with
+  a non-splittable strategy, or pre-AQE engines, still need salting).
+- ``salted_aggregate``: two-phase aggregation for hot grouping keys whose
+  per-key state is heavy (collect_list-style aggs where map-side combine
+  doesn't shrink the hot key).
+
+Everything is deterministic — no rand(): salts derive from
+``monotonically_increasing_id``, stable within a job run.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the big (skewed) side salted into ``salt`` buckets.
+
+    The big side gets a per-row salt; the small side is replicated ``salt``
+    times (explode of a literal range — cheap for dimension-sized inputs),
+    so each hot key's rows spread over ``salt`` reducers instead of one.
+    Row-multiplication cost: |small| × salt, which is why the *small* side
+    replicates. Supports inner/left joins (big side preserved).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how}")
+    big_s = big.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), salt))
+    small_s = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    return big_s.join(small_s, on=keys + [SALT_COL], how=how).drop(SALT_COL)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation: group on (keys + salt) first, then merge.
+
+    ``aggs`` maps output name → (merge_fn_name, partial_agg_column), e.g.::
+
+        salted_aggregate(df, ["user_id"], {
+            "n":     ("sum", F.count(F.lit(1))),
+            "total": ("sum", F.sum("value")),
+            "mx":    ("max", F.max("value")),
+        })
+
+    merge_fn must be an algebraic combiner (sum/min/max): the partial
+    result per (key, salt) merges associatively to the exact global value.
+    """
+    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), salt))
+    partial = salted.groupBy(*keys, SALT_COL).agg(
+        *[col.alias(name) for name, (_, col) in aggs.items()]
+    )
+    merge = {"sum": F.sum, "min": F.min, "max": F.max}
+    final = partial.groupBy(*keys).agg(
+        *[merge[fn](name).alias(name) for name, (fn, _) in aggs.items()]
+    )
+    return final
+
+
+def repartition_for_join(
+    left: DataFrame, right: DataFrame, on: str | Sequence[str], partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Co-partition both sides on the join keys ahead of multiple joins —
+    one explicit shuffle each, reused by every downstream join on the same
+    keys (Exchange reuse), the DataFrame-level stand-in for bucketing."""
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = [F.col(k) for k in keys]
+    if partitions:
+        return left.repartition(partitions, *cols), right.repartition(partitions, *cols)
+    return left.repartition(*cols), right.repartition(*cols)

@@ -237,6 +237,5 @@ class EventStream:
                 ]
             )
         ).parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer DIV: epoch-nanos exceed double's exact range (tables.py)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

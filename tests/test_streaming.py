@@ -46,7 +46,7 @@ def test_tumbling_window_stream(spark, tmp_path):
     # cross-check against the batch twin
     batch = (
         spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
