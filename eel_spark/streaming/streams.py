@@ -178,6 +178,58 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key stream (dedup-in-stream): watermark bounds the
+    dedup state store — keys older than the watermark are evicted, so
+    state is O(keys per watermark window), not O(stream length).
+    The batch twin is ``dropDuplicates`` / dedup_exact (operators/dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint:
+    right rows join left rows of the same key with
+    ``left_ts ≤ right_ts ≤ left_ts + within``.
+
+    Both sides are watermarked and the time-range predicate is what lets
+    Spark *evict* join state — an unconstrained stream-stream join would
+    buffer both streams forever. State per key ≈ rows inside the interval.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+        ),
+        "inner",
+    ).drop(F.col(f"r.{key}"))
+
+
+def foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str):
+    """foreachBatch escape hatch (the streaming analogue of eel's custom
+    Sink trait): each micro-batch arrives as a normal DataFrame, so any
+    batch sink — jdbc, upsert-merge, multi-table fanout — slots in while
+    keeping checkpoint-based recovery."""
+    return (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def rolling_parquet_stream_sink(
     df: DataFrame,
     path: str,

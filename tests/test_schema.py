@@ -1,0 +1,68 @@
+"""Schema layer (SURVEY.md §2.2): eel datatype lattice, value inference,
+SchemaMerger widening."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+from pyspark.sql import types as T
+
+from eel_spark.schema import (
+    eel_type, field, infer_schema, infer_type, merge_schemas, struct,
+)
+
+
+def test_eel_type_lattice():
+    assert eel_type("int") == T.IntegerType()
+    assert eel_type("timestamp_millis") == T.TimestampType()
+    assert eel_type("decimal(12,3)") == T.DecimalType(12, 3)
+    assert eel_type("bigint") == T.DecimalType(38, 0)
+    assert eel_type("array<long>") == T.ArrayType(T.LongType())
+    assert eel_type("varchar") == T.StringType()
+    with pytest.raises(ValueError):
+        eel_type("quaternion")
+
+
+def test_field_and_struct():
+    f = field("age", "int", nullable=False)
+    assert f == T.StructField("age", T.IntegerType(), False)
+    s = struct("name", field("age", "int"))
+    assert s.fieldNames() == ["name", "age"]
+    assert s["name"].dataType == T.StringType()
+
+
+def test_infer_type():
+    assert infer_type(True) == T.BooleanType()
+    assert infer_type(3) == T.LongType()
+    assert infer_type(3.5) == T.DoubleType()
+    assert infer_type("x") == T.StringType()
+    assert infer_type(b"x") == T.BinaryType()
+    assert infer_type(datetime.datetime(2024, 1, 1)) == T.TimestampType()
+    assert infer_type(datetime.date(2024, 1, 1)) == T.DateType()
+    assert infer_type(decimal.Decimal("12.345")) == T.DecimalType(6, 3)
+    assert infer_type([1, 2]) == T.ArrayType(T.LongType())
+    assert infer_type({"a": 1}) == T.MapType(T.StringType(), T.LongType())
+
+
+def test_infer_schema_skips_nulls():
+    s = infer_schema(["a", "b"], [(None, 1), ("x", 2)])
+    assert s["a"].dataType == T.StringType()
+    assert s["b"].dataType == T.LongType()
+
+
+def test_merge_schemas_union_and_widen():
+    a = struct(field("id", "int"), field("name", "string"))
+    b = struct(field("id", "long"), field("score", "double"))
+    merged = merge_schemas(a, b)
+    assert merged.fieldNames() == ["id", "name", "score"]
+    assert merged["id"].dataType == T.LongType()  # int widened to long
+
+
+def test_merge_schemas_decimal_and_conflict():
+    a = struct(field("d", "decimal(10,2)"), field("x", "int"))
+    b = struct(field("d", "decimal(12,4)"), field("x", "string"))
+    merged = merge_schemas(a, b)
+    assert merged["d"].dataType == T.DecimalType(12, 4)
+    assert merged["x"].dataType == T.StringType()  # incompatible -> string

@@ -12,9 +12,12 @@ from pyspark.sql import functions as F
 
 from eel_spark.streaming import (
     EventStream,
+    foreach_batch_sink,
     rolling_parquet_stream_sink,
     session_window_agg,
     sessionize_stateful,
+    stream_stream_interval_join,
+    streaming_dedup,
     tumbling_window_agg,
 )
 
@@ -84,6 +87,69 @@ def test_rolling_parquet_sink(spark, tmp_path):
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert len(files) >= 5  # 1000 events / 200 per file
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_streaming_dedup(spark, tmp_path):
+    # plant duplicates: the same events file delivered twice (two batches)
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    dup_dir = str(tmp_path / "dup_events")
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+    events = EventStream(spark, dup_dir).stream()
+    deduped = streaming_dedup(events, ["event_id"], watermark="10 days")
+    _run_available_now(deduped, tmp_path, "dedup_stream")
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert got["n"] == got["d"] == src.count()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    signups = EventStream(spark, SF + "/events.parquet").stream().filter(
+        "event_type = 'signup'"
+    ).select("user_id", "ts")
+    purchases = EventStream(spark, SF + "/events.parquet").stream().filter(
+        "event_type = 'purchase'"
+    ).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    joined = stream_stream_interval_join(
+        signups.withColumnRenamed("user_id", "user_id"),
+        purchases.withColumnRenamed("p_user", "user_id"),
+        key="user_id", left_ts="ts", right_ts="p_ts",
+        within="2 days", watermark="0 seconds",
+    ).select("user_id", "ts", "p_ts", "value")
+    _run_available_now(joined, tmp_path, "ssjoin")
+    got = spark.sql("SELECT * FROM ssjoin").collect()
+    # batch twin
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    s = ev.filter("event_type = 'signup'").select("user_id", "ts")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"), "value"
+    )
+    batch = s.join(
+        p,
+        (s.user_id == p.pu)
+        & (p.p_ts >= s.ts)
+        & (p.p_ts <= s.ts + F.expr("INTERVAL 2 DAYS")),
+    ).select("user_id", "ts", "p_ts", "value")
+    key = lambda r: (r["user_id"], r["ts"], r["p_ts"], r["value"])
+    assert sorted(map(key, got)) == sorted(map(key, batch.collect()))
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    events = EventStream(spark, SF + "/events.parquet").stream()
+    out_dir = str(tmp_path / "fb_out")
+    seen = []
+
+    def handle(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = foreach_batch_sink(events, handle, str(tmp_path / "ckpt_fb"))
+    q.awaitTermination(120)
+    assert seen, "foreachBatch never invoked"
+    assert spark.read.parquet(out_dir).count() == 1000
 
 
 def test_stateful_sessionize(spark, tmp_path):
