@@ -208,6 +208,35 @@ def ops_minmax_by(spark: SparkSession, sf_dir: str) -> DataStream:
 
 
 # ---------------------------------------------------------------------------
+# semi-structured: JSON property extraction
+# ---------------------------------------------------------------------------
+
+_JSON_SQL = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n, {sql_money_sum(sql_cents('value'))} AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("ops_json_extract", _JSON_SQL)
+def ops_json_extract(spark: SparkSession, sf_dir: str) -> DataStream:
+    """JSON property extraction from the events ``props`` column via
+    ``from_json`` with an explicit schema — vectorized JVM parse, no
+    schema-inference scan, no Python."""
+    ev = table(spark, sf_dir, "events").df
+    out = (
+        ev.withColumn("__p", F.from_json("props", "k BIGINT"))
+        .groupBy((F.col("__p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(cents("value")).alias("total_value"),
+        )
+    )
+    return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
 # interpolated percentiles
 # ---------------------------------------------------------------------------
 

@@ -268,6 +268,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=3)
 
 
+@query("dedup_embedding_pairs")
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-dup pairs: random-hyperplane LSH buckets then
+    exact cosine verify within buckets (operators/dedup.py). Rows-only:
+    LSH recall < 1 by construction, so no exact-SQL twin."""
+    emb = table(spark, sf_dir, "embeddings").df
+    return dedup.embedding_near_duplicates(
+        emb, "embedding", "vec_id", threshold=0.95, n_planes=8
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str):
     """Binary-column plumbing: synthetic media table → Arrow-batched

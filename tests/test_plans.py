@@ -81,6 +81,20 @@ def test_q1_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_aqe_broadcasts_self_aggregates(spark):
+    """q17/q18 join the fact table against its own (tiny) aggregate; AQE
+    must convert those runtime-small sides to broadcast joins — at 100 TB
+    this is the difference between one broadcast and a full fact
+    shuffle."""
+    for name in ("q17_small_quantity_revenue", "q18_large_volume_customers"):
+        df = QUERIES[name](spark, SF)
+        df.collect()  # AQE finalizes the plan during execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: residual SMJ"
+
+
 def test_q1_whole_stage_codegen(spark):
     # an un-executed AdaptiveSparkPlan reports 0 codegen subtrees, so
     # build this one plan with AQE off to see the real codegen layout.
