@@ -105,6 +105,93 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _resize_image_stub(payload: bytes, w: int, h: int, fake: bool) -> bytes:
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic test double"
+        )
+    if payload is None:
+        return b""
+    # deterministic "resize": truncate/tile payload to w*h bytes
+    target = max(1, (w * h) // 64)
+    reps = (target // max(1, len(payload))) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Image resize as mapInPandas: binary in, binary out, metadata
+    updated — the write-back shape (payload column replaced, not
+    appended) a re-encode pipeline uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: _resize_image_stub(p, width, height, fake)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction (duration passthrough + RMS-like scalar);
+    stub kernel, real Arrow batch contract."""
+
+    def rms(p: bytes) -> float:
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires torchaudio/librosa (not in this "
+                "container); pass fake=True for the deterministic double"
+            )
+        if p is None or len(p) == 0:
+            return 0.0
+        return (sum(b * b for b in p) / len(p)) ** 0.5 / 255.0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": pdf["meta"].map(
+                        lambda m: None if m is None else m["duration_ms"]
+                    ),
+                    "rms": pdf["payload"].map(rms),
+                }
+            )
+
+    return df.filter(F.col("media_type") == "audio").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes per-row frame timestamps to
     sample (metadata-only — payload column pruned away), the shape a real

@@ -1,0 +1,81 @@
+"""Multimodal binary-column plumbing: Arrow batch contracts are real,
+decode kernels are stubs (fake=True doubles; fake=False raises)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synth_media(spark, n=64)
+
+
+def test_synth_media_schema(media):
+    assert media.schema == mm.MEDIA_SCHEMA
+    assert media.count() == 64
+
+
+def test_extract_image_features(media):
+    out = mm.extract_image_features(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == 64 // 3 + (64 % 3 > 0)  # every 3rd row is an image
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_extract_image_features_deterministic(media):
+    a = {r["media_id"]: r["features"] for r in mm.extract_image_features(media, fake=True).collect()}
+    b = {r["media_id"]: r["features"] for r in mm.extract_image_features(media, fake=True).collect()}
+    assert a == b
+
+
+def test_stub_raises_without_fake(media):
+    with pytest.raises(Exception) as exc:
+        mm.extract_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_resize_images(media):
+    out = mm.resize_images(media, width=32, height=32, fake=True).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 32
+        assert len(r["payload"]) == (32 * 32) // 64
+
+
+def test_extract_audio_features(media):
+    out = mm.extract_audio_features(media, fake=True).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["rms"] <= 1.0
+        assert r["duration_ms"] is not None
+
+
+def test_frame_sample_plan_prunes_payload(media, spark, tmp_path):
+    # persist to parquet so pruning is observable at a real scan
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    plan_df = mm.frame_sample_plan(spark.read.parquet(path), every_ms=1000)
+    rows = plan_df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert all(ts % 1000 == 0 for ts in r["frame_ts_ms"])
+    # metadata-only: the binary payload column must be pruned at the scan
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "payload" not in read_schema
+
+
+def test_pack_by_bytes(media):
+    packed = mm.pack_by_bytes(
+        media.withColumn("nb", F.length("payload")), F.col("nb"), target_mb=1
+    )
+    assert packed.count() == 64  # no row loss; partition count is an impl detail
