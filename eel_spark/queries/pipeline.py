@@ -285,3 +285,54 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str):
     mapInPandas feature extraction (stub kernel, real batch contract)."""
     media = multimodal.synth_media(spark, n=64)
     return multimodal.extract_image_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus preparation (the composite the engine exists for):
+# quality gate → exact dedup → per-(lang, source) corpus stats
+# ---------------------------------------------------------------------------
+
+_PREP_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         len({_SQL_TOKENS.format(t='text')}) AS n_tokens,
+         md5({_SQL_NORM.format(t='text')}) AS h
+  FROM documents
+  WHERE len({_SQL_TOKENS.format(t='text')}) >= 10
+),
+survivors AS (SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY h)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM scored JOIN survivors USING (doc_id)
+GROUP BY lang, source
+"""
+
+
+@query("pipeline_prepare_corpus", _PREP_SQL)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Training-corpus preparation, end to end: token-count quality gate →
+    exact dedup (min-id survivor per normalized-content hash) → corpus
+    accounting per (lang, source).
+
+    Scale shape: the quality gate is a pushed scan filter; dedup is one
+    shuffle on the content hash; the survivor semi-join broadcasts under
+    AQE (survivor ids ≪ corpus); final stats are a partial+final agg.
+    This is the template a 100 TB pre-training run follows — every stage
+    is a Catalyst op, nothing touches the driver.
+    """
+    docs = table(spark, sf_dir, "documents").df
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        TX.token_count("text").alias("n_tokens"),
+        F.md5(TX.normalized_text("text").cast("binary")).alias("h"),
+    ).filter(F.col("n_tokens") >= 10)
+    survivors = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = scored.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    out = kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+    return DataStream(out)
