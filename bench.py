@@ -22,11 +22,16 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
-    # LLM-pipeline: dedup families, text scoring, ANN
+    "q9_product_profit",
+    # analytics beyond plain group-by
+    "ops_asof_join",
+    "ops_window_frames",
+    # LLM-pipeline: dedup families, text scoring, ANN, end-to-end prep
     "dedup_exact_survivors",
     "dedup_minhash_pairs",
     "text_quality_metrics",
     "ann_brute_force_topk",
+    "pipeline_prepare_corpus",
 ]
 
 

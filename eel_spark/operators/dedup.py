@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from eel_spark.functions import hashes
+from eel_spark.scale import ensure_parallelism
 from eel_spark.functions.text import normalized_text
 
 
@@ -103,7 +104,7 @@ def minhash_candidates(
     the shingle expression into the 64 per-slot transforms makes Catalyst
     re-evaluate shingling per slot (measured 20× slower at sf0.01).
     """
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
     )
     sig_tbl = shingled.select(
@@ -135,7 +136,7 @@ def minhash_near_duplicates(
     """
     from pyspark import StorageLevel
 
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_tbl = shingled.select(
@@ -168,7 +169,7 @@ def simhash_near_duplicates(
     guarantees recall for hamming ≤ bands-1), hamming verify."""
     # token hashes projected once, then 64 bit-votes over the stored array
     # (same projection-boundary trick as minhash_candidates)
-    fp = df.select(
+    fp = ensure_parallelism(df).select(
         F.col(id_col), hashes.token_hashes(text_col).alias("__th")
     ).select(
         F.col(id_col), hashes.simhash64_from_hashes(F.col("__th")).alias("fp")
@@ -224,7 +225,9 @@ def embedding_near_duplicates(
     sig = F.concat_ws(
         "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
     )
-    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    bucketed = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), sig.alias("bucket")
+    )
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
     )

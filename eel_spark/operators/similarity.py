@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eel_spark.functions import vectors
+from eel_spark.scale import ensure_parallelism
 
 
 def brute_force_topk(
@@ -38,7 +39,9 @@ def brute_force_topk(
             F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
         )
     )
-    scored = vectors_df.crossJoin(q).select(
+    # fan a small file count out to all cores: the per-pair cosine fold is
+    # the cost, not the scan
+    scored = ensure_parallelism(vectors_df).crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         vectors.cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
@@ -132,7 +135,7 @@ def ivf_topk(
     the 100 TB path (brute force touches every vector per query; IVF
     touches ~n_probe/n_cells of them)."""
     corpus = _assign_cells(
-        vectors_df.select(
+        ensure_parallelism(vectors_df).select(
             F.col(id_col).alias("__id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         ),

@@ -79,6 +79,22 @@ def salted_aggregate(
     return final
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition UP only when the input has fewer partitions than the
+    cluster has slots — the guard for CPU-heavy per-row stages (minhash,
+    simhash, feature extraction) fed by a small file count.
+
+    A 100 TB input arrives with thousands of partitions and passes through
+    untouched; a single-file local table fans out so per-row compute uses
+    every core. Round-robin repartition: these stages are embarrassingly
+    parallel, keys don't matter.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def repartition_for_join(
     left: DataFrame, right: DataFrame, on: str | Sequence[str], partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
