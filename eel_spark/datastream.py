@@ -421,6 +421,10 @@ class DataStream:
         """maxBy (DataStream.scala:534)."""
         return self.df.agg(F.max_by(F.struct(*self.df.columns), _col(order))).first()[0]
 
+    def to_set(self) -> set:
+        """toSet (DataStream.scala:930) — rows as a set of value tuples."""
+        return set(self.collect_values())
+
     def to_data_table(self):
         """toDataTable (DataStream.scala:1021) → pandas (Arrow transfer)."""
         return self.df.toPandas()

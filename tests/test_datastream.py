@@ -286,3 +286,36 @@ def test_actions(people):
     assert len(pdf) == 4 and list(pdf.columns) == ["name", "city", "age"]
     assert len(list(people.iterator())) == 4
     assert len(people.collect_values()) == 4
+    assert ("ada", "london", 36) in people.to_set()
+
+
+def test_foreach_side_effect(people):
+    acc = people.df.sparkSession.sparkContext.accumulator(0)
+
+    def bump(row):
+        acc.add(row["age"])
+
+    people.foreach(bump)
+    assert acc.value == 36 + 85 + 41 + 72
+
+
+def test_multiplex_with_persist(people):
+    cached = people.persist()
+    a, b = cached.tee()
+    n_old = a.filter("age > 50").count()
+    n_young = b.filter("age <= 50").count()
+    assert n_old + n_young == 4
+    cached.df.unpersist()
+
+
+def test_sql_context(spark, people):
+    from eel_spark import SqlContext
+
+    ctx = SqlContext(spark)
+    ctx.register_frame("people", people)
+    out = ctx.sql("SELECT city, COUNT(*) AS n FROM people GROUP BY city")
+    assert {(r["city"], r["n"]) for r in out.collect()} == {
+        ("london", 2), ("arlington", 1), ("austin", 1),
+    }
+    ctx.close()
+    assert "people" not in [t.name for t in spark.catalog.listTables()]
