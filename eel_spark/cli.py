@@ -10,6 +10,8 @@ Commands:
   analyze <src> [--columns a,b]      per-column stats in ONE distributed
                                      pass (count/nulls/distinct/min/max)
   sql     <query> --table name=path  run SQL over registered parquet views
+  fetch-spec <table>                 portable table spec JSON (FetchSpecMain)
+  apply-spec <spec.json>             create a table from a spec (ApplySpecMain)
 
 Source/sink syntax: ``format:path`` (``parquet:/data/x``); bare paths
 infer format from the extension, defaulting to parquet.
@@ -121,6 +123,25 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fetch_spec(args: argparse.Namespace) -> int:
+    from eel_spark.sources import HiveTable
+
+    spark = get_session("eel-cli")
+    print(json.dumps(HiveTable(spark, args.table).fetch_spec(), indent=2))
+    return 0
+
+
+def cmd_apply_spec(args: argparse.Namespace) -> int:
+    from eel_spark.sources import HiveTable
+
+    spark = get_session("eel-cli")
+    with open(args.spec_file) as fh:
+        spec = json.load(fh)
+    t = HiveTable.apply_spec(spark, spec)
+    print(f"table {t.table} ready")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     spark = get_session("eel-cli")
     for spec in args.table or []:
@@ -156,6 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("src")
     pa.add_argument("--columns", help="comma-separated subset")
     pa.set_defaults(fn=cmd_analyze)
+
+    pf = sub.add_parser("fetch-spec", help="print a table's portable spec JSON")
+    pf.add_argument("table")
+    pf.set_defaults(fn=cmd_fetch_spec)
+
+    pp = sub.add_parser("apply-spec", help="create a table from a spec JSON file")
+    pp.add_argument("spec_file")
+    pp.set_defaults(fn=cmd_apply_spec)
 
     pq = sub.add_parser("sql", help="run SQL over registered sources")
     pq.add_argument("query")

@@ -140,3 +140,42 @@ class HiveTable:
     def show_ddl(self) -> str:
         """HiveDDL.showDDL."""
         return self.spark.sql(f"SHOW CREATE TABLE {self.table}").first()[0]
+
+    def fetch_spec(self) -> dict:
+        """FetchSpec (eel-cli FetchSpecMain): a portable JSON description
+        of the table — fields, partition columns, format — that
+        apply_spec can recreate elsewhere."""
+        cols = self.spark.catalog.listColumns(self.table)
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.table}").collect()
+        }
+        return {
+            "table": self.table,
+            "fields": [
+                {"name": c.name, "type": c.dataType, "nullable": c.nullable}
+                for c in cols
+                if not c.isPartition
+            ],
+            "partitioned_by": [
+                {"name": c.name, "type": c.dataType} for c in cols if c.isPartition
+            ],
+            "format": detail.get("Provider", "parquet").lower(),
+        }
+
+    @staticmethod
+    def apply_spec(spark: SparkSession, spec: dict) -> "HiveTable":
+        """ApplySpec (eel-cli ApplySpecMain): create the table described
+        by a fetch_spec dict (no-op if it already exists)."""
+        if spark.catalog.tableExists(spec["table"]):
+            return HiveTable(spark, spec["table"])
+        cols = ", ".join(
+            f"`{f['name']}` {f['type']}"
+            for f in spec["fields"] + spec.get("partitioned_by", [])
+        )
+        ddl = f"CREATE TABLE {spec['table']} ({cols}) USING {spec.get('format', 'parquet')}"
+        if spec.get("partitioned_by"):
+            names = ", ".join(f"`{f['name']}`" for f in spec["partitioned_by"])
+            ddl += f" PARTITIONED BY ({names})"
+        spark.sql(ddl)
+        return HiveTable(spark, spec["table"])

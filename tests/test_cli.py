@@ -52,3 +52,28 @@ def test_sql(capsys, spark):
     assert rc == 0
     rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
     assert rows == [{"n": 5}]
+
+
+def test_fetch_and_apply_spec(capsys, spark):
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    src.write.mode("overwrite").format("parquet").partitionBy("n_regionkey") \
+        .saveAsTable("spec_src")
+    try:
+        assert main(["fetch-spec", "spec_src"]) == 0
+        spec = json.loads(capsys.readouterr().out)
+        assert spec["table"] == "spec_src"
+        assert {f["name"] for f in spec["partitioned_by"]} == {"n_regionkey"}
+        assert {f["name"] for f in spec["fields"]} == {"n_nationkey", "n_name"}
+
+        spec["table"] = "spec_clone"
+        import json as _json, tempfile, os
+        fd, path = tempfile.mkstemp(suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            _json.dump(spec, fh)
+        assert main(["apply-spec", path]) == 0
+        cols = {c.name: c.isPartition for c in spark.catalog.listColumns("spec_clone")}
+        assert cols == {"n_nationkey": False, "n_name": False, "n_regionkey": True}
+        os.unlink(path)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spec_src")
+        spark.sql("DROP TABLE IF EXISTS spec_clone")
