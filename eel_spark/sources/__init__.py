@@ -11,6 +11,8 @@ from eel_spark.sources.files import (
     OrcSource,
     ParquetSink,
     ParquetSource,
+    SequenceSink,
+    SequenceSource,
     TextSource,
 )
 from eel_spark.sources.hive import HiveSink, HiveSource, HiveTable
@@ -27,7 +29,7 @@ from eel_spark.sources.kafka import KafkaSink, KafkaSource
 __all__ = [
     "ParquetSource", "ParquetSink", "CsvSource", "CsvSink", "JsonSource",
     "JsonSink", "OrcSource", "OrcSink", "AvroSource", "AvroSink",
-    "TextSource", "FilePattern", "DevNullSink",
+    "TextSource", "SequenceSource", "SequenceSink", "FilePattern", "DevNullSink",
     "HiveSource", "HiveSink", "HiveTable",
     "JdbcSource", "JdbcSink", "RangePartitionStrategy",
     "HashPartitionStrategy", "BucketPartitionStrategy",

@@ -282,6 +282,51 @@ class TextSource(Source):
 
 
 @dataclass
+class SequenceSource(Source):
+    """SequenceSource.scala — Hadoop SequenceFile of (key, value) Text
+    pairs. PySpark core reads these without extra jars via the RDD API;
+    rows surface as a (key string, value string) DataFrame. The
+    reference's CSV-in-sequencefile convention (values are delimited
+    records) is honored via ``delimiter``+``columns``."""
+
+    path: str
+    delimiter: str | None = None
+    columns: list[str] | None = None
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        rdd = spark.sparkContext.sequenceFile(self.path)
+        df = spark.createDataFrame(
+            rdd.map(lambda kv: (str(kv[0]), str(kv[1]))), "key STRING, value STRING"
+        )
+        if self.delimiter and self.columns:
+            parts = F.split(F.col("value"), self.delimiter)
+            df = df.select(
+                *[parts.getItem(i).alias(c) for i, c in enumerate(self.columns)]
+            )
+        return DataStream(df)
+
+
+@dataclass
+class SequenceSink(Sink):
+    """SequenceSink.scala — write (key, value) Text pairs; non-string
+    frames are serialized as delimited values keyed by row index."""
+
+    path: str
+    delimiter: str = ","
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        df = ds.df
+        if parallelism:
+            df = df.repartition(parallelism)
+        delim = self.delimiter
+        rdd = df.rdd.map(
+            lambda row: (str(row[0]), delim.join("" if v is None else str(v) for v in row))
+        )
+        rdd.saveAsSequenceFile(self.path)
+        return df.count()
+
+
+@dataclass
 class FilePattern(Source):
     """FilePattern.scala: glob expansion with filtering."""
 

@@ -175,3 +175,16 @@ def test_kafka_frame_serialization(spark):
     frame = _to_kafka_frame(ds, key_col="id")
     rows = {r["key"]: r["value"] for r in frame.collect()}
     assert rows["1"] == '{"id":1,"name":"a"}'
+
+
+def test_sequence_roundtrip(spark, nation, tmp_path):
+    from eel_spark.sources import SequenceSink, SequenceSource
+
+    dest = str(tmp_path / "seq")
+    n = nation.to(SequenceSink(dest, delimiter="|"))
+    assert n == 25
+    back = SequenceSource(
+        dest, delimiter="\\|", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_datastream(spark)
+    rows = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    assert len(rows) == 25 and rows["0"] == "NATION_0"
