@@ -188,3 +188,17 @@ def test_sequence_roundtrip(spark, nation, tmp_path):
     ).to_datastream(spark)
     rows = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
     assert len(rows) == 25 and rows["0"] == "NATION_0"
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from eel_spark.sources import ParquetSource
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id INT, name STRING").write.parquet(d + "/v1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, name STRING, score DOUBLE"
+    ).write.parquet(d + "/v2")
+    merged = ParquetSource([d + "/v1", d + "/v2"], merge_schema=True).to_datastream(spark)
+    assert set(merged.field_names) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
