@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis). Pure-Python properties run many
+examples; Spark-backed properties use few examples with small data (each
+example is a distributed job)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eel_spark.schema import infer_schema, infer_type, merge_schemas
+
+# -- schema merging: pure python, generous examples -------------------------
+
+_TYPES = [
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(), T.StringType(), T.BooleanType(),
+]
+
+fields = st.lists(
+    st.tuples(st.sampled_from("abcdefgh"), st.sampled_from(_TYPES)),
+    min_size=1, max_size=6, unique_by=lambda t: t[0],
+)
+
+
+def _schema(fs):
+    return T.StructType([T.StructField(n, t) for n, t in fs])
+
+
+@given(fields, fields)
+def test_merge_contains_all_names(fa, fb):
+    merged = merge_schemas(_schema(fa), _schema(fb))
+    assert set(merged.fieldNames()) == {n for n, _ in fa} | {n for n, _ in fb}
+
+
+@given(fields)
+def test_merge_idempotent(fs):
+    s = _schema(fs)
+    assert merge_schemas(s, s) == merge_schemas(s)
+
+
+@given(fields, fields)
+def test_merge_preserves_left_order_prefix(fa, fb):
+    merged = merge_schemas(_schema(fa), _schema(fb))
+    assert merged.fieldNames()[: len(fa)] == [n for n, _ in fa]
+
+
+@given(st.lists(st.one_of(st.integers(-10**9, 10**9), st.floats(allow_nan=False),
+                          st.text(max_size=8), st.booleans()), min_size=1, max_size=5))
+def test_infer_type_total(values):
+    for v in values:
+        assert infer_type(v) is not None
+
+
+@given(st.lists(st.tuples(st.integers(0, 100), st.text(max_size=5)),
+                min_size=1, max_size=10))
+def test_infer_schema_shape(rows):
+    s = infer_schema(["a", "b"], rows)
+    assert s.fieldNames() == ["a", "b"]
+    assert s["a"].dataType == T.LongType()
+
+
+# -- spark-backed properties: few examples, tiny data -----------------------
+
+_SPARK_SETTINGS = settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+                min_size=1, max_size=30))
+def test_salted_aggregate_equals_plain(spark, rows):
+    from eel_spark.scale import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k INT, v INT")
+    got = salted_aggregate(
+        df, ["k"],
+        {"n": ("sum", F.count(F.lit(1))), "s": ("sum", F.sum("v")),
+         "mx": ("max", F.max("v"))},
+        salt=3,
+    )
+    want = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.text(st.sampled_from("ab "), min_size=0, max_size=20),
+                min_size=1, max_size=10))
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """Survivors are unique by normalized content and every doc's content
+    is represented by exactly one survivor."""
+    from eel_spark.functions.text import normalized_text
+    from eel_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    survivors = dedup_exact(df, "text", "doc_id")
+    norm = {r["n"] for r in df.select(normalized_text("text").alias("n")).collect()}
+    surv_norm = [
+        r["n"] for r in survivors.select(normalized_text("text").alias("n")).collect()
+    ]
+    assert len(surv_norm) == len(set(surv_norm)) == len(norm)
