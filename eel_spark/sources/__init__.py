@@ -1,3 +1,12 @@
+from eel_spark.sources.connectors import (
+    ConnectorMissing,
+    ElasticsearchSink,
+    ElasticsearchSource,
+    HBaseSink,
+    HBaseSource,
+    KuduSink,
+    KuduSource,
+)
 from eel_spark.sources.files import (
     AvroSink,
     AvroSource,
@@ -35,4 +44,6 @@ __all__ = [
     "HashPartitionStrategy", "BucketPartitionStrategy",
     "SinglePartitionStrategy",
     "KafkaSource", "KafkaSink",
+    "HBaseSource", "HBaseSink", "KuduSource", "KuduSink",
+    "ElasticsearchSource", "ElasticsearchSink", "ConnectorMissing",
 ]

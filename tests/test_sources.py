@@ -202,3 +202,17 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.field_names) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_connector_gates_raise_with_package_hint(spark, nation):
+    import pytest as _pytest
+
+    from eel_spark.sources import (
+        ConnectorMissing, ElasticsearchSource, HBaseSource, KuduSource,
+    )
+
+    for src in (
+        HBaseSource("t"), KuduSource("t"), ElasticsearchSource("idx"),
+    ):
+        with _pytest.raises(ConnectorMissing, match="spark.jars.packages"):
+            src.to_datastream(spark)
