@@ -79,6 +79,31 @@ def salted_aggregate(
     return final
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | Sequence[str],
+    buckets: int = 32,
+    sort_by: str | Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Bucketing is the *durable* form of co-partitioning: two tables
+    bucketed on their join key with the same bucket count join with NO
+    shuffle on either side (and no sort, if sorted) — the physical layout
+    the reference's Hive component calls bucketed tables, and the main
+    lever for repeated large-fact joins at 100 TB.
+    """
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort_by:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition UP only when the input has fewer partitions than the
     cluster has slots — the guard for CPU-heavy per-row stages (minhash,
