@@ -70,8 +70,10 @@ class HashPartitionStrategy(JdbcPartitionStrategy):
     num_partitions: int
 
     def predicates(self) -> list[str]:
+        # ANSI-quoted: Spark's JDBC writer creates case-sensitive quoted
+        # columns, so an unquoted reference would be case-folded by the DB
         n = self.num_partitions
-        return [f"MOD({self.column}, {n}) = {i}" for i in range(n)]
+        return [f'MOD("{self.column}", {n}) = {i}' for i in range(n)]
 
 
 @dataclass
@@ -86,7 +88,7 @@ class BucketPartitionStrategy(JdbcPartitionStrategy):
             return f"'{v}'" if isinstance(v, str) else str(v)
 
         return [
-            f"{self.column} IN ({', '.join(fmt(v) for v in bucket)})"
+            f'"{self.column}" IN ({", ".join(fmt(v) for v in bucket)})'
             for bucket in self.buckets
         ]
 

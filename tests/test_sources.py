@@ -161,9 +161,11 @@ def test_jdbc_strategies_build_plans():
     rs = RangePartitionStrategy("id", 0, 1000, 4)
     assert rs.reader_kwargs()["numPartitions"] == 4
     hs = HashPartitionStrategy("id", 3)
-    assert hs.predicates() == ["MOD(id, 3) = 0", "MOD(id, 3) = 1", "MOD(id, 3) = 2"]
+    assert hs.predicates() == [
+        'MOD("id", 3) = 0', 'MOD("id", 3) = 1', 'MOD("id", 3) = 2',
+    ]
     bs = BucketPartitionStrategy("seg", [["A", "B"], ["C"]])
-    assert bs.predicates() == ["seg IN ('A', 'B')", "seg IN ('C')"]
+    assert bs.predicates() == ['"seg" IN (\'A\', \'B\')', '"seg" IN (\'C\')']
     src = JdbcSource("jdbc:postgresql://nowhere/db", "t", strategy=hs)
     assert src.strategy.predicates() is not None
 
@@ -216,3 +218,27 @@ def test_connector_gates_raise_with_package_hint(spark, nation):
     ):
         with _pytest.raises(ConnectorMissing, match="spark.jars.packages"):
             src.to_datastream(spark)
+
+
+def test_jdbc_roundtrip_derby(spark, nation, tmp_path):
+    """Real JDBC round-trip against embedded Derby (ships with Spark for
+    the metastore): sink writes with create-table, source reads back with
+    a mod-N hash partition strategy (one partition per residue class)."""
+    from eel_spark.sources import HashPartitionStrategy, JdbcSink, JdbcSource
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    n = nation.to(JdbcSink(url, "nation_jdbc", mode="overwrite", properties=props))
+    assert n == 25
+
+    src = JdbcSource(
+        url, "nation_jdbc",
+        strategy=HashPartitionStrategy("n_nationkey", 4),
+        properties=props,
+    )
+    back = src.to_datastream(spark)
+    assert back.df.rdd.getNumPartitions() == 4  # one per predicate
+    assert back.count() == 25
+    assert {r["n_name"] for r in back.collect()} == {
+        f"NATION_{i}" for i in range(25)
+    }
