@@ -14,6 +14,12 @@ unless genuinely impossible.
 
 from eel_spark.datastream import DataStream, from_values, from_rows
 from eel_spark.session import get_session
+from eel_spark.scale import (
+    ensure_parallelism,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
 from eel_spark.sql import SqlContext
 
 __all__ = [
@@ -22,6 +28,10 @@ __all__ = [
     "from_rows",
     "get_session",
     "SqlContext",
+    "salted_join",
+    "salted_aggregate",
+    "ensure_parallelism",
+    "write_bucketed",
 ]
 
 __version__ = "0.1.0"
