@@ -263,3 +263,42 @@ def ops_percentiles(spark: SparkSession, sf_dir: str) -> DataStream:
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
     return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
+# range join (point-in-interval) — bucketized, never nested-loop
+# ---------------------------------------------------------------------------
+
+_RANGE_SQL = f"""
+SELECT p_partkey, COUNT(*) AS n_lines, {sql_money_sum(sql_cents('l_extendedprice'))} AS total_price
+FROM part JOIN lineitem
+  ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+WHERE p_brand = 'Brand#1'
+GROUP BY p_partkey
+"""
+
+
+@query("ops_range_join", _RANGE_SQL)
+def ops_range_join(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Point-in-interval join via binning (operators/joins.py:range_join):
+    lineitem quantities against ±2 size windows of one brand's parts.
+    A naive inequality join is a BroadcastNestedLoopJoin (O(n·m) pair
+    evals); binning makes it an equi-join on bin id + residual filter."""
+    from eel_spark.operators.joins import range_join
+
+    li = table(spark, sf_dir, "lineitem").projection(
+        "l_quantity", "l_extendedprice"
+    ).df
+    part = (
+        table(spark, sf_dir, "part")
+        .filter("p_brand = 'Brand#1'")
+        .projection("p_partkey", "p_size").df
+        .withColumn("lo", F.col("p_size") - 2)
+        .withColumn("hi", F.col("p_size") + 2)
+    )
+    joined = range_join(li, part, "l_quantity", "lo", "hi", bin_width=5.0)
+    out = joined.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum(cents("l_extendedprice")).alias("total_price"),
+    )
+    return DataStream(out)
