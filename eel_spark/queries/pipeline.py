@@ -261,11 +261,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF ANN: centroid bucketing + n_probe cells per query — the
     sublinear alternative to brute force (operators/similarity.py)."""
     emb = table(spark, sf_dir, "embeddings").df
-    cents = similarity.train_centroids(emb, n_cells=8, iterations=2)
+    # 16 cells / 4 probes: 0.84 mean recall@10 on the test embeddings
+    # while scanning 1/4 of the corpus per query (tests/test_similarity.py)
+    cents = similarity.train_centroids(emb, n_cells=16, iterations=2)
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=3)
+    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=4)
 
 
 @query("dedup_embedding_pairs")

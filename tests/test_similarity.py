@@ -66,3 +66,33 @@ def test_train_centroids_deterministic(clustered):
     am = {r["cell_id"]: r["centroid"] for r in a}
     bm = {r["cell_id"]: r["centroid"] for r in b}
     assert am == bm
+
+
+def test_ivf_recall_on_real_embeddings(spark):
+    """Recall@10 of IVF (3/8 cells probed) vs exact brute force on the
+    driver-generated embeddings table — the weaker rows-only driver check
+    gets a real quality bound here."""
+    from eel_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(
+        emb, queries, k=10, exclude_self=True
+    ).collect()
+    cents = similarity.train_centroids(emb, n_cells=8, iterations=2)
+    approx = similarity.ivf_topk(
+        emb, queries, cents, k=10, n_probe=3, exclude_self=True
+    ).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = by_query(exact), by_query(approx)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"
