@@ -319,3 +319,17 @@ def test_sql_context(spark, people):
     }
     ctx.close()
     assert "people" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_filter_unknown_column_errors(people):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        people.filter("no_such_column > 1").count()
+
+
+def test_map_field_unknown_column_errors(people):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        people.map_field("no_such_column", lambda c: c + 1).count()
