@@ -242,3 +242,26 @@ def test_jdbc_roundtrip_derby(spark, nation, tmp_path):
     assert {r["n_name"] for r in back.collect()} == {
         f"NATION_{i}" for i in range(25)
     }
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    """CsvSource.scala's malformed-row handling maps to Spark reader
+    modes: PERMISSIVE nulls bad fields, DROPMALFORMED removes rows."""
+    from eel_spark.sources import CsvSource
+    from pyspark.sql import types as T
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,score\n1,2.5\nbad_row_no_comma\n3,4.5\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    dropped = CsvSource(
+        str(p), schema=schema, infer_schema=False,
+        options={"mode": "DROPMALFORMED"},
+    ).to_datastream(spark)
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+    permissive = CsvSource(
+        str(p), schema=schema, infer_schema=False, options={"mode": "PERMISSIVE"}
+    ).to_datastream(spark)
+    assert permissive.count() == 3
