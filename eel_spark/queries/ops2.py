@@ -302,3 +302,52 @@ def ops_range_join(spark: SparkSession, sf_dir: str) -> DataStream:
         money_sum(cents("l_extendedprice")).alias("total_price"),
     )
     return DataStream(out)
+
+
+# ---------------------------------------------------------------------------
+# positional ops demos: concat (zip) and drop(n) over explicit total orders
+# ---------------------------------------------------------------------------
+
+_CONCAT_SQL = """
+WITH a AS (SELECT n_nationkey, n_name,
+                  ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn
+           FROM nation),
+     b AS (SELECT n_name AS alpha_name,
+                  ROW_NUMBER() OVER (ORDER BY n_name) AS rn
+           FROM nation)
+SELECT a.n_nationkey, a.n_name, b.alpha_name
+FROM a JOIN b USING (rn)
+"""
+
+
+@query("ops_concat_zip", _CONCAT_SQL)
+def ops_concat_zip(spark: SparkSession, sf_dir: str) -> DataStream:
+    """concat (DataStream.scala:380): positional zip of two streams over
+    explicit per-side orders (SURVEY.md §3 — no implicit row order in a
+    distributed engine)."""
+    nation = table(spark, sf_dir, "nation")
+    left = nation.projection("n_nationkey", "n_name")
+    right = DataStream(
+        nation.df.select(F.col("n_name").alias("alpha_name"))
+    )
+    return left.concat(
+        right, order_left=["n_nationkey"], order_right=["alpha_name"]
+    )
+
+
+_DROP_SQL = """
+SELECT n_nationkey, n_name FROM nation
+ORDER BY n_nationkey
+OFFSET 5
+"""
+
+
+@query("ops_drop_offset", _DROP_SQL)
+def ops_drop_offset(spark: SparkSession, sf_dir: str) -> DataStream:
+    """drop(n) (DataStream.scala:200) over an explicit total order →
+    sort + offset."""
+    return (
+        table(spark, sf_dir, "nation")
+        .projection("n_nationkey", "n_name")
+        .drop(5, order_by=["n_nationkey"])
+    )
