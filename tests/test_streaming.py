@@ -165,3 +165,51 @@ def test_stateful_sessionize(spark, tmp_path):
     )
     for r in batch:
         assert by_user[r["user_id"]]["n_events"] == r["n"]
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    from eel_spark.streaming import sliding_window_agg
+
+    events = EventStream(spark, SF + "/events.parquet").stream()
+    agg = sliding_window_agg(
+        events, window="2 hours", slide="1 hour", watermark="0 seconds"
+    )
+    _run_available_now(agg, tmp_path, "sliding", output_mode="complete")
+    got = spark.sql("SELECT * FROM sliding").collect()
+    assert len(got) > 0
+    # every event lands in exactly 2 overlapping windows → sliding total
+    # is 2× the event count
+    assert sum(r["n"] for r in got) == 2 * 1000
+
+
+def test_rate_stream_shape(spark, tmp_path):
+    from eel_spark.streaming import rate_stream
+
+    df = rate_stream(spark, rows_per_second=500)
+    assert set(df.columns) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+    q = (
+        df.writeStream.format("memory").queryName("rate_smoke")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) AS n FROM rate_smoke").first()["n"]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+        types = {
+            r["event_type"]
+            for r in spark.sql("SELECT DISTINCT event_type FROM rate_smoke").collect()
+        }
+        assert types <= {"click", "view", "purchase", "signup", "error"}
+    finally:
+        q.stop()
