@@ -105,3 +105,16 @@ def test_q1_whole_stage_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     found = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
     assert found >= 2  # scan+partial-agg stage and final-agg stage
+
+
+def test_prepare_corpus_semi_join_broadcasts(spark):
+    """pipeline_prepare_corpus: the survivor-id semi-join must become a
+    broadcast under AQE (survivor list ≪ corpus at every scale), and the
+    whole pipeline stays Python-free."""
+    df = QUERIES["pipeline_prepare_corpus"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
