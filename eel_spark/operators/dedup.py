@@ -51,16 +51,37 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _candidates_from_sigs(
-    sig_tbl: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig_tbl: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band-join candidate pairs from a (id, sig) table, with estimated
-    Jaccard from the rejoined signatures."""
+    Jaccard from the rejoined signatures.
+
+    ``max_bucket_size`` caps pathological buckets: band-join work is
+    Σ|bucket|² — one bucket of verbatim duplicates can dominate the whole
+    job (measured 15× on an 8×-replica corpus). Buckets above the cap are
+    skipped; their members are near-certain *exact* duplicates, which
+    dedup_exact handles at Σ|bucket| cost — run it first (the documented
+    pipeline order in queries/pipeline.py).
+    """
     rows = num_hashes // bands
     # Band rows stay narrow (id, band, key): carrying the 64-slot signature
     # through the explode + self-join would multiply shuffle width ×bands.
     banded = sig_tbl.select(
         id_col, F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -91,6 +112,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH.
 
@@ -110,7 +132,7 @@ def minhash_candidates(
     sig_tbl = shingled.select(
         id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
     )
-    return _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands)
+    return _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
 
 
 def minhash_near_duplicates(
@@ -121,6 +143,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs verified by *exact* n-gram Jaccard ≥ threshold.
 
@@ -142,7 +165,7 @@ def minhash_near_duplicates(
     sig_tbl = shingled.select(
         id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands)
+    cands = _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     return (

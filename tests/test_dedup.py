@@ -99,3 +99,23 @@ def test_embedding_near_duplicates(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in found
     assert all(p in {(0, 1), (0, 2), (1, 2)} for p in found)
+
+
+def test_minhash_max_bucket_size_skips_giant_groups(spark):
+    """A 50-member verbatim-duplicate group must be skippable via the
+    bucket cap (its pairs belong to exact dedup), while genuinely distinct
+    near-dup pairs still surface."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(i, base) for i in range(50)]  # giant exact-dup group
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iota mu")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = dedup.minhash_near_duplicates(
+        df, "text", "doc_id", threshold=0.5, max_bucket_size=10
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # giant group skipped
+    uncapped = dedup.minhash_near_duplicates(df, "text", "doc_id", threshold=0.5)
+    assert any(a < 100 and b < 100 for a, b in
+               {(r["id_a"], r["id_b"]) for r in uncapped.collect()})
