@@ -187,6 +187,7 @@ def simhash_near_duplicates(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dups: 64-bit fingerprint, band join (pigeonhole
     guarantees recall for hamming ≤ bands-1), hamming verify."""
@@ -200,6 +201,15 @@ def simhash_near_duplicates(
     banded = fp.select(
         id_col, "fp", F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b")
     ).select(id_col, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     left = banded.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
     return (

@@ -265,3 +265,22 @@ def test_csv_malformed_modes(spark, tmp_path):
         str(p), schema=schema, infer_schema=False, options={"mode": "PERMISSIVE"}
     ).to_datastream(spark)
     assert permissive.count() == 3
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Incremental rewrite pattern: dynamic partitionOverwriteMode only
+    replaces the partitions present in the incoming batch — the
+    foundation for idempotent daily reloads at scale."""
+    dest = str(tmp_path / "dyn")
+    spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2")], "id INT, day STRING"
+    ).write.partitionBy("day").parquet(dest)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([(9, "d2")], "id INT, day STRING").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(dest)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    rows = {(r["id"], r["day"]) for r in spark.read.parquet(dest).collect()}
+    assert rows == {(1, "d1"), (2, "d1"), (9, "d2")}  # d1 untouched, d2 replaced
