@@ -178,6 +178,56 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka readStream (gated: needs the spark-sql-kafka package and a
+    broker — neither is in this container). Surfaces the standard
+    (key, value, topic, partition, offset, timestamp) frame; parallelism
+    = topic partition count, the Kafka-side scale knob."""
+    try:
+        df = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - no broker in container
+        raise RuntimeError(
+            "Kafka streams need org.apache.spark:spark-sql-kafka-0-10_2.13 "
+            "and a reachable broker."
+        ) from e
+    return df.select(
+        F.col("key").cast("string"),
+        F.col("value").cast("string"),
+        "topic", "partition", "offset", "timestamp",
+    )
+
+
+def kafka_stream_sink(
+    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str
+):
+    """writeStream → Kafka (gated); rows must carry string key/value
+    columns (see sources/kafka.py:_to_kafka_frame for the serializer)."""
+    try:
+        return (
+            df.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(
+            "Kafka streams need org.apache.spark:spark-sql-kafka-0-10_2.13 "
+            "and a reachable broker."
+        ) from e
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str], watermark: str = "1 hour"
 ) -> DataFrame:

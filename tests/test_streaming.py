@@ -213,3 +213,10 @@ def test_rate_stream_shape(spark, tmp_path):
         assert types <= {"click", "view", "purchase", "signup", "error"}
     finally:
         q.stop()
+
+
+def test_kafka_stream_gate(spark):
+    from eel_spark.streaming import kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "t")
