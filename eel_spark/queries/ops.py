@@ -247,7 +247,7 @@ def ops_running_sum(spark: SparkSession, sf_dir: str) -> DataStream:
 # -- window: lag/sessionize -------------------------------------------------
 
 _OPS_SESSION_SQL = """
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM (
@@ -302,11 +302,11 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 _OPS_PIVOT_SQL = """
 SELECT user_id,
-       COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
-       COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error,
-       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-       COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
-       COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view
 FROM events GROUP BY user_id
 """
 

@@ -35,9 +35,9 @@ def _sql_stopcount(t: str, words: list[str]) -> str:
 _TOKEN_STATS_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len({_SQL_TOKENS.format(t='text')})) AS total_tokens,
+       CAST(SUM(len({_SQL_TOKENS.format(t='text')})) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-       SUM(LENGTH(text)) AS total_text_chars
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars
 FROM documents
 GROUP BY lang
 """
@@ -241,19 +241,31 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataStream:
 @query("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
     """MinHash-LSH candidate pairs with exact-Jaccard verification
-    (bounded bucket joins; operators/dedup.py)."""
+    (bounded bucket joins; operators/dedup.py).
+
+    ``max_bucket_size=500`` caps the Σ|bucket|² band-join blowup on
+    dup-heavy corpora (members of over-cap buckets are near-certain exact
+    duplicates — dedup_exact, run first in the documented pipeline order,
+    already handles them at linear cost)."""
     docs = table(spark, sf_dir, "documents").df
     return dedup.minhash_near_duplicates(
-        docs, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16
+        docs, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16,
+        max_bucket_size=500,
     ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"),
              F.round("jaccard", 4).alias("jaccard"))
 
 
 @query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
-    """SimHash hamming-band near-dup pairs (operators/dedup.py)."""
+    """SimHash hamming-band near-dup pairs (operators/dedup.py).
+
+    bands=8 → 8-bit chunks: the pigeonhole bound guarantees recall for
+    hamming ≤ 7, matching max_hamming=7 (the r1 pairing max_hamming=8 /
+    bands=4 only guaranteed hamming ≤ 3)."""
     docs = table(spark, sf_dir, "documents").df
-    return dedup.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=8, bands=4)
+    return dedup.simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=7, bands=8, max_bucket_size=500
+    )
 
 
 @query("ann_ivf_topk")
@@ -270,23 +282,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=4)
 
 
+def planted_near_dup_embeddings(emb, n_planted: int = 20, alpha: float = 0.35):
+    """Corpus ∪ deterministically-perturbed copies of the first
+    ``n_planted`` vectors (new id = vec_id + 100000).
+
+    The test embeddings are random (max natural pairwise cosine ≈ 0.51 at
+    sf0.01), so a near-dup query over them alone proves nothing. The
+    planted copies v'_i = v_i · (1 + α·h_i), h_i ∈ [-1,1) from
+    xxhash64(vec_id, dim), sit at cosine ≈ 1/√(1+α²/3) ≈ 0.98 of their
+    originals — known-answer pairs the operator must recover.
+    """
+    planted = emb.filter(F.col("vec_id") < n_planted).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(alpha)
+                    * (
+                        F.xxhash64(F.col("vec_id"), i).cast("double")
+                        / F.lit(float(2**63))
+                    )
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
 @query("dedup_embedding_pairs")
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
-    """Embedding-cosine near-dup pairs: random-hyperplane LSH buckets then
-    exact cosine verify within buckets (operators/dedup.py). Rows-only:
-    LSH recall < 1 by construction, so no exact-SQL twin."""
+    """Embedding-cosine near-dup pairs: banded random-hyperplane LSH
+    (OR-of-ANDs, ≈0.99 recall at cosine 0.95) then exact cosine verify
+    within buckets (operators/dedup.py). Runs over the corpus plus 20
+    planted near-dup vectors (known-answer pairs — the raw table has no
+    natural near-dups). Rows-only: LSH recall < 1 by construction, so no
+    exact-SQL twin; planted-pair recall is asserted in tests/test_dedup.py."""
     emb = table(spark, sf_dir, "embeddings").df
+    corpus = planted_near_dup_embeddings(emb, n_planted=20)
     return dedup.embedding_near_duplicates(
-        emb, "embedding", "vec_id", threshold=0.95, n_planes=8
+        corpus, "embedding", "vec_id", threshold=0.9,
+        bands=8, bits_per_band=8, max_bucket_size=200,
     ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str):
     """Binary-column plumbing: synthetic media table → Arrow-batched
-    mapInPandas feature extraction (stub kernel, real batch contract)."""
+    mapInPandas feature extraction (stub kernel, real batch contract).
+
+    The gated projection digests the ``array<double>`` feature vector into
+    scalars (count + rounded sum + rounded L2) — the driver's pandas
+    canonicalizer can't sort list cells; library users still get the raw
+    array from ``extract_image_features``."""
     media = multimodal.synth_media(spark, n=64)
-    return multimodal.extract_image_features(media, fake=True)
+    feats = multimodal.extract_image_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("feature_sum"),
+        F.round(
+            F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, v: a + v * v)), 6
+        ).alias("feature_l2"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +368,7 @@ WITH scored AS (
 survivors AS (SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY h)
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
 FROM scored JOIN survivors USING (doc_id)
 GROUP BY lang, source

@@ -350,8 +350,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataStream:
 _Q12_SQL = """
 SELECT
   o_orderpriority,
-  SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

@@ -68,13 +68,63 @@ def test_minhash_estimates_track_exact(corpus):
 
 def test_simhash_finds_near_dups(corpus):
     pairs = dedup.simhash_near_duplicates(
-        corpus, "text", "doc_id", max_hamming=10, bands=4
+        corpus, "text", "doc_id", max_hamming=10, bands=16
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in found and (0, 5) in found  # identical → hamming 0
     assert not any(4 in p for p in found)
     ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert ham[(0, 1)] == 0 and ham[(0, 5)] == 0
+
+
+def test_simhash_rejects_recall_hole():
+    """max_hamming beyond the pigeonhole bound (bands-1) must be an error,
+    not a silent recall hole."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(None, "text", "doc_id", max_hamming=8, bands=4)
+
+
+def test_simhash_band_recall_exhaustive(spark):
+    """Band-join output must EQUAL brute-force hamming ≤ max_hamming pairs
+    (pigeonhole guarantee, bands=8 → hamming ≤ 7) — including the 4-7
+    range the r1 bands=4 configuration only found by luck."""
+    from eel_spark.functions import hashes
+
+    words = BASE.split()
+    rows = []
+    for k in range(16):
+        w = list(words)
+        for j in range(k):  # replace k words → fingerprints at varied hamming
+            w[(j * 5) % len(w)] = f"sub{k}_{j}"
+        rows.append((k, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    fps = df.select(
+        "doc_id", hashes.token_hashes("text").alias("__th")
+    ).select("doc_id", hashes.simhash64_from_hashes(F.col("__th")).alias("fp"))
+    brute = (
+        fps.alias("l")
+        .crossJoin(fps.alias("r"))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            hashes.hamming64(F.col("l.fp"), F.col("r.fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+    )
+    expected = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(
+            df, "text", "doc_id", max_hamming=7, bands=8
+        ).collect()
+    }
+    assert expected, "fixture produced no pairs within hamming 7 — weak test"
+    assert {h for _, _, h in expected} - {0, 1, 2, 3} != set(), (
+        "fixture has no pairs in the 4-7 hamming range — weak test"
+    )
+    assert got == expected
 
 
 def test_embedding_near_duplicates(spark):
@@ -94,11 +144,32 @@ def test_embedding_near_duplicates(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
     pairs = dedup.embedding_near_duplicates(
-        df, "embedding", "vec_id", threshold=0.95, n_planes=8
+        df, "embedding", "vec_id", threshold=0.95, bands=4, bits_per_band=4
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in found
     assert all(p in {(0, 1), (0, 2), (1, 2)} for p in found)
+
+
+def test_embedding_banded_recall_on_planted_pairs(spark):
+    """Banded hyperplane LSH must recover ≥90% of planted near-dup pairs
+    (the r1 single-bucket variant measured ≈43% recall); no false
+    positives below the cosine threshold can survive the verify stage."""
+    from eel_spark.queries.pipeline import planted_near_dup_embeddings
+    from eel_spark.queries.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").df
+    corpus = planted_near_dup_embeddings(emb, n_planted=20)
+    pairs = dedup.embedding_near_duplicates(
+        corpus, "embedding", "vec_id", threshold=0.9,
+        bands=8, bits_per_band=8, max_bucket_size=200,
+    ).collect()
+    planted_found = {
+        (r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 100000
+    }
+    assert len(planted_found) >= 18  # ≥90% of the 20 planted pairs
+    for r in pairs:
+        assert r["cos"] >= 0.9
 
 
 def test_minhash_max_bucket_size_skips_giant_groups(spark):
