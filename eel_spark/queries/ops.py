@@ -44,29 +44,41 @@ def ops_project_derive(spark: SparkSession, sf_dir: str) -> DataStream:
     )
 
 
-# -- value replacement / null handling (§2.1 #25,31,20) ---------------------
+# -- value replacement / null handling / JSON extraction (§2.1 #25,31,20 +
+#    semi-structured props) — one scan of events exercises all four ---------
 
 _OPS_REPLACE_SQL = """
-SELECT event_id,
-       CASE WHEN event_type = 'error' THEN 'incident' ELSE event_type END AS event_type,
-       COALESCE(NULLIF(props, '{}'), '<empty>') AS props
+SELECT CASE WHEN event_type = 'error' THEN 'incident' ELSE event_type END AS event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN COALESCE(NULLIF(props, '{}'), '<empty>') = '<empty>'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_props
 FROM events
-WHERE user_id % 7 = 0
+GROUP BY 1, 2
 """
 
 
-@query("ops_replace_values", _OPS_REPLACE_SQL)
-def ops_replace_values(spark: SparkSession, sf_dir: str) -> DataStream:
-    """replace_value (update) + replaceNullValues on a synthesized null."""
+@query("ops_replace_json_props", _OPS_REPLACE_SQL)
+def ops_replace_json_props(spark: SparkSession, sf_dir: str) -> DataStream:
+    """replace_value (update) + replaceNullValues on a synthesized null +
+    JSON property extraction via ``from_json`` with an explicit schema
+    (vectorized JVM parse, no schema-inference scan) — one events scan,
+    one shuffle."""
     ev = (
         table(spark, sf_dir, "events")
-        .filter("user_id % 7 = 0")
-        .projection("event_id", "event_type", "props")
+        .projection("event_type", "props")
         .replace_value("event_type", "error", "incident")
+        .add_field("k_bucket", expr=F.from_json("props", "k BIGINT")["k"] % 10)
         .map_field("props", F.nullif(F.col("props"), F.lit("{}")))
         .replace_null_values("<empty>", subset=["props"])
     )
-    return ev
+    out = ev.df.groupBy("event_type", "k_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("props") == "<empty>", 1).otherwise(0)
+        ).alias("n_empty_props"),
+    )
+    return DataStream(out)
 
 
 # -- deterministic sample (§2.1 #26) ----------------------------------------
@@ -104,8 +116,8 @@ FROM (SELECT custkey FROM builders EXCEPT ALL SELECT DISTINCT custkey FROM big_s
 
 @query("ops_set_operations", _OPS_SETOPS_SQL)
 def ops_set_operations(spark: SparkSession, sf_dir: str) -> DataStream:
-    """union + intersection + subtract — all shuffle-based distributed set
-    ops (the reference collects one side to the driver)."""
+    """union + intersection + subtract + distinct — all shuffle-based
+    distributed set ops (the reference collects one side to the driver)."""
     spenders = (
         table(spark, sf_dir, "orders")
         .filter("o_totalprice > 300000")
@@ -123,38 +135,6 @@ def ops_set_operations(spark: SparkSession, sf_dir: str) -> DataStream:
         "tag", "builder_only"
     )
     return both.union(only)
-
-
-# -- distinct (exact dedup over keys) ---------------------------------------
-
-_OPS_DISTINCT_SQL = """
-SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-"""
-
-
-@query("ops_distinct", _OPS_DISTINCT_SQL)
-def ops_distinct(spark: SparkSession, sf_dir: str) -> DataStream:
-    return DataStream(
-        table(spark, sf_dir, "lineitem").projection("l_returnflag", "l_linestatus").df.distinct()
-    )
-
-
-# -- cartesian (§2.1 #12) ---------------------------------------------------
-
-_OPS_CARTESIAN_SQL = """
-SELECT r_name, n_name FROM region CROSS JOIN nation
-"""
-
-
-@query("ops_cartesian", _OPS_CARTESIAN_SQL)
-def ops_cartesian(spark: SparkSession, sf_dir: str) -> DataStream:
-    """crossJoin → BroadcastNestedLoopJoin; the reference materializes the
-    right side on the driver (DataStream.scala:270)."""
-    return (
-        table(spark, sf_dir, "region")
-        .projection("r_name")
-        .cartesian(table(spark, sf_dir, "nation").projection("n_name"))
-    )
 
 
 # -- explode (§2.1 #33) -----------------------------------------------------
@@ -182,66 +162,6 @@ def ops_explode_tokens(spark: SparkSession, sf_dir: str) -> DataStream:
     )
     counted = docs.group_by("token").count("freq").to_datastream()
     return DataStream(counted.df.orderBy(F.desc("freq"), F.asc("token")).limit(25))
-
-
-# -- argmin/argmax (§2.1 #22) -----------------------------------------------
-
-_OPS_ARGMAX_SQL = """
-SELECT user_id, event_id AS top_event_id, value AS top_value
-FROM (
-  SELECT user_id, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-  FROM events
-) WHERE rn = 1
-"""
-
-
-@query("ops_argmax_per_user", _OPS_ARGMAX_SQL)
-def ops_argmax_per_user(spark: SparkSession, sf_dir: str) -> DataStream:
-    """maxBy per group (DataStream.scala:534 generalized): rank window
-    with unique tie-break — one shuffle on user_id."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    out = (
-        ev.df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("top_event_id"),
-            F.col("value").alias("top_value"),
-        )
-    )
-    return DataStream(out)
-
-
-# -- window: running aggregate ----------------------------------------------
-
-_OPS_RUNNING_SQL = f"""
-SELECT event_id, user_id,
-       CAST(SUM({sql_cents('value')}) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) / 100.0 AS running_value
-FROM events
-WHERE user_id < 5
-"""
-
-
-@query("ops_running_sum", _OPS_RUNNING_SQL)
-def ops_running_sum(spark: SparkSession, sf_dir: str) -> DataStream:
-    """Cumulative sum per key over event time (exact integer-cents)."""
-    ev = table(spark, sf_dir, "events").filter("user_id < 5")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = ev.df.select(
-        "event_id",
-        "user_id",
-        (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0)).alias("running_value"),
-    )
-    return DataStream(out)
 
 
 # -- window: lag/sessionize -------------------------------------------------
@@ -325,23 +245,29 @@ def ops_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataStream:
     return DataStream(out)
 
 
-# -- ordered prefix ops: takeWhile oracle -----------------------------------
+# -- ordered prefix ops: takeWhile + drop(n) composed over one order --------
 
-_OPS_TAKEWHILE_SQL = """
-SELECT event_id, user_id, value FROM events
-WHERE event_id < (SELECT COALESCE(MIN(event_id), 9223372036854775807)
-                  FROM events WHERE NOT (value < 495.0))
+_OPS_SLICES_SQL = """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value FROM events
+  WHERE event_id < (SELECT COALESCE(MIN(event_id), 9223372036854775807)
+                    FROM events WHERE NOT (value < 495.0))
+  ORDER BY event_id
+  OFFSET 100
+)
 """
 
 
-@query("ops_take_while", _OPS_TAKEWHILE_SQL)
-def ops_take_while(spark: SparkSession, sf_dir: str) -> DataStream:
-    """take_while over an explicit total order (SURVEY.md §3): windowed
-    running-AND, no driver iteration."""
+@query("ops_ordered_slices", _OPS_SLICES_SQL)
+def ops_ordered_slices(spark: SparkSession, sf_dir: str) -> DataStream:
+    """take_while then drop(n) composed over one explicit total order
+    (SURVEY.md §3 — Spark has no implicit row order): windowed
+    running-AND prefix, then sort + offset. No driver iteration."""
     return (
         table(spark, sf_dir, "events")
         .projection("event_id", "user_id", "value")
         .take_while(F.col("value") < 495.0, order_by=["event_id"])
+        .drop(100, order_by=["event_id"])
     )
 
 

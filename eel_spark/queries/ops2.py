@@ -22,49 +22,52 @@ from eel_spark.queries.tables import cents, money_sum, sql_cents, sql_money_sum,
 # every warehouse engine treat these as first-class)
 # ---------------------------------------------------------------------------
 
-_ROLLUP_SQL = f"""
-SELECT l_returnflag, l_linestatus,
+_HIERARCHIES_SQL = f"""
+SELECT 'rollup' AS src, l_returnflag AS dim1, l_linestatus AS dim2,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
        COUNT(*) AS n, {sql_money_sum(sql_cents('l_quantity'))} AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-@query("ops_rollup_lineitem", _ROLLUP_SQL)
-def ops_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataStream:
-    """ROLLUP hierarchy (detail → per-flag → grand total) in one pass —
-    Spark expands grouping sets map-side; no N-scans-for-N-levels."""
-    li = table(spark, sf_dir, "lineitem").df
-    out = li.rollup("l_returnflag", "l_linestatus").agg(
-        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
-        F.count(F.lit(1)).alias("n"),
-        money_sum(cents("l_quantity")).alias("sum_qty"),
-    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
-    return DataStream(out)
-
-
-_CUBE_SQL = """
-SELECT event_type, user_id % 4 AS user_bucket,
+UNION ALL
+SELECT 'cube' AS src, event_type AS dim1, CAST(user_id % 4 AS VARCHAR) AS dim2,
        GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS gid,
-       COUNT(*) AS n
+       COUNT(*) AS n, CAST(NULL AS DOUBLE) AS sum_qty
 FROM events
 GROUP BY CUBE (event_type, user_id % 4)
 """
 
 
-@query("ops_cube_events", _CUBE_SQL)
-def ops_cube_events(spark: SparkSession, sf_dir: str) -> DataStream:
-    """CUBE over two dimensions — all 4 grouping sets in a single
-    shuffle."""
+@query("ops_grouping_hierarchies", _HIERARCHIES_SQL)
+def ops_grouping_hierarchies(spark: SparkSession, sf_dir: str) -> DataStream:
+    """ROLLUP (detail → per-flag → grand total) and CUBE (all 4 grouping
+    sets) each in ONE pass — Spark expands grouping sets map-side, no
+    N-scans-for-N-levels. Union-tagged so one gated query covers both
+    hierarchies."""
+    li = table(spark, sf_dir, "lineitem").df
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        money_sum(cents("l_quantity")).alias("sum_qty"),
+    ).select(
+        F.lit("rollup").alias("src"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "gid", "n", "sum_qty",
+    )
     ev = table(spark, sf_dir, "events").df.withColumn(
         "user_bucket", F.col("user_id") % 4
     )
-    out = ev.cube("event_type", "user_bucket").agg(
+    cube = ev.cube("event_type", "user_bucket").agg(
         (F.grouping("event_type") * 2 + F.grouping("user_bucket")).alias("gid"),
         F.count(F.lit(1)).alias("n"),
-    ).select("event_type", "user_bucket", "gid", "n")
-    return DataStream(out)
+    ).select(
+        F.lit("cube").alias("src"),
+        F.col("event_type").alias("dim1"),
+        F.col("user_bucket").cast("string").alias("dim2"),
+        "gid", "n",
+        F.lit(None).cast("double").alias("sum_qty"),
+    )
+    return DataStream(rollup.unionByName(cube))
 
 
 # ---------------------------------------------------------------------------
@@ -79,6 +82,10 @@ SELECT event_id, user_id,
          / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          / 100.0 AS moving_avg,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 100.0 AS running_value,
        LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
        LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
        NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
@@ -89,12 +96,13 @@ WHERE user_id < 8
 
 @query("ops_window_frames", _FRAMES_SQL)
 def ops_window_frames(spark: SparkSession, sf_dir: str) -> DataStream:
-    """Bounded-frame moving average (exact cents), lag/lead, ntile — one
-    window spec shared by all four functions → a single sort per
-    partition."""
+    """Bounded-frame moving average + unbounded running sum (both exact
+    cents), lag/lead, ntile — one window spec shared by all five
+    functions → a single sort per partition."""
     ev = table(spark, sf_dir, "events").filter("user_id < 8").df
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = wo.rowsBetween(-3, Window.currentRow)
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = ev.select(
         "event_id",
         "user_id",
@@ -103,6 +111,9 @@ def ops_window_frames(spark: SparkSession, sf_dir: str) -> DataStream:
             / F.count(F.lit(1)).over(frame)
             / F.lit(100.0)
         ).alias("moving_avg"),
+        (
+            F.sum(cents("value")).over(run).cast("double") / F.lit(100.0)
+        ).alias("running_value"),
         F.lag("event_id").over(wo).alias("prev_event"),
         F.lead("event_id").over(wo).alias("next_event"),
         F.ntile(4).over(wo).alias("quartile"),
@@ -208,35 +219,6 @@ def ops_minmax_by(spark: SparkSession, sf_dir: str) -> DataStream:
 
 
 # ---------------------------------------------------------------------------
-# semi-structured: JSON property extraction
-# ---------------------------------------------------------------------------
-
-_JSON_SQL = f"""
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       COUNT(*) AS n, {sql_money_sum(sql_cents('value'))} AS total_value
-FROM events
-GROUP BY 1
-"""
-
-
-@query("ops_json_extract", _JSON_SQL)
-def ops_json_extract(spark: SparkSession, sf_dir: str) -> DataStream:
-    """JSON property extraction from the events ``props`` column via
-    ``from_json`` with an explicit schema — vectorized JVM parse, no
-    schema-inference scan, no Python."""
-    ev = table(spark, sf_dir, "events").df
-    out = (
-        ev.withColumn("__p", F.from_json("props", "k BIGINT"))
-        .groupBy((F.col("__p.k") % 10).alias("k_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            money_sum(cents("value")).alias("total_value"),
-        )
-    )
-    return DataStream(out)
-
-
-# ---------------------------------------------------------------------------
 # interpolated percentiles
 # ---------------------------------------------------------------------------
 
@@ -305,49 +287,35 @@ def ops_range_join(spark: SparkSession, sf_dir: str) -> DataStream:
 
 
 # ---------------------------------------------------------------------------
-# positional ops demos: concat (zip) and drop(n) over explicit total orders
+# stream combinators: concat (positional zip) + cartesian in one pipeline
 # ---------------------------------------------------------------------------
 
-_CONCAT_SQL = """
+_ZIP_CARTESIAN_SQL = """
 WITH a AS (SELECT n_nationkey, n_name,
                   ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn
            FROM nation),
      b AS (SELECT n_name AS alpha_name,
                   ROW_NUMBER() OVER (ORDER BY n_name) AS rn
            FROM nation)
-SELECT a.n_nationkey, a.n_name, b.alpha_name
+SELECT a.n_nationkey, a.n_name, b.alpha_name, r.r_name
 FROM a JOIN b USING (rn)
+CROSS JOIN region r
 """
 
 
-@query("ops_concat_zip", _CONCAT_SQL)
-def ops_concat_zip(spark: SparkSession, sf_dir: str) -> DataStream:
-    """concat (DataStream.scala:380): positional zip of two streams over
-    explicit per-side orders (SURVEY.md §3 — no implicit row order in a
-    distributed engine)."""
+@query("ops_zip_cartesian", _ZIP_CARTESIAN_SQL)
+def ops_zip_cartesian(spark: SparkSession, sf_dir: str) -> DataStream:
+    """concat (DataStream.scala:380) — positional zip of two streams over
+    explicit per-side orders (SURVEY.md §3: no implicit row order in a
+    distributed engine) — then cartesian (DataStream.scala:267) with a
+    small dim → BroadcastNestedLoopJoin; the reference materializes the
+    right side on the driver for both ops."""
     nation = table(spark, sf_dir, "nation")
     left = nation.projection("n_nationkey", "n_name")
     right = DataStream(
         nation.df.select(F.col("n_name").alias("alpha_name"))
     )
-    return left.concat(
+    zipped = left.concat(
         right, order_left=["n_nationkey"], order_right=["alpha_name"]
     )
-
-
-_DROP_SQL = """
-SELECT n_nationkey, n_name FROM nation
-ORDER BY n_nationkey
-OFFSET 5
-"""
-
-
-@query("ops_drop_offset", _DROP_SQL)
-def ops_drop_offset(spark: SparkSession, sf_dir: str) -> DataStream:
-    """drop(n) (DataStream.scala:200) over an explicit total order →
-    sort + offset."""
-    return (
-        table(spark, sf_dir, "nation")
-        .projection("n_nationkey", "n_name")
-        .drop(5, order_by=["n_nationkey"])
-    )
+    return zipped.cartesian(table(spark, sf_dir, "region").projection("r_name"))
