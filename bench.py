@@ -61,13 +61,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # regression tracking: per-query delta vs the committed round floor
+    # (BENCH_FLOOR.json, updated each round from the driver's BENCH_r{N})
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json")
+    if os.path.exists(floor_path) and sf == "0.1":
+        with open(floor_path) as fh:
+            floor = json.load(fh)
+        prev = floor.get("queries", {})
+        out["vs_floor"] = {
+            n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
+        }
+        if floor.get("value"):
+            out["vs_floor_total"] = round(total - floor["value"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

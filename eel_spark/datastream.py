@@ -134,7 +134,12 @@ class DataStream:
         the parquet scan (ReadSchema)."""
         flat: list[str] = []
         for f in fields:
-            flat.extend([p.strip() for p in f.split(",")] if isinstance(f, str) and "," in f else [f])
+            # Split "a, b, c" convenience strings — but never inside a
+            # function call like "substr(name, 1, 3) as x".
+            if isinstance(f, str) and "," in f and "(" not in f:
+                flat.extend(p.strip() for p in f.split(","))
+            else:
+                flat.append(f)
         return self._wrap(self.df.selectExpr(*flat))
 
     def add_field(
@@ -204,15 +209,20 @@ class DataStream:
                     df = df.withColumn(c, F.col(c).cast(dt))
         return self._wrap(df)
 
-    def align(self, schema: T.StructType) -> "DataStream":
+    def align(self, schema: T.StructType, pad_missing: bool = False) -> "DataStream":
         """align (DataStream.scala:122) — reorder to the target schema, drop
-        extraneous fields, cast to target types; missing fields error."""
+        extraneous fields, cast to target types; missing fields error
+        (strict default) or pad as typed NULLs (``pad_missing=True``, the
+        evolution-write path)."""
         missing = [f.name for f in schema.fields if f.name not in self.df.columns]
-        if missing:
+        if missing and not pad_missing:
             raise ValueError(f"Cannot align: missing fields {missing}")
-        return self._wrap(
-            self.df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
-        )
+        cols = [
+            (F.lit(None) if f.name in missing else F.col(f.name))
+            .cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return self._wrap(self.df.select(*cols))
 
     def to_lowercase_schema(self) -> "DataStream":
         """withLowerCaseSchema (DataStream.scala:95)."""
@@ -363,7 +373,8 @@ class DataStream:
         """explode (DataStream.scala:856) — one row per array element,
         JVM-side generator (no Python flatMap)."""
         name = alias or (column if isinstance(column, str) else "col")
-        others = [c for c in self.df.columns if c != column]
+        exclude = column if isinstance(column, str) else None
+        others = [c for c in self.df.columns if c != exclude]
         return self._wrap(self.df.select(*others, F.explode(_col(column)).alias(name)))
 
     def explode_rows(self, fn: Callable, schema: T.StructType | str) -> "DataStream":

@@ -157,3 +157,49 @@ def merge_schemas(*schemas: T.StructType) -> T.StructType:
                 index[f.name] = len(out)
                 out.append(f)
     return T.StructType(out)
+
+
+# ---------------------------------------------------------------------------
+# Rule-based header inference (SchemaInferrer.scala:6)
+# ---------------------------------------------------------------------------
+
+class DataTypeRule:
+    """SchemaInferrer.scala DataTypeRule: first regex that fully matches a
+    header name decides the column's type (and nullability)."""
+
+    def __init__(self, pattern: str, datatype: str | T.DataType, nullable: bool = True):
+        self.regex = re.compile(pattern)
+        self.datatype = eel_type(datatype) if isinstance(datatype, str) else datatype
+        self.nullable = nullable
+
+    def match(self, header: str) -> T.StructField | None:
+        if self.regex.fullmatch(header):
+            return T.StructField(header, self.datatype, self.nullable)
+        return None
+
+
+class SchemaInferrer:
+    """SchemaInferrer.scala:6 — map header-name patterns to types without a
+    data scan: ``SchemaInferrer("string", DataTypeRule(".*_id", "long",
+    nullable=False))``. Rules are tried in order; the default type applies
+    when none matches.
+
+    Unlike Spark's ``inferSchema`` (which samples/scans the data — an extra
+    pass that costs a full read at 100 TB), this is metadata-only: the type
+    is a pure function of the header name."""
+
+    def __init__(self, default: str | T.DataType = "string", *rules: DataTypeRule):
+        self.default = eel_type(default) if isinstance(default, str) else default
+        self.rules = list(rules)
+
+    def infer(self, headers: Iterable[str]) -> T.StructType:
+        fields: list[T.StructField] = []
+        for h in headers:
+            for rule in self.rules:
+                f = rule.match(h)
+                if f is not None:
+                    fields.append(f)
+                    break
+            else:
+                fields.append(T.StructField(h, self.default, True))
+        return T.StructType(fields)

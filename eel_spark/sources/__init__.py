@@ -30,6 +30,7 @@ from eel_spark.sources.jdbc import (
     HashPartitionStrategy,
     JdbcSink,
     JdbcSource,
+    JdbcStoredProcSource,
     RangePartitionStrategy,
     SinglePartitionStrategy,
 )
@@ -40,7 +41,7 @@ __all__ = [
     "JsonSink", "OrcSource", "OrcSink", "AvroSource", "AvroSink",
     "TextSource", "SequenceSource", "SequenceSink", "FilePattern", "DevNullSink",
     "HiveSource", "HiveSink", "HiveTable",
-    "JdbcSource", "JdbcSink", "RangePartitionStrategy",
+    "JdbcSource", "JdbcSink", "JdbcStoredProcSource", "RangePartitionStrategy",
     "HashPartitionStrategy", "BucketPartitionStrategy",
     "SinglePartitionStrategy",
     "KafkaSource", "KafkaSink",

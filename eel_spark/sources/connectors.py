@@ -77,11 +77,11 @@ class HBaseSink(Sink):
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
         _gate(ds.df.sparkSession, "org.apache.hadoop.hbase.spark", HBaseSource.PACKAGE)
         df = ds.df.repartition(parallelism) if parallelism else ds.df
-        n = df.count()
-        df.write.format("org.apache.hadoop.hbase.spark").option(
+        observed, obs = self._observed(df)
+        observed.write.format("org.apache.hadoop.hbase.spark").option(
             "hbase.table", self.table
         ).options(**self.options).save()
-        return n
+        return int(obs.get["rows"])
 
 
 @dataclass
@@ -117,11 +117,11 @@ class KuduSink(Sink):
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
         _gate(ds.df.sparkSession, "kudu", KuduSource.PACKAGE)
         df = ds.df.repartition(parallelism) if parallelism else ds.df
-        n = df.count()
-        df.write.format("kudu").option("kudu.master", self.master).option(
+        observed, obs = self._observed(df)
+        observed.write.format("kudu").option("kudu.master", self.master).option(
             "kudu.table", self.table
         ).mode(self.mode).save()
-        return n
+        return int(obs.get["rows"])
 
 
 @dataclass
@@ -158,8 +158,8 @@ class ElasticsearchSink(Sink):
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
         _gate(ds.df.sparkSession, "org.elasticsearch.spark.sql", ElasticsearchSource.PACKAGE)
         df = ds.df.repartition(parallelism) if parallelism else ds.df
-        n = df.count()
-        df.write.format("org.elasticsearch.spark.sql").option(
+        observed, obs = self._observed(df)
+        observed.write.format("org.elasticsearch.spark.sql").option(
             "es.nodes", self.nodes
         ).mode(self.mode).save(self.index)
-        return n
+        return int(obs.get["rows"])

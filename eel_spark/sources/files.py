@@ -45,6 +45,16 @@ class Sink:
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
         raise NotImplementedError
 
+    @staticmethod
+    def _observed(df: DataFrame) -> tuple[DataFrame, "Observation"]:
+        """Attach a row-count Observation so the count comes from the SAME
+        job as the write — never ``df.count()`` then write, which executes
+        the upstream plan twice (and can disagree for non-deterministic
+        plans). Read the count with ``int(obs.get["rows"])`` AFTER the
+        write action."""
+        obs = Observation()
+        return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
     def _write_df(
         self, df: DataFrame, fmt: str, path: str | None,
         mode: str, options: dict[str, Any], partition_by: list[str] | None = None,
@@ -126,7 +136,13 @@ class ParquetSink(Sink):
 
 @dataclass
 class CsvSource(Source):
-    """CsvSource.scala: header/delimiter/quote/null handling + inference."""
+    """CsvSource.scala: header/delimiter/quote/null handling + inference.
+
+    Three schema paths, in precedence order: explicit ``schema``; a
+    rule-based ``inferrer`` (SchemaInferrer.scala:6 — types from header
+    NAMES, metadata-only, no data scan); Spark's sampling ``inferSchema``
+    (costs an extra read pass — avoid at scale).
+    """
 
     path: str
     header: bool = True
@@ -135,6 +151,7 @@ class CsvSource(Source):
     null_value: str = ""
     infer_schema: bool = True
     schema: T.StructType | None = None
+    inferrer: Any = None  # eel_spark.schema.SchemaInferrer
     options: dict[str, Any] = dc_field(default_factory=dict)
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
@@ -147,6 +164,11 @@ class CsvSource(Source):
         )
         if self.schema is not None:
             reader = reader.schema(self.schema)
+        elif self.inferrer is not None:
+            # header-only read (no inferSchema): Spark parses just the first
+            # line of one file for column names — effectively metadata-only
+            headers = reader.csv(self.path).columns
+            reader = reader.schema(self.inferrer.infer(headers))
         elif self.infer_schema:
             reader = reader.option("inferSchema", "true")
         return DataStream(reader.csv(self.path))
@@ -319,11 +341,16 @@ class SequenceSink(Sink):
         if parallelism:
             df = df.repartition(parallelism)
         delim = self.delimiter
-        rdd = df.rdd.map(
-            lambda row: (str(row[0]), delim.join("" if v is None else str(v) for v in row))
-        )
-        rdd.saveAsSequenceFile(self.path)
-        return df.count()
+        # Observation doesn't cover RDD actions; an accumulator counts rows
+        # in the SAME save job (no second execution of the upstream plan).
+        acc = df.sparkSession.sparkContext.accumulator(0)
+
+        def _fmt(row):
+            acc.add(1)
+            return (str(row[0]), delim.join("" if v is None else str(v) for v in row))
+
+        df.rdd.map(_fmt).saveAsSequenceFile(self.path)
+        return acc.value
 
 
 @dataclass

@@ -1,0 +1,147 @@
+"""HDFS file operations — the reference's eel-core hdfs component
+re-expressed through Spark's own Hadoop FileSystem (py4j, no extra jars).
+
+Reference parity:
+- HdfsSource.scala:1 — list files matching a pattern as a stream of file
+  metadata (path, size, times, owner/group/permission + ACL surface).
+- HdfsOps (HdfsOps.scala) — mkdirs/delete/exists/setPermission helpers.
+- HdfsWatcher.scala:1 — watch a directory for new files. The Spark-native
+  answer for *processing* new files is the Structured Streaming file
+  source (streaming/streams.py — exactly-once, checkpointed); HdfsWatcher
+  here is the lightweight polling twin for driver-side orchestration
+  (trigger a job when files land), not a data path.
+
+Scale note: listing is driver-side metadata work (like the reference's),
+fine into the millions of files; the DATA path never goes through here —
+``to_datastream`` returns the *listing* as a DataFrame, and reading file
+contents stays with the format sources (Parquet/Csv/...).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from eel_spark.datastream import DataStream
+from eel_spark.sources.files import Source
+
+_LISTING_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("length", T.LongType(), False),
+    T.StructField("is_dir", T.BooleanType(), False),
+    T.StructField("modification_time", T.LongType(), False),
+    T.StructField("owner", T.StringType(), True),
+    T.StructField("group", T.StringType(), True),
+    T.StructField("permission", T.StringType(), True),
+    T.StructField("replication", T.IntegerType(), True),
+    T.StructField("block_size", T.LongType(), True),
+])
+
+
+class HdfsOps:
+    """HdfsOps.scala helpers over Hadoop's FileSystem (works on hdfs://,
+    s3a://, file:// — whatever the Hadoop conf resolves)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._path(path)))
+
+    def mkdirs(self, path: str) -> bool:
+        return bool(self._fs(path).mkdirs(self._path(path)))
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        return bool(self._fs(path).delete(self._path(path), recursive))
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs(src).rename(self._path(src), self._path(dst)))
+
+    def set_permission(self, path: str, octal: str) -> None:
+        """e.g. ``set_permission(p, "750")`` — FsPermission surface; full
+        ACLs (setAcl) need an HDFS namenode and pass through verbatim."""
+        FsPermission = self._jvm.org.apache.hadoop.fs.permission.FsPermission
+        self._fs(path).setPermission(self._path(path), FsPermission(octal))
+
+    def list_status(self, pattern: str) -> list[dict]:
+        """Glob-expand ``pattern`` and return one metadata dict per match
+        (FilePattern.scala globbing + HdfsSource.scala's status surface)."""
+        fs = self._fs(pattern)
+        statuses = fs.globStatus(self._path(pattern))
+        out: list[dict] = []
+        for s in statuses or []:
+            p = s.getPath()
+            out.append({
+                "path": p.toString(),
+                "name": p.getName(),
+                "length": int(s.getLen()),
+                "is_dir": bool(s.isDirectory()),
+                "modification_time": int(s.getModificationTime()),
+                "owner": s.getOwner(),
+                "group": s.getGroup(),
+                "permission": str(s.getPermission()),
+                "replication": int(s.getReplication()),
+                "block_size": int(s.getBlockSize()),
+            })
+        return out
+
+
+@dataclass
+class HdfsSource(Source):
+    """HdfsSource.scala:1 — the file LISTING as a DataStream (path, size,
+    times, ownership, permission). Use a format source to read contents."""
+
+    pattern: str
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        rows = HdfsOps(spark).list_status(self.pattern)
+        df = spark.createDataFrame(
+            [tuple(r[f.name] for f in _LISTING_SCHEMA.fields) for r in rows],
+            _LISTING_SCHEMA,
+        )
+        return DataStream(df)
+
+
+class HdfsWatcher:
+    """HdfsWatcher.scala:1 — poll a glob for files not seen before and hand
+    them to a callback. Driver-side orchestration only; for exactly-once
+    *data* processing of arriving files use the streaming file source."""
+
+    def __init__(self, spark: SparkSession, pattern: str,
+                 callback: Callable[[dict], None] | None = None):
+        self.ops = HdfsOps(spark)
+        self.pattern = pattern
+        self.callback = callback
+        self._seen: set[str] = set()
+
+    def poll_once(self) -> list[dict]:
+        fresh = [
+            s for s in self.ops.list_status(self.pattern)
+            if not s["is_dir"] and s["path"] not in self._seen
+        ]
+        for s in fresh:
+            self._seen.add(s["path"])
+            if self.callback:
+                self.callback(s)
+        return fresh
+
+    def watch(self, interval_sec: float = 5.0,
+              max_polls: int | None = None) -> Iterator[list[dict]]:
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            yield self.poll_once()
+            polls += 1
+            if max_polls is None or polls < max_polls:
+                time.sleep(interval_sec)

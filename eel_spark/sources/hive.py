@@ -46,11 +46,17 @@ class HiveSource(Source):
 
 @dataclass
 class HiveSink(Sink):
-    """HiveSink.scala: dynamic-partition writes with schema alignment.
+    """HiveSink.scala: dynamic-partition writes with schema alignment and
+    evolution (AlignmentStrategy.scala, MetastoreSchemaHandler.scala:1,
+    StagingStrategy.scala:1).
 
-    align=True reorders/casts the incoming stream to the target table
-    schema before writing (AlignmentStrategy.scala) — new columns error,
-    matching the reference's strict default.
+    - align=True (strict default): reorder/cast the incoming stream to the
+      target table schema; NEW columns in the stream error.
+    - evolution=True: new stream columns are first added to the table via
+      ``ALTER TABLE ... ADD COLUMNS`` (nullable — old rows read as NULL),
+      then the stream is aligned to the evolved schema. This is the
+      add-new-column metastore evolution path; type CHANGES still error
+      (narrowing silently would corrupt data).
     """
 
     table: str
@@ -58,6 +64,7 @@ class HiveSink(Sink):
     partition_by: list[str] = dc_field(default_factory=list)
     format: str = "parquet"
     align: bool = True
+    evolution: bool = False
 
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
         spark = ds.df.sparkSession
@@ -65,15 +72,26 @@ class HiveSink(Sink):
         if parallelism:
             df = df.repartition(parallelism)
         exists = spark.catalog.tableExists(self.table)
-        n = df.count()
+        if exists and self.evolution:
+            target_names = {f.name.lower() for f in spark.table(self.table).schema.fields}
+            new_fields = [
+                f for f in df.schema.fields if f.name.lower() not in target_names
+            ]
+            if new_fields:
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields
+                )
+                spark.sql(f"ALTER TABLE {self.table} ADD COLUMNS ({cols})")
         if exists and self.align:
             target = spark.table(self.table).schema
-            df = DataStream(df).align(target).df
-        writer = df.write.format(self.format).mode(self.mode)
+            # evolution pads columns absent from this batch as typed NULLs
+            df = DataStream(df).align(target, pad_missing=self.evolution).df
+        observed, obs = self._observed(df)
+        writer = observed.write.format(self.format).mode(self.mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.saveAsTable(self.table)
-        return n
+        return int(obs.get["rows"])
 
 
 class HiveTable:
@@ -122,20 +140,43 @@ class HiveTable:
 
     def compact(self, target_files: int = 1) -> None:
         """Compactor.scala: rewrite the table's data into ``target_files``
-        files (per partition when partitioned) — the many-small-files fix
-        the reference sells as a headline use case."""
+        files (at most ``target_files`` per partition when partitioned,
+        scheme preserved) — the many-small-files fix the reference sells
+        as a headline use case."""
         df = self.spark.table(self.table)
         part_cols = [
             c.name for c in self.spark.catalog.listColumns(self.table) if c.isPartition
         ]
-        tmp = df
+        writer = None
         if part_cols:
-            tmp = df.repartition(target_files, *[F.col(c) for c in part_cols])
+            # Salt the repartition so each hive-partition lands in up to
+            # ``target_files`` tasks → ≤ target_files files PER partition,
+            # and keep the partition scheme on the rewritten table
+            # (partitionBy) so pruning / SHOW PARTITIONS / dynamic-partition
+            # writes keep working after compaction.
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(target_files)
+            )
+            tmp = df.repartition(*[F.col(c) for c in part_cols], salt)
+            writer = tmp.write.mode("overwrite").format("parquet").partitionBy(*part_cols)
         else:
             tmp = df.coalesce(target_files)
-        tmp.write.mode("overwrite").format("parquet").saveAsTable(f"{self.table}__compact")
-        self.spark.sql(f"DROP TABLE {self.table}")
-        self.spark.sql(f"ALTER TABLE {self.table}__compact RENAME TO {self.table}")
+            writer = tmp.write.mode("overwrite").format("parquet")
+        # Stage into a temp table, then overwrite the original FROM the
+        # staged copy (never DROP+RENAME: a rename into a managed-table
+        # location fails if any orphaned directory exists, and a crash
+        # between DROP and RENAME would lose the table).
+        tmp_name = f"{self.table}__compact"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        writer.saveAsTable(tmp_name)
+        staged = self.spark.table(tmp_name)
+        if part_cols:
+            # one staged file per (partition, salt) task → copy preserves counts
+            out = staged.write.mode("overwrite").format("parquet").partitionBy(*part_cols)
+        else:
+            out = staged.coalesce(target_files).write.mode("overwrite").format("parquet")
+        out.saveAsTable(self.table)
+        self.spark.sql(f"DROP TABLE {tmp_name}")
 
     def show_ddl(self) -> str:
         """HiveDDL.showDDL."""

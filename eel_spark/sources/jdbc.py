@@ -117,6 +117,66 @@ class JdbcSource(Source):
 
 
 @dataclass
+class JdbcStoredProcSource(Source):
+    """JdbcStoredProcSource.scala:1 — read the result set of a stored
+    procedure / table function with bound arguments.
+
+    Spark's JDBC reader only accepts a table or subquery, so the call is
+    wrapped per dialect style:
+    - ``table_function`` (Derby/DB2/Oracle pipelined):
+      ``(SELECT * FROM TABLE(proc(args)) eel_sp)``
+    - ``function`` (Postgres set-returning): ``(SELECT * FROM proc(args)) eel_sp``
+    - ``exec`` (SQL Server): raw ``EXEC proc args`` via the ``query`` path.
+
+    Args are bound as SQL literals (the reference binds ``?`` params on a
+    driver-held PreparedStatement — Spark has no per-partition callable
+    statement, and a stored proc result set isn't range-splittable anyway,
+    so this reads as ONE partition; repartition downstream for parallelism).
+    """
+
+    url: str
+    proc: str
+    params: list[Any] = dc_field(default_factory=list)
+    style: str = "table_function"
+    fetch_size: int = 1000
+    properties: dict[str, str] = dc_field(default_factory=dict)
+
+    def _literal(self, v: Any) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def call_sql(self) -> str:
+        args = ", ".join(self._literal(p) for p in self.params)
+        call = f"{self.proc}({args})"
+        if self.style == "table_function":
+            return f"SELECT s.* FROM TABLE({call}) s"
+        if self.style == "function":
+            return f"SELECT s.* FROM {call} s"
+        if self.style == "exec":
+            return f"EXEC {self.proc} {args}"
+        raise ValueError(f"Unknown stored-proc style: {self.style}")
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        props = {"fetchsize": str(self.fetch_size), **self.properties}
+        if self.style == "exec":
+            reader = (
+                spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("query", self.call_sql())
+            )
+            for k, v in props.items():
+                reader = reader.option(k, v)
+            return DataStream(reader.load())
+        df = spark.read.jdbc(self.url, f"({self.call_sql()}) eel_sp", properties=props)
+        return DataStream(df)
+
+
+@dataclass
 class JdbcSink(Sink):
     """JdbcSink.scala: batched inserts; mode maps create-table semantics
     (overwrite ≈ withCreateTable(true))."""
@@ -131,7 +191,7 @@ class JdbcSink(Sink):
         df: DataFrame = ds.df
         if parallelism:
             df = df.repartition(parallelism)
-        n = df.count()
+        observed, obs = self._observed(df)
         props = {"batchsize": str(self.batch_size), **self.properties}
-        df.write.jdbc(self.url, self.table, mode=self.mode, properties=props)
-        return n
+        observed.write.jdbc(self.url, self.table, mode=self.mode, properties=props)
+        return int(obs.get["rows"])

@@ -231,11 +231,18 @@ def kafka_stream_sink(
 def streaming_dedup(
     events: DataFrame, keys: list[str], watermark: str = "1 hour"
 ) -> DataFrame:
-    """Exactly-once-per-key stream (dedup-in-stream): watermark bounds the
-    dedup state store — keys older than the watermark are evicted, so
-    state is O(keys per watermark window), not O(stream length).
+    """Once-per-key-within-watermark stream dedup with BOUNDED state.
+
+    Plain ``dropDuplicates(keys)`` only evicts state when the event-time
+    column is itself part of the keys — with keys like ``['event_id']``
+    the state store grows O(distinct keys ever seen). We use
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which evicts each
+    key's state once the watermark passes its event time, so state is
+    O(keys per watermark window). Semantics change accordingly: a key
+    recurring AFTER the watermark window is emitted again — that is the
+    price of bounded state on an unbounded stream.
     The batch twin is ``dropDuplicates`` / dedup_exact (operators/dedup)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_stream_interval_join(

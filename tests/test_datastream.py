@@ -102,6 +102,12 @@ def test_sample_deterministic(people):
 def test_projection_and_add_rename_remove(people):
     proj = people.projection("name", "age")
     assert proj.field_names == ["name", "age"]
+    # comma-split convenience must NOT break function-call expressions
+    fn = people.projection("substr(name, 1, 3) as prefix")
+    assert fn.field_names == ["prefix"]
+    assert "ada" in {r["prefix"] for r in fn.collect()}
+    multi = people.projection("name, age")
+    assert multi.field_names == ["name", "age"]
     added = people.add_field("country", value="uk")
     assert {r["country"] for r in added.collect()} == {"uk"}
     with pytest.raises(ValueError):
@@ -250,6 +256,9 @@ def test_explode(spark):
     )
     ex = ds.explode("xs", alias="x")
     assert vals(ex) == [("a", 1), ("a", 2), ("b", 3)]
+    # Column argument (not just str) must not crash on the name-exclusion test
+    ex2 = ds.explode(F.col("xs"), alias="x")
+    assert vals(ex2.projection("k", "x")) == [("a", 1), ("a", 2), ("b", 3)]
 
 
 def test_explode_rows_arrow(people):

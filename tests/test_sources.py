@@ -157,6 +157,30 @@ def test_hive_compaction(spark):
     spark.sql("DROP TABLE eel_test_compact")
 
 
+def test_hive_compaction_partitioned(spark):
+    """Compaction must PRESERVE the partition scheme (pruning, SHOW
+    PARTITIONS, dynamic-partition writes all depend on it) and bound
+    files per partition by target_files."""
+    spark.sql("DROP TABLE IF EXISTS eel_test_compact_p")
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS STRING) AS bucket")
+    df.repartition(8).write.mode("overwrite").partitionBy("bucket").saveAsTable(
+        "eel_test_compact_p"
+    )
+    t = HiveTable(spark, "eel_test_compact_p")
+    assert len(t.partitions()) == 4
+    t.compact(target_files=1)
+    assert spark.table("eel_test_compact_p").count() == 100
+    # partition scheme survived the rewrite
+    assert sorted(p["bucket"] for p in t.partitions()) == ["0", "1", "2", "3"]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for b in range(4):
+        files = glob.glob(
+            os.path.join(warehouse, "eel_test_compact_p", f"bucket={b}", "*.parquet")
+        )
+        assert len(files) == 1, f"bucket={b} has {len(files)} files"
+    spark.sql("DROP TABLE eel_test_compact_p")
+
+
 def test_jdbc_strategies_build_plans():
     rs = RangePartitionStrategy("id", 0, 1000, 4)
     assert rs.reader_kwargs()["numPartitions"] == 4
@@ -284,3 +308,122 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     rows = {(r["id"], r["day"]) for r in spark.read.parquet(dest).collect()}
     assert rows == {(1, "d1"), (2, "d1"), (9, "d2")}  # d1 untouched, d2 replaced
+
+
+def test_jdbc_stored_proc_source(spark, nation, tmp_path):
+    """JdbcStoredProcSource (JdbcStoredProcSource.scala:1): call a real
+    table function with args over JDBC and read its result set — Derby's
+    built-in SYSCS_DIAG.SPACE_TABLE('<schema>','<table>') diagnostic
+    table function serves as the stored proc."""
+    from eel_spark.sources import JdbcSink, JdbcStoredProcSource
+
+    url = f"jdbc:derby:{tmp_path}/spdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation.to(JdbcSink(url, "nation_sp", mode="overwrite", properties=props))
+
+    src = JdbcStoredProcSource(
+        url, "SYSCS_DIAG.SPACE_TABLE", ["APP", "NATION_SP"],
+        style="table_function", properties=props,
+    )
+    assert "TABLE(SYSCS_DIAG.SPACE_TABLE('APP', 'NATION_SP'))" in src.call_sql()
+    rows = src.to_datastream(spark).collect()
+    assert len(rows) >= 1  # one row per conglomerate (table + indexes)
+    assert {r["CONGLOMERATENAME"] for r in rows} >= {"NATION_SP"}
+
+    # dialect templates for engines not present in this container
+    pg = JdbcStoredProcSource("jdbc:x", "get_users", [7, "a'b"], style="function")
+    assert pg.call_sql() == "SELECT s.* FROM get_users(7, 'a''b') s"
+    ms = JdbcStoredProcSource("jdbc:x", "dbo.GetUsers", [1], style="exec")
+    assert ms.call_sql() == "EXEC dbo.GetUsers 1"
+
+
+def test_csv_schema_inferrer(spark, tmp_path):
+    """Rule-based header inference (SchemaInferrer.scala:6): types come
+    from header-name patterns — no data scan, unlike inferSchema."""
+    from eel_spark.schema import DataTypeRule, SchemaInferrer
+    from eel_spark.sources import CsvSource
+    from pyspark.sql import types as T
+
+    p = tmp_path / "t.csv"
+    p.write_text("user_id,score,note\n1,2.5,hi\n2,3.5,yo\n")
+    inf = SchemaInferrer(
+        "string",
+        DataTypeRule(r".*_id", "long", nullable=False),
+        DataTypeRule(r"score|rating", "double"),
+    )
+    ds = CsvSource(str(p), inferrer=inf).to_datastream(spark)
+    sch = {f.name: f.dataType for f in ds.schema.fields}
+    assert sch == {
+        "user_id": T.LongType(), "score": T.DoubleType(), "note": T.StringType()
+    }
+    # note: Spark file sources coerce all read fields to nullable=True;
+    # the rule's nullable flag matters for align/merge_schemas use
+    assert inf.infer(["user_id"])["user_id"].nullable is False
+    assert ds.count() == 2
+    assert {r["user_id"] for r in ds.collect()} == {1, 2}
+
+
+def test_hive_sink_schema_evolution(spark):
+    """MetastoreSchemaHandler.scala:1 evolution path: appending a stream
+    with a NEW column under evolution=True adds the column to the table
+    (old rows read NULL); a later batch missing that column pads NULL.
+    Strict mode (default) still errors on new columns."""
+    spark.sql("DROP TABLE IF EXISTS eel_test_evolve")
+    v1 = DataStream(spark.createDataFrame([(1, "a"), (2, "b")], "id: long, name: string"))
+    HiveSink("eel_test_evolve", mode="overwrite").write(v1)
+
+    v2 = DataStream(
+        spark.createDataFrame([(3, "c", "uk")], "id: long, name: string, country: string")
+    )
+    # strict mode: a batch missing an existing column errors
+    with pytest.raises(ValueError, match="missing fields"):
+        HiveSink("eel_test_evolve", mode="append").write(
+            DataStream(spark.createDataFrame([("x",)], "name: string"))
+        )
+    HiveSink("eel_test_evolve", mode="append", evolution=True).write(v2)
+    got = spark.table("eel_test_evolve")
+    assert set(got.columns) == {"id", "name", "country"}
+    rows = {r["id"]: r["country"] for r in got.collect()}
+    assert rows[3] == "uk" and rows[1] is None  # old rows read NULL
+
+    # a batch that predates the evolved column pads NULL under evolution
+    HiveSink("eel_test_evolve", mode="append", evolution=True).write(
+        DataStream(spark.createDataFrame([(4, "d")], "id: long, name: string"))
+    )
+    rows = {r["id"]: r["country"] for r in spark.table("eel_test_evolve").collect()}
+    assert rows[4] is None
+    spark.sql("DROP TABLE eel_test_evolve")
+
+
+def test_hdfs_ops_source_watcher(spark, tmp_path):
+    """HdfsSource.scala:1 / HdfsWatcher.scala:1 over the local Hadoop
+    FileSystem: glob listing with ownership/permission metadata, fs ops,
+    and new-file detection between polls."""
+    from eel_spark.sources.hdfs import HdfsOps, HdfsSource, HdfsWatcher
+
+    d = tmp_path / "watched"
+    d.mkdir()
+    (d / "a.txt").write_text("1")
+    (d / "b.txt").write_text("22")
+
+    ops = HdfsOps(spark)
+    assert ops.exists(str(d))
+    listing = HdfsSource(str(d / "*.txt")).to_datastream(spark)
+    rows = {r["name"]: r for r in listing.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["b.txt"]["length"] == 2
+    assert rows["a.txt"]["permission"]  # e.g. rw-r--r--
+
+    seen = []
+    w = HdfsWatcher(spark, str(d / "*.txt"), callback=lambda s: seen.append(s["name"]))
+    assert {s["name"] for s in w.poll_once()} == {"a.txt", "b.txt"}
+    (d / "c.txt").write_text("333")
+    assert [s["name"] for s in w.poll_once()] == ["c.txt"]
+    assert w.poll_once() == []  # nothing new
+    assert set(seen) == {"a.txt", "b.txt", "c.txt"}
+
+    ops.mkdirs(str(tmp_path / "made/nested"))
+    assert ops.exists(str(tmp_path / "made/nested"))
+    assert ops.rename(str(d / "c.txt"), str(d / "c2.txt"))
+    assert ops.delete(str(d / "c2.txt"))
+    assert not ops.exists(str(d / "c2.txt"))
