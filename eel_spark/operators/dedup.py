@@ -61,14 +61,17 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """
     if max_bucket_size is None:
         return banded
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "key")
-    return (
-        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .drop("__bn")
+    # aggregate + anti-join, NOT a count-over-window: the window would
+    # shuffle AND sort every band row; the groupBy partial-aggregates
+    # map-side and the over-cap key set is tiny, so AQE broadcasts the
+    # anti-join — no second full shuffle of the banded table
+    over = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_size)
+        .select("band", "key")
     )
+    return banded.join(over, on=["band", "key"], how="left_anti")
 
 
 def _candidates_from_sigs(
