@@ -274,6 +274,55 @@ def stream_stream_interval_join(
     ).drop(F.col(f"r.{key}"))
 
 
+def stream_static_join(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a static dimension table (stream-static join).
+
+    Stateless in Spark: each micro-batch joins against the dim with NO
+    streaming state, so it scales with batch size only. The dim defaults
+    to broadcast (dimension tables are small by definition — a shuffled
+    stream-static join would re-shuffle every micro-batch). Note Spark
+    analyzes the static side once at query start; to pick up dim updates,
+    restart the query or re-read inside foreachBatch.
+    """
+    dim = F.broadcast(static_dim) if broadcast_dim else static_dim
+    return stream.join(dim, on=key, how=how)
+
+
+def idempotent_batch_sink(
+    df: DataFrame, path: str, checkpoint: str, format: str = "parquet"
+):
+    """Exactly-once-per-batch parquet sink WITHOUT a transactional table
+    format: each micro-batch is written to a ``batch_id=N`` partition
+    with dynamic partition overwrite, so a replayed batch (failure
+    between write and checkpoint commit) OVERWRITES its own partition
+    instead of duplicating rows — idempotent replay, the foreachBatch
+    twin of the reference's at-least-once sinks.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.format(format)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .save(path)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str):
     """foreachBatch escape hatch (the streaming analogue of eel's custom
     Sink trait): each micro-batch arrives as a normal DataFrame, so any

@@ -220,3 +220,52 @@ def test_kafka_stream_gate(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch joins a broadcast dim
+    with no streaming state; result cross-checked against the batch
+    join on the same inputs."""
+    from eel_spark.streaming import stream_static_join
+
+    dim = spark.createDataFrame(
+        [(t, f"type_{t}") for t in ["click", "view", "purchase", "signup", "error"]],
+        "event_type: string, label: string",
+    )
+    events = EventStream(spark, SF + "/events.parquet").stream()
+    joined = stream_static_join(events, dim, key="event_type").select(
+        "event_id", "event_type", "label"
+    )
+    _run_available_now(joined, tmp_path, "ssj")
+    got = spark.sql("SELECT COUNT(*) n, COUNT(label) labeled FROM ssj").first()
+
+    batch = spark.read.parquet(SF + "/events.parquet").join(dim, "event_type", "left")
+    want = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.count("label").alias("labeled")
+    ).first()
+    assert (got["n"], got["labeled"]) == (want["n"], want["labeled"])
+
+
+def test_idempotent_batch_sink_replay(spark, tmp_path):
+    """Replaying a micro-batch must NOT duplicate rows: each batch lands
+    in its own batch_id partition with dynamic overwrite, so running the
+    same stream twice from scratch (same batches, fresh checkpoint —
+    simulating a replay after checkpoint loss) leaves row counts
+    unchanged."""
+    from eel_spark.streaming import idempotent_batch_sink
+
+    out = str(tmp_path / "idem_out")
+    events = EventStream(spark, SF + "/events.parquet").stream().select(
+        "event_id", "event_type", "value"
+    )
+    q = idempotent_batch_sink(events, out, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == spark.read.parquet(SF + "/events.parquet").count()
+
+    # same data replayed with a FRESH checkpoint → same batch ids →
+    # partitions overwritten in place, not appended
+    q2 = idempotent_batch_sink(events, out, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
