@@ -215,3 +215,63 @@ def pack_by_bytes(df: DataFrame, byte_col: F.Column, target_mb: int = 64) -> Dat
     total = df.agg(F.sum(byte_col).alias("b")).first()["b"] or 0
     parts = max(1, int(total / (target_mb * 1024 * 1024)))
     return df.repartition(parts)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _decode_frame_stub(payload: bytes, ts_ms: int, fake: bool) -> bytes:
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires ffmpeg/opencv (not in this container); "
+            "pass fake=True for the deterministic test double"
+        )
+    if payload is None or len(payload) == 0:
+        return b""
+    # deterministic "frame": a timestamp-keyed slice of the payload
+    start = ts_ms % max(1, len(payload))
+    return (payload[start:] + payload[:start])[:32]
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """Video → sampled frames, the fan-OUT multimodal shape: one input row
+    becomes len(duration/every_ms) output rows.
+
+    The timestamp plan is computed JVM-side (frame_sample_plan) and the
+    payload is carried through ONE mapInPandas that explodes to frames —
+    batch iterator in/out, so a 2 GB video with 300 sampled frames never
+    materializes all frames of a batch's videos at once beyond the yielded
+    frame rows. Decode kernel is the stub; the explode contract is real.
+    """
+    planned = df.filter(F.col("media_type") == "video").select(
+        "media_id",
+        "payload",
+        F.when(
+            F.col("meta.duration_ms") > 0,
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("frame_ts_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, frames = [], [], []
+            for mid, payload, ts_list in zip(
+                pdf["media_id"], pdf["payload"], pdf["frame_ts_ms"]
+            ):
+                for ts in ts_list:
+                    ids.append(mid)
+                    tss.append(int(ts))
+                    frames.append(_decode_frame_stub(payload, int(ts), fake))
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": tss, "frame": frames})
+
+    return planned.mapInPandas(run, FRAME_SCHEMA)

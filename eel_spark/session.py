@@ -34,6 +34,9 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # answer bare MIN/MAX/COUNT over parquet from footer stats (falls
+        # back automatically when a filter or unsupported type is present)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- python interop (Arrow batches for the few pandas-UDF paths) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

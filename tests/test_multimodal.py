@@ -79,3 +79,37 @@ def test_pack_by_bytes(media):
         media.withColumn("nb", F.length("payload")), F.col("nb"), target_mb=1
     )
     assert packed.count() == 64  # no row loss; partition count is an impl detail
+
+
+def test_sample_video_frames(media, spark):
+    """Fan-out explode: one video row → duration/every_ms + 1 frame rows,
+    deterministic stub frames, media_id/timestamp contract intact."""
+    import eel_spark.operators.multimodal as mm
+    from pyspark.sql import functions as F
+
+    frames = mm.sample_video_frames(media, every_ms=1000, fake=True)
+    got = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_ts_ms").alias("first_ts"),
+        F.max("frame_ts_ms").alias("last_ts"),
+    ).collect()
+    vids = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media.filter("media_type = 'video'").select("media_id", "meta").collect()
+        if r["meta"]["duration_ms"] > 0
+    }
+    by_id = {r["media_id"]: r for r in got}
+    assert set(by_id) == set(vids)  # zero-duration videos yield no rows
+    for mid, dur in vids.items():
+        assert by_id[mid]["n_frames"] == dur // 1000 + 1
+        assert by_id[mid]["first_ts"] == 0
+        assert by_id[mid]["last_ts"] == dur
+    # frames are deterministic and non-empty
+    f0 = frames.filter("media_id = 2 AND frame_ts_ms = 0").first()["frame"]
+    f1 = frames.filter("media_id = 2 AND frame_ts_ms = 0").first()["frame"]
+    assert f0 == f1 and len(f0) > 0
+
+    # without fake=True the stub declares itself honestly
+    import pytest
+    with pytest.raises(Exception, match="NotImplementedError|video decode"):
+        mm.sample_video_frames(media, fake=False).collect()
