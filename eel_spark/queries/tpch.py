@@ -560,7 +560,8 @@ WHERE c_acctbal > (
     SELECT CAST(SUM({sql_cents('c_acctbal')}) AS DOUBLE) / COUNT(*) / 100.0
     FROM customer WHERE c_acctbal > 0.0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-08-01 00:00:00')
 GROUP BY c_mktsegment
 """
 
@@ -568,7 +569,11 @@ GROUP BY c_mktsegment
 @query("q22_rich_inactive", _Q22_SQL)
 def q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataStream:
     """Scalar average (exact integer-cents → deterministic threshold),
-    broadcast to every partition; NOT EXISTS → left-anti join."""
+    broadcast to every partition; NOT EXISTS → left-anti join. "Inactive"
+    = no order since 1998-08-01 (the synthetic data gives every customer
+    SOME order, so the pure no-orders-ever predicate selected zero rows
+    at every SF — a vacuous correctness check; the anti-join shape is
+    identical)."""
     cust = table(spark, sf_dir, "customer")
     avg_bal = (
         cust.filter("c_acctbal > 0.0")
@@ -576,7 +581,11 @@ def q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataStream:
         .agg(money_avg(cents("c_acctbal")).alias("avg_bal"))
         .to_datastream()
     )
-    orders = table(spark, sf_dir, "orders").projection("o_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderdate >= TIMESTAMP '1998-08-01 00:00:00'")
+        .projection("o_custkey")
+    )
     rich = DataStream(cust.df.crossJoin(F.broadcast(avg_bal.df))).filter(
         "c_acctbal > avg_bal"
     )
