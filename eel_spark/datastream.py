@@ -274,32 +274,78 @@ class DataStream:
         """drop(n) (DataStream.scala:200) over an explicit total order."""
         return self._wrap(self.df.sort(*[_col(c) for c in order_by]).offset(n))
 
+    def _prefix_bound(self, predicate: Column | str, order_by: Sequence[ColumnLike]):
+        """(order-key struct, 1-row broadcast min key where predicate FAILS).
+
+        The prefix boundary is a global MIN — a partial+final aggregate,
+        fully parallel. The obvious alternative (running-AND over an
+        unpartitioned window) funnels every row through ONE partition:
+        correct on a laptop, dead at 100 TB.
+        """
+        key = F.struct(*[_col(c) for c in order_by])
+        bound = self.df.filter(~_cond(predicate)).agg(F.min(key).alias("__bound"))
+        return key, F.broadcast(bound)
+
     def take_while(self, predicate: Column | str, order_by: Sequence[ColumnLike]) -> "DataStream":
         """takeWhile (DataStream.scala:137): keep the maximal prefix (in the
-        given order) where predicate holds — windowed running-AND, fully
-        distributed (no driver loop)."""
-        w = Window.orderBy(*[_col(c) for c in order_by]).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        flag = F.min(_cond(predicate).cast("int")).over(w)
+        given order) where predicate holds = all rows strictly before the
+        first failing row. Two parallel passes: global-min boundary, then a
+        filtered scan — no single-partition window."""
+        key, bound = self._prefix_bound(predicate, order_by)
         return self._wrap(
-            self.df.withColumn("__tw", flag).filter(F.col("__tw") == 1).drop("__tw")
+            self.df.crossJoin(bound)
+            .filter(F.col("__bound").isNull() | (key < F.col("__bound")))
+            .drop("__bound")
         )
 
     def drop_while(self, predicate: Column | str, order_by: Sequence[ColumnLike]) -> "DataStream":
         """dropWhile (DataStream.scala:214) — complement of take_while."""
-        w = Window.orderBy(*[_col(c) for c in order_by]).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        flag = F.min(_cond(predicate).cast("int")).over(w)
+        key, bound = self._prefix_bound(predicate, order_by)
         return self._wrap(
-            self.df.withColumn("__dw", flag).filter(F.col("__dw") == 0).drop("__dw")
+            self.df.crossJoin(bound)
+            .filter(F.col("__bound").isNotNull() & (key >= F.col("__bound")))
+            .drop("__bound")
         )
 
     def zip_with_index(self, name: str, order_by: Sequence[ColumnLike]) -> "DataStream":
-        """0-based dense index over an explicit order (helper for concat)."""
-        w = Window.orderBy(*[_col(c) for c in order_by])
-        return self._wrap(self.df.withColumn(name, F.row_number().over(w) - 1))
+        """0-based dense index over an explicit order (helper for concat).
+
+        Distributed two-phase (the RDD ``zipWithIndex`` layout, kept in
+        DataFrames): range-partition by the order columns so partition ids
+        ascend with the order, count rows per partition (metadata-sized),
+        prefix-sum the offsets, then ``offset + row_number within
+        partition``. The per-partition window parallelizes; an
+        unpartitioned ``row_number`` window would serialize the whole
+        dataset through one task.
+        """
+        cols = [_col(c) for c in order_by]
+        # local position = monotonically_increasing_id minus the partition
+        # base (pid << 33): the id is sequential from 0 WITHIN a partition,
+        # so after the in-partition sort it IS the local sort position —
+        # no row_number window, hence no extra hash-by-pid shuffle
+        parted = (
+            self.df.repartitionByRange(*cols)
+            .sortWithinPartitions(*cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn(
+                "__loc", F.col("__mid") - F.shiftleft(F.col("__pid").cast("long"), 33)
+            )
+        )
+        # per-partition counts → prefix-sum offsets, derived from the SAME
+        # range exchange (deterministic bounds, AQE stage reuse); the
+        # offsets window runs over #partitions rows — metadata-sized
+        counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+        wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "__pid", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off")
+        )
+        out = (
+            parted.join(F.broadcast(offsets), "__pid")
+            .withColumn(name, F.col("__off") + F.col("__loc"))
+            .drop("__pid", "__off", "__mid", "__loc")
+        )
+        return self._wrap(out)
 
     def concat(
         self, other: "DataStream",
