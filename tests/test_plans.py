@@ -118,3 +118,39 @@ def test_prepare_corpus_semi_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_ordered_ops_have_no_global_window(spark):
+    """take_while / zip_with_index (concat) must not funnel the dataset
+    through an unpartitioned window: the prefix boundary is a global-min
+    aggregate and the positional index comes from per-partition monotonic
+    ids — a single-partition sort over the data would serialize at scale."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.datastream import DataStream
+
+    ev = DataStream(spark.read.parquet(SF + "/events.parquet"))
+    tw = ev.take_while(F.col("value") < 495.0, order_by=["event_id"])
+    plan = plan_str(tw.df)
+    assert "Window" not in plan
+    # boundary = partial+final min (SortAggregate: min over a struct key)
+    assert "Aggregate" in plan and "partial_min" in plan
+
+    zipped = ev.projection("event_id").zip_with_index("idx", ["event_id"])
+    plan = plan_str(zipped.df)
+    # the only window allowed is the metadata-sized offsets prefix-sum,
+    # which runs AFTER an aggregation — never over the raw event rows
+    assert "row_number" not in plan.lower()
+
+
+def test_lsh_bucket_cap_is_aggregate_not_window(spark):
+    """The minhash bucket cap must be a groupBy + anti-join (map-side
+    partial agg, broadcastable), not a count-over-window that shuffles
+    and sorts every band row."""
+    from eel_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    cands = minhash_candidates(docs, "text", "doc_id", max_bucket_size=100)
+    plan = plan_str(cands)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
