@@ -427,3 +427,37 @@ def test_hdfs_ops_source_watcher(spark, tmp_path):
     assert ops.rename(str(d / "c.txt"), str(d / "c2.txt"))
     assert ops.delete(str(d / "c2.txt"))
     assert not ops.exists(str(d / "c2.txt"))
+
+
+def test_orc_predicate_pushdown(spark, nation, tmp_path):
+    """OrcPredicateTest parity: filters reach the ORC scan (searchArg /
+    PushedFilters), same as the parquet path."""
+    out = str(tmp_path / "orc_pp")
+    OrcSink(out).write(nation)
+    ds = OrcSource(out).to_datastream(spark).filter("n_nationkey = 7")
+    plan = ds.df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:200]
+    assert ds.count() == 1
+
+
+def test_decimal_roundtrip(spark, tmp_path):
+    """DecimalType/DecimalWriter parity: decimal(p,s) survives a parquet
+    round-trip with exact values and scale."""
+    from decimal import Decimal
+
+    from eel_spark.schema import field, struct
+
+    sch = struct(field("id", "long", False), field("amount", "decimal(20,4)"))
+    ds = from_values(
+        spark, sch,
+        [(1, Decimal("12345.6789")), (2, Decimal("-0.0001")), (3, None)],
+    )
+    out = str(tmp_path / "dec_pq")
+    ds.to(ParquetSink(out))
+    back = ParquetSource(out).to_datastream(spark)
+    assert back.schema["amount"].dataType.simpleString() == "decimal(20,4)"
+    got = {r["id"]: r["amount"] for r in back.collect()}
+    assert got[1] == Decimal("12345.6789") and got[2] == Decimal("-0.0001")
+    assert got[3] is None
