@@ -8,6 +8,8 @@ from eel_spark.sources.connectors import (
     KuduSource,
 )
 from eel_spark.sources.files import (
+    AvroParquetSink,
+    AvroParquetSource,
     AvroSink,
     AvroSource,
     CsvSink,
@@ -38,7 +40,7 @@ from eel_spark.sources.kafka import KafkaSink, KafkaSource
 
 __all__ = [
     "ParquetSource", "ParquetSink", "CsvSource", "CsvSink", "JsonSource",
-    "JsonSink", "OrcSource", "OrcSink", "AvroSource", "AvroSink",
+    "JsonSink", "OrcSource", "OrcSink", "AvroSource", "AvroSink", "AvroParquetSource", "AvroParquetSink",
     "TextSource", "SequenceSource", "SequenceSink", "FilePattern", "DevNullSink",
     "HiveSource", "HiveSink", "HiveTable",
     "JdbcSource", "JdbcSink", "JdbcStoredProcSource", "RangePartitionStrategy",

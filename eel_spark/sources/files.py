@@ -283,6 +283,44 @@ class AvroSink(Sink):
         return self._write_df(ds.df, "avro", self.path, self.mode, {}, None, parallelism)
 
 
+@dataclass
+class AvroParquetSource(Source):
+    """AvroParquetSource.scala:1 — parquet files read under an Avro-schema
+    contract. The storage is plain parquet (no avro jar needed); the Avro
+    record JSON drives projection + type alignment via schema_avro's real
+    converter, so a consumer holding only an Avro schema gets exactly the
+    fields and types it declares."""
+
+    path: str | list[str]
+    avro_schema: str | dict | None = None
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        ds = ParquetSource(self.path).to_datastream(spark)
+        if self.avro_schema is None:
+            return ds
+        from eel_spark.schema_avro import from_avro_schema
+
+        return ds.align(from_avro_schema(self.avro_schema))
+
+
+@dataclass
+class AvroParquetSink(Sink):
+    """AvroParquetSink.scala:1 — write parquet aligned to an Avro-schema
+    contract (field order + types from the Avro record)."""
+
+    path: str
+    avro_schema: str | dict | None = None
+    mode: str = "overwrite"
+
+    def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        out = ds
+        if self.avro_schema is not None:
+            from eel_spark.schema_avro import from_avro_schema
+
+            out = ds.align(from_avro_schema(self.avro_schema))
+        return self._write_df(out.df, "parquet", self.path, self.mode, {}, None, parallelism)
+
+
 # ---------------------------------------------------------------------------
 # Text / glob / dev-null
 # ---------------------------------------------------------------------------

@@ -461,3 +461,28 @@ def test_decimal_roundtrip(spark, tmp_path):
     got = {r["id"]: r["amount"] for r in back.collect()}
     assert got[1] == Decimal("12345.6789") and got[2] == Decimal("-0.0001")
     assert got[3] is None
+
+
+def test_avro_parquet_roundtrip(spark, nation, tmp_path):
+    """AvroParquetSource/Sink parity: parquet storage under an Avro-schema
+    contract — the Avro record JSON (schema_avro's real converter) drives
+    field selection, ordering, and types on both write and read."""
+    from eel_spark.sources import AvroParquetSink, AvroParquetSource
+
+    avro = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_name", "type": "string"},
+            {"name": "n_nationkey", "type": "long"},
+        ],
+    }
+    out = str(tmp_path / "avro_pq")
+    n = AvroParquetSink(out, avro_schema=avro).write(nation)
+    assert n == 25
+    back = AvroParquetSource(out, avro_schema=avro).to_datastream(spark)
+    assert back.field_names == ["n_name", "n_nationkey"]  # avro field order
+    assert back.schema["n_nationkey"].dataType.simpleString() == "bigint"
+    assert back.count() == 25
+    # plain parquet readers interoperate (it IS parquet)
+    assert ParquetSource(out).to_datastream(spark).count() == 25
