@@ -48,32 +48,64 @@ _SINKS = {
 _EXT_FORMATS = {"parquet", "csv", "json", "orc", "txt", "text"}
 
 
-def _split_format(uri: str, default: str = "parquet") -> tuple[str, str]:
+def _split_format(uri: str, default: str = "parquet") -> tuple[str, str, dict]:
+    """``csv:/path?delimiter=;&header=false`` → (fmt, path, options) — the
+    eel-cli URI convention (CsvSourceParserTest / ParquetSourceParserTest):
+    options ride on the URI, matched to the component's own parameters."""
+    opts: dict[str, str] = {}
+    if "?" in uri:
+        uri, qs = uri.split("?", 1)
+        from urllib.parse import parse_qsl
+
+        opts = dict(parse_qsl(qs, keep_blank_values=True))
     if ":" in uri and uri.split(":", 1)[0] in _SOURCES:
         fmt, path = uri.split(":", 1)
-        return fmt, path
+        return fmt, path, opts
     ext = uri.rsplit(".", 1)[-1].lower()
     if ext in _EXT_FORMATS:
-        return ("text" if ext == "txt" else ext), uri
-    return default, uri
+        return ("text" if ext == "txt" else ext), uri, opts
+    return default, uri, opts
+
+
+def _apply_uri_opts(cls, kwargs: dict, opts: dict) -> dict:
+    """Coerce URI option strings onto the dataclass's typed fields;
+    unknown keys error loudly (silent typos would drop user options)."""
+    import dataclasses
+
+    by_name = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in opts.items():
+        if k not in by_name:
+            raise SystemExit(f"{cls.__name__}: unknown URI option '{k}'")
+        t = by_name[k].type
+        if "bool" in str(t):
+            kwargs[k] = v.lower() in ("1", "true", "yes")
+        elif "int" in str(t):
+            kwargs[k] = int(v)
+        elif "list" in str(t):
+            kwargs[k] = v.split(",")
+        else:
+            kwargs[k] = v
+    return kwargs
 
 
 def _source(uri: str):
-    fmt, path = _split_format(uri)
-    return _SOURCES[fmt](path)
+    fmt, path, opts = _split_format(uri)
+    cls = _SOURCES[fmt]
+    return cls(path, **_apply_uri_opts(cls, {}, opts))
 
 
 def _sink(uri: str, args: argparse.Namespace):
-    fmt, path = _split_format(uri)
+    fmt, path, opts = _split_format(uri)
     if fmt not in _SINKS:
         raise SystemExit(f"unsupported sink format: {fmt}")
+    cls = _SINKS[fmt]
     kwargs = {}
     if fmt == "parquet":
         if args.max_records_per_file:
             kwargs["max_records_per_file"] = args.max_records_per_file
         if args.partition_by:
             kwargs["partition_by"] = args.partition_by.split(",")
-    return _SINKS[fmt](path, **kwargs)
+    return cls(path, **_apply_uri_opts(cls, kwargs, opts))
 
 
 def cmd_schema(args: argparse.Namespace) -> int:

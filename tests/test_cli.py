@@ -77,3 +77,29 @@ def test_fetch_and_apply_spec(capsys, spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS spec_src")
         spark.sql("DROP TABLE IF EXISTS spec_clone")
+
+
+def test_stream_uri_options(spark, tmp_path, capsys):
+    """eel-cli URI-option convention (CsvSourceParserTest parity):
+    ``csv:/path?delimiter=;&header=false`` configures the component from
+    the URI; unknown options error loudly."""
+    from eel_spark.cli import main
+
+    src_dir = tmp_path / "in.csv"
+    import pandas as pd
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_csv(
+        src_dir, sep=";", index=False
+    )
+    out = tmp_path / "out_csv"
+    rc = main([
+        "stream",
+        f"csv:{src_dir}?delimiter=;&infer_schema=false",
+        f"csv:{out}?delimiter=|&header=false",
+    ])
+    assert rc == 0
+    body = "".join(p.read_text() for p in out.glob("*.csv"))
+    assert "1|x" in body and "a|b" not in body  # | delim, no header
+
+    import pytest
+    with pytest.raises(SystemExit, match="unknown URI option"):
+        main(["schema", f"csv:{src_dir}?bogus=1"])
