@@ -106,3 +106,38 @@ def test_exact_dedup_partitions_corpus(spark, texts):
         r["n"] for r in survivors.select(normalized_text("text").alias("n")).collect()
     ]
     assert len(surv_norm) == len(set(surv_norm)) == len(norm)
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=40, unique=True),
+       st.integers(-1000, 1000))
+def test_take_drop_while_partition_rows(spark, keys, pivot):
+    """take_while(p) and drop_while(p) over the same order are an exact
+    partition of the input: disjoint, union = all rows, and the prefix is
+    maximal (every kept row precedes every failing row)."""
+    from eel_spark.datastream import DataStream
+
+    df = spark.createDataFrame([(k,) for k in keys], "k INT")
+    pred = F.col("k") < pivot
+    ds = DataStream(df)
+    tw = sorted(r["k"] for r in ds.take_while(pred, order_by=["k"]).collect())
+    dw = sorted(r["k"] for r in ds.drop_while(pred, order_by=["k"]).collect())
+    assert sorted(tw + dw) == sorted(keys)
+    first_fail = min((k for k in keys if not (k < pivot)), default=None)
+    expected_prefix = sorted(k for k in keys if first_fail is None or k < first_fail)
+    assert tw == expected_prefix
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.integers(-10000, 10000), min_size=1, max_size=50, unique=True))
+def test_zip_with_index_is_dense_rank(spark, keys):
+    """zip_with_index assigns exactly the 0-based sort position of each
+    key — dense, gap-free, order-consistent (distributed two-phase
+    layout must agree with a driver-side sort)."""
+    from eel_spark.datastream import DataStream
+
+    df = spark.createDataFrame([(k,) for k in keys], "k INT")
+    got = {r["k"]: r["idx"] for r in
+           DataStream(df).zip_with_index("idx", ["k"]).collect()}
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
