@@ -1,3 +1,3 @@
-from eel_spark.operators import dedup, multimodal, similarity
+from eel_spark.operators import dedup, multimodal, rollups, similarity
 
-__all__ = ["dedup", "multimodal", "similarity"]
+__all__ = ["dedup", "multimodal", "rollups", "similarity"]

@@ -1,0 +1,74 @@
+"""Time-series rollups: multi-granularity aggregation in ONE pass.
+
+The hypertable/"continuous aggregate" shape: the same measures rolled up
+at minute/hour/day/month granularities. The naive plan is one scan +
+shuffle PER granularity; here every granularity is a grouping set over
+pre-truncated time buckets, so Spark expands rows map-side (Expand) and
+the whole rollup costs a single scan and a single shuffle regardless of
+how many granularities are asked for — at 100 TB the one-shuffle
+property is the entire game. Partial aggregation still applies before
+the exchange.
+
+Spark-first: native ``DataFrame.groupingSets`` + ``date_trunc``, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: granularity name → date_trunc unit (coarse → fine)
+GRANULARITIES = {
+    "year": "year",
+    "quarter": "quarter",
+    "month": "month",
+    "week": "week",
+    "day": "day",
+    "hour": "hour",
+    "minute": "minute",
+}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, Column],
+    granularities: list[str] = ("hour", "day", "month"),
+    extra_keys: list[str] = (),
+) -> DataFrame:
+    """Aggregate ``aggs`` at every granularity in one scan + one shuffle.
+
+    Output (long format, the continuous-aggregate table a time-series
+    store materializes): one row per (granularity, bucket_start
+    [, extra_keys...]) with one column per named aggregate.
+    """
+    bad = [g for g in granularities if g not in GRANULARITIES]
+    if bad:
+        raise ValueError(f"unknown granularities {bad}; pick from {list(GRANULARITIES)}")
+
+    buckets = {
+        g: F.date_trunc(GRANULARITIES[g], F.col(ts_col)).alias(f"__b_{g}")
+        for g in granularities
+    }
+    base = df.select(*df.columns, *buckets.values())
+    sets = [[f"__b_{g}", *extra_keys] for g in granularities]
+    grouped = base.groupingSets(sets, *[f"__b_{g}" for g in granularities], *extra_keys)
+    # GROUPING() indicators label the set exactly, even for NULL-ts rows
+    # (a null bucket value is still GROUPED in its own set)
+    rolled = grouped.agg(
+        *[F.grouping(f"__b_{g}").alias(f"__g_{g}") for g in granularities],
+        *[c.alias(name) for name, c in aggs.items()],
+    )
+    gran = F.coalesce(
+        *[
+            F.when(F.col(f"__g_{g}") == 0, F.lit(g))
+            for g in granularities
+        ]
+    )
+    bucket = F.coalesce(*[F.col(f"__b_{g}") for g in granularities])
+    return rolled.select(
+        gran.alias("granularity"),
+        bucket.alias("bucket_start"),
+        *extra_keys,
+        *aggs.keys(),
+    )
