@@ -274,25 +274,42 @@ def ops_ordered_slices(spark: SparkSession, sf_dir: str) -> DataStream:
 # -- tumbling time buckets (batch twin of streaming windows) ----------------
 
 _OPS_TUMBLING_SQL = f"""
-SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            ELSE 'month' END AS granularity,
+       CAST(EPOCH(COALESCE(h, d, m)) AS BIGINT) AS bucket_start,
        event_type,
        COUNT(*) AS n,
        {sql_money_sum(sql_cents('value'))} AS total_value
-FROM events
-GROUP BY 1, 2
+FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m, event_type, value
+      FROM events)
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
 """
 
 
 @query("ops_tumbling_window", _OPS_TUMBLING_SQL)
 def ops_tumbling_window(spark: SparkSession, sf_dir: str) -> DataStream:
-    """1-hour tumbling aggregation keyed by epoch bucket (tz-free); the
-    streaming version (watermark + window()) is in eel_spark.streaming."""
+    """Tumbling aggregation at hour/day/month granularities in ONE pass —
+    operators/rollups.py:time_rollup (native groupingSets over date_trunc
+    buckets: one scan, one shuffle for all granularities; the hypertable
+    continuous-aggregate shape). The streaming tumbling version
+    (watermark + window()) is in eel_spark.streaming."""
+    from eel_spark.operators.rollups import time_rollup
+
     ev = table(spark, sf_dir, "events").df
-    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
-    out = ev.groupBy(
-        bucket.alias("bucket_start"), F.col("event_type")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        money_sum(cents("value")).alias("total_value"),
+    rolled = time_rollup(
+        ev,
+        "ts",
+        {"n": F.count(F.lit(1)), "total_value": money_sum(cents("value"))},
+        granularities=["hour", "day", "month"],
+        extra_keys=["event_type"],
+    )
+    out = rolled.select(
+        "granularity",
+        F.unix_timestamp("bucket_start").alias("bucket_start"),
+        "event_type",
+        "n",
+        "total_value",
     )
     return DataStream(out)
