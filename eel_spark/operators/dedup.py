@@ -339,3 +339,49 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval contamination check: which corpus docs share ≥
+    ``min_shared`` word ``n``-grams with any eval doc (the standard
+    n-gram decontamination pass run before training).
+
+    Shape: both sides explode to (doc, xxhash64(shingle)) rows; the join
+    is an equi-join on the 64-bit shingle hash with the EVAL side
+    broadcast (eval sets are orders of magnitude smaller than a training
+    corpus), so the corpus is touched in one pass with no corpus-side
+    shuffle. Returns (corpus id, eval id, n_shared_ngrams), one row per
+    contaminated pair.
+
+    At 100 TB: work is O(corpus tokens) + broadcast of the eval shingle
+    table; if the eval side ever outgrows broadcast, drop the hint and
+    the same plan becomes a shuffle join on the hash — no code change.
+    """
+    eval_text_col = eval_text_col or text_col
+    eval_id_col = eval_id_col or id_col
+
+    def sh(df: DataFrame, t: str, i: str, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(i).alias(out_id),
+            F.explode(hashes.shingles(t, n)).alias("__sh"),
+        ).select(out_id, F.xxhash64("__sh").alias("__h"))
+
+    corpus_sh = sh(ensure_parallelism(corpus), text_col, id_col, "corpus_id")
+    eval_sh = F.broadcast(
+        sh(eval_df, eval_text_col, eval_id_col, "eval_id").distinct()
+    )
+    return (
+        corpus_sh.join(eval_sh, "__h")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )

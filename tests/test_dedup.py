@@ -190,3 +190,34 @@ def test_minhash_max_bucket_size_skips_giant_groups(spark):
     uncapped = dedup.minhash_near_duplicates(df, "text", "doc_id", threshold=0.5)
     assert any(a < 100 and b < 100 for a, b in
                {(r["id_a"], r["id_b"]) for r in uncapped.collect()})
+
+
+def test_ngram_contamination_planted(spark):
+    """Planted overlap: an eval doc quoting a 13-gram from one corpus doc
+    must flag exactly that pair; disjoint docs must not be flagged."""
+    from eel_spark.operators.dedup import ngram_contamination
+
+    passage = "the quick brown fox jumps over the lazy dog while seven wizards watch quietly tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text here {passage} and some trailing words"),
+            (2, "completely different content about distributed query engines and shuffles"),
+            (3, "yet another unrelated document concerning parquet footers and bloom filters"),
+        ],
+        "doc_id: long, text: string",
+    )
+    evals = spark.createDataFrame(
+        [(100, f"benchmark question quoting {passage} verbatim"),
+         (101, "an eval prompt sharing no long phrases with anything")],
+        "doc_id: long, text: string",
+    )
+    hits = ngram_contamination(corpus, evals, n=13).collect()
+    pairs = {(r["corpus_id"], r["eval_id"]) for r in hits}
+    assert (1, 100) in pairs
+    assert all(c == 1 and e == 100 for c, e in pairs), pairs
+    n_shared = {r["n_shared_ngrams"] for r in hits}
+    assert all(v >= 1 for v in n_shared)
+
+    # threshold: requiring more shared n-grams than exist clears the flag
+    none = ngram_contamination(corpus, evals, n=13, min_shared=10_000).count()
+    assert none == 0
