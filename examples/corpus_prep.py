@@ -31,3 +31,14 @@ pairs.orderBy(F.desc("jaccard")).show(10)
 
 # 3. corpus accounting per (lang, source)
 survivors.groupBy("lang", "source").count().orderBy("lang", "source").show()
+
+# 4. decontamination: drop survivors sharing long n-grams with an eval set
+#    (here: a held-out slice of the corpus stands in for the benchmark)
+evals = docs.limit(5).select("doc_id", "text")
+contaminated = dedup.ngram_contamination(survivors, evals, n=13)
+clean = survivors.join(
+    contaminated.select(F.col("corpus_id").alias("doc_id")).distinct(),
+    "doc_id", "left_anti",
+)
+print(f"decontamination: {survivors.count()} -> {clean.count()} "
+      f"(dropped {contaminated.select('corpus_id').distinct().count()} overlapping eval)")
