@@ -385,3 +385,75 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .filter(F.col("n_shared_ngrams") >= min_shared)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS: assign every node the minimum
+    id reachable through the pair graph (connected components by
+    iterative min-label propagation).
+
+    Each iteration is one join + one groupBy-min — fully distributed;
+    labels converge in O(diameter) ≤ O(log n) iterations for the shallow
+    star-shaped graphs near-dup pairs form. The driver loop only checks
+    a one-row convergence count per iteration (no data on the driver).
+    ``checkpoint``-free: lineage stays shallow because each iteration
+    rebuilds from the persisted edge list, not the previous plan.
+
+    Returns (node id, component label = min id in the component).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iterations):
+        # candidate label per node: min over (own label, neighbors' labels)
+        neighbor = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def survivors_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one doc (min id) per near-dup component; docs in no pair
+    survive untouched. The standard last step after LSH + verify."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -221,3 +221,27 @@ def test_ngram_contamination_planted(spark):
     # threshold: requiring more shared n-grams than exist clears the flag
     none = ngram_contamination(corpus, evals, n=13, min_shared=10_000).count()
     assert none == 0
+
+
+def test_connected_components_and_survivors(spark):
+    """Planted components: chains and stars collapse to min-id labels in
+    O(diameter) rounds; survivors keep exactly one doc per component."""
+    from eel_spark.operators.dedup import connected_components, survivors_from_pairs
+    from pyspark.sql import functions as F
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (star on 20)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a: long, id_b: long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id: long, text: string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in survivors_from_pairs(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one per component + untouched 99
