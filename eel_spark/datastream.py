@@ -271,7 +271,14 @@ class DataStream:
         return self._wrap(self.df.limit(n))
 
     def drop(self, n: int, order_by: Sequence[ColumnLike]) -> "DataStream":
-        """drop(n) (DataStream.scala:200) over an explicit total order."""
+        """drop(n) (DataStream.scala:200) over an explicit total order.
+
+        Scale note: OFFSET over a total order is inherently a global
+        operation (Spark funnels the first n+ rows through one task to
+        count them). For large n prefer a key-threshold filter — find the
+        n-th order key with an aggregate, then filter key > threshold —
+        which is what take_while/drop_while do for predicates.
+        """
         return self._wrap(self.df.sort(*[_col(c) for c in order_by]).offset(n))
 
     def _prefix_bound(self, predicate: Column | str, order_by: Sequence[ColumnLike]):

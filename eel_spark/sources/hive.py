@@ -6,9 +6,17 @@ HiveOps/HiveTable (DDL, partition listing, stats), Compactor.
 
 Spark mapping: the catalog IS the metastore client. Partition pruning is
 automatic when filtering on partition columns; dynamic partition writes
-are ``partitionBy`` + ``insertInto``; compaction is a coalesced rewrite;
-stats come from ``ANALYZE TABLE`` / catalog metadata. Works against the
-in-session catalog locally and a real metastore on a cluster unchanged.
+are ``partitionBy`` + ``insertInto``; compaction is a staged salted
+rewrite; stats come from ``ANALYZE TABLE`` / catalog metadata. Works
+against the in-session catalog locally and a real metastore on a
+cluster unchanged.
+
+StagingStrategy.scala (write to a staging location, commit by move) is
+subsumed by Spark's own file commit protocol: every write stages task
+output under ``_temporary`` and publishes atomically on job commit, so
+readers never observe partial files — there is nothing to re-implement.
+Schema evolution (MetastoreSchemaHandler.scala) is ``evolution=True`` on
+HiveSink below.
 """
 
 from __future__ import annotations
