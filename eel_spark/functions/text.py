@@ -128,3 +128,97 @@ def fingerprint(text: Column | str, prefix_len: int = 16) -> Column:
 def normalized_text(text: Column | str) -> Column:
     """Dedup-normalization: lowercase, collapse whitespace, strip."""
     return F.trim(F.regexp_replace(F.lower(_c(text)), "\\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules, Rae et al. 2021 §A1.1):
+# documents dominated by one repeated line / word / bigram are low-quality
+# machine-generated text. All pure Catalyst expressions — per-row, no
+# shuffle, so they run at scan speed on any corpus size. The inner
+# count-per-distinct-token scan is O(u·n) per document (u = distinct
+# tokens); for pathological multi-megabyte documents switch to the
+# explode+groupBy formulation instead — per-document expressions cost
+# nothing extra at 100 TB, the explode path adds a shuffle.
+# ---------------------------------------------------------------------------
+
+
+def lines(text: Column | str) -> Column:
+    """Non-blank lines of the document (array<string>)."""
+    return F.filter(F.split(_c(text), "\n"), lambda l: F.trim(l) != "")
+
+
+def duplicate_line_fraction(text: Column | str) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line
+    (0.0 for documents with ≤1 line)."""
+    ls = lines(text)
+    n = F.size(ls)
+    dup = (n - F.size(F.array_distinct(ls))).cast("double") / n.cast("double")
+    return F.when(n > 0, dup).otherwise(F.lit(0.0))
+
+
+def _top_count(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr`` (0 when empty)."""
+    per_distinct = F.transform(
+        F.array_distinct(arr),
+        lambda t: F.size(F.filter(arr, lambda x: x == t)),
+    )
+    return F.coalesce(F.array_max(per_distinct), F.lit(0))
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent token pairs joined with a space (array<string>)."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def top_token_fraction(text: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token
+    (0.0 for empty documents)."""
+    toks = tokens(text)
+    frac = _top_count(toks).cast("double") / F.size(toks).cast("double")
+    return F.when(F.size(toks) > 0, frac).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(text: Column | str) -> Column:
+    """Fraction of bigrams taken by the most frequent bigram (0.0 for
+    documents with <2 tokens)."""
+    bg = bigrams(text)
+    frac = _top_count(bg).cast("double") / F.size(bg).cast("double")
+    return F.when(F.size(bg) > 0, frac).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regexes restricted to the syntax Java regex and RE2-style
+# engines share ((?:...), \b, \d, bounded repetition), so the DuckDB
+# oracle can mirror them verbatim. regexp_replace / regexp_count are
+# codegen'd JVM expressions — scrubbing runs at scan speed.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d(?:[ -]?\d){7,14}"
+
+
+def pii_email_count(text: Column | str) -> Column:
+    return F.regexp_count(_c(text), F.lit(PII_EMAIL))
+
+
+def pii_ipv4_count(text: Column | str) -> Column:
+    return F.regexp_count(_c(text), F.lit(PII_IPV4))
+
+
+def pii_phone_count(text: Column | str) -> Column:
+    return F.regexp_count(_c(text), F.lit(PII_PHONE))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholder
+    tokens. Order matters: emails first (their local part can contain
+    digits), then IPs (dotted digits would half-match the phone rule),
+    then phones."""
+    out = F.regexp_replace(_c(text), PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

@@ -67,6 +67,10 @@ _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          {_SQL_TOKENS.format(t='text')} AS toks,
+         list_transform(generate_series(1, len({_SQL_TOKENS.format(t='text')}) - 1),
+                        i -> {_SQL_TOKENS.format(t='text')}[i] || ' '
+                             || {_SQL_TOKENS.format(t='text')}[i + 1]) AS bgs,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns,
          LENGTH(text) AS n_chars_measured,
          LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
   FROM documents
@@ -76,7 +80,17 @@ SELECT doc_id,
        n_chars_measured,
        CAST(len(list_filter(toks, x -> LENGTH(x) >= 6)) AS DOUBLE)
          / len(toks) AS long_token_ratio,
-       CAST(n_spaces AS DOUBLE) / n_chars_measured AS whitespace_ratio
+       CAST(n_spaces AS DOUBLE) / n_chars_measured AS whitespace_ratio,
+       CAST(coalesce(list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))), 0) AS DOUBLE)
+         / len(toks) AS top_token_fraction,
+       CASE WHEN len(bgs) > 0 THEN
+         CAST(coalesce(list_max(list_transform(list_distinct(bgs),
+                u -> len(list_filter(bgs, x -> x = u)))), 0) AS DOUBLE) / len(bgs)
+       ELSE 0.0 END AS top_bigram_fraction,
+       CASE WHEN len(lns) > 0 THEN
+         CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE) / len(lns)
+       ELSE 0.0 END AS dup_line_fraction
 FROM t
 WHERE len(toks) > 0
 """
@@ -85,8 +99,9 @@ WHERE len(toks) > 0
 @query("text_quality_metrics", _QUALITY_SQL)
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataStream:
     """Per-doc quality signals (length, long-token ratio, whitespace
-    ratio) — the row-filter primitives a corpus-cleaning pass applies
-    before training."""
+    ratio) plus Gopher-style repetition metrics (top-token / top-bigram /
+    duplicate-line fractions) — the row-filter primitives a
+    corpus-cleaning pass applies before training."""
     docs = table(spark, sf_dir, "documents").df
     toks = TX.tokens("text")
     long_toks = F.size(F.filter(toks, lambda t: F.length(t) >= 6))
@@ -96,6 +111,9 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataStream:
         F.length("text").alias("n_chars_measured"),
         (long_toks.cast("double") / F.size(toks)).alias("long_token_ratio"),
         TX.whitespace_ratio("text").alias("whitespace_ratio"),
+        TX.top_token_fraction("text").alias("top_token_fraction"),
+        TX.top_bigram_fraction("text").alias("top_bigram_fraction"),
+        TX.duplicate_line_fraction("text").alias("dup_line_fraction"),
     ).filter(F.col("n_tokens") > 0)
     return DataStream(out)
 

@@ -68,3 +68,89 @@ def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame([("abcd efghij x",)], "t: string")
     # ceil(4/4)+ceil(6/4)+ceil(1/4) = 1+2+1 = 4
     assert df.select(TX.bpe_ish_token_count("t").alias("n")).first()["n"] == 4
+
+
+def test_top_token_fraction(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b c"), (1, "a b c d"), (2, "")],
+        "doc_id: long, t: string",
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", TX.top_token_fraction("t").alias("f")
+    ).collect()}
+    assert out[0] == 3 / 5
+    assert out[1] == 1 / 4
+    assert out[2] == 0.0
+
+
+def test_top_bigram_fraction(spark):
+    # bigrams of "x y x y x": [x y, y x, x y, y x] -> top 'x y' = 2/4
+    df = spark.createDataFrame(
+        [(0, "x y x y x"), (1, "solo"), (2, "a b")],
+        "doc_id: long, t: string",
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", TX.top_bigram_fraction("t").alias("f")
+    ).collect()}
+    assert out[0] == 2 / 4
+    assert out[1] == 0.0  # <2 tokens, no bigrams
+    assert out[2] == 1.0
+
+
+def test_duplicate_line_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "buy now\nbuy now\nbuy now\nunique line"),
+            (1, "one line only"),
+            (2, "a\n\n  \nb"),  # blank lines ignored
+        ],
+        "doc_id: long, t: string",
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", TX.duplicate_line_fraction("t").alias("f")
+    ).collect()}
+    assert out[0] == 2 / 4
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "contact alice.smith+hr@example.co.uk or bob@test.io, "
+        "server 192.168.0.1, call +1 555-123-4567"
+    )
+    df = spark.createDataFrame([(text,)], "t: string")
+    row = df.select(
+        TX.pii_email_count("t").alias("emails"),
+        TX.pii_ipv4_count("t").alias("ips"),
+        TX.pii_phone_count("t").alias("phones"),
+        TX.redact_pii("t").alias("clean"),
+    ).first()
+    assert row["emails"] == 2
+    assert row["ips"] == 1
+    assert row["phones"] == 1
+    assert row["clean"] == (
+        "contact <EMAIL> or <EMAIL>, server <IP>, call <PHONE>"
+    )
+
+
+def test_redact_pii_matches_duckdb_oracle(spark):
+    """The PII regexes are restricted to Java∩RE2 syntax so a DuckDB
+    oracle can mirror them verbatim — assert engine agreement."""
+    duckdb = pytest.importorskip("duckdb")
+    texts = [
+        "mail x@y.com twice x@y.com",
+        "ip 10.0.0.1 then 255.255.255.255 end",
+        "call 555 123 4567 now",
+        "no pii here at all",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t: string")
+    got = [r["c"] for r in df.select(TX.redact_pii("t").alias("c")).collect()]
+    con = duckdb.connect()
+    for text, spark_out in zip(texts, got):
+        (duck_out,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+            [text, TX.PII_EMAIL, TX.PII_IPV4, TX.PII_PHONE],
+        ).fetchone()
+        assert spark_out == duck_out
