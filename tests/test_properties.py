@@ -141,3 +141,23 @@ def test_zip_with_index_is_dense_rank(spark, keys):
            DataStream(df).zip_with_index("idx", ["k"]).collect()}
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "aa", ""]),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=8))
+def test_top_count_fold_equals_quadratic(spark, arrays):
+    """The O(n log n) sort+run-length fold (_top_count, the hot-path
+    kernel) computes the same top multiplicity as the naive O(u·n)
+    formulation it replaced — including empty arrays and all-duplicate
+    arrays."""
+    from eel_spark.functions.text import _top_count, _top_count_quadratic
+
+    df = spark.createDataFrame([(a,) for a in arrays], "arr ARRAY<STRING>")
+    got = df.select(
+        _top_count(F.col("arr")).alias("fold"),
+        _top_count_quadratic(F.col("arr")).alias("naive"),
+    ).collect()
+    for r in got:
+        assert r["fold"] == r["naive"]
