@@ -39,10 +39,13 @@ class KafkaSink(Sink):
 
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
         frame = _to_kafka_frame(ds, self.key_col)
-        n = frame.df.count()
+        df = frame.df
+        if parallelism:
+            df = df.repartition(parallelism)
+        observed, obs = self._observed(df)
         try:
             (
-                frame.df.write.format("kafka")
+                observed.write.format("kafka")
                 .option("kafka.bootstrap.servers", self.bootstrap_servers)
                 .option("topic", self.topic)
                 .save()
@@ -53,7 +56,7 @@ class KafkaSink(Sink):
                 "(org.apache.spark:spark-sql-kafka-0-10_2.13); the frame "
                 "serialization above is tested without one."
             ) from e
-        return n
+        return int(obs.get["rows"])
 
 
 @dataclass
