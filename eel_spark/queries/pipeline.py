@@ -63,6 +63,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataStream:
 # per-document quality metrics (exact int / deterministic double)
 # ---------------------------------------------------------------------------
 
+# Synthetic per-row PII suffix: the corpus itself contains no PII, so the
+# gate would compare all-zero counts. The suffix is a deterministic
+# function of doc_id computed identically by both engines, so the email /
+# ip / phone counts and the redaction fingerprint carry real signal.
+_SQL_PII_SUFFIX = (
+    "text || ' contact doc' || doc_id || '@example.com from 10.0.' || "
+    "(doc_id % 256) || '.7 call +1 555 000 ' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
 _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id,
@@ -72,7 +82,8 @@ WITH t AS (
                              || {_SQL_TOKENS.format(t='text')}[i + 1]) AS bgs,
          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns,
          LENGTH(text) AS n_chars_measured,
-         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+         {_SQL_PII_SUFFIX} AS ptxt
   FROM documents
 )
 SELECT doc_id,
@@ -90,7 +101,14 @@ SELECT doc_id,
        ELSE 0.0 END AS top_bigram_fraction,
        CASE WHEN len(lns) > 0 THEN
          CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE) / len(lns)
-       ELSE 0.0 END AS dup_line_fraction
+       ELSE 0.0 END AS dup_line_fraction,
+       len(regexp_extract_all(ptxt, '{TX.PII_EMAIL}')) AS pii_emails,
+       len(regexp_extract_all(ptxt, '{TX.PII_IPV4}')) AS pii_ipv4s,
+       len(regexp_extract_all(ptxt, '{TX.PII_PHONE}')) AS pii_phones,
+       substr(md5(regexp_replace(regexp_replace(regexp_replace(ptxt,
+                '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+                '{TX.PII_IPV4}', '<IP>', 'g'),
+                '{TX.PII_PHONE}', '<PHONE>', 'g')), 1, 16) AS redacted_fp
 FROM t
 WHERE len(toks) > 0
 """
@@ -108,14 +126,21 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataStream:
     # multiply-referenced non-trivial expressions un-inlined, so the
     # tokenization never re-runs inside the fold lambdas (the round-2
     # 44×-regression lesson — see functions/text.py scale note).
+    synth_pii = F.concat(
+        F.col("text"), F.lit(" contact doc"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 000 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
     staged = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         TX.whitespace_ratio("text").alias("whitespace_ratio"),
         TX.tokens("text").alias("toks"),
         TX.lines("text").alias("lns"),
+        synth_pii.alias("ptxt"),
     ).select(
-        "doc_id", "n_chars_measured", "whitespace_ratio", "toks", "lns",
+        "doc_id", "n_chars_measured", "whitespace_ratio", "toks", "lns", "ptxt",
         TX.bigrams_from_tokens(F.col("toks")).alias("bgs"),
     )
     out = staged.select(
@@ -130,6 +155,10 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataStream:
         TX.top_fraction(F.col("toks")).alias("top_token_fraction"),
         TX.top_fraction(F.col("bgs")).alias("top_bigram_fraction"),
         TX.duplicate_fraction(F.col("lns")).alias("dup_line_fraction"),
+        TX.pii_email_count(F.col("ptxt")).alias("pii_emails"),
+        TX.pii_ipv4_count(F.col("ptxt")).alias("pii_ipv4s"),
+        TX.pii_phone_count(F.col("ptxt")).alias("pii_phones"),
+        TX.fingerprint(TX.redact_pii(F.col("ptxt"))).alias("redacted_fp"),
     ).filter(F.col("n_tokens") > 0)
     return DataStream(out)
 
