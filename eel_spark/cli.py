@@ -14,7 +14,12 @@ Commands:
   apply-spec <spec.json>             create a table from a spec (ApplySpecMain)
 
 Source/sink syntax: ``format:path`` (``parquet:/data/x``); bare paths
-infer format from the extension, defaulting to parquet.
+infer format from the extension, defaulting to parquet. Catalog-backed
+URIs (eel-cli HiveSourceParser / JdbcSourceParser analogues):
+``hive:db.table?partition_filter=...`` reads/writes metastore tables;
+``jdbc:<driver-url>?table=T`` wraps the full JDBC URL (the ``jdbc:``
+scheme prefix doubles as the URL prefix, e.g.
+``jdbc:derby:memory:db?table=T``).
 """
 
 from __future__ import annotations
@@ -58,7 +63,7 @@ def _split_format(uri: str, default: str = "parquet") -> tuple[str, str, dict]:
         from urllib.parse import parse_qsl
 
         opts = dict(parse_qsl(qs, keep_blank_values=True))
-    if ":" in uri and uri.split(":", 1)[0] in _SOURCES:
+    if ":" in uri and uri.split(":", 1)[0] in (*_SOURCES, "hive", "jdbc"):
         fmt, path = uri.split(":", 1)
         return fmt, path, opts
     ext = uri.rsplit(".", 1)[-1].lower()
@@ -88,14 +93,47 @@ def _apply_uri_opts(cls, kwargs: dict, opts: dict) -> dict:
     return kwargs
 
 
+def _jdbc_parts(path: str, opts: dict) -> tuple[str, str, dict]:
+    """(url, table, kwargs) from a ``jdbc:`` URI — the scheme prefix is
+    part of the JDBC URL itself, the table rides as a ``?table=`` option
+    and an optional ``?driver=`` becomes a connection property."""
+    tbl = opts.pop("table", None)
+    if not tbl:
+        raise SystemExit("jdbc URIs need ?table=<name> (or a subquery)")
+    driver = opts.pop("driver", None)
+    kwargs = {"properties": {"driver": driver}} if driver else {}
+    return f"jdbc:{path}", tbl, kwargs
+
+
 def _source(uri: str):
     fmt, path, opts = _split_format(uri)
+    if fmt == "hive":
+        from eel_spark.sources import HiveSource
+
+        return HiveSource(path, **_apply_uri_opts(HiveSource, {}, opts))
+    if fmt == "jdbc":
+        from eel_spark.sources import JdbcSource
+
+        url, tbl, kwargs = _jdbc_parts(path, opts)
+        return JdbcSource(url, tbl, **_apply_uri_opts(JdbcSource, kwargs, opts))
     cls = _SOURCES[fmt]
     return cls(path, **_apply_uri_opts(cls, {}, opts))
 
 
 def _sink(uri: str, args: argparse.Namespace):
     fmt, path, opts = _split_format(uri)
+    if fmt == "hive":
+        from eel_spark.sources import HiveSink
+
+        kwargs = {}
+        if args.partition_by:
+            kwargs["partition_by"] = args.partition_by.split(",")
+        return HiveSink(path, **_apply_uri_opts(HiveSink, kwargs, opts))
+    if fmt == "jdbc":
+        from eel_spark.sources import JdbcSink
+
+        url, tbl, kwargs = _jdbc_parts(path, opts)
+        return JdbcSink(url, tbl, **_apply_uri_opts(JdbcSink, kwargs, opts))
     if fmt not in _SINKS:
         raise SystemExit(f"unsupported sink format: {fmt}")
     cls = _SINKS[fmt]

@@ -103,3 +103,59 @@ def test_stream_uri_options(spark, tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit, match="unknown URI option"):
         main(["schema", f"csv:{src_dir}?bogus=1"])
+
+
+def test_stream_hive_roundtrip(capsys, spark, tmp_path):
+    """parquet → hive:db.table (partitioned) → hive source with partition
+    pruning → csv: the eel-cli StreamMain hive-URI path end to end."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS cli_db")
+    spark.sql("DROP TABLE IF EXISTS cli_db.nations")
+    rc = main([
+        "stream", f"{SF}/nation.parquet",
+        "hive:cli_db.nations?mode=overwrite",
+        "--partition-by", "n_regionkey",
+    ])
+    assert rc == 0
+    assert "25 rows written" in capsys.readouterr().out
+    assert spark.table("cli_db.nations").count() == 25
+
+    dest = str(tmp_path / "hive_out_csv")
+    rc = main([
+        "stream",
+        "hive:cli_db.nations?partition_filter=n_regionkey%20%3D%200"
+        "&projection=n_nationkey,n_name",
+        f"csv:{dest}",
+    ])
+    assert rc == 0
+    assert "5 rows written" in capsys.readouterr().out
+    back = spark.read.option("header", "true").csv(dest)
+    assert back.columns == ["n_nationkey", "n_name"]
+    assert back.count() == 5
+
+
+def test_stream_jdbc_roundtrip(capsys, spark, tmp_path):
+    """parquet → jdbc:derby (embedded) → back out to parquet via the
+    jdbc: URI scheme (the scheme prefix doubles as the URL prefix)."""
+    db = f"{tmp_path}/cli_derby;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    rc = main([
+        "stream", f"{SF}/region.parquet",
+        f"jdbc:derby:{db}?table=REGIONS&driver={drv}&mode=overwrite",
+    ])
+    assert rc == 0
+    assert "5 rows written" in capsys.readouterr().out
+
+    dest = str(tmp_path / "jdbc_back")
+    rc = main([
+        "stream", f"jdbc:derby:{db}?table=REGIONS&driver={drv}",
+        f"parquet:{dest}",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(dest).count() == 5
+
+
+def test_jdbc_uri_requires_table(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="table"):
+        main(["schema", "jdbc:derby:memory:nope"])
