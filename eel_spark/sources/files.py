@@ -251,36 +251,58 @@ class OrcSink(Sink):
 # ---------------------------------------------------------------------------
 
 class _AvroGate:
-    @staticmethod
-    def check(spark: SparkSession) -> None:
+    """Resolve a usable Avro format identifier or fail with the exact
+    dependency coordinate.
+
+    Two lessons encoded here: (a) probe with Class.forName, not a bare
+    ``_jvm`` attribute walk — py4j resolves package paths into lazy
+    JavaPackage placeholders without touching the classpath, so the old
+    attribute "check" passed even with no jar; (b) the pyspark wheel
+    ships the spark-avro CLASSES but not its DataSourceRegister service
+    entry, so the short name ``avro`` fails lookup while the provider
+    class works — address the class directly."""
+
+    PROVIDER = "org.apache.spark.sql.avro.AvroFileFormat"
+
+    @classmethod
+    def format_name(cls, spark: SparkSession) -> str:
         try:
-            spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+            spark._jvm.java.lang.Class.forName(cls.PROVIDER)
         except Exception:
             raise RuntimeError(
                 "Avro support requires the spark-avro package "
                 "(org.apache.spark:spark-avro_2.13); add it via "
-                "spark.jars.packages. The API surface is wired; only the "
-                "format jar is absent in this container."
+                "spark.jars.packages."
             ) from None
+        return cls.PROVIDER
+
+    @classmethod
+    def check(cls, spark: SparkSession) -> None:
+        cls.format_name(spark)
 
 
 @dataclass
 class AvroSource(Source):
+    """Avro container files (AvroSource.scala:1) via Spark's avro module."""
+
     path: str
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
-        _AvroGate.check(spark)
-        return DataStream(spark.read.format("avro").load(self.path))
+        fmt = _AvroGate.format_name(spark)
+        return DataStream(spark.read.format(fmt).load(self.path))
 
 
 @dataclass
 class AvroSink(Sink):
+    """Avro container writes (AvroSink.scala:1); rows counted by the
+    write-job Observation like every other sink."""
+
     path: str
     mode: str = "overwrite"
 
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
-        _AvroGate.check(ds.df.sparkSession)
-        return self._write_df(ds.df, "avro", self.path, self.mode, {}, None, parallelism)
+        fmt = _AvroGate.format_name(ds.df.sparkSession)
+        return self._write_df(ds.df, fmt, self.path, self.mode, {}, None, parallelism)
 
 
 @dataclass
