@@ -39,26 +39,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # session may have it fixed already
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integer DIV, not floor(x/1000.0): epoch-nanos exceed double's
-            # 53-bit exact range, so float division is off-by-one µs
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif ts_type == "timestamp_ntz":
-            # tz-naive parquet (isAdjustedToUTC=false) reads as TIMESTAMP_NTZ
-            # under Spark 4's inferTimestampNTZ default, which unix_micros /
-            # window arithmetic reject. Normalize to LTZ at the UTC instant
-            # equal to the naive wall-clock value — session-tz-independent
-            # (timestampdiff against the NTZ epoch, then timestamp_micros),
-            # and bit-identical to DuckDB's epoch_us on the same file.
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr(
-                    "timestampdiff(MICROSECOND,"
-                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-                )),
-            )
+        from eel_spark.timeutils import normalize_ts
+
+        df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         return DataStream(df)
     return DataStream(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 

@@ -371,6 +371,8 @@ class EventStream:
     path: str
 
     def stream(self) -> DataFrame:
+        from eel_spark.timeutils import normalize_ts
+
         try:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
@@ -380,20 +382,13 @@ class EventStream:
         path, glob_filter = self.path, None
         if os.path.isfile(path):  # file streams want a directory + filter
             path, glob_filter = os.path.dirname(path), os.path.basename(path)
+        # file streams need an explicit schema: peek at the static files so
+        # the physical ts type (bigint nanos vs TIMESTAMP_NTZ vs TIMESTAMP
+        # — testdata has shipped all three) is whatever is really on disk,
+        # then normalize it exactly like the batch loader does
+        static_schema = self.spark.read.parquet(self.path).schema
         reader = self.spark.readStream
         if glob_filter:
             reader = reader.option("pathGlobFilter", glob_filter)
-        df = reader.schema(
-            T.StructType(
-                [
-                    T.StructField("event_id", T.LongType()),
-                    T.StructField("ts", T.LongType()),  # nanos in testdata
-                    T.StructField("user_id", T.LongType()),
-                    T.StructField("event_type", T.StringType()),
-                    T.StructField("value", T.DoubleType()),
-                    T.StructField("props", T.StringType()),
-                ]
-            )
-        ).parquet(path)
-        # integer DIV: epoch-nanos exceed double's exact range (tables.py)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = reader.schema(static_schema).parquet(path)
+        return normalize_ts(df)

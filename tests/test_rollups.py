@@ -14,9 +14,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events(spark):
-    return spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", (F.col("ts") / 1e9).cast("timestamp")
-    )
+    from eel_spark.timeutils import normalize_ts
+
+    return normalize_ts(spark.read.parquet(f"{SF}/events.parquet"))
 
 
 def test_each_granularity_matches_standalone_groupby(events):

@@ -10,6 +10,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from eel_spark.timeutils import normalize_ts
+
 from eel_spark.streaming import (
     EventStream,
     foreach_batch_sink,
@@ -48,8 +50,7 @@ def test_tumbling_window_stream(spark, tmp_path):
     assert len(got) > 0
     # cross-check against the batch twin
     batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        normalize_ts(spark.read.parquet(f"{SF}/events.parquet"))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -120,9 +121,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
     _run_available_now(joined, tmp_path, "ssjoin")
     got = spark.sql("SELECT * FROM ssjoin").collect()
     # batch twin
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = normalize_ts(spark.read.parquet(f"{SF}/events.parquet"))
     s = ev.filter("event_type = 'signup'").select("user_id", "ts")
     p = ev.filter("event_type = 'purchase'").select(
         F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"), "value"
