@@ -104,18 +104,31 @@ def train_centroids(
 
 
 def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFrame:
-    """Assign each row to its nearest centroid via broadcast + argmin."""
-    c = F.broadcast(centroids)
-    scored = df.crossJoin(c).withColumn(
-        "__dist", vectors.l2_distance(F.col(vec_expr), F.col("centroid"))
+    """Assign each row to its nearest centroid — shuffle-free argmin.
+
+    The centroid table (n_cells rows) is packed into ONE array-of-structs
+    row and broadcast; each input row transforms it to (dist, cell_id)
+    structs and takes ``array_min`` — the lexicographic struct minimum IS
+    argmin by (dist, cell_id), the same tie-break the previous
+    row_number-over-window produced, without an Exchange+sort per
+    assignment (the window shuffled the full corpus once per k-means
+    round and once per IVF corpus prep)."""
+    packed = centroids.agg(
+        F.collect_list(F.struct("cell_id", "centroid")).alias("__cents")
     )
-    w = Window.partitionBy(df.columns[0] if df.columns else "__id").orderBy(
-        F.asc("__dist"), F.asc("cell_id")
+    best = F.array_min(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                vectors.l2_distance(F.col(vec_expr), c["centroid"]).alias("dist"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__dist", "centroid")
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("cell_id", best["cell_id"])
+        .drop("__cents")
     )
 
 

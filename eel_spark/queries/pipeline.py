@@ -297,8 +297,51 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataStream:
 
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible at reasonable complexity): LSH + IVF +
-# multimodal — verified against planted data in tests/.
+# multimodal. Each query SELF-VERIFIES a quantitative property (planted-
+# pair recall / recall-vs-brute-force / batch-contract invariants) by
+# gating its own output on it — a silent regression empties the result,
+# so the driver's row-count check carries real signal, and the property's
+# measured value is emitted as a column for inspection.
 # ---------------------------------------------------------------------------
+
+_PLANT_OFFSET = 1_000_000
+
+
+def planted_near_dup_documents(docs, n_planted: int = 20, every: int = 16):
+    """Corpus ∪ perturbed copies of the first ``n_planted`` docs (new id =
+    doc_id + 1_000_000): every ``every``-th token gets an ``_x`` suffix,
+    so the copy shares ≈ 1 - 3/every of its 3-shingles (and nearly all
+    its token multiset) with the original — known-answer near-dup pairs
+    for the LSH operators, tuned per operator via ``every``."""
+    base = docs.select("doc_id", "text")
+    toks = TX.tokens("text")
+    perturbed = F.transform(
+        toks,
+        lambda t, i: F.when(i % every == 0, F.concat(t, F.lit("_x"))).otherwise(t),
+    )
+    copies = base.filter(F.col("doc_id") < n_planted).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.array_join(perturbed, " ").alias("text"),
+    )
+    return base.unionByName(copies)
+
+
+def _gate_on_planted_recall(pairs, n_planted: int, min_recall: float):
+    """Append the planted-pair recall as a column and gate the whole
+    result on it: recall below ``min_recall`` → zero rows → the driver's
+    row-count check fails loudly instead of recording plausible pairs."""
+    recall = (
+        pairs.filter(
+            (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET)
+            & (F.col("id_a") < n_planted)
+        )
+        .select("id_a").distinct()
+        .agg((F.count(F.lit(1)) / float(n_planted)).alias("planted_recall"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(recall))
+        .filter(F.col("planted_recall") >= min_recall)
+    )
 
 
 @query("dedup_minhash_pairs")
@@ -309,13 +352,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
     ``max_bucket_size=500`` caps the Σ|bucket|² band-join blowup on
     dup-heavy corpora (members of over-cap buckets are near-certain exact
     duplicates — dedup_exact, run first in the documented pipeline order,
-    already handles them at linear cost)."""
+    already handles them at linear cost). Self-verifying: 20 planted
+    near-dup docs (token-perturbed copies, 3-shingle Jaccard ≈ 0.67) must
+    be recovered at ≥ 0.9 recall or the query returns zero rows."""
     docs = table(spark, sf_dir, "documents").df
-    return dedup.minhash_near_duplicates(
-        docs, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16,
+    corpus = planted_near_dup_documents(docs, n_planted=20, every=16)
+    pairs = dedup.minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16,
         max_bucket_size=500,
     ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"),
              F.round("jaccard", 4).alias("jaccard"))
+    return _gate_on_planted_recall(pairs, n_planted=20, min_recall=0.9)
 
 
 @query("dedup_simhash_pairs")
@@ -324,25 +371,51 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
 
     bands=8 → 8-bit chunks: the pigeonhole bound guarantees recall for
     hamming ≤ 7, matching max_hamming=7 (the r1 pairing max_hamming=8 /
-    bands=4 only guaranteed hamming ≤ 3)."""
+    bands=4 only guaranteed hamming ≤ 3). Self-verifying: 20 planted
+    near-dup docs (every-24th-token perturbation keeps the 64-bit
+    fingerprints within hamming 7) must be recovered at ≥ 0.9 recall or
+    the query returns zero rows."""
     docs = table(spark, sf_dir, "documents").df
-    return dedup.simhash_near_duplicates(
-        docs, "text", "doc_id", max_hamming=7, bands=8, max_bucket_size=500
+    corpus = planted_near_dup_documents(docs, n_planted=20, every=24)
+    pairs = dedup.simhash_near_duplicates(
+        corpus, "text", "doc_id", max_hamming=7, bands=8, max_bucket_size=500
     )
+    return _gate_on_planted_recall(pairs, n_planted=20, min_recall=0.9)
 
 
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF ANN: centroid bucketing + n_probe cells per query — the
-    sublinear alternative to brute force (operators/similarity.py)."""
+    sublinear alternative to brute force (operators/similarity.py).
+
+    Self-verifying: the exact brute-force top-10 is computed in the same
+    query (5 queries × corpus — cheap next to the gate's value) and each
+    row carries its query's recall@10 against it; mean recall < 0.75
+    empties the result. Measured 0.86 at sf0.01 / 0.96 at sf0.001 with
+    16 cells, n_probe=6 (scanning ~3/8 of the corpus per query)."""
     emb = table(spark, sf_dir, "embeddings").df
-    # 16 cells / 4 probes: 0.84 mean recall@10 on the test embeddings
-    # while scanning 1/4 of the corpus per query (tests/test_similarity.py)
     cents = similarity.train_centroids(emb, n_cells=16, iterations=2)
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=4)
+    ivf = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6)
+    bf = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    per_q = (
+        ivf.join(bf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+    )
+    gate = per_q.agg(F.avg("recall_at_10").alias("__mean_recall"))
+    return (
+        ivf.join(F.broadcast(per_q), "query_id", "left")
+        .na.fill({"recall_at_10": 0.0})
+        .crossJoin(F.broadcast(gate))
+        .filter(F.col("__mean_recall") >= 0.75)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank",
+                "recall_at_10")
+    )
 
 
 def planted_near_dup_embeddings(emb, n_planted: int = 20, alpha: float = 0.35):
@@ -385,10 +458,24 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
     exact-SQL twin; planted-pair recall is asserted in tests/test_dedup.py."""
     emb = table(spark, sf_dir, "embeddings").df
     corpus = planted_near_dup_embeddings(emb, n_planted=20)
-    return dedup.embedding_near_duplicates(
+    pairs = dedup.embedding_near_duplicates(
         corpus, "embedding", "vec_id", threshold=0.9,
         bands=8, bits_per_band=8, max_bucket_size=200,
     ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    # planted ids are vec_id + 100000 (see planted_near_dup_embeddings);
+    # recall < 0.9 empties the result — same self-verification contract
+    # as the text LSH queries
+    recall = (
+        pairs.filter(
+            (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 20)
+        )
+        .select("id_a").distinct()
+        .agg((F.count(F.lit(1)) / 20.0).alias("planted_recall"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(recall))
+        .filter(F.col("planted_recall") >= 0.9)
+    )
 
 
 @query("multimodal_image_features")
@@ -399,7 +486,14 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str):
     The gated projection digests the ``array<double>`` feature vector into
     scalars (count + rounded sum + rounded L2) — the driver's pandas
     canonicalizer can't sort list cells; library users still get the raw
-    array from ``extract_image_features``."""
+    array from ``extract_image_features``.
+
+    Self-verifying batch contract: synth_media payload length is a known
+    function of media_id (128 + (id % 5)·64) and only ids ≡ 0 (mod 3) are
+    images, so the final filter asserts per-row that (a) the Arrow batches
+    kept payloads aligned with their ids, (b) the stub produced exactly 8
+    features, all in [0, 1). Any misalignment or kernel drift drops rows
+    → the driver's row-count check fails."""
     media = multimodal.synth_media(spark, n=64)
     feats = multimodal.extract_image_features(media, fake=True)
     return feats.select(
@@ -412,7 +506,15 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str):
         F.round(
             F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, v: a + v * v)), 6
         ).alias("feature_l2"),
-    )
+        F.size(
+            F.filter("features", lambda v: (v >= 0.0) & (v < 1.0))
+        ).alias("__n_in_range"),
+    ).filter(
+        (F.col("media_id") % 3 == 0)
+        & (F.col("n_bytes") == 128 + (F.col("media_id") % 5) * 64)
+        & (F.col("n_features") == 8)
+        & (F.col("__n_in_range") == 8)
+    ).drop("__n_in_range")
 
 
 # ---------------------------------------------------------------------------
