@@ -154,3 +154,41 @@ def test_lsh_bucket_cap_is_aggregate_not_window(spark):
     plan = plan_str(cands)
     assert "Window" not in plan
     assert "LeftAnti" in plan
+
+
+def test_quality_metrics_projection_boundary_holds(spark):
+    """The token/line arrays must be built once per row: if CollapseProject
+    ever re-inlines them into the fold lambdas, the tokenization shows up
+    once per consuming metric (the round-2 44x regression). Three
+    occurrences are legitimate: toks, lns, and the pushed-down
+    n_tokens>0 scan filter."""
+    df = QUERIES["text_quality_metrics"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(text") <= 3, opt
+
+
+def test_ivf_assignment_has_no_window(spark):
+    """Centroid assignment is a broadcast fold + array_min, not a
+    row_number window — no Exchange+sort of the corpus per assignment."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.operators import similarity
+    from eel_spark.queries.tables import table
+
+    emb = table(spark, SF, "embeddings").df
+    cents = similarity.train_centroids(emb, n_cells=4, iterations=1)
+    # isolate the assignment step: materialize the (tiny) centroid table
+    # so the training plan (which legitimately windows/aggregates) is not
+    # part of the audited DAG
+    static_cents = spark.createDataFrame(cents.collect(), cents.schema)
+    assigned = similarity._assign_cells(
+        emb.select(
+            F.col("vec_id").alias("__id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+        ),
+        static_cents,
+        "__v",
+    )
+    plan = plan_str(assigned)
+    assert "Window" not in plan, plan
+    assert "row_number" not in plan, plan
