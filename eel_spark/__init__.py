@@ -12,6 +12,7 @@ operators (dedup families, ANN similarity, multimodal plumbing) and
 unless genuinely impossible.
 """
 
+from eel_spark import predicate
 from eel_spark.datastream import DataStream, from_values, from_rows
 from eel_spark.session import get_session
 from eel_spark.scale import (
@@ -23,6 +24,7 @@ from eel_spark.scale import (
 from eel_spark.sql import SqlContext
 
 __all__ = [
+    "predicate",
     "DataStream",
     "from_values",
     "from_rows",

@@ -1,0 +1,167 @@
+"""Predicate DSL — the reference's source-level pushdown predicates
+(eel-core Predicate.scala:1, PredicateBuilder.scala:1) re-expressed for
+Catalyst.
+
+The reference builds predicate trees (equals/gt/lt/and/or/not) that each
+source compiles to its format's filter API (parquet row-group stats,
+ORC SearchArguments, JDBC WHERE). On Spark there is exactly ONE correct
+compilation target: a ``Column`` expression attached before the scan —
+Catalyst turns it into PushedFilters / partition pruning / JDBC WHERE
+for every V2 source uniformly, which is the whole point of declaring
+the plan instead of hand-compiling per format.
+
+The tree is still first-class (not just a Column) for reference parity:
+``fields()`` feeds column pruning, ``to_column()`` compiles, and
+``to_sql()`` renders a WHERE fragment for engines addressed by string
+(JdbcSource subqueries, partition_filter strings).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Predicate:
+    """Base predicate tree node (Predicate.scala:1)."""
+
+    def fields(self) -> list[str]:
+        raise NotImplementedError
+
+    def to_column(self) -> Column:
+        raise NotImplementedError
+
+    def to_sql(self) -> str:
+        raise NotImplementedError
+
+    # combinators, so trees compose fluently like the reference object's
+    def __and__(self, other: "Predicate") -> "Predicate":
+        return AndPredicate(self, other)
+
+    def __or__(self, other: "Predicate") -> "Predicate":
+        return OrPredicate(self, other)
+
+    def __invert__(self) -> "Predicate":
+        return NotPredicate(self)
+
+
+def _sql_lit(value: Any) -> str:
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+@dataclass(frozen=True)
+class _Comparison(Predicate):
+    name: str
+    value: Any
+    op: str = "="
+
+    def fields(self) -> list[str]:
+        return [self.name]
+
+    def to_column(self) -> Column:
+        c = F.col(self.name)
+        return {
+            "=": c == self.value,
+            "!=": c != self.value,
+            "<": c < self.value,
+            "<=": c <= self.value,
+            ">": c > self.value,
+            ">=": c >= self.value,
+        }[self.op]
+
+    def to_sql(self) -> str:
+        sql_op = "<>" if self.op == "!=" else self.op
+        return f"{self.name} {sql_op} {_sql_lit(self.value)}"
+
+
+@dataclass(frozen=True)
+class NotPredicate(Predicate):
+    inner: Predicate
+
+    def fields(self) -> list[str]:
+        return self.inner.fields()
+
+    def to_column(self) -> Column:
+        return ~self.inner.to_column()
+
+    def to_sql(self) -> str:
+        return f"NOT ({self.inner.to_sql()})"
+
+
+class _Composite(Predicate):
+    def __init__(self, *predicates: Predicate):
+        self.predicates = list(predicates)
+
+    def fields(self) -> list[str]:
+        out: list[str] = []
+        for p in self.predicates:
+            for f in p.fields():
+                if f not in out:
+                    out.append(f)
+        return out
+
+
+class AndPredicate(_Composite):
+    def to_column(self) -> Column:
+        col = self.predicates[0].to_column()
+        for p in self.predicates[1:]:
+            col = col & p.to_column()
+        return col
+
+    def to_sql(self) -> str:
+        return "(" + " AND ".join(p.to_sql() for p in self.predicates) + ")"
+
+
+class OrPredicate(_Composite):
+    def to_column(self) -> Column:
+        col = self.predicates[0].to_column()
+        for p in self.predicates[1:]:
+            col = col | p.to_column()
+        return col
+
+    def to_sql(self) -> str:
+        return "(" + " OR ".join(p.to_sql() for p in self.predicates) + ")"
+
+
+# factory surface mirroring object Predicate (Predicate.scala:94)
+def equals(name: str, value: Any) -> Predicate:
+    return _Comparison(name, value, "=")
+
+
+def not_equals(name: str, value: Any) -> Predicate:
+    return _Comparison(name, value, "!=")
+
+
+def lt(name: str, value: Any) -> Predicate:
+    return _Comparison(name, value, "<")
+
+
+def lte(name: str, value: Any) -> Predicate:
+    return _Comparison(name, value, "<=")
+
+
+def gt(name: str, value: Any) -> Predicate:
+    return _Comparison(name, value, ">")
+
+
+def gte(name: str, value: Any) -> Predicate:
+    return _Comparison(name, value, ">=")
+
+
+def and_(*predicates: Predicate) -> Predicate:
+    return AndPredicate(*predicates)
+
+
+def or_(*predicates: Predicate) -> Predicate:
+    return OrPredicate(*predicates)
+
+
+def not_(predicate: Predicate) -> Predicate:
+    return NotPredicate(predicate)

@@ -80,18 +80,41 @@ class Sink:
 
 @dataclass
 class ParquetSource(Source):
-    """ParquetSource.scala — with free predicate/projection pushdown."""
+    """ParquetSource.scala — with free predicate/projection pushdown.
+
+    ``predicate`` takes an eel_spark.predicate tree (withPredicate,
+    ParquetSource.scala:39): it compiles to ONE Column filter before the
+    scan and Catalyst pushes it into the parquet reader (PushedFilters —
+    plan-asserted in tests), instead of the reference's per-format
+    row-group filter compiler."""
 
     path: str | list[str]
     merge_schema: bool = False
     options: dict[str, Any] = dc_field(default_factory=dict)
+    predicate: Any = None  # eel_spark.predicate.Predicate
+    projection: list[str] | None = None
+
+    def with_predicate(self, predicate) -> "ParquetSource":
+        from dataclasses import replace
+
+        return replace(self, predicate=predicate)
+
+    def with_projection(self, *fields: str) -> "ParquetSource":
+        from dataclasses import replace
+
+        return replace(self, projection=list(fields))
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
         reader = spark.read.options(**self.options)
         if self.merge_schema:
             reader = reader.option("mergeSchema", "true")
         paths = self.path if isinstance(self.path, list) else [self.path]
-        return DataStream(reader.parquet(*paths))
+        df = reader.parquet(*paths)
+        if self.predicate is not None:
+            df = df.filter(self.predicate.to_column())
+        if self.projection:
+            df = df.select(*self.projection)
+        return DataStream(df)
 
     def statistics(self) -> dict[str, int]:
         """Statistics.scala: footer-level counts without a Spark job."""
