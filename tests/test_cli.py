@@ -110,6 +110,13 @@ def test_stream_hive_roundtrip(capsys, spark, tmp_path):
     pruning → csv: the eel-cli StreamMain hive-URI path end to end."""
     spark.sql("CREATE DATABASE IF NOT EXISTS cli_db")
     spark.sql("DROP TABLE IF EXISTS cli_db.nations")
+    # DROP on a fresh metastore doesn't clear a stale managed-table dir
+    # left by an earlier session — saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS. Remove the location itself.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/cli_db.db/nations", ignore_errors=True)
     rc = main([
         "stream", f"{SF}/nation.parquet",
         "hive:cli_db.nations?mode=overwrite",
