@@ -245,6 +245,41 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_corpus_prep(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of pipeline_prepare_corpus: quality gate → content
+    fingerprint → watermark-bounded dedup → per-(lang, source) corpus
+    accounting, all on an unbounded document stream.
+
+    The quality gate and fingerprint are the same Catalyst expressions the
+    batch path uses (functions/text.py) — operators compose identically in
+    both modes. Dedup keys on the normalized-content fingerprint with
+    ``dropDuplicatesWithinWatermark``: state is bounded to one fingerprint
+    per watermark window (an exact unbounded dedup would merge into a
+    survivor table via foreachBatch — idempotent_batch_sink's pattern).
+    Documents carry no event time, so ingest time is stamped — at 100 TB
+    the stamp happens once at the edge, keeping replays deterministic via
+    the checkpointed source offsets."""
+    from eel_spark.functions import text as TX
+
+    scored = (
+        docs.withColumn("__ingest", F.current_timestamp())
+        .withColumn("n_tokens", TX.token_count("text"))
+        .filter(F.col("n_tokens") >= min_tokens)
+        .withColumn("fp", TX.fingerprint(TX.normalized_text("text")))
+    )
+    deduped = scored.withWatermark("__ingest", watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -268,3 +268,43 @@ def test_idempotent_batch_sink_replay(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1
+
+
+def test_streaming_corpus_prep_matches_batch(spark, tmp_path):
+    """Streaming corpus prep (quality gate -> fingerprint dedup ->
+    per-(lang,source) accounting) equals the batch formulation when the
+    whole corpus arrives within one watermark window."""
+    from eel_spark.functions import text as TX
+    from eel_spark.streaming import streaming_corpus_prep
+
+    docs = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{SF}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF)
+    )
+    agg = streaming_corpus_prep(docs, min_tokens=10, watermark="1 hour")
+    _run_available_now(agg, tmp_path, "corpus_prep", output_mode="complete")
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_tokens"])
+        for r in spark.sql("SELECT * FROM corpus_prep").collect()
+    }
+
+    batch = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("n_tokens", TX.token_count("text"))
+        .filter(F.col("n_tokens") >= 10)
+        .withColumn("fp", TX.fingerprint(TX.normalized_text("text")))
+        .dropDuplicates(["fp"])
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    want = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_tokens"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
