@@ -329,7 +329,15 @@ def planted_near_dup_documents(docs, n_planted: int = 20, every: int = 16):
 def _gate_on_planted_recall(pairs, n_planted: int, min_recall: float):
     """Append the planted-pair recall as a column and gate the whole
     result on it: recall below ``min_recall`` → zero rows → the driver's
-    row-count check fails loudly instead of recording plausible pairs."""
+    row-count check fails loudly instead of recording plausible pairs.
+
+    ``pairs`` feeds two plan branches (the recall aggregate and the
+    output crossJoin); it is persisted so the LSH pipeline behind it runs
+    once, not once per branch — the pair set is tiny, the pipeline is
+    not."""
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     recall = (
         pairs.filter(
             (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET)
@@ -398,7 +406,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6)
+    from pyspark import StorageLevel
+
+    # ivf feeds the per-query recall aggregate AND the output join —
+    # persist so centroid training + probing run once, not per branch
+    ivf = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bf = similarity.brute_force_topk(emb, queries, k=10).select(
         "query_id", "vec_id"
     )
@@ -456,15 +470,19 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
     planted near-dup vectors (known-answer pairs — the raw table has no
     natural near-dups). Rows-only: LSH recall < 1 by construction, so no
     exact-SQL twin; planted-pair recall is asserted in tests/test_dedup.py."""
+    from pyspark import StorageLevel
+
     emb = table(spark, sf_dir, "embeddings").df
     corpus = planted_near_dup_embeddings(emb, n_planted=20)
     pairs = dedup.embedding_near_duplicates(
         corpus, "embedding", "vec_id", threshold=0.9,
         bands=8, bits_per_band=8, max_bucket_size=200,
-    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # planted ids are vec_id + 100000 (see planted_near_dup_embeddings);
     # recall < 0.9 empties the result — same self-verification contract
-    # as the text LSH queries
+    # as the text LSH queries (pairs persisted: two consuming branches)
     recall = (
         pairs.filter(
             (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 20)
