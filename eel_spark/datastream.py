@@ -155,6 +155,18 @@ class DataStream:
         column = _cond(expr) if expr is not None else F.lit(value)
         return self._wrap(self.df.withColumn(name, column))
 
+    def add_field_if_not_exists(
+        self, name: str, value: Any = None, expr: ColumnLike | None = None
+    ) -> "DataStream":
+        """addFieldIfNotExists (DataStream.scala:774) — no-op when the
+        column is already present."""
+        return self.add_field(name, value=value, expr=expr, error_if_exists=False)
+
+    def projection_expression(self, expression: str) -> "DataStream":
+        """projectionExpression (DataStream.scala:705) — comma-separated
+        projection string, e.g. ``"location,name"``."""
+        return self.projection(expression)
+
     def rename_field(self, name_from: str, name_to: str) -> "DataStream":
         """renameField (DataStream.scala:450)."""
         return self._wrap(self.df.withColumnRenamed(name_from, name_to))

@@ -342,3 +342,20 @@ def test_map_field_unknown_column_errors(people):
 
     with pytest.raises(AnalysisException):
         people.map_field("no_such_column", lambda c: c + 1).count()
+
+
+def test_add_field_if_not_exists(spark):
+    ds = from_values(spark, ["a"], [(1,), (2,)])
+    same = ds.add_field_if_not_exists("a", 99)
+    assert same.field_names == ["a"]
+    added = ds.add_field_if_not_exists("b", 7)
+    assert added.field_names == ["a", "b"]
+    assert {r["b"] for r in added.collect()} == {7}
+
+
+def test_projection_expression(spark):
+    ds = from_values(spark, ["name", "location"],
+                     [("sam", "aylesbury"), ("ham", "buckingham")])
+    out = ds.projection_expression("location,name")
+    assert out.field_names == ["location", "name"]
+    assert out.head()["location"] in {"aylesbury", "buckingham"}
