@@ -47,17 +47,30 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES] or sorted(QUERIES)
     # warmup at the smallest SF: absorbs JVM startup + whole-stage-codegen
     # compilation (the 64-slot minhash expression alone costs seconds to
-    # compile) so the timed runs measure the engine, not the JIT
+    # compile) so the timed runs measure the engine, not the JIT.
+    # Per-query fault isolation: one broken query must cost ITS slot, not
+    # the whole bench artifact (round 3's bench was lost to a single
+    # analysis error — the driver recorded rc=1 and no numbers at all).
+    errors: dict[str, str] = {}
     for n in names:
-        QUERIES[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            QUERIES[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 - record and continue
+            errors[n] = str(e).split("\n", 1)[0][:200]
 
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).split("\n", 1)[0][:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -68,6 +81,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     # regression tracking: per-query delta vs the committed round floor
     # (BENCH_FLOOR.json, updated each round from the driver's BENCH_r{N})
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json")
