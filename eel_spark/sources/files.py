@@ -414,7 +414,14 @@ class SequenceSource(Source):
 @dataclass
 class SequenceSink(Sink):
     """SequenceSink.scala — write (key, value) Text pairs; non-string
-    frames are serialized as delimited values keyed by row index."""
+    frames are serialized as delimited values keyed by row index.
+
+    SCALE WARNING: this is the ONE sink that serializes rows through a
+    Python loop (``df.rdd.map`` — ``saveAsSequenceFile`` has no Arrow or
+    DataFrame path in PySpark). Throughput is row-at-a-time Python,
+    ~10-100× below the columnar sinks; acceptable only because
+    SequenceFile is a legacy interchange format — prefer Parquet/ORC for
+    anything measured."""
 
     path: str
     delimiter: str = ","
