@@ -461,6 +461,14 @@ class DataStream:
         ``persist()`` makes the share physical."""
         return self, DataStream(self.df)
 
+    def multiplex(self, n: int) -> list["DataStream"]:
+        """multiplex (DataStream.scala:945): ``n`` independent branches of
+        the stream. The reference fans one subscription out to n queues;
+        here each branch shares the lineage and ``persist()`` makes the
+        fan-out physical (one upstream materialization, n consumers)."""
+        self.persist()
+        return [DataStream(self.df) for _ in range(n)]
+
     def persist(self) -> "DataStream":
         self.df.persist()
         return self

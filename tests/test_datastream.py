@@ -359,3 +359,11 @@ def test_projection_expression(spark):
     out = ds.projection_expression("location,name")
     assert out.field_names == ["location", "name"]
     assert out.head()["location"] in {"aylesbury", "buckingham"}
+
+
+def test_multiplex_branches_are_independent(spark):
+    ds = from_values(spark, ["a"], [(1,), (2,), (3,)])
+    b1, b2, b3 = ds.multiplex(3)
+    assert b1.filter("a > 1").count() == 2
+    assert b2.count() == 3
+    assert sorted(r["a"] for r in b3.collect()) == [1, 2, 3]
