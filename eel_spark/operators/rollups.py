@@ -72,3 +72,70 @@ def time_rollup(
         *extra_keys,
         *aggs.keys(),
     )
+
+
+def merge_time_rollup(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, Column],
+    merges: dict[str, Column],
+    granularities: list[str] = ("hour", "day", "month"),
+    extra_keys: list[str] = (),
+) -> None:
+    """Incrementally maintain a materialized time_rollup table under
+    ``path`` — the continuous-aggregate merge for late/new data.
+
+    The 100 TB shape: the new batch is rolled up alone (one scan of the
+    BATCH, not the history), only the (granularity, bucket_date)
+    partitions it touches are read back (literal IN filter → partition
+    pruning), partials merge by re-aggregation, and a dynamic-partition
+    overwrite rewrites exactly the touched partitions. History outside
+    the batch's buckets is never read or written.
+
+    ``aggs`` aggregate raw rows; ``merges`` re-aggregate the partial
+    columns (count → sum, sum → sum, min → min, max → max). Only
+    algebraic aggregates can be maintained this way — keep avg as
+    sum+count and divide at query time.
+
+    The touched-partition list is collected to the driver: it is bounded
+    by granularities × distinct dates in the batch, not by data size.
+    """
+    incoming = time_rollup(new_df, ts_col, aggs, granularities, extra_keys)
+    incoming = incoming.withColumn("bucket_date", F.to_date("bucket_start"))
+    keys = ["granularity", "bucket_start", "bucket_date", *extra_keys]
+
+    try:
+        existing = spark.read.parquet(path)
+        have_existing = True
+    except Exception:  # first materialization
+        have_existing = False
+
+    if have_existing:
+        touched = [
+            (r["granularity"], r["bucket_date"])
+            for r in incoming.select("granularity", "bucket_date").distinct().collect()
+        ]
+        pred = F.struct("granularity", "bucket_date").isin(
+            [F.struct(F.lit(g), F.lit(d)) for g, d in touched]
+        )
+        merged = (
+            existing.where(pred)
+            .unionByName(incoming)
+            .groupBy(*keys)
+            .agg(*[c.alias(name) for name, c in merges.items()])
+        )
+    else:
+        merged = incoming
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("granularity", "bucket_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

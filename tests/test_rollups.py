@@ -62,3 +62,48 @@ def test_single_expand_single_aggregate(events):
 def test_unknown_granularity_rejected(events):
     with pytest.raises(ValueError, match="unknown granularities"):
         time_rollup(events, "ts", {"n": F.count(F.lit(1))}, ["fortnight"])
+
+
+def test_merge_time_rollup_incremental_equals_full(spark, events, tmp_path):
+    """Two incremental merges (history, then a late batch) must equal the
+    one-shot rollup of all data, and the merge must only rewrite the
+    partitions the late batch touches."""
+    import glob as _glob
+
+    from eel_spark.operators.rollups import merge_time_rollup, time_rollup
+
+    path = str(tmp_path / "rollup")
+    aggs = {"n": F.count(F.lit(1)), "v_cents": F.sum(F.round(F.col("value") * 100).cast("long"))}
+    merges = {"n": F.sum("n"), "v_cents": F.sum("v_cents")}
+
+    split = F.col("user_id") % 5 == 0
+    first, late = events.filter(~split), events.filter(split)
+
+    merge_time_rollup(spark, path, first, "ts", aggs, merges, ["day", "month"])
+    files_before = set(_glob.glob(f"{path}/granularity=*/bucket_date=*/*.parquet"))
+    merge_time_rollup(spark, path, late, "ts", aggs, merges, ["day", "month"])
+
+    got = sorted(
+        (r["granularity"], str(r["bucket_start"]), r["n"], r["v_cents"])
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (r["granularity"], str(r["bucket_start"]), r["n"], r["v_cents"])
+        for r in time_rollup(events, "ts", aggs, ["day", "month"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # untouched partitions keep their original files (dynamic overwrite
+    # rewrote only what the late batch touched)
+    late_dates = {
+        (r["granularity"], str(r["bucket_date"]))
+        for r in time_rollup(late, "ts", aggs, ["day", "month"])
+        .withColumn("bucket_date", F.to_date("bucket_start"))
+        .select("granularity", "bucket_date").distinct().collect()
+    }
+    untouched_survivors = [
+        f for f in files_before
+        if (f.split("granularity=")[1].split("/")[0],
+            f.split("bucket_date=")[1].split("/")[0]) not in late_dates
+    ]
+    assert all(__import__("os").path.exists(f) for f in untouched_survivors)
