@@ -43,16 +43,22 @@ def char_count(text: Column | str) -> Column:
 
 
 def whitespace_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are spaces (exact int/int → double)."""
+    """Fraction of characters that are spaces (exact int/int → double).
+    NULL for null/empty text — ANSI mode (Spark 4 default) makes a bare
+    division a runtime DIVIDE_BY_ZERO crash, not an Inf/NaN."""
     t = _c(text)
     spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
-    return spaces.cast("double") / F.length(t).cast("double")
+    return F.when(
+        F.length(t) > 0, spaces.cast("double") / F.length(t).cast("double")
+    )
 
 
 def mean_token_length(text: Column | str) -> Column:
+    """Mean token length; NULL for null/empty text (see whitespace_ratio
+    on why the division must be guarded)."""
     t = tokens(text)
     total = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-    return total.cast("double") / F.size(t).cast("double")
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t).cast("double"))
 
 
 def stopword_count(text: Column | str, stopwords: list[str]) -> Column:
@@ -64,16 +70,22 @@ def stopword_count(text: Column | str, stopwords: list[str]) -> Column:
 
 def quality_score(text: Column | str, stopwords: list[str]) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence +
-    token-length sanity. Deterministic integer/double arithmetic."""
+    token-length sanity. Deterministic integer/double arithmetic; 0.0 for
+    null/empty documents (a total function — empty input is the lowest
+    quality, not a crash)."""
     n_tok = token_count(text)
     mean_len = mean_token_length(text)
-    sw_ratio = stopword_count(text, stopwords).cast("double") / n_tok.cast("double")
+    sw_ratio = F.when(
+        n_tok > 0,
+        stopword_count(text, stopwords).cast("double") / n_tok.cast("double"),
+    )
     length_ok = (n_tok >= 10) & (n_tok <= 100000)
     mean_ok = (mean_len >= 2.0) & (mean_len <= 12.0)
-    return (
+    return F.coalesce(
         length_ok.cast("double") * 0.4
         + mean_ok.cast("double") * 0.3
-        + F.least(sw_ratio * F.lit(3.0), F.lit(1.0)) * 0.3
+        + F.least(sw_ratio * F.lit(3.0), F.lit(1.0)) * 0.3,
+        F.lit(0.0),
     )
 
 

@@ -154,3 +154,36 @@ def test_redact_pii_matches_duckdb_oracle(spark):
             [text, TX.PII_EMAIL, TX.PII_IPV4, TX.PII_PHONE],
         ).fetchone()
         assert spark_out == duck_out
+
+
+def test_text_kernels_total_on_null_and_empty(spark):
+    """Every text kernel must be a total function: null/empty documents
+    produce NULL or a defined zero, never an ANSI DIVIDE_BY_ZERO crash
+    (Spark 4 default) or a silent -1 from size(null)."""
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None), (3, ""), (4, "   ")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.token_count("text").alias("tc"),
+            TX.whitespace_ratio("text").alias("ws"),
+            TX.mean_token_length("text").alias("ml"),
+            TX.quality_score("text", ["the"]).alias("q"),
+            TX.top_token_fraction("text").alias("tf"),
+            TX.top_bigram_fraction("text").alias("bf"),
+            TX.duplicate_line_fraction("text").alias("dl"),
+            TX.lang_id("text").alias("lang"),
+            TX.fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    ok = rows[1]
+    assert ok["tc"] == 3 and abs(ok["tf"] - 2 / 3) < 1e-9 and ok["q"] >= 0.0
+    for rid in (2, 3, 4):
+        r = rows[rid]
+        assert r["q"] == 0.0, r
+        assert r["tf"] == 0.0 and r["bf"] == 0.0 and r["dl"] == 0.0, r
+        assert r["lang"] == "und", r
+        assert r["ml"] is None or r["ml"] == 0.0, r
