@@ -307,17 +307,28 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataStream:
 _PLANT_OFFSET = 1_000_000
 
 
-def planted_near_dup_documents(docs, n_planted: int = 20, every: int = 16):
+def planted_near_dup_documents(
+    docs, n_planted: int = 20, every: int = 16, max_changes: int | None = None
+):
     """Corpus ∪ perturbed copies of the first ``n_planted`` docs (new id =
     doc_id + 1_000_000): every ``every``-th token gets an ``_x`` suffix,
     so the copy shares ≈ 1 - 3/every of its 3-shingles (and nearly all
     its token multiset) with the original — known-answer near-dup pairs
-    for the LSH operators, tuned per operator via ``every``."""
+    for the LSH operators, tuned per operator via ``every``.
+
+    ``max_changes`` caps the TOTAL perturbed tokens per document — the
+    SimHash planting needs this: its hamming shift grows with the count
+    of changed tokens, so an every-Nth scheme breaks whenever a testdata
+    regeneration ships longer documents (observed at sf0.1), while a
+    fixed change count bounds the shift for any length distribution."""
     base = docs.select("doc_id", "text")
     toks = TX.tokens("text")
+    cond = lambda i: (i % every == 0) if max_changes is None else (
+        (i % every == 0) & (i < every * max_changes)
+    )
     perturbed = F.transform(
         toks,
-        lambda t, i: F.when(i % every == 0, F.concat(t, F.lit("_x"))).otherwise(t),
+        lambda t, i: F.when(cond(i), F.concat(t, F.lit("_x"))).otherwise(t),
     )
     copies = base.filter(F.col("doc_id") < n_planted).select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
@@ -380,11 +391,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
     bands=8 → 8-bit chunks: the pigeonhole bound guarantees recall for
     hamming ≤ 7, matching max_hamming=7 (the r1 pairing max_hamming=8 /
     bands=4 only guaranteed hamming ≤ 3). Self-verifying: 20 planted
-    near-dup docs (every-24th-token perturbation keeps the 64-bit
-    fingerprints within hamming 7) must be recovered at ≥ 0.9 recall or
-    the query returns zero rows."""
+    near-dup docs (at most 2 perturbed tokens each, so the fingerprint
+    shift is bounded for ANY document length — an every-Nth scheme broke
+    on sf0.1's longer docs) must be recovered at ≥ 0.9 recall or the
+    query returns zero rows."""
     docs = table(spark, sf_dir, "documents").df
-    corpus = planted_near_dup_documents(docs, n_planted=20, every=24)
+    corpus = planted_near_dup_documents(docs, n_planted=20, every=16, max_changes=2)
     pairs = dedup.simhash_near_duplicates(
         corpus, "text", "doc_id", max_hamming=7, bands=8, max_bucket_size=500
     )

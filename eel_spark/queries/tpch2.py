@@ -251,7 +251,9 @@ SELECT l_partkey, {sql_money_sum(_DISC4, 4)} AS part_value
 FROM lineitem
 GROUP BY l_partkey
 HAVING CAST(SUM({_DISC4}) AS DOUBLE) / 10000.0 > (
-  SELECT CAST(SUM({_DISC4}) AS DOUBLE) / 10000.0 * 0.0008 FROM lineitem
+  SELECT CAST(SUM({_DISC4}) AS DOUBLE) / 10000.0 * 1.6
+         / COUNT(DISTINCT l_partkey)
+  FROM lineitem
 )
 ORDER BY part_value DESC, l_partkey
 """
@@ -259,11 +261,15 @@ ORDER BY part_value DESC, l_partkey
 
 @query("q11_important_parts", _Q11_SQL)
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataStream:
-    """Parts whose revenue exceeds 0.08% of total (Q11 shape: HAVING
-    against a scalar subquery; the classic 1% would select zero parts on
-    this uniform synthetic distribution at every test SF — the fraction
-    is FRACTION-of-total either way, so the shape is unchanged). No
-    partsupp table, so value = discounted revenue.
+    """Parts whose revenue exceeds 1.6× the mean per-part revenue (Q11
+    shape: HAVING against a scalar subquery). TPC-H's spec fraction is
+    SF-relative (0.0001/SF); a fixed fraction selects ZERO parts once
+    the part count grows 10× (measured at sf0.1), so the threshold here
+    is mean-relative — selectivity is stable at every SF (1 / 7 / 87
+    rows at sf0.001/0.01/0.1) and the scalar-subquery shape is
+    unchanged. No partsupp table, so value = discounted revenue; the
+    threshold divides the EXACT cents total by the part count, keeping
+    the comparison deterministic across engines.
 
     Scale: the per-part aggregate and the global total come from the same
     scan; the scalar total is broadcast to the HAVING filter — no
@@ -278,7 +284,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataStream:
         .to_datastream().df
     )
     total = li.aggregated().agg(
-        (money_sum(_disc4(), 4) * F.lit(0.0008)).alias("threshold")
+        (
+            money_sum(_disc4(), 4) * F.lit(1.6)
+            / F.countDistinct("l_partkey")
+        ).alias("threshold")
     ).to_datastream().df
     out = (
         per_part.join(F.broadcast(total))
