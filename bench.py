@@ -93,7 +93,9 @@ def main() -> None:
         out["vs_floor"] = {
             n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
         }
-        if floor.get("value"):
+        # total-vs-total is only meaningful over the SAME query set — an
+        # errored (dropped) query would otherwise read as a huge speedup
+        if floor.get("value") and not errors and set(timings) == set(prev):
             out["vs_floor_total"] = round(total - floor["value"], 3)
     print(json.dumps(out))
 

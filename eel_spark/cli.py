@@ -59,7 +59,13 @@ def _split_format(uri: str, default: str = "parquet") -> tuple[str, str, dict]:
     options ride on the URI, matched to the component's own parameters."""
     opts: dict[str, str] = {}
     if "?" in uri:
-        uri, qs = uri.split("?", 1)
+        # jdbc URLs may carry their own query string (mysql ?useSSL=...):
+        # the eel options are the segment after the LAST '?', so
+        # `jdbc:mysql://h/db?useSSL=false?table=t` keeps the driver params
+        # inside the URL. Other schemes have no '?' in paths — first '?'
+        # and last '?' coincide.
+        split_fn = uri.rsplit if uri.startswith("jdbc:") else uri.split
+        uri, qs = split_fn("?", 1)
         from urllib.parse import parse_qsl
 
         opts = dict(parse_qsl(qs, keep_blank_values=True))

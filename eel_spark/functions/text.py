@@ -183,7 +183,11 @@ def _top_count(arr: Column, element_type: str = "string") -> Column:
     current and best run length. O(n log n) per row, input evaluated
     once; equal elements are adjacent after the sort, so the longest run
     IS the top multiplicity (property-tested against the quadratic
-    formulation in tests/test_properties.py). HOF-lambda rule of thumb
+    formulation in tests/test_properties.py). PRECONDITION: null-free
+    arrays (all callers build them from split/zip_with, which never emit
+    nulls) — the fold counts a null run via eqNullSafe while the
+    quadratic oracle's ``x = t`` drops nulls, so the two disagree on
+    arrays containing nulls. HOF-lambda rule of thumb
     proven by measurement: expressions passed as the aggregate's INPUT
     evaluate once; expressions referenced inside a lambda body re-run per
     element (a boundary-position variant that read the sorted array

@@ -106,10 +106,19 @@ def merge_time_rollup(
     incoming = incoming.withColumn("bucket_date", F.to_date("bucket_start"))
     keys = ["granularity", "bucket_start", "bucket_date", *extra_keys]
 
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path)
         have_existing = True
-    except Exception:  # first materialization
+    except AnalysisException as e:
+        # ONLY a missing path means first materialization; any other
+        # failure (transient storage error, corrupt footer, permissions)
+        # must abort — treating it as "no history" would overwrite the
+        # touched partitions with batch-only partials, silently
+        # discarding accumulated counts
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         have_existing = False
 
     if have_existing:

@@ -97,6 +97,12 @@ class NotPredicate(Predicate):
 
 class _Composite(Predicate):
     def __init__(self, *predicates: Predicate):
+        if not predicates:
+            raise ValueError(
+                f"{type(self).__name__} needs at least one predicate "
+                "(an empty combinator has no defined truth value and "
+                "would render invalid SQL)"
+            )
         self.predicates = list(predicates)
 
     def fields(self) -> list[str]:

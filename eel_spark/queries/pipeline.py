@@ -304,17 +304,18 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataStream:
 # measured value is emitted as a column for inspection.
 # ---------------------------------------------------------------------------
 
-_PLANT_OFFSET = 1_000_000
-
-
 def planted_near_dup_documents(
     docs, n_planted: int = 20, every: int = 16, max_changes: int | None = None
 ):
-    """Corpus ∪ perturbed copies of the first ``n_planted`` docs (new id =
-    doc_id + 1_000_000): every ``every``-th token gets an ``_x`` suffix,
-    so the copy shares ≈ 1 - 3/every of its 3-shingles (and nearly all
-    its token multiset) with the original — known-answer near-dup pairs
-    for the LSH operators, tuned per operator via ``every``.
+    """Corpus ∪ perturbed copies of the first ``n_planted`` docs: every
+    ``every``-th token gets an ``_x`` suffix, so the copy shares ≈
+    1 - 3/every of its 3-shingles (and nearly all its token multiset)
+    with the original — known-answer near-dup pairs for the LSH
+    operators, tuned per operator via ``every``.
+
+    Copy id = ``-doc_id - 1``: testdata ids are non-negative, so negative
+    ids can NEVER collide with a real document at any corpus size (an
+    additive offset silently collides once the corpus outgrows it).
 
     ``max_changes`` caps the TOTAL perturbed tokens per document — the
     SimHash planting needs this: its hamming shift grows with the count
@@ -331,16 +332,28 @@ def planted_near_dup_documents(
         lambda t, i: F.when(cond(i), F.concat(t, F.lit("_x"))).otherwise(t),
     )
     copies = base.filter(F.col("doc_id") < n_planted).select(
-        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.array_join(perturbed, " ").alias("text"),
     )
     return base.unionByName(copies)
 
 
-def _gate_on_planted_recall(pairs, n_planted: int, min_recall: float):
+# planted doc pair as emitted by the dedup operators (id_a < id_b, copy id
+# is negative): (copy -d-1, original d) for originals below n_planted
+def _planted_doc_pair(n_planted: int):
+    return (F.col("id_a") == -F.col("id_b") - 1) & (F.col("id_b") < n_planted)
+
+
+def _gate_on_planted_recall(
+    pairs, n_planted: int, min_recall: float, planted_pair, orig_col: str
+):
     """Append the planted-pair recall as a column and gate the whole
     result on it: recall below ``min_recall`` → zero rows → the driver's
     row-count check fails loudly instead of recording plausible pairs.
+
+    ``planted_pair`` is the boolean Column identifying a planted pair and
+    ``orig_col`` names the side holding the original id (the planting
+    schemes differ between the text and embedding corpora).
 
     ``pairs`` feeds two plan branches (the recall aggregate and the
     output crossJoin); it is persisted so the LSH pipeline behind it runs
@@ -350,11 +363,8 @@ def _gate_on_planted_recall(pairs, n_planted: int, min_recall: float):
 
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     recall = (
-        pairs.filter(
-            (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET)
-            & (F.col("id_a") < n_planted)
-        )
-        .select("id_a").distinct()
+        pairs.filter(planted_pair)
+        .select(orig_col).distinct()
         .agg((F.count(F.lit(1)) / float(n_planted)).alias("planted_recall"))
     )
     return (
@@ -381,7 +391,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
         max_bucket_size=500,
     ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"),
              F.round("jaccard", 4).alias("jaccard"))
-    return _gate_on_planted_recall(pairs, n_planted=20, min_recall=0.9)
+    return _gate_on_planted_recall(
+        pairs, n_planted=20, min_recall=0.9,
+        planted_pair=_planted_doc_pair(20), orig_col="id_b",
+    )
 
 
 @query("dedup_simhash_pairs")
@@ -400,7 +413,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
     pairs = dedup.simhash_near_duplicates(
         corpus, "text", "doc_id", max_hamming=7, bands=8, max_bucket_size=500
     )
-    return _gate_on_planted_recall(pairs, n_planted=20, min_recall=0.9)
+    return _gate_on_planted_recall(
+        pairs, n_planted=20, min_recall=0.9,
+        planted_pair=_planted_doc_pair(20), orig_col="id_b",
+    )
 
 
 @query("ann_ivf_topk")
@@ -428,10 +444,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     bf = similarity.brute_force_topk(emb, queries, k=10).select(
         "query_id", "vec_id"
     )
-    per_q = (
+    hits = (
         ivf.join(bf, ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+    )
+    # anchor on the QUERY SET, not on queries that happened to get hits:
+    # a query whose IVF top-10 shares nothing with brute force (or that
+    # returned no rows) must drag the mean down as recall 0, or the gate
+    # silently averages only the healthy queries
+    per_q = (
+        queries.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .na.fill({"recall_at_10": 0.0})
     )
     gate = per_q.agg(F.avg("recall_at_10").alias("__mean_recall"))
     return (
@@ -482,29 +507,21 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
     planted near-dup vectors (known-answer pairs — the raw table has no
     natural near-dups). Rows-only: LSH recall < 1 by construction, so no
     exact-SQL twin; planted-pair recall is asserted in tests/test_dedup.py."""
-    from pyspark import StorageLevel
-
     emb = table(spark, sf_dir, "embeddings").df
     corpus = planted_near_dup_embeddings(emb, n_planted=20)
     pairs = dedup.embedding_near_duplicates(
         corpus, "embedding", "vec_id", threshold=0.9,
         bands=8, bits_per_band=8, max_bucket_size=200,
-    ).select("id_a", "id_b", F.round("cos", 4).alias("cos")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # planted ids are vec_id + 100000 (see planted_near_dup_embeddings);
-    # recall < 0.9 empties the result — same self-verification contract
-    # as the text LSH queries (pairs persisted: two consuming branches)
-    recall = (
-        pairs.filter(
-            (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 20)
-        )
-        .select("id_a").distinct()
-        .agg((F.count(F.lit(1)) / 20.0).alias("planted_recall"))
-    )
-    return (
-        pairs.crossJoin(F.broadcast(recall))
-        .filter(F.col("planted_recall") >= 0.9)
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    # planted ids are vec_id + 100000 (see planted_near_dup_embeddings —
+    # an offset scheme is fine here: the embeddings table is 500× below
+    # the offset at the largest test SF, and the helper is shared with
+    # tests that assert on the offset); recall < 0.9 empties the result
+    return _gate_on_planted_recall(
+        pairs, n_planted=20, min_recall=0.9,
+        planted_pair=(F.col("id_b") == F.col("id_a") + 100000)
+        & (F.col("id_a") < 20),
+        orig_col="id_a",
     )
 
 

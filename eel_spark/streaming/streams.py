@@ -260,9 +260,14 @@ def streaming_corpus_prep(
     ``dropDuplicatesWithinWatermark``: state is bounded to one fingerprint
     per watermark window (an exact unbounded dedup would merge into a
     survivor table via foreachBatch — idempotent_batch_sink's pattern).
-    Documents carry no event time, so ingest time is stamped — at 100 TB
-    the stamp happens once at the edge, keeping replays deterministic via
-    the checkpointed source offsets."""
+    Documents carry no event time, so ingest time is stamped with
+    ``current_timestamp()``. CAVEAT: the stamp is re-evaluated when a
+    failed micro-batch replays from the checkpoint, so a document can
+    land in a different watermark window after recovery and dedup once
+    more. That is the bounded-state trade; when exactly-once dedup across
+    failures is required, carry a REAL event-time column from the source
+    (or merge into a survivor table via idempotent_batch_sink's
+    foreachBatch pattern) instead of an ingest stamp."""
     from eel_spark.functions import text as TX
 
     scored = (
@@ -421,7 +426,15 @@ class EventStream:
         # the physical ts type (bigint nanos vs TIMESTAMP_NTZ vs TIMESTAMP
         # — testdata has shipped all three) is whatever is really on disk,
         # then normalize it exactly like the batch loader does
-        static_schema = self.spark.read.parquet(self.path).schema
+        from pyspark.errors import AnalysisException
+
+        try:
+            static_schema = self.spark.read.parquet(self.path).schema
+        except AnalysisException:
+            # "attach to a live directory" includes one with no files YET
+            # (the normal starting state of an ingest dir) — fall back to
+            # the canonical events schema and let normalize_ts no-op
+            static_schema = EVENT_SCHEMA
         reader = self.spark.readStream
         if glob_filter:
             reader = reader.option("pathGlobFilter", glob_filter)

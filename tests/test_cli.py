@@ -166,3 +166,16 @@ def test_jdbc_uri_requires_table(spark):
 
     with _pytest.raises(SystemExit, match="table"):
         main(["schema", "jdbc:derby:memory:nope"])
+
+
+def test_jdbc_uri_keeps_driver_query_params():
+    """JDBC URLs carry their own '?' query strings; eel options ride
+    after the LAST '?' so driver params stay inside the URL."""
+    from eel_spark.cli import _split_format
+
+    fmt, path, opts = _split_format(
+        "jdbc:mysql://host/db?useSSL=false&serverTimezone=UTC?table=t&fetch_size=500"
+    )
+    assert fmt == "jdbc"
+    assert path == "mysql://host/db?useSSL=false&serverTimezone=UTC"
+    assert opts == {"table": "t", "fetch_size": "500"}

@@ -63,3 +63,12 @@ def test_sql_fragment_matches_column_compilation(spark, oracle):
         spark.read.parquet(f"{SF}/nation.parquet").filter(p.to_column()).count()
     )
     assert duck_n == spark_n > 0
+
+
+def test_empty_composite_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one predicate"):
+        P.and_()
+    with _pytest.raises(ValueError, match="at least one predicate"):
+        P.or_()
