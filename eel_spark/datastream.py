@@ -208,18 +208,19 @@ class DataStream:
         """replaceFieldType by field name, by current datatype, or by name
         regex (DataStream.scala:344, 868, 872)."""
         dt = eel_schema.eel_type(datatype) if isinstance(datatype, str) else datatype
-        df = self.df
         if isinstance(target, str):
-            df = df.withColumn(target, F.col(target).cast(dt))
+            hit = lambda f: f.name == target
         elif isinstance(target, T.DataType):
-            for f in df.schema.fields:
-                if f.dataType == target:
-                    df = df.withColumn(f.name, F.col(f.name).cast(dt))
+            hit = lambda f: f.dataType == target
         else:
-            for c in df.columns:
-                if target.fullmatch(c):
-                    df = df.withColumn(c, F.col(c).cast(dt))
-        return self._wrap(df)
+            hit = lambda f: bool(target.fullmatch(f.name))
+        # one projection for all sweeps (withColumn-per-field stacks
+        # Project nodes — quadratic analyzer cost on wide schemas)
+        cols = [
+            (F.col(f.name).cast(dt) if hit(f) else F.col(f.name)).alias(f.name)
+            for f in self.df.schema.fields
+        ]
+        return self._wrap(self.df.select(*cols))
 
     def align(self, schema: T.StructType, pad_missing: bool = False) -> "DataStream":
         """align (DataStream.scala:122) — reorder to the target schema, drop
@@ -262,24 +263,41 @@ class DataStream:
         incompatible columns are left untouched, matching the reference's
         equality-only semantics.
         """
-        df = self.df
-        for f in df.schema.fields:
+        # ONE select over all columns, not a withColumn per column: each
+        # withColumn stacks a Project node, and analyzer cost on a
+        # wide schema goes quadratic (the classic PySpark anti-pattern)
+        def swap(f):
             lit = F.lit(from_value).try_cast(f.dataType)
             c = F.col(f.name)
-            df = df.withColumn(
-                f.name,
-                F.when(
-                    lit.isNotNull() & (c == lit), F.lit(target).try_cast(f.dataType)
-                ).otherwise(c),
-            )
-        return self._wrap(df)
+            return F.when(
+                lit.isNotNull() & (c == lit), F.lit(target).try_cast(f.dataType)
+            ).otherwise(c).alias(f.name)
+
+        return self._wrap(self.df.select(*[swap(f) for f in self.df.schema.fields]))
 
     update = replace_value
 
     # -- ordered / positional ops (explicit order: SURVEY.md §3) ----------
-    def take(self, n: int) -> "DataStream":
-        """take (DataStream.scala:165) — limit; Spark pushes the limit into
-        the scan where possible."""
+    def _fresh(self, base: str) -> str:
+        """Internal helper-column name guaranteed not to shadow a user
+        column (a colliding name would be silently overwritten, then
+        dropped — losing user data)."""
+        name = base
+        while name in self.df.columns:
+            name = "_" + name
+        return name
+
+    def take(
+        self, n: int, order_by: Sequence[ColumnLike] | None = None
+    ) -> "DataStream":
+        """take (DataStream.scala:165). Without ``order_by`` this is a
+        bare ``limit`` — an ARBITRARY n-row subset (fast: Spark stops
+        scanning early), not the complement of ``drop(n, order_by)``.
+        Pass ``order_by`` for the deterministic first-n of a total order."""
+        if order_by:
+            return self._wrap(
+                self.df.sort(*[_col(c) for c in order_by]).limit(n)
+            )
         return self._wrap(self.df.limit(n))
 
     def drop(self, n: int, order_by: Sequence[ColumnLike]) -> "DataStream":
@@ -301,29 +319,30 @@ class DataStream:
         unpartitioned window) funnels every row through ONE partition:
         correct on a laptop, dead at 100 TB.
         """
+        bname = self._fresh("__bound")
         key = F.struct(*[_col(c) for c in order_by])
-        bound = self.df.filter(~_cond(predicate)).agg(F.min(key).alias("__bound"))
-        return key, F.broadcast(bound)
+        bound = self.df.filter(~_cond(predicate)).agg(F.min(key).alias(bname))
+        return key, F.broadcast(bound), bname
 
     def take_while(self, predicate: Column | str, order_by: Sequence[ColumnLike]) -> "DataStream":
         """takeWhile (DataStream.scala:137): keep the maximal prefix (in the
         given order) where predicate holds = all rows strictly before the
         first failing row. Two parallel passes: global-min boundary, then a
         filtered scan — no single-partition window."""
-        key, bound = self._prefix_bound(predicate, order_by)
+        key, bound, bname = self._prefix_bound(predicate, order_by)
         return self._wrap(
             self.df.crossJoin(bound)
-            .filter(F.col("__bound").isNull() | (key < F.col("__bound")))
-            .drop("__bound")
+            .filter(F.col(bname).isNull() | (key < F.col(bname)))
+            .drop(bname)
         )
 
     def drop_while(self, predicate: Column | str, order_by: Sequence[ColumnLike]) -> "DataStream":
         """dropWhile (DataStream.scala:214) — complement of take_while."""
-        key, bound = self._prefix_bound(predicate, order_by)
+        key, bound, bname = self._prefix_bound(predicate, order_by)
         return self._wrap(
             self.df.crossJoin(bound)
-            .filter(F.col("__bound").isNotNull() & (key >= F.col("__bound")))
-            .drop("__bound")
+            .filter(F.col(bname).isNotNull() & (key >= F.col(bname)))
+            .drop(bname)
         )
 
     def zip_with_index(self, name: str, order_by: Sequence[ColumnLike]) -> "DataStream":
@@ -337,32 +356,38 @@ class DataStream:
         unpartitioned ``row_number`` window would serialize the whole
         dataset through one task.
         """
+        from pyspark import StorageLevel
+
+        mid, pid, loc = self._fresh("__mid"), self._fresh("__pid"), self._fresh("__loc")
+        cnt, off = self._fresh("__cnt"), self._fresh("__off")
         cols = [_col(c) for c in order_by]
         # local position = monotonically_increasing_id minus the partition
         # base (pid << 33): the id is sequential from 0 WITHIN a partition,
         # so after the in-partition sort it IS the local sort position —
-        # no row_number window, hence no extra hash-by-pid shuffle
+        # no row_number window, hence no extra hash-by-pid shuffle.
+        # PERSISTED: the counts branch and the output branch both read this
+        # partitioning; relying on exchange reuse alone is unsound — with
+        # reuse defeated (spark.sql.exchange.reuse=false, plan divergence)
+        # each branch would re-SAMPLE range bounds, and rows near a bound
+        # could land in different partitions per branch → wrong offsets.
         parted = (
             self.df.repartitionByRange(*cols)
             .sortWithinPartitions(*cols)
-            .withColumn("__mid", F.monotonically_increasing_id())
-            .withColumn("__pid", F.spark_partition_id())
+            .withColumn(mid, F.monotonically_increasing_id())
+            .withColumn(pid, F.spark_partition_id())
             .withColumn(
-                "__loc", F.col("__mid") - F.shiftleft(F.col("__pid").cast("long"), 33)
+                loc, F.col(mid) - F.shiftleft(F.col(pid).cast("long"), 33)
             )
-        )
-        # per-partition counts → prefix-sum offsets, derived from the SAME
-        # range exchange (deterministic bounds, AQE stage reuse); the
-        # offsets window runs over #partitions rows — metadata-sized
-        counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-        wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        counts = parted.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
+        wo = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
         offsets = counts.select(
-            "__pid", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off")
+            pid, F.coalesce(F.sum(cnt).over(wo), F.lit(0)).alias(off)
         )
         out = (
-            parted.join(F.broadcast(offsets), "__pid")
-            .withColumn(name, F.col("__off") + F.col("__loc"))
-            .drop("__pid", "__off", "__mid", "__loc")
+            parted.join(F.broadcast(offsets), pid)
+            .withColumn(name, F.col(off) + F.col(loc))
+            .drop(pid, off, mid, loc)
         )
         return self._wrap(out)
 
@@ -376,9 +401,12 @@ class DataStream:
         distributed version pairs by row index over explicit per-side
         orders, then equi-joins on the index.
         """
-        left = self.zip_with_index("__zip_idx", order_left).df
-        right = other.zip_with_index("__zip_idx", order_right).df
-        return self._wrap(left.join(right, "__zip_idx", "inner").drop("__zip_idx"))
+        idx = self._fresh("__zip_idx")
+        while idx in other.df.columns:
+            idx = "_" + idx
+        left = self.zip_with_index(idx, order_left).df
+        right = other.zip_with_index(idx, order_right).df
+        return self._wrap(left.join(right, idx, "inner").drop(idx))
 
     # -- combining streams -------------------------------------------------
     def union(self, other: "DataStream") -> "DataStream":
@@ -387,14 +415,33 @@ class DataStream:
 
     __add__ = union
 
+    def _rowwise_match(self, other: "DataStream"):
+        """All-columns null-safe equality between two streams' rows."""
+        from functools import reduce
+
+        l, r = self.df, other.df
+        return l, r, reduce(
+            lambda a, b: a & b,
+            [l[c].eqNullSafe(r[c]) for c in self.df.columns],
+        )
+
     def intersection(self, other: "DataStream") -> "DataStream":
-        """intersection (DataStream.scala:745) — distributed, not
-        driver-materialized like the reference."""
-        return self._wrap(self.df.intersect(other.df))
+        """intersection (DataStream.scala:745) — ``filter(rhs.contains)``:
+        keeps EVERY left row (duplicates included) whose value appears in
+        the other stream. A left-semi join on all columns, null-safe —
+        NOT ``intersect``, which would deduplicate the left side."""
+        l, r, cond = self._rowwise_match(other)
+        return self._wrap(l.join(r, on=cond, how="left_semi"))
 
     def subtract(self, other: "DataStream") -> "DataStream":
-        """substract [sic] (DataStream.scala:735)."""
-        return self._wrap(self.df.exceptAll(other.df))
+        """substract [sic] (DataStream.scala:735) —
+        ``filterNot(rhs.contains)``: removes EVERY left row (duplicates
+        included) whose value appears in the other stream. A left-anti
+        join on all columns, null-safe — NOT ``exceptAll``, whose
+        per-occurrence multiset arithmetic lets duplicate matches
+        survive."""
+        l, r, cond = self._rowwise_match(other)
+        return self._wrap(l.join(r, on=cond, how="left_anti"))
 
     def cartesian(self, other: "DataStream") -> "DataStream":
         """cartesian (DataStream.scala:267) — crossJoin; Spark broadcasts
@@ -538,6 +585,22 @@ def from_values(
     values = [tuple(v) for v in values]
     if isinstance(schema, list):
         schema = eel_schema.infer_schema(schema, values)
+        # widening may choose double for a column holding ints (e.g.
+        # [1, 2.5]); createDataFrame verifies types strictly, so coerce
+        # those ints to float
+        fractional = [
+            isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            for f in schema.fields
+        ]
+        values = [
+            tuple(
+                float(v)
+                if frac and isinstance(v, int) and not isinstance(v, bool)
+                else v
+                for v, frac in zip(row, fractional)
+            )
+            for row in values
+        ]
     return DataStream(spark.createDataFrame(values, schema))
 
 

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def _salt_col(*dfs) -> str:
+    """Salt-column name that cannot shadow a user column in any input
+    (a collision would silently overwrite, then drop, user data)."""
+    name = SALT_COL
+    while any(name in df.columns for df in dfs):
+        name = "_" + name
+    return name
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -42,11 +51,12 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how}")
-    big_s = big.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), salt))
+    sc = _salt_col(big, small)
+    big_s = big.withColumn(sc, F.pmod(F.monotonically_increasing_id(), salt))
     small_s = small.withColumn(
-        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+        sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
     )
-    return big_s.join(small_s, on=keys + [SALT_COL], how=how).drop(SALT_COL)
+    return big_s.join(small_s, on=keys + [sc], how=how).drop(sc)
 
 
 def salted_aggregate(
@@ -68,8 +78,9 @@ def salted_aggregate(
     merge_fn must be an algebraic combiner (sum/min/max): the partial
     result per (key, salt) merges associatively to the exact global value.
     """
-    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), salt))
-    partial = salted.groupBy(*keys, SALT_COL).agg(
+    sc = _salt_col(df)
+    salted = df.withColumn(sc, F.pmod(F.monotonically_increasing_id(), salt))
+    partial = salted.groupBy(*keys, sc).agg(
         *[col.alias(name) for name, (_, col) in aggs.items()]
     )
     merge = {"sum": F.sum, "min": F.min, "max": F.max}

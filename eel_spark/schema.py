@@ -85,7 +85,13 @@ def infer_type(value: Any) -> T.DataType:
     if isinstance(value, _decimal.Decimal):
         sign, digits, exp = value.as_tuple()
         scale = max(0, -exp)
-        return T.DecimalType(max(len(digits), scale) + 1, scale)
+        # integer digits must include a POSITIVE exponent's zeros:
+        # Decimal('1E+5') is (digits=(1,), exp=5) = 100000 → 6 int digits,
+        # not 1 (the old max(len(digits), scale)+1 yielded Decimal(2,0))
+        int_digits = max(len(digits) + exp, 1) if exp > 0 else max(
+            len(digits) - scale, 1
+        )
+        return T.DecimalType(min(38, int_digits + scale + 1), scale)
     if isinstance(value, str):
         return T.StringType()
     if isinstance(value, (bytes, bytearray)):
@@ -103,14 +109,17 @@ def infer_type(value: Any) -> T.DataType:
 
 
 def infer_schema(names: Iterable[str], rows: Iterable[Iterable[Any]]) -> T.StructType:
+    """Infer a schema from values, WIDENING across rows: a column seen as
+    [1, 2.5] infers double, not the first row's long (locking to the
+    first value makes createDataFrame reject later rows)."""
     names = list(names)
     types: list[T.DataType | None] = [None] * len(names)
     for row in rows:
         for i, v in enumerate(row):
-            if types[i] is None and v is not None:
-                types[i] = infer_type(v)
-        if all(t is not None for t in types):
-            break
+            if v is None:
+                continue
+            t = infer_type(v)
+            types[i] = t if types[i] is None else _widen(types[i], t)
     return T.StructType(
         [T.StructField(n, t or T.StringType(), True) for n, t in zip(names, types)]
     )
@@ -138,16 +147,28 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
         scale = max(a.scale, b.scale)
         whole = max(a.precision - a.scale, b.precision - b.scale)
+        if whole + scale > 38:
+            # when capped, sacrifice SCALE, never integer digits (Spark's
+            # own promotion rule): keeping max scale would silently shrink
+            # integer capacity below an input's and overflow legal values
+            scale = max(0, 38 - whole)
         return T.DecimalType(min(38, whole + scale), scale)
     return T.StringType()
 
 
 def merge_schemas(*schemas: T.StructType) -> T.StructType:
-    """Union of fields across schemas; shared names get widened types."""
+    """Union of fields across schemas; shared names get widened types.
+
+    A field absent from ANY input schema is forced nullable: rows from a
+    source without the field are necessarily null there, so a preserved
+    nullable=False would mis-declare the merged data to writers and
+    validators."""
     out: list[T.StructField] = []
     index: dict[str, int] = {}
+    seen_in: dict[str, int] = {}
     for schema in schemas:
         for f in schema.fields:
+            seen_in[f.name] = seen_in.get(f.name, 0) + 1
             if f.name in index:
                 prev = out[index[f.name]]
                 out[index[f.name]] = T.StructField(
@@ -156,7 +177,13 @@ def merge_schemas(*schemas: T.StructType) -> T.StructType:
             else:
                 index[f.name] = len(out)
                 out.append(f)
-    return T.StructType(out)
+    n = len(schemas)
+    return T.StructType(
+        [
+            f if seen_in[f.name] == n else T.StructField(f.name, f.dataType, True)
+            for f in out
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------

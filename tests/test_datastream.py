@@ -367,3 +367,35 @@ def test_multiplex_branches_are_independent(spark):
     assert b1.filter("a > 1").count() == 2
     assert b2.count() == 3
     assert sorted(r["a"] for r in b3.collect()) == [1, 2, 3]
+
+
+def test_subtract_removes_all_copies(spark):
+    """Reference substract = filterNot(rhs.contains): EVERY copy of a
+    matching row goes; non-matching duplicates survive (exceptAll's
+    per-occurrence arithmetic would leave one A behind)."""
+    left = from_values(spark, ["a"], [(1,), (1,), (2,), (2,)])
+    right = from_values(spark, ["a"], [(1,)])
+    assert sorted(r["a"] for r in left.subtract(right).collect()) == [2, 2]
+
+
+def test_intersection_keeps_left_duplicates(spark):
+    """Reference intersection = filter(rhs.contains): left-side
+    duplicates are preserved (intersect would deduplicate)."""
+    left = from_values(spark, ["a"], [(1,), (1,), (2,)])
+    right = from_values(spark, ["a"], [(1,)])
+    assert sorted(r["a"] for r in left.intersection(right).collect()) == [1, 1]
+
+
+def test_helper_columns_do_not_shadow_user_columns(spark):
+    """Internal helper names (__bound, __zip_idx, ...) must not clobber
+    same-named user columns."""
+    ds = from_values(spark, ["k", "__bound"], [(1, 10), (2, 20), (3, 30)])
+    out = ds.take_while(F.col("k") < 3, order_by=["k"])
+    assert sorted((r["k"], r["__bound"]) for r in out.collect()) == [(1, 10), (2, 20)]
+
+
+def test_take_with_order_is_drop_complement(spark):
+    ds = from_values(spark, ["k"], [(i,) for i in (5, 3, 1, 4, 2)])
+    first = {r["k"] for r in ds.take(2, order_by=["k"]).collect()}
+    rest = {r["k"] for r in ds.drop(2, order_by=["k"]).collect()}
+    assert first == {1, 2} and rest == {3, 4, 5}

@@ -66,3 +66,43 @@ def test_merge_schemas_decimal_and_conflict():
     merged = merge_schemas(a, b)
     assert merged["d"].dataType == T.DecimalType(12, 4)
     assert merged["x"].dataType == T.StringType()  # incompatible -> string
+
+
+def test_infer_schema_widens_across_rows(spark):
+    from eel_spark.schema import infer_schema
+    from pyspark.sql import types as T
+
+    s = infer_schema(["x"], [(1,), (2.5,)])
+    assert s["x"].dataType == T.DoubleType()
+    # and the full constructor coerces + fits the data end to end
+    from eel_spark.datastream import from_values
+
+    ds = from_values(spark, ["x"], [(1,), (2.5,)])
+    assert sorted(r["x"] for r in ds.collect()) == [1.0, 2.5]
+
+
+def test_infer_positive_exponent_decimal():
+    import decimal
+
+    from eel_spark.schema import infer_type
+
+    dt = infer_type(decimal.Decimal("1E+5"))
+    assert dt.precision - dt.scale >= 6  # must hold 100000
+
+
+def test_decimal_widen_keeps_integer_digits():
+    from eel_spark.schema import _widen
+    from pyspark.sql import types as T
+
+    got = _widen(T.DecimalType(38, 0), T.DecimalType(20, 10))
+    assert got.precision - got.scale >= 38  # integer capacity preserved
+
+
+def test_merge_forces_nullable_for_absent_fields():
+    from eel_spark.schema import merge_schemas
+    from pyspark.sql import types as T
+
+    a = T.StructType([T.StructField("x", T.LongType(), False)])
+    b = T.StructType([T.StructField("y", T.LongType(), False)])
+    merged = merge_schemas(a, b)
+    assert merged["x"].nullable and merged["y"].nullable
