@@ -60,8 +60,7 @@ class Sink:
         mode: str, options: dict[str, Any], partition_by: list[str] | None = None,
         parallelism: int | None = None,
     ) -> int:
-        obs = Observation()
-        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed, obs = self._observed(df)
         if parallelism:
             observed = observed.repartition(parallelism)
         writer = observed.write.format(fmt).mode(mode).options(**options)
@@ -117,13 +116,31 @@ class ParquetSource(Source):
         return DataStream(df)
 
     def statistics(self) -> dict[str, int]:
-        """Statistics.scala: footer-level counts without a Spark job."""
+        """Statistics.scala: footer-level counts without a Spark job.
+        Accepts a file, a glob, or a dataset DIRECTORY (the layout
+        ParquetSink itself produces — part files are discovered
+        recursively, `_`-prefixed metadata files skipped)."""
+        import os
+
         import pyarrow.parquet as pq
 
         paths = self.path if isinstance(self.path, list) else [self.path]
         files: list[str] = []
         for p in paths:
-            files.extend(sorted(_glob.glob(p)) or [p])
+            for hit in sorted(_glob.glob(p)) or [p]:
+                if os.path.isdir(hit):
+                    files.extend(
+                        sorted(
+                            f
+                            for f in _glob.glob(
+                                os.path.join(hit, "**", "*"), recursive=True
+                            )
+                            if os.path.isfile(f)
+                            and not os.path.basename(f).startswith(("_", "."))
+                        )
+                    )
+                else:
+                    files.append(hit)
         rows = row_groups = 0
         total_bytes = 0
         for f in files:
@@ -131,7 +148,12 @@ class ParquetSource(Source):
             rows += md.num_rows
             row_groups += md.num_row_groups
             total_bytes += md.serialized_size
-        return {"rows": rows, "row_groups": row_groups, "files": len(files)}
+        return {
+            "rows": rows,
+            "row_groups": row_groups,
+            "files": len(files),
+            "footer_bytes": total_bytes,
+        }
 
 
 @dataclass
@@ -404,43 +426,55 @@ class SequenceSource(Source):
             rdd.map(lambda kv: (str(kv[0]), str(kv[1]))), "key STRING, value STRING"
         )
         if self.delimiter and self.columns:
-            parts = F.split(F.col("value"), self.delimiter)
+            # from_csv, not split: SequenceSink serializes with to_csv, so
+            # values containing the delimiter arrive quoted and parse back
+            # exactly (a naive split would shift every following column)
+            schema = ", ".join(f"`{c}` STRING" for c in self.columns)
+            parsed = F.from_csv(F.col("value"), F.lit(schema), {"sep": self.delimiter})
             df = df.select(
-                *[parts.getItem(i).alias(c) for i, c in enumerate(self.columns)]
+                *[parsed.getField(c).alias(c) for c in self.columns]
             )
         return DataStream(df)
 
 
 @dataclass
 class SequenceSink(Sink):
-    """SequenceSink.scala — write (key, value) Text pairs; non-string
-    frames are serialized as delimited values keyed by row index.
+    """SequenceSink.scala — write (key, value) Text pairs: key = the
+    first column's value, value = the row as one CSV line (``to_csv``:
+    JVM-side, so delimiter-containing values are quoted and round-trip
+    through SequenceSource instead of shifting columns).
 
-    SCALE WARNING: this is the ONE sink that serializes rows through a
-    Python loop (``df.rdd.map`` — ``saveAsSequenceFile`` has no Arrow or
-    DataFrame path in PySpark). Throughput is row-at-a-time Python,
-    ~10-100× below the columnar sinks; acceptable only because
-    SequenceFile is a legacy interchange format — prefer Parquet/ORC for
-    anything measured."""
+    SCALE WARNING: this is the ONE sink whose rows pass through Python
+    (``saveAsSequenceFile`` has no DataFrame path in PySpark), though
+    serialization itself stays JVM-side — only the (key, value) string
+    pair crosses. Prefer Parquet/ORC for anything measured.
+
+    Exactly-once row count: the pair RDD is persisted, counted, then
+    saved — an accumulator inside the map (the previous design) double
+    counts on task retry/speculation; count() on the persisted RDD is an
+    action with exactly-once semantics and the save reads the cache."""
 
     path: str
     delimiter: str = ","
 
     def write(self, ds: DataStream, parallelism: int | None = None) -> int:
+        from pyspark import StorageLevel
+
         df = ds.df
         if parallelism:
             df = df.repartition(parallelism)
-        delim = self.delimiter
-        # Observation doesn't cover RDD actions; an accumulator counts rows
-        # in the SAME save job (no second execution of the upstream plan).
-        acc = df.sparkSession.sparkContext.accumulator(0)
-
-        def _fmt(row):
-            acc.add(1)
-            return (str(row[0]), delim.join("" if v is None else str(v) for v in row))
-
-        df.rdd.map(_fmt).saveAsSequenceFile(self.path)
-        return acc.value
+        pair_df = df.select(
+            F.col(df.columns[0]).cast("string").alias("__k"),
+            F.to_csv(F.struct(*df.columns), {"sep": self.delimiter}).alias("__v"),
+        )
+        rdd = pair_df.rdd.map(lambda r: (r[0], r[1]))
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = rdd.count()
+            rdd.saveAsSequenceFile(self.path)
+        finally:
+            rdd.unpersist()
+        return n
 
 
 @dataclass

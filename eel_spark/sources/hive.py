@@ -117,10 +117,16 @@ class HiveTable:
 
     def partitions(self) -> list[dict[str, str]]:
         """HiveOps.partitionValues → SHOW PARTITIONS parsed to dicts."""
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self.spark.sql(f"SHOW PARTITIONS {self.table}").collect()
-        except Exception:
-            return []  # unpartitioned
+        except AnalysisException as e:
+            # ONLY "not partitioned" maps to [] — a missing table or
+            # permission failure must surface, not read as unpartitioned
+            if "NOT_A_PARTITIONED_TABLE" in str(e) or "not partitioned" in str(e):
+                return []
+            raise
         out = []
         for r in rows:
             spec = {}
@@ -146,11 +152,20 @@ class HiveTable:
             "rows": int(m.group(2)) if m and m.group(2) else self.spark.table(self.table).count(),
         }
 
+    def provider(self) -> str:
+        """The table's storage format (parquet/orc/...), from the catalog."""
+        for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.table}").collect():
+            if r["col_name"] == "Provider":
+                return r["data_type"].lower()
+        return "parquet"
+
     def compact(self, target_files: int = 1) -> None:
         """Compactor.scala: rewrite the table's data into ``target_files``
         files (at most ``target_files`` per partition when partitioned,
-        scheme preserved) — the many-small-files fix the reference sells
-        as a headline use case."""
+        scheme AND storage format preserved — a hardcoded parquet rewrite
+        would silently convert ORC tables) — the many-small-files fix the
+        reference sells as a headline use case."""
+        fmt = self.provider()
         df = self.spark.table(self.table)
         part_cols = [
             c.name for c in self.spark.catalog.listColumns(self.table) if c.isPartition
@@ -166,10 +181,10 @@ class HiveTable:
                 F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(target_files)
             )
             tmp = df.repartition(*[F.col(c) for c in part_cols], salt)
-            writer = tmp.write.mode("overwrite").format("parquet").partitionBy(*part_cols)
+            writer = tmp.write.mode("overwrite").format(fmt).partitionBy(*part_cols)
         else:
             tmp = df.coalesce(target_files)
-            writer = tmp.write.mode("overwrite").format("parquet")
+            writer = tmp.write.mode("overwrite").format(fmt)
         # Stage into a temp table, then overwrite the original FROM the
         # staged copy (never DROP+RENAME: a rename into a managed-table
         # location fails if any orphaned directory exists, and a crash
@@ -180,9 +195,9 @@ class HiveTable:
         staged = self.spark.table(tmp_name)
         if part_cols:
             # one staged file per (partition, salt) task → copy preserves counts
-            out = staged.write.mode("overwrite").format("parquet").partitionBy(*part_cols)
+            out = staged.write.mode("overwrite").format(fmt).partitionBy(*part_cols)
         else:
-            out = staged.coalesce(target_files).write.mode("overwrite").format("parquet")
+            out = staged.coalesce(target_files).write.mode("overwrite").format(fmt)
         out.saveAsTable(self.table)
         self.spark.sql(f"DROP TABLE {tmp_name}")
 

@@ -71,9 +71,14 @@ class HashPartitionStrategy(JdbcPartitionStrategy):
 
     def predicates(self) -> list[str]:
         # ANSI-quoted: Spark's JDBC writer creates case-sensitive quoted
-        # columns, so an unquoted reference would be case-folded by the DB
+        # columns, so an unquoted reference would be case-folded by the DB.
+        # Double-MOD normalizes negative residues (most engines return
+        # MOD(-7,3) = -1, which would match NO partition predicate and
+        # silently drop every negative-key row).
         n = self.num_partitions
-        return [f'MOD("{self.column}", {n}) = {i}' for i in range(n)]
+        return [
+            f'MOD(MOD("{self.column}", {n}) + {n}, {n}) = {i}' for i in range(n)
+        ]
 
 
 @dataclass
@@ -84,8 +89,12 @@ class BucketPartitionStrategy(JdbcPartitionStrategy):
     buckets: list[list[Any]] = dc_field(default_factory=list)
 
     def predicates(self) -> list[str]:
+        # same quote-doubling as JdbcStoredProcSource._literal: an
+        # unescaped O'Brien is a syntax error AND an injection vector
         def fmt(v: Any) -> str:
-            return f"'{v}'" if isinstance(v, str) else str(v)
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
 
         return [
             f'"{self.column}" IN ({", ".join(fmt(v) for v in bucket)})'
@@ -164,14 +173,23 @@ class JdbcStoredProcSource(Source):
     def to_datastream(self, spark: SparkSession) -> DataStream:
         props = {"fetchsize": str(self.fetch_size), **self.properties}
         if self.style == "exec":
-            reader = (
-                spark.read.format("jdbc")
-                .option("url", self.url)
-                .option("query", self.call_sql())
+            # Spark's JDBC reader always parenthesizes the query as a
+            # FROM-clause subquery — "(EXEC proc) alias" is invalid
+            # T-SQL, so a bare EXEC can never even resolve a schema.
+            # call_sql() still renders the EXEC text for callers driving
+            # their own connection; reading it through Spark needs the
+            # MSSQL prepareQuery pattern (EXEC ... INTO #tmp, then query
+            # = SELECT from the temp table), which is procedure-specific
+            # — drive that with JdbcSource + properties, or expose the
+            # procedure as a table function.
+            raise ValueError(
+                "style='exec' cannot be read through Spark's JDBC "
+                "wrapper ('(EXEC ...) alias' is invalid T-SQL once Spark "
+                "parenthesizes the query). Use style='table_function' / "
+                "'function', or the MSSQL prepareQuery pattern via "
+                "JdbcSource properties; call_sql() still renders the "
+                "EXEC text for direct connections."
             )
-            for k, v in props.items():
-                reader = reader.option(k, v)
-            return DataStream(reader.load())
         df = spark.read.jdbc(self.url, f"({self.call_sql()}) eel_sp", properties=props)
         return DataStream(df)
 

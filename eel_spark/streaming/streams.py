@@ -301,14 +301,28 @@ def stream_stream_interval_join(
     Both sides are watermarked and the time-range predicate is what lets
     Spark *evict* join state — an unconstrained stream-stream join would
     buffer both streams forever. State per key ≈ rows inside the interval.
+
+    Right-side columns whose names collide with a left column (including
+    ``right_ts`` when both default to "ts") come back suffixed
+    ``_right`` — a duplicate-named output column is unwritable (parquet
+    rejects it) and unselectable (ambiguous reference).
     """
+    # rename right-side collisions BEFORE the join; the watermark column
+    # must be renamed first so the watermark attaches to the final name
+    renames = {
+        c: f"{c}_right" for c in right.columns if c != key and c in left.columns
+    }
+    r_renamed = right
+    for old, new in renames.items():
+        r_renamed = r_renamed.withColumnRenamed(old, new)
+    r_ts = renames.get(right_ts, right_ts)
     l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    r = r_renamed.withWatermark(r_ts, watermark).alias("r")
     return l.join(
         r,
         F.expr(
-            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
-            f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+            f"l.{key} = r.{key} AND r.{r_ts} >= l.{left_ts} "
+            f"AND r.{r_ts} <= l.{left_ts} + INTERVAL {within}"
         ),
         "inner",
     ).drop(F.col(f"r.{key}"))

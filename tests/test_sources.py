@@ -185,8 +185,11 @@ def test_jdbc_strategies_build_plans():
     rs = RangePartitionStrategy("id", 0, 1000, 4)
     assert rs.reader_kwargs()["numPartitions"] == 4
     hs = HashPartitionStrategy("id", 3)
+    # double-MOD: negative keys get non-negative residues on every engine
     assert hs.predicates() == [
-        'MOD("id", 3) = 0', 'MOD("id", 3) = 1', 'MOD("id", 3) = 2',
+        'MOD(MOD("id", 3) + 3, 3) = 0',
+        'MOD(MOD("id", 3) + 3, 3) = 1',
+        'MOD(MOD("id", 3) + 3, 3) = 2',
     ]
     bs = BucketPartitionStrategy("seg", [["A", "B"], ["C"]])
     assert bs.predicates() == ['"seg" IN (\'A\', \'B\')', '"seg" IN (\'C\')']
@@ -210,10 +213,26 @@ def test_sequence_roundtrip(spark, nation, tmp_path):
     n = nation.to(SequenceSink(dest, delimiter="|"))
     assert n == 25
     back = SequenceSource(
-        dest, delimiter="\\|", columns=["n_nationkey", "n_name", "n_regionkey"]
+        dest, delimiter="|", columns=["n_nationkey", "n_name", "n_regionkey"]
     ).to_datastream(spark)
     rows = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
     assert len(rows) == 25 and rows["0"] == "NATION_0"
+
+
+def test_sequence_roundtrip_value_containing_delimiter(spark, tmp_path):
+    """Values holding the delimiter must round-trip intact (to_csv quotes
+    them; a naive join/split shifted every following column)."""
+    from eel_spark.datastream import from_values
+    from eel_spark.sources import SequenceSink, SequenceSource
+
+    ds = from_values(spark, ["k", "txt", "tag"],
+                     [("1", "a,b,c", "x"), ("2", "plain", "y")])
+    dest = str(tmp_path / "seq_delim")
+    assert ds.to(SequenceSink(dest, delimiter=",")) == 2
+    back = SequenceSource(dest, delimiter=",", columns=["k", "txt", "tag"]) \
+        .to_datastream(spark)
+    rows = {r["k"]: (r["txt"], r["tag"]) for r in back.collect()}
+    assert rows == {"1": ("a,b,c", "x"), "2": ("plain", "y")}
 
 
 def test_parquet_schema_evolution_merge(spark, tmp_path):
@@ -266,6 +285,19 @@ def test_jdbc_roundtrip_derby(spark, nation, tmp_path):
     assert {r["n_name"] for r in back.collect()} == {
         f"NATION_{i}" for i in range(25)
     }
+
+    # negative keys: Derby MOD(-7,3) = -1 — the double-MOD predicates
+    # must still cover every row (a bare MOD silently dropped them)
+    from eel_spark.datastream import from_values
+
+    neg = from_values(spark, ["k", "v"], [(-7, "a"), (-1, "b"), (0, "c"), (5, "d")])
+    neg_schema = "k BIGINT, v STRING"
+    spark.createDataFrame([(r["k"], r["v"]) for r in neg.collect()], neg_schema) \
+        .write.jdbc(url, "neg_keys", mode="overwrite", properties=props)
+    got = JdbcSource(
+        url, "neg_keys", strategy=HashPartitionStrategy("k", 3), properties=props
+    ).to_datastream(spark)
+    assert sorted(r["k"] for r in got.collect()) == [-7, -1, 0, 5]
 
 
 def test_csv_malformed_modes(spark, tmp_path):
