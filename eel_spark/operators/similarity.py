@@ -17,6 +17,47 @@ from eel_spark.functions import vectors
 from eel_spark.scale import ensure_parallelism
 
 
+def _topk_per_query(
+    scored: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Two-phase exact top-k over a (query, candidate, cos) table.
+
+    Phase 1 ranks within (query, salt) where salt = hash(candidate id)
+    mod ``n_salt`` — n_salt× the parallelism of a per-query window, and
+    per-task row count = |candidates| / n_salt. Phase 2 ranks the
+    surviving n_salt·k rows per query — a bounded input, so the
+    single-reducer-per-query window is harmless. Exact: every global
+    top-k row is by definition in its salt partition's top-k, so phase 1
+    never discards a winner. Replaces the per-query full-corpus
+    single-task sort that a lone Window.partitionBy(query_id) performs
+    on the unsalted cross product (the reference's linear scan —
+    eel-core DataStream.scala:267 cartesian — has the same O(corpus)
+    per-query cost; this is the distributed answer)."""
+    salt_name, rank_name = "__salt", "__lr"
+    while salt_name in scored.columns:
+        salt_name = "_" + salt_name
+    while rank_name in scored.columns:
+        rank_name = "_" + rank_name
+    order = [F.desc("cos"), F.asc(id_col)]
+    w_local = Window.partitionBy(query_id_col, salt_name).orderBy(*order)
+    survivors = (
+        scored.withColumn(salt_name, F.pmod(F.xxhash64(F.col(id_col)), n_salt))
+        .withColumn(rank_name, F.row_number().over(w_local))
+        .filter(F.col(rank_name) <= k)
+        .drop(salt_name, rank_name)
+    )
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def brute_force_topk(
     vectors_df: DataFrame,
     queries_df: DataFrame,
@@ -25,12 +66,15 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     k: int = 10,
     exclude_self: bool = False,
+    n_salt: int = 32,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     queries_df is broadcast (query sets are small relative to the corpus);
-    the per-pair kernel is a JVM fold; the top-k is a rank window
-    partitioned by query — no global sort, no driver collect.
+    the per-pair kernel is a JVM fold; the top-k is the two-phase
+    salted rank (``_topk_per_query``) — per-query work is spread over
+    ``n_salt`` tasks instead of funneling |corpus| rows through one
+    reducer per query. No global sort, no driver collect.
     ``exclude_self`` drops corpus rows whose id equals the query id before
     ranking (for corpus-internal queries).
     """
@@ -48,12 +92,7 @@ def brute_force_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k, n_salt=n_salt)
 
 
 def train_centroids(
@@ -175,9 +214,7 @@ def ivf_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos", "rank")
-    )
+    # probed-cell candidate counts still grow with the corpus (n_probe /
+    # n_cells of it per query) — rank them with the same two-phase salted
+    # top-k as the brute-force path rather than one reducer per query.
+    return _topk_per_query(scored, query_id_col, id_col, k)
