@@ -2,12 +2,15 @@
 with typed metadata, processed by Arrow-batched pandas functions via
 ``mapInPandas``.
 
-The decode kernels are STUBS (the container has no image/audio libraries;
-each stub raises NotImplementedError unless ``fake=True`` substitutes a
-deterministic synthetic result). The Spark-side contract — schemas,
-batch iteration, partition sizing, UDF signatures — is real and tested:
-swapping a stub for PIL/torchaudio changes one inner function, not the
-pipeline.
+Decode kernels: images in PPM (P6) format and audio in raw PCM s16le are
+decoded FOR REAL with pure numpy (no image/audio libraries needed) —
+pixel statistics, nearest-neighbor resize, and sample RMS all operate on
+actual decoded arrays. Formats that genuinely need external codecs
+(JPEG/PNG, compressed audio, video containers) raise NotImplementedError
+unless ``fake=True`` substitutes a deterministic synthetic result; the
+Spark-side contract — schemas, batch iteration, partition sizing, UDF
+signatures — is identical either way, so swapping in PIL/torchaudio
+changes one inner function, not the pipeline.
 
 Scale notes: binary payloads dominate row size, so ``target_rows_per_batch``
 and a ``repartition`` by byte-budget (``pack_by_bytes``) keep Arrow batches
@@ -53,36 +56,127 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 numpy array as a PPM P6 image — the
+    textbook zero-dependency raster format (header ``P6\\n{w} {h}\\n255\\n``
+    followed by row-major RGB bytes)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"P6 needs 3 channels, got {c}")
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode a PPM P6 payload to an (h, w, 3) uint8 numpy array.
+
+    Pure numpy — parses the three whitespace-separated header tokens
+    (``#`` comments allowed per the spec) then views the raster bytes.
+    Raises ValueError on anything that is not a complete 8-bit P6 file.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval; then ONE whitespace byte
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated P6 header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit P6 supported (maxval={maxval})")
+    i += 1  # the single whitespace after maxval
+    raster = payload[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated P6 raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (payload = seeded
-    bytes; metadata consistent with payload size)."""
+    """Deterministic synthetic media table for tests.
+
+    Image rows carry REAL decodable payloads (PPM P6 with a seeded
+    gradient raster, dimensions matching ``meta``); audio rows carry raw
+    PCM s16le samples of a seeded sine-ish wave; video rows keep opaque
+    seeded bytes (no zero-dependency container format exists)."""
+    import numpy as np
+
     rows = []
     for i in range(n):
-        payload = bytes((i * 31 + j) % 256 for j in range(128 + (i % 5) * 64))
+        media_type = ["image", "audio", "video"][i % 3]
+        w, h = 64 + i % 32, 48 + i % 16
+        if media_type == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (xx * 3 + i) % 256,
+                    (yy * 5 + 2 * i) % 256,
+                    (xx + yy + 7 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = encode_ppm(px)
+        elif media_type == "audio":
+            t = np.arange(256 + (i % 5) * 64, dtype=np.float64)
+            wave = np.sin(t * (0.05 + 0.01 * (i % 7))) * (1000 + 100 * i)
+            payload = wave.astype("<i2").tobytes()
+        else:
+            payload = bytes((i * 31 + j) % 256 for j in range(128 + (i % 5) * 64))
         rows.append(
-            (i, payload, ["image", "audio", "video"][i % 3],
-             (64 + i % 32, 48 + i % 16, 1000 * (i % 7), "synthetic"))
+            (i, payload, media_type,
+             (w, h, 1000 * (i % 7), "ppm" if media_type == "image"
+              else ("pcm_s16le" if media_type == "audio" else "synthetic")))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, fake: bool) -> list[float]:
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test double"
-        )
-    # deterministic 8-dim "feature": byte-histogram moments
+def _image_features(payload: bytes, fake: bool) -> list[float]:
+    """8 real statistics of the decoded raster, all in [0, 1): per-channel
+    means and stds, luminance mean, and mean absolute horizontal gradient
+    of luminance (an edge-density proxy). Non-PPM payloads fall back to
+    the deterministic double under ``fake=True`` or fail honestly."""
+    import numpy as np
+
     if payload is None or len(payload) == 0:
         return [0.0] * 8
-    return [float(sum(payload[k::8]) % 997) / 997.0 for k in range(8)]
+    try:
+        px = decode_ppm(payload).astype(np.float64)
+    except ValueError:
+        if not fake:
+            raise NotImplementedError(
+                "non-PPM image decode requires PIL/opencv (not in this "
+                "container); pass fake=True for the deterministic double"
+            )
+        return [float(sum(payload[k::8]) % 997) / 997.0 for k in range(8)]
+    means = px.mean(axis=(0, 1)) / 256.0
+    stds = px.std(axis=(0, 1)) / 128.0
+    lum = px @ np.array([0.299, 0.587, 0.114])
+    grad = np.abs(np.diff(lum, axis=1)).mean() / 256.0 if px.shape[1] > 1 else 0.0
+    return [float(x) for x in (*means, *stds, lum.mean() / 256.0, grad)]
 
 
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """payload → feature vector via Arrow-batched mapInPandas.
 
-    Real plumbing: batch iterator in, batch iterator out, bounded memory;
-    the stub kernel is the only non-production line.
+    PPM (P6) payloads are decoded for real (pure numpy) into pixel
+    statistics; other formats need PIL/opencv and either raise or (with
+    ``fake=True``) use the deterministic double. Batch iterator in, batch
+    iterator out, bounded memory.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,7 +188,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         lambda p: 0 if p is None else len(p)
                     ),
                     "features": pdf["payload"].map(
-                        lambda p: _decode_image_stub(p, fake)
+                        lambda p: _image_features(p, fake)
                     ),
                 }
             )
@@ -115,18 +209,29 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _resize_image_stub(payload: bytes, w: int, h: int, fake: bool) -> bytes:
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test double"
-        )
+def _resize_image(payload: bytes, w: int, h: int, fake: bool) -> bytes:
+    """Real nearest-neighbor resize for P6 payloads (decode → numpy index
+    sampling → re-encode); non-PPM formats fall back to the deterministic
+    double under ``fake=True`` or fail honestly."""
+    import numpy as np
+
     if payload is None:
         return b""
-    # deterministic "resize": truncate/tile payload to w*h bytes
-    target = max(1, (w * h) // 64)
-    reps = (target // max(1, len(payload))) + 1
-    return (payload * reps)[:target]
+    try:
+        px = decode_ppm(payload)
+    except ValueError:
+        if not fake:
+            raise NotImplementedError(
+                "non-PPM image resize requires PIL/opencv (not in this "
+                "container); pass fake=True for the deterministic double"
+            )
+        target = max(1, (w * h) // 64)
+        reps = (target // max(1, len(payload))) + 1
+        return (payload * reps)[:target]
+    sh, sw = px.shape[:2]
+    rows = np.minimum((np.arange(h) * sh) // h, sh - 1)
+    cols = np.minimum((np.arange(w) * sw) // w, sw - 1)
+    return encode_ppm(px[rows][:, cols])
 
 
 def resize_images(
@@ -142,7 +247,7 @@ def resize_images(
                 {
                     "media_id": pdf["media_id"],
                     "payload": pdf["payload"].map(
-                        lambda p: _resize_image_stub(p, width, height, fake)
+                        lambda p: _resize_image(p, width, height, fake)
                     ),
                     "width": width,
                     "height": height,
@@ -155,24 +260,43 @@ def resize_images(
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
     ]
 )
 
 
-def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Audio feature extraction (duration passthrough + RMS-like scalar);
-    stub kernel, real Arrow batch contract."""
+def decode_pcm_s16le(payload: bytes):
+    """Raw PCM s16le → float64 sample array in [-1, 1) — pure numpy (raw
+    PCM has no container to parse; an odd trailing byte means the payload
+    is not sample-aligned and is rejected)."""
+    import numpy as np
 
-    def rms(p: bytes) -> float:
-        if not fake:
-            raise NotImplementedError(
-                "audio decode requires torchaudio/librosa (not in this "
-                "container); pass fake=True for the deterministic double"
-            )
+    if len(payload) % 2:
+        raise ValueError("PCM s16le payload has odd byte length")
+    return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction (duration passthrough + sample RMS).
+
+    Raw PCM s16le payloads are decoded for real (pure numpy); compressed
+    codecs need torchaudio/librosa and either raise or (with
+    ``fake=True``) use the byte-level deterministic double. Real Arrow
+    batch contract either way."""
+
+    def rms(p: bytes, codec) -> float:
         if p is None or len(p) == 0:
             return 0.0
+        if codec == "pcm_s16le":
+            return float((decode_pcm_s16le(p) ** 2).mean() ** 0.5)
+        if not fake:
+            raise NotImplementedError(
+                f"audio decode for codec {codec!r} requires torchaudio/"
+                "librosa (not in this container); pass fake=True for the "
+                "deterministic double"
+            )
         return (sum(b * b for b in p) / len(p)) ** 0.5 / 255.0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,10 +304,16 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
                     "duration_ms": pdf["meta"].map(
                         lambda m: None if m is None else m["duration_ms"]
                     ),
-                    "rms": pdf["payload"].map(rms),
+                    "rms": [
+                        rms(p, None if m is None else m["codec"])
+                        for p, m in zip(pdf["payload"], pdf["meta"])
+                    ],
                 }
             )
 

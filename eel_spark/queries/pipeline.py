@@ -527,24 +527,27 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
 
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str):
-    """Binary-column plumbing: synthetic media table → Arrow-batched
-    mapInPandas feature extraction (stub kernel, real batch contract).
+    """Binary-column plumbing across BOTH decodable modalities: synthetic
+    media table → Arrow-batched mapInPandas kernels that decode for real
+    (PPM P6 pixels, PCM s16le samples — pure numpy, fake=False).
 
-    The gated projection digests the ``array<double>`` feature vector into
-    scalars (count + rounded sum + rounded L2) — the driver's pandas
-    canonicalizer can't sort list cells; library users still get the raw
-    array from ``extract_image_features``.
+    The gated projection digests per-media features into scalars (count +
+    rounded sum + rounded L2) — the driver's pandas canonicalizer can't
+    sort list cells; library users still get the raw arrays.
 
-    Self-verifying batch contract: synth_media payload length is a known
-    function of media_id (128 + (id % 5)·64) and only ids ≡ 0 (mod 3) are
-    images, so the final filter asserts per-row that (a) the Arrow batches
-    kept payloads aligned with their ids, (b) the stub produced exactly 8
-    features, all in [0, 1). Any misalignment or kernel drift drops rows
-    → the driver's row-count check fails."""
+    Self-verifying batch contract, per modality:
+    - image rows (ids ≡ 0 mod 3): payload must be the exact P6 encoding
+      of the meta dims (13-byte header + w·h·3 raster, w = 64 + id%32,
+      h = 48 + id%16), 8 real pixel statistics each in [0, 1);
+    - audio rows (ids ≡ 1 mod 3): payload must be the synth PCM stream
+      ((256 + id%5·64) samples × 2 bytes), sample RMS in [0, 1], and
+      duration_ms must equal the synth formula 1000·(id%7).
+    Any Arrow misalignment or kernel drift drops rows → the driver's
+    row-count check fails."""
     media = multimodal.synth_media(spark, n=64)
-    feats = multimodal.extract_image_features(media, fake=True)
-    return feats.select(
+    img = multimodal.extract_image_features(media).select(
         "media_id",
+        F.lit("image").alias("media_type"),
         "n_bytes",
         F.size("features").alias("n_features"),
         F.round(
@@ -558,10 +561,31 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str):
         ).alias("__n_in_range"),
     ).filter(
         (F.col("media_id") % 3 == 0)
-        & (F.col("n_bytes") == 128 + (F.col("media_id") % 5) * 64)
+        # header "P6\n{w} {h}\n255\n" is 13 bytes for 2-digit dims
+        & (
+            F.col("n_bytes")
+            == 13 + (64 + F.col("media_id") % 32) * (48 + F.col("media_id") % 16) * 3
+        )
         & (F.col("n_features") == 8)
         & (F.col("__n_in_range") == 8)
     ).drop("__n_in_range")
+    aud = multimodal.extract_audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        "n_bytes",
+        F.lit(1).alias("n_features"),
+        F.round("rms", 6).alias("feature_sum"),
+        F.round("rms", 6).alias("feature_l2"),
+        "duration_ms",
+        "rms",
+    ).filter(
+        (F.col("media_id") % 3 == 1)
+        & (F.col("n_bytes") == (256 + F.col("media_id") % 5 * 64) * 2)
+        & (F.col("duration_ms") == 1000 * (F.col("media_id") % 7))
+        & (F.col("rms") >= 0.0)
+        & (F.col("rms") <= 1.0)
+    ).drop("duration_ms", "rms")
+    return img.unionByName(aud)
 
 
 # ---------------------------------------------------------------------------

@@ -1,8 +1,11 @@
-"""Multimodal binary-column plumbing: Arrow batch contracts are real,
-decode kernels are stubs (fake=True doubles; fake=False raises)."""
+"""Multimodal binary-column plumbing. Image (PPM P6) and audio (raw PCM
+s16le) kernels decode for REAL with pure numpy; formats that need
+external codecs (JPEG, compressed audio, video containers) raise unless
+fake=True supplies the deterministic double."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -19,44 +22,101 @@ def test_synth_media_schema(media):
     assert media.count() == 64
 
 
-def test_extract_image_features(media):
-    out = mm.extract_image_features(media, fake=True)
+def test_ppm_round_trip():
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert (mm.decode_ppm(mm.encode_ppm(px)) == px).all()
+    # comments and multi-whitespace headers are legal P6
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + px.tobytes()
+    assert (mm.decode_ppm(with_comment) == px).all()
+    for bad in (b"", b"P5\n1 1\n255\nxxx", b"P6\n2 2\n255\nshort"):
+        with pytest.raises(ValueError):
+            mm.decode_ppm(bad)
+
+
+def test_extract_image_features_real_decode(media):
+    """fake=False works on P6 payloads: features are REAL pixel stats."""
+    out = mm.extract_image_features(media, fake=False)
     rows = out.collect()
     assert len(rows) == 64 // 3 + (64 % 3 > 0)  # every 3rd row is an image
+    metas = {
+        r["media_id"]: r["meta"]
+        for r in media.filter("media_type='image'").select("media_id", "meta").collect()
+    }
     for r in rows:
-        assert r["n_bytes"] > 0
+        w, h = metas[r["media_id"]]["width"], metas[r["media_id"]]["height"]
+        assert r["n_bytes"] == len(f"P6\n{w} {h}\n255\n") + w * h * 3
         assert len(r["features"]) == 8
-        assert all(0.0 <= f <= 1.0 for f in r["features"])
+        assert all(0.0 <= f < 1.0 for f in r["features"])
+    # cross-check one row against a direct numpy decode
+    r0 = next(r for r in rows if r["media_id"] == 0)
+    payload = media.filter("media_id = 0").first()["payload"]
+    px = mm.decode_ppm(bytes(payload)).astype(np.float64)
+    assert r0["features"][0] == pytest.approx(px[..., 0].mean() / 256.0)
+    assert r0["features"][3] == pytest.approx(px[..., 0].std() / 128.0)
 
 
 def test_extract_image_features_deterministic(media):
-    a = {r["media_id"]: r["features"] for r in mm.extract_image_features(media, fake=True).collect()}
-    b = {r["media_id"]: r["features"] for r in mm.extract_image_features(media, fake=True).collect()}
+    a = {r["media_id"]: r["features"] for r in mm.extract_image_features(media).collect()}
+    b = {r["media_id"]: r["features"] for r in mm.extract_image_features(media).collect()}
     assert a == b
 
 
-def test_stub_raises_without_fake(media):
-    with pytest.raises(Exception) as exc:
-        mm.extract_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
+def test_non_ppm_image_raises_without_fake(media, spark):
+    """JPEG-style payloads still need a real codec: honest failure."""
+    jpeg_ish = media.filter("media_type='image'").withColumn(
+        "payload", F.concat(F.lit(bytes([0xFF, 0xD8, 0xFF])), F.col("payload"))
     )
+    with pytest.raises(Exception, match="NotImplementedError|non-PPM"):
+        mm.extract_image_features(jpeg_ish, fake=False).collect()
+    # with fake=True the deterministic double applies instead
+    rows = mm.extract_image_features(jpeg_ish, fake=True).collect()
+    assert all(len(r["features"]) == 8 for r in rows)
 
 
-def test_resize_images(media):
-    out = mm.resize_images(media, width=32, height=32, fake=True).collect()
+def test_resize_images_real(media):
+    out = mm.resize_images(media, width=32, height=24, fake=False).collect()
     assert len(out) > 0
     for r in out:
-        assert r["width"] == 32 and r["height"] == 32
-        assert len(r["payload"]) == (32 * 32) // 64
+        assert r["width"] == 32 and r["height"] == 24
+        px = mm.decode_ppm(bytes(r["payload"]))
+        assert px.shape == (24, 32, 3)
+    # nearest-neighbor: resizing to the same dims is the identity
+    src = mm.synth_media(media.sparkSession, n=3).filter("media_type='image'")
+    row = src.first()
+    w, h = row["meta"]["width"], row["meta"]["height"]
+    same = mm.resize_images(src, width=w, height=h, fake=False).first()
+    assert bytes(same["payload"]) == bytes(row["payload"])
 
 
-def test_extract_audio_features(media):
-    out = mm.extract_audio_features(media, fake=True).collect()
+def test_extract_audio_features_real_pcm(media):
+    out = mm.extract_audio_features(media, fake=False).collect()
     assert len(out) > 0
-    for r in out:
+    by_id = {r["media_id"]: r for r in out}
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("media_type='audio'").collect()
+    }
+    for mid, r in by_id.items():
+        samples = np.frombuffer(payloads[mid], dtype="<i2").astype(np.float64) / 32768.0
+        assert r["rms"] == pytest.approx(float((samples**2).mean() ** 0.5))
         assert 0.0 <= r["rms"] <= 1.0
         assert r["duration_ms"] is not None
+
+
+def test_compressed_audio_raises_without_fake(media):
+    mp3_ish = media.filter("media_type='audio'").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.lit("mp3").alias("codec"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|torchaudio"):
+        mm.extract_audio_features(mp3_ish, fake=False).collect()
+    rows = mm.extract_audio_features(mp3_ish, fake=True).collect()
+    assert all(0.0 <= r["rms"] <= 1.0 for r in rows)
 
 
 def test_frame_sample_plan_prunes_payload(media, spark, tmp_path):
@@ -84,9 +144,6 @@ def test_pack_by_bytes(media):
 def test_sample_video_frames(media, spark):
     """Fan-out explode: one video row → duration/every_ms + 1 frame rows,
     deterministic stub frames, media_id/timestamp contract intact."""
-    import eel_spark.operators.multimodal as mm
-    from pyspark.sql import functions as F
-
     frames = mm.sample_video_frames(media, every_ms=1000, fake=True)
     got = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -110,6 +167,5 @@ def test_sample_video_frames(media, spark):
     assert f0 == f1 and len(f0) > 0
 
     # without fake=True the stub declares itself honestly
-    import pytest
     with pytest.raises(Exception, match="NotImplementedError|video decode"):
         mm.sample_video_frames(media, fake=False).collect()
