@@ -392,6 +392,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Near-dup pairs → duplicate GROUPS: assign every node the minimum
     id reachable through the pair graph (connected components by
@@ -401,8 +402,14 @@ def connected_components(
     labels converge in O(diameter) ≤ O(log n) iterations for the shallow
     star-shaped graphs near-dup pairs form. The driver loop only checks
     a one-row convergence count per iteration (no data on the driver).
-    ``checkpoint``-free: lineage stays shallow because each iteration
-    rebuilds from the persisted edge list, not the previous plan.
+
+    Lineage: per-round ``persist`` keeps COMPUTE shallow but does not
+    truncate the plan — losing a cached partition in round R would
+    recompute the whole chain back to the edges. Every
+    ``checkpoint_interval`` rounds the label table is
+    ``localCheckpoint``-ed (eager), which truncates lineage to the
+    materialized blocks and bounds both recovery cost on executor loss
+    and driver-side plan growth on long chains.
 
     Returns (node id, component label = min id in the component).
     """
@@ -420,18 +427,20 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # candidate label per node: min over (own label, neighbors' labels)
         neighbor = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
-            labels.union(neighbor)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = labels.union(neighbor).groupBy("node").agg(
+            F.min("label").alias("label")
         )
+        if checkpoint_interval > 0 and (i + 1) % checkpoint_interval == 0:
+            # truncate lineage: the checkpointed blocks become the root
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") != F.col("old"))

@@ -245,3 +245,26 @@ def test_connected_components_and_survivors(spark):
         r["doc_id"] for r in survivors_from_pairs(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 10, 20, 99]  # one per component + untouched 99
+
+
+def test_connected_components_long_chain_bounded_plan(spark):
+    """A 50-node chain needs ~49 propagation rounds — the worst case for
+    lineage growth. localCheckpoint every 5 rounds must keep the final
+    plan rooted at materialized blocks (shallow), not a 49-round join
+    chain, while still converging to the exact min-label answer."""
+    from eel_spark.operators.dedup import connected_components
+
+    n = 50
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    out = connected_components(pairs, max_iterations=n + 5)
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert comp == {i: 0 for i in range(n)}
+    # lineage truncated: the optimized plan must not contain the round
+    # joins — after the last checkpoint it is at most checkpoint_interval
+    # rounds deep, so its node count stays far below the unchecked ~49-
+    # round chain (which would carry hundreds of Join/Aggregate nodes)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 10, f"lineage not truncated: {plan[:2000]}"
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:500]
