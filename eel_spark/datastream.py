@@ -287,29 +287,67 @@ class DataStream:
             name = "_" + name
         return name
 
+    def _nth_key_threshold(self, n: int, order_by: Sequence[ColumnLike]):
+        """(order-key struct, 1-row broadcast n-th-smallest key, name).
+
+        The threshold job runs over the KEY COLUMNS ONLY (column-pruned at
+        the scan) as a top-n — per-partition pruning keeps at most n keys
+        per task before the final merge — so no payload row ever passes
+        through a global sort. NULL threshold ⇔ the stream is empty.
+        """
+        kname, tname = self._fresh("__key"), self._fresh("__thr")
+        key = F.struct(*[_col(c) for c in order_by])
+        thr = (
+            self.df.select(key.alias(kname))
+            .sort(kname)
+            .limit(n)
+            .agg(F.max(kname).alias(tname))
+        )
+        return key, F.broadcast(thr), tname
+
     def take(
         self, n: int, order_by: Sequence[ColumnLike] | None = None
     ) -> "DataStream":
         """take (DataStream.scala:165). Without ``order_by`` this is a
         bare ``limit`` — an ARBITRARY n-row subset (fast: Spark stops
         scanning early), not the complement of ``drop(n, order_by)``.
-        Pass ``order_by`` for the deterministic first-n of a total order."""
+
+        With ``order_by``: the first n of the total order, via the
+        key-threshold plan (n-th key from a keys-only top-n aggregate,
+        broadcast, parallel filter ``key ≤ threshold``) — a
+        ``sort().limit(n)`` would fall back to a full global sort with a
+        single-partition GlobalLimit once n exceeds Spark's top-k
+        threshold. ``order_by`` must be a TOTAL order (unique keys, as
+        the reference's arrival order is): rows tied with the n-th key
+        would all be kept."""
         if order_by:
+            key, thr, tname = self._nth_key_threshold(n, order_by)
             return self._wrap(
-                self.df.sort(*[_col(c) for c in order_by]).limit(n)
+                self.df.crossJoin(thr)
+                .filter(key <= F.col(tname))
+                .drop(tname)
             )
         return self._wrap(self.df.limit(n))
 
     def drop(self, n: int, order_by: Sequence[ColumnLike]) -> "DataStream":
         """drop(n) (DataStream.scala:200) over an explicit total order.
 
-        Scale note: OFFSET over a total order is inherently a global
-        operation (Spark funnels the first n+ rows through one task to
-        count them). For large n prefer a key-threshold filter — find the
-        n-th order key with an aggregate, then filter key > threshold —
-        which is what take_while/drop_while do for predicates.
+        Key-threshold plan (the scale answer to OFFSET): find the n-th
+        order key with a keys-only top-n aggregate (per-partition pruning
+        → at most n KEY STRUCTS per task reach the merge, never payload
+        rows), broadcast it, and keep rows strictly beyond it with a
+        parallel filter. A ``sort().offset(n)`` funnels the whole sorted
+        dataset through one task to count n rows past it. Costs one extra
+        column-pruned pass over the key columns — linear and parallel,
+        versus a global sort. ``order_by`` must be a TOTAL order (unique
+        keys): rows tied with the n-th key would all be dropped.
         """
-        return self._wrap(self.df.sort(*[_col(c) for c in order_by]).offset(n))
+        key, thr, tname = self._nth_key_threshold(n, order_by)
+        return self._wrap(
+            self.df.crossJoin(thr)
+            .filter(F.col(tname).isNull() | (key > F.col(tname)))
+            .drop(tname)
+        )
 
     def _prefix_bound(self, predicate: Column | str, order_by: Sequence[ColumnLike]):
         """(order-key struct, 1-row broadcast min key where predicate FAILS).

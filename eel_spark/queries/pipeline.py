@@ -471,7 +471,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
 
 def planted_near_dup_embeddings(emb, n_planted: int = 20, alpha: float = 0.35):
     """Corpus ∪ deterministically-perturbed copies of the first
-    ``n_planted`` vectors (new id = vec_id + 100000).
+    ``n_planted`` vectors (copy id = ``-vec_id - 1``: testdata ids are
+    non-negative, so negative ids can NEVER collide with a real vector at
+    any corpus size — same collision-proof-by-construction rule as the
+    text corpora planting).
 
     The test embeddings are random (max natural pairwise cosine ≈ 0.51 at
     sf0.01), so a near-dup query over them alone proves nothing. The
@@ -480,7 +483,7 @@ def planted_near_dup_embeddings(emb, n_planted: int = 20, alpha: float = 0.35):
     originals — known-answer pairs the operator must recover.
     """
     planted = emb.filter(F.col("vec_id") < n_planted).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (-F.col("vec_id") - 1).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: (
@@ -513,15 +516,14 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
         corpus, "embedding", "vec_id", threshold=0.9,
         bands=8, bits_per_band=8, max_bucket_size=200,
     ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
-    # planted ids are vec_id + 100000 (see planted_near_dup_embeddings —
-    # an offset scheme is fine here: the embeddings table is 500× below
-    # the offset at the largest test SF, and the helper is shared with
-    # tests that assert on the offset); recall < 0.9 empties the result
+    # planted ids are negative (-vec_id - 1, see planted_near_dup_
+    # embeddings), so a planted pair is (id_a = -v-1, id_b = v) under the
+    # id_a < id_b ordering; recall < 0.9 empties the result
     return _gate_on_planted_recall(
         pairs, n_planted=20, min_recall=0.9,
-        planted_pair=(F.col("id_b") == F.col("id_a") + 100000)
-        & (F.col("id_a") < 20),
-        orig_col="id_a",
+        planted_pair=(F.col("id_a") == -F.col("id_b") - 1)
+        & (F.col("id_b") >= 0) & (F.col("id_b") < 20),
+        orig_col="id_b",
     )
 
 

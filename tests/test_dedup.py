@@ -165,7 +165,9 @@ def test_embedding_banded_recall_on_planted_pairs(spark):
         bands=8, bits_per_band=8, max_bucket_size=200,
     ).collect()
     planted_found = {
-        (r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 100000
+        (r["id_a"], r["id_b"])
+        for r in pairs
+        if r["id_a"] == -r["id_b"] - 1 and 0 <= r["id_b"] < 20
     }
     assert len(planted_found) >= 18  # ≥90% of the 20 planted pairs
     for r in pairs:

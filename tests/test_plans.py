@@ -228,3 +228,28 @@ def test_brute_force_topk_rank_is_two_phase_salted(spark):
     win_pos = [m.start() for m in re.finditer(r"Window \[", opt)]
     lr_filter = opt.index("Filter (__lr")
     assert win_pos[0] < lr_filter < win_pos[1], opt
+
+
+def test_ordered_take_drop_no_payload_offset_funnel(spark):
+    """drop(n)/take(n, order) must use the key-threshold plan: the only
+    limit/sort allowed is the keys-only threshold branch (bounded per
+    task); the PAYLOAD rows must flow through a parallel Filter, never a
+    global sort + Offset, for n far past Spark's top-k fallback."""
+    from eel_spark.datastream import DataStream
+
+    ev = DataStream(spark.read.parquet(SF + "/events.parquet"))
+    for op in (lambda d: d.drop(50000, order_by=["event_id"]),
+               lambda d: d.take(50000, order_by=["event_id"])):
+        plan = plan_str(op(ev).df)
+        assert "Offset" not in plan, plan
+        # the payload side ends in a Filter over the broadcast threshold;
+        # any GlobalLimit lives in the keys-only subtree whose scan reads
+        # just the order column
+        if "GlobalLimit" in plan:
+            read_schemas = [
+                seg.splitlines()[0]
+                for seg in plan.split("ReadSchema:")[1:]
+            ]
+            assert any("struct<event_id" in rs and rs.count(",") == 0
+                       for rs in read_schemas), read_schemas
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
