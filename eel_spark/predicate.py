@@ -34,7 +34,11 @@ class Predicate:
     def to_column(self) -> Column:
         raise NotImplementedError
 
-    def to_sql(self) -> str:
+    def to_sql(self, quote_all: bool = False) -> str:
+        """Render a WHERE fragment. ``quote_all=True`` double-quotes every
+        identifier — required against tables Spark's JDBC writer created
+        (quoted, case-sensitive columns); leave False for hand-DDL tables
+        whose unquoted names the engine case-folds."""
         raise NotImplementedError
 
     # combinators, so trees compose fluently like the reference object's
@@ -51,9 +55,30 @@ class Predicate:
 def _sql_lit(value: Any) -> str:
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        import math
+
+        if not math.isfinite(value):
+            # repr(inf)/repr(nan) are not SQL literals; a silent 'inf'
+            # token would fail (or worse, parse as a column) downstream
+            raise ValueError(f"non-finite float {value!r} has no SQL literal")
+        return repr(value)
+    if isinstance(value, int):
         return repr(value)
     return "'" + str(value).replace("'", "''") + "'"
+
+
+def _sql_ident(name: str, quote_all: bool = False) -> str:
+    """Identifier for a WHERE fragment. Unless ``quote_all``, standard-
+    shaped names pass through verbatim so engines that case-fold unquoted
+    identifiers (Derby/Oracle uppercase, Postgres lowercase) resolve them
+    as the caller's DDL did; anything else (spaces, dashes, dots, quotes)
+    is double-quoted with '""' escaping per the SQL standard."""
+    import re
+
+    if not quote_all and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
 
 
 @dataclass(frozen=True)
@@ -65,8 +90,19 @@ class _Comparison(Predicate):
     def fields(self) -> list[str]:
         return [self.name]
 
+    def __post_init__(self):
+        if self.value is None and self.op not in ("=", "!="):
+            raise ValueError(
+                f"NULL only supports equals/not_equals (IS [NOT] NULL), "
+                f"not {self.op!r} — SQL NULL comparisons never match"
+            )
+
     def to_column(self) -> Column:
         c = F.col(self.name)
+        if self.value is None:
+            # col == lit(NULL) is NULL (matches nothing) — the reference
+            # semantics for an equals-null predicate is IS NULL
+            return c.isNull() if self.op == "=" else c.isNotNull()
         return {
             "=": c == self.value,
             "!=": c != self.value,
@@ -76,9 +112,12 @@ class _Comparison(Predicate):
             ">=": c >= self.value,
         }[self.op]
 
-    def to_sql(self) -> str:
+    def to_sql(self, quote_all: bool = False) -> str:
+        ident = _sql_ident(self.name, quote_all)
+        if self.value is None:
+            return f"{ident} IS NULL" if self.op == "=" else f"{ident} IS NOT NULL"
         sql_op = "<>" if self.op == "!=" else self.op
-        return f"{self.name} {sql_op} {_sql_lit(self.value)}"
+        return f"{ident} {sql_op} {_sql_lit(self.value)}"
 
 
 @dataclass(frozen=True)
@@ -91,8 +130,8 @@ class NotPredicate(Predicate):
     def to_column(self) -> Column:
         return ~self.inner.to_column()
 
-    def to_sql(self) -> str:
-        return f"NOT ({self.inner.to_sql()})"
+    def to_sql(self, quote_all: bool = False) -> str:
+        return f"NOT ({self.inner.to_sql(quote_all)})"
 
 
 class _Composite(Predicate):
@@ -121,8 +160,8 @@ class AndPredicate(_Composite):
             col = col & p.to_column()
         return col
 
-    def to_sql(self) -> str:
-        return "(" + " AND ".join(p.to_sql() for p in self.predicates) + ")"
+    def to_sql(self, quote_all: bool = False) -> str:
+        return "(" + " AND ".join(p.to_sql(quote_all) for p in self.predicates) + ")"
 
 
 class OrPredicate(_Composite):
@@ -132,8 +171,8 @@ class OrPredicate(_Composite):
             col = col | p.to_column()
         return col
 
-    def to_sql(self) -> str:
-        return "(" + " OR ".join(p.to_sql() for p in self.predicates) + ")"
+    def to_sql(self, quote_all: bool = False) -> str:
+        return "(" + " OR ".join(p.to_sql(quote_all) for p in self.predicates) + ")"
 
 
 # factory surface mirroring object Predicate (Predicate.scala:94)

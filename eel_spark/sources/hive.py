@@ -34,19 +34,23 @@ from eel_spark.sources.files import Sink, Source
 class HiveSource(Source):
     """HiveSource.scala: read with partition-constraint pushdown.
 
-    ``partition_filter`` is a SQL predicate over partition columns — it
-    prunes partitions at planning time (PartitionFilters in the scan),
-    the Spark equivalent of HiveSource.withPartitionConstraint.
+    ``partition_filter`` is a predicate over partition columns — either a
+    SQL string or a ``Predicate`` tree (eel-core PredicateBuilder.scala:1
+    applied at the hive source). Both compile to a Column before the
+    scan, so Catalyst prunes partitions at planning time (PartitionFilters
+    in the scan) — the Spark equivalent of
+    HiveSource.withPartitionConstraint.
     """
 
     table: str
-    partition_filter: str | None = None
+    partition_filter: object | None = None  # Predicate | str | None
     projection: list[str] | None = None
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
         df = spark.table(self.table)
-        if self.partition_filter:
-            df = df.filter(self.partition_filter)
+        if self.partition_filter is not None:
+            pf = self.partition_filter
+            df = df.filter(pf.to_column() if hasattr(pf, "to_column") else pf)
         if self.projection:
             df = df.select(*self.projection)
         return DataStream(df)

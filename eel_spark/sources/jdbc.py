@@ -104,24 +104,46 @@ class BucketPartitionStrategy(JdbcPartitionStrategy):
 
 @dataclass
 class JdbcSource(Source):
-    """JdbcSource.scala: url + query/table, fetch size, partitioning."""
+    """JdbcSource.scala: url + query/table, fetch size, partitioning.
+
+    ``where`` (a ``Predicate`` tree or raw SQL fragment — the reference's
+    PredicateBuilder.scala:1 applied at the JDBC source) is rendered into
+    the dbtable subquery, so the DATABASE evaluates it: only matching
+    rows ever cross the wire, instead of Spark filtering after a full
+    table transfer."""
 
     url: str
     table: str  # table name or "(SELECT ...) AS q" subquery
     strategy: JdbcPartitionStrategy = dc_field(default_factory=SinglePartitionStrategy)
     fetch_size: int = 1000
     properties: dict[str, str] = dc_field(default_factory=dict)
+    where: Any = None  # Predicate | str | None
+    # Spark's JDBC writer creates quoted case-sensitive columns, so
+    # predicates against round-tripped tables must quote; set False for
+    # hand-DDL tables whose unquoted names the engine case-folds
+    quote_where_identifiers: bool = True
+
+    def _read_table(self) -> str:
+        if self.where is None:
+            return self.table
+        sql = (
+            self.where.to_sql(quote_all=self.quote_where_identifiers)
+            if hasattr(self.where, "to_sql")
+            else str(self.where)
+        )
+        return f"(SELECT * FROM {self.table} WHERE {sql}) eel_flt"
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
         props = {"fetchsize": str(self.fetch_size), **self.properties}
         preds = self.strategy.predicates()
+        table = self._read_table()
         if preds is not None:
             df = spark.read.jdbc(
-                self.url, self.table, predicates=preds, properties=props
+                self.url, table, predicates=preds, properties=props
             )
         else:
             kwargs = self.strategy.reader_kwargs()
-            df = spark.read.jdbc(self.url, self.table, properties=props, **kwargs)
+            df = spark.read.jdbc(self.url, table, properties=props, **kwargs)
         return DataStream(df)
 
 

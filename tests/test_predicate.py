@@ -72,3 +72,38 @@ def test_empty_composite_rejected():
         P.and_()
     with _pytest.raises(ValueError, match="at least one predicate"):
         P.or_()
+
+
+def test_to_sql_identifier_quoting_and_nulls():
+    """ADVICE round 4: odd identifiers quote with '""' escaping, NULL
+    renders as IS (NOT) NULL on both compile targets, non-finite floats
+    and NULL under ordering operators are rejected outright."""
+    import math
+
+    import pytest
+
+    from eel_spark import predicate as P
+
+    assert P.equals("plain_name", 1).to_sql() == "plain_name = 1"
+    assert P.equals("odd name", 1).to_sql() == '"odd name" = 1'
+    assert P.equals('we"ird', 1).to_sql() == '"we""ird" = 1'
+    assert P.gt("k", 5).to_sql(quote_all=True) == '"k" > 5'
+
+    assert P.equals("c", None).to_sql() == "c IS NULL"
+    assert P.not_equals("c", None).to_sql() == "c IS NOT NULL"
+    with pytest.raises(ValueError, match="NULL"):
+        P.gt("c", None)
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError, match="non-finite"):
+            P.equals("c", bad).to_sql()
+
+
+def test_null_predicate_compiles_to_is_null(spark):
+    from eel_spark import predicate as P
+    from eel_spark.datastream import from_values
+
+    ds = from_values(spark, ["k", "v"], [(1, "a"), (2, None), (3, "b")])
+    got = ds.df.filter(P.equals("v", None).to_column()).collect()
+    assert [r["k"] for r in got] == [2]
+    got = ds.df.filter(P.not_equals("v", None).to_column()).collect()
+    assert sorted(r["k"] for r in got) == [1, 3]

@@ -561,3 +561,61 @@ def test_avro_roundtrip_when_jar_present(spark, nation, tmp_path):
     back = AvroSource(out).to_datastream(spark)
     assert back.df.count() == 25
     assert set(back.field_names) == set(nation.field_names)
+
+
+def test_jdbc_where_predicate_filters_db_side(spark, nation, tmp_path):
+    """JdbcSource(where=Predicate) renders into the dbtable subquery so
+    the DATABASE evaluates it — the read returns (and transfers) only
+    matching rows. Works composed with a partition strategy."""
+    from eel_spark import predicate as P
+    from eel_spark.sources import HashPartitionStrategy, JdbcSink, JdbcSource
+
+    url = f"jdbc:derby:{tmp_path}/wheredb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    assert nation.to(
+        JdbcSink(url, "nation_w", mode="overwrite", properties=props)
+    ) == 25
+
+    pred = P.gt("n_nationkey", 9) & P.not_equals("n_regionkey", 2)
+    src = JdbcSource(url, "nation_w", where=pred, properties=props)
+    # the filter is part of the table expression Spark hands the DB
+    assert 'WHERE ("n_nationkey" > 9 AND "n_regionkey" <> 2)' in src._read_table()
+    got = src.to_datastream(spark)
+    expect = {
+        r["n_nationkey"]
+        for r in nation.collect()
+        if r["n_nationkey"] > 9 and r["n_regionkey"] != 2
+    }
+    assert {r["n_nationkey"] for r in got.collect()} == expect
+
+    # composes with partitioned reads: same rows, 3 residue partitions
+    part = JdbcSource(
+        url, "nation_w", where=pred,
+        strategy=HashPartitionStrategy("n_nationkey", 3), properties=props,
+    ).to_datastream(spark)
+    assert {r["n_nationkey"] for r in part.collect()} == expect
+    assert part.df.rdd.getNumPartitions() == 3
+
+
+def test_hive_partition_filter_predicate_prunes(spark):
+    """HiveSource(partition_filter=Predicate) must prune partitions at
+    planning time: the scan's PartitionFilters carries the predicate and
+    only matching partition directories are read."""
+    from eel_spark import predicate as P
+    from eel_spark.sources.hive import HiveSource
+
+    spark.sql("DROP TABLE IF EXISTS eel_test_pf")
+    df = spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS bucket")
+    df.write.mode("overwrite").partitionBy("bucket").saveAsTable("eel_test_pf")
+    try:
+        src = HiveSource("eel_test_pf", partition_filter=P.equals("bucket", "2"))
+        ds = src.to_datastream(spark)
+        assert sorted(r["id"] for r in ds.collect()) == list(range(2, 40, 4))
+        plan = ds.df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # pruned at the scan: only ONE of the four partition dirs is read
+        assert "partitions read: 1" in plan or "PushedFilters" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eel_test_pf")
