@@ -308,3 +308,82 @@ def test_streaming_corpus_prep_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_corpus_prep_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once ACROSS RESTART, not just within one run: the corpus-
+    prep stream is stopped mid-input and a NEW query object resumes from
+    the same checkpoint. The second wave contains verbatim duplicates of
+    first-wave documents — they only dedup correctly if the state store
+    (seen fingerprints + agg state) survived the restart. Final
+    accounting must equal the batch run over ALL input."""
+    from eel_spark.functions import text as TX
+    from eel_spark.streaming import streaming_corpus_prep
+
+    src = spark.read.parquet(SF + "/documents.parquet")
+    schema = src.schema
+    rows = src.limit(40).collect()
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "resume_out")
+
+    def add_wave(name, wave_rows):
+        spark.createDataFrame(wave_rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        agg = streaming_corpus_prep(docs, min_tokens=10, watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda b, bid: b.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "resume_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: two files, then the query terminates (the "kill")
+    add_wave("w0", rows[:10])
+    add_wave("w1", rows[10:20])
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) > 0
+
+    # wave 2: fresh docs + VERBATIM duplicates of wave-1 texts under new
+    # ids — only surviving dedup state can drop them after the restart
+    dupes = [
+        row.__class__(-row["doc_id"] - 1, row["text"], row["lang"],
+                      row["source"], row["n_chars"])
+        for row in rows[:10]
+    ]
+    add_wave("w2", rows[20:40])
+    add_wave("w3", dupes)
+    run_once()  # NEW query object, SAME checkpoint → resume, not replay
+
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        spark.read.parquet(str(in_dir / "*"))
+        .withColumn("n_tokens", TX.token_count("text"))
+        .filter(F.col("n_tokens") >= 10)
+        .withColumn("fp", TX.fingerprint(TX.normalized_text("text")))
+        .dropDuplicates(["fp"])
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"))
+    )
+    want = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_tokens"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
