@@ -99,16 +99,29 @@ def _apply_uri_opts(cls, kwargs: dict, opts: dict) -> dict:
     return kwargs
 
 
-def _jdbc_parts(path: str, opts: dict) -> tuple[str, str, dict]:
+def _jdbc_parts(path: str, opts: dict, cls) -> tuple[str, str, dict]:
     """(url, table, kwargs) from a ``jdbc:`` URI — the scheme prefix is
     part of the JDBC URL itself, the table rides as a ``?table=`` option
-    and an optional ``?driver=`` becomes a connection property."""
+    and an optional ``?driver=`` becomes a connection property.
+
+    The conventional single-'?' spelling mixes driver params into the
+    same query string (``jdbc:mysql://h/db?useSSL=false&table=t``):
+    anything that is not a field of the eel component is re-attached to
+    the JDBC URL instead of erroring as an unknown eel option."""
+    import dataclasses
+    from urllib.parse import urlencode
+
     tbl = opts.pop("table", None)
     if not tbl:
         raise SystemExit("jdbc URIs need ?table=<name> (or a subquery)")
     driver = opts.pop("driver", None)
     kwargs = {"properties": {"driver": driver}} if driver else {}
-    return f"jdbc:{path}", tbl, kwargs
+    eel_fields = {f.name for f in dataclasses.fields(cls)}
+    driver_params = {k: opts.pop(k) for k in list(opts) if k not in eel_fields}
+    url = f"jdbc:{path}"
+    if driver_params:
+        url += ("&" if "?" in url else "?") + urlencode(driver_params)
+    return url, tbl, kwargs
 
 
 def _source(uri: str):
@@ -120,7 +133,7 @@ def _source(uri: str):
     if fmt == "jdbc":
         from eel_spark.sources import JdbcSource
 
-        url, tbl, kwargs = _jdbc_parts(path, opts)
+        url, tbl, kwargs = _jdbc_parts(path, opts, JdbcSource)
         return JdbcSource(url, tbl, **_apply_uri_opts(JdbcSource, kwargs, opts))
     cls = _SOURCES[fmt]
     return cls(path, **_apply_uri_opts(cls, {}, opts))
@@ -138,7 +151,7 @@ def _sink(uri: str, args: argparse.Namespace):
     if fmt == "jdbc":
         from eel_spark.sources import JdbcSink
 
-        url, tbl, kwargs = _jdbc_parts(path, opts)
+        url, tbl, kwargs = _jdbc_parts(path, opts, JdbcSink)
         return JdbcSink(url, tbl, **_apply_uri_opts(JdbcSink, kwargs, opts))
     if fmt not in _SINKS:
         raise SystemExit(f"unsupported sink format: {fmt}")

@@ -45,8 +45,14 @@ class DataStream:
     DataStream.scala:438,270,739).
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, _pinned: list | None = None):
         self.df = df
+        # DataFrames persisted on this stream's behalf by operators that
+        # need a stable intermediate (zip_with_index, concat): tracked so
+        # unpersist() can release executor storage once the consuming
+        # action has run — a persist with no release handle leaks storage
+        # for the session lifetime
+        self._pinned: list = list(_pinned or [])
 
     # -- schema ------------------------------------------------------------
     @property
@@ -61,7 +67,9 @@ class DataStream:
         self.df.printSchema()
 
     def _wrap(self, df: DataFrame) -> "DataStream":
-        return DataStream(df)
+        # propagate pinned intermediates down the chain so the terminal
+        # stream's unpersist() releases every cache built on its behalf
+        return DataStream(df, _pinned=self._pinned)
 
     # -- row-wise transforms ----------------------------------------------
     def map_field(self, name: str, fn: ColumnLike | Callable[[Column], Column]) -> "DataStream":
@@ -427,7 +435,9 @@ class DataStream:
             .withColumn(name, F.col(off) + F.col(loc))
             .drop(pid, off, mid, loc)
         )
-        return self._wrap(out)
+        res = self._wrap(out)
+        res._pinned.append(parted)  # released by the consumer's unpersist()
+        return res
 
     def concat(
         self, other: "DataStream",
@@ -442,9 +452,17 @@ class DataStream:
         idx = self._fresh("__zip_idx")
         while idx in other.df.columns:
             idx = "_" + idx
-        left = self.zip_with_index(idx, order_left).df
-        right = other.zip_with_index(idx, order_right).df
-        return self._wrap(left.join(right, idx, "inner").drop(idx))
+        left = self.zip_with_index(idx, order_left)
+        right = other.zip_with_index(idx, order_right)
+        res = self._wrap(left.df.join(right.df, idx, "inner").drop(idx))
+        # both sides' range-partitioned intermediates release with ours
+        # (identity-deduped: each side's list already carries upstream pins)
+        seen = {id(df) for df in res._pinned}
+        for df in left._pinned + right._pinned:
+            if id(df) not in seen:
+                res._pinned.append(df)
+                seen.add(id(df))
+        return res
 
     # -- combining streams -------------------------------------------------
     def union(self, other: "DataStream") -> "DataStream":
@@ -556,6 +574,19 @@ class DataStream:
 
     def persist(self) -> "DataStream":
         self.df.persist()
+        return self
+
+    def unpersist(self, blocking: bool = False) -> "DataStream":
+        """Release this stream's cache AND any intermediates persisted on
+        its behalf (zip_with_index's range-partitioned table, concat's two
+        index sides). Call after the consuming action completes; without
+        it, repeated pipeline runs accumulate executor storage for the
+        session lifetime (``spark.catalog.clearCache()`` is the blunt
+        session-wide alternative)."""
+        self.df.unpersist(blocking)
+        for df in self._pinned:
+            df.unpersist(blocking)
+        self._pinned.clear()
         return self
 
     # -- actions -----------------------------------------------------------

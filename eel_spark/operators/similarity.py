@@ -152,12 +152,18 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFra
     row_number-over-window produced, without an Exchange+sort per
     assignment (the window shuffled the full corpus once per k-means
     round and once per IVF corpus prep)."""
+    # fresh helper name: a user column literally named __cents would be
+    # overwritten by the crossJoin and then dropped — the collision class
+    # fixed everywhere else with _fresh/_salt_col
+    cents = "__cents"
+    while cents in df.columns:
+        cents = "_" + cents
     packed = centroids.agg(
-        F.collect_list(F.struct("cell_id", "centroid")).alias("__cents")
+        F.collect_list(F.struct("cell_id", "centroid")).alias(cents)
     )
     best = F.array_min(
         F.transform(
-            "__cents",
+            cents,
             lambda c: F.struct(
                 vectors.l2_distance(F.col(vec_expr), c["centroid"]).alias("dist"),
                 c["cell_id"].alias("cell_id"),
@@ -167,7 +173,7 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFra
     return (
         df.crossJoin(F.broadcast(packed))
         .withColumn("cell_id", best["cell_id"])
-        .drop("__cents")
+        .drop(cents)
     )
 
 

@@ -308,10 +308,19 @@ def stream_stream_interval_join(
     rejects it) and unselectable (ambiguous reference).
     """
     # rename right-side collisions BEFORE the join; the watermark column
-    # must be renamed first so the watermark attaches to the final name
-    renames = {
-        c: f"{c}_right" for c in right.columns if c != key and c in left.columns
-    }
+    # must be renamed first so the watermark attaches to the final name.
+    # The suffixed candidate can itself collide (right already holding
+    # both v and v_right) — keep suffixing until it is free on BOTH sides
+    taken = set(left.columns) | set(right.columns)
+    renames: dict[str, str] = {}
+    for c in right.columns:
+        if c == key or c not in left.columns:
+            continue
+        new = f"{c}_right"
+        while new in taken:
+            new += "_right"
+        renames[c] = new
+        taken.add(new)
     r_renamed = right
     for old, new in renames.items():
         r_renamed = r_renamed.withColumnRenamed(old, new)

@@ -179,3 +179,28 @@ def test_jdbc_uri_keeps_driver_query_params():
     assert fmt == "jdbc"
     assert path == "mysql://host/db?useSSL=false&serverTimezone=UTC"
     assert opts == {"table": "t", "fetch_size": "500"}
+
+
+def test_jdbc_uri_single_question_mark_routes_driver_params():
+    """ADVICE round 4: the conventional single-'?' spelling mixes driver
+    params with eel options in one query string — unknown-to-eel keys
+    must be re-attached to the JDBC URL, not die as unknown options."""
+    from eel_spark.cli import _jdbc_parts, _split_format
+    from eel_spark.sources import JdbcSource
+
+    fmt, path, opts = _split_format(
+        "jdbc:mysql://host/db?useSSL=false&table=t&fetch_size=500"
+    )
+    assert fmt == "jdbc"
+    url, tbl, kwargs = _jdbc_parts(path, opts, JdbcSource)
+    assert tbl == "t"
+    assert url == "jdbc:mysql://host/db?useSSL=false"
+    assert opts == {"fetch_size": "500"}  # only eel keys remain
+
+    # the double-'?' spelling still works and composes with leftovers
+    fmt, path, opts = _split_format(
+        "jdbc:mysql://host/db?useSSL=false?table=t&ssl=on"
+    )
+    url, tbl, _ = _jdbc_parts(path, opts, JdbcSource)
+    assert url == "jdbc:mysql://host/db?useSSL=false&ssl=on"
+    assert tbl == "t" and opts == {}

@@ -399,3 +399,27 @@ def test_take_with_order_is_drop_complement(spark):
     first = {r["k"] for r in ds.take(2, order_by=["k"]).collect()}
     rest = {r["k"] for r in ds.drop(2, order_by=["k"]).collect()}
     assert first == {1, 2} and rest == {3, 4, 5}
+
+
+def test_unpersist_releases_pinned_intermediates(spark):
+    """ADVICE round 4: zip_with_index/concat persist a range-partitioned
+    intermediate with no release handle — executor storage leaked for the
+    session lifetime. unpersist() on the consuming stream must release
+    both its own cache and every pinned intermediate."""
+    from eel_spark.datastream import from_values
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+
+    base = n_cached()
+    left = from_values(spark, ["k"], [(i,) for i in range(100)])
+    right = from_values(spark, ["v"], [(i * 10,) for i in range(100)])
+    zipped = left.concat(right, order_left=["k"], order_right=["v"])
+    assert zipped.count() == 100  # action materializes the two pinned sides
+    assert len(zipped._pinned) == 2
+    assert n_cached() >= base + 2
+    zipped.unpersist(blocking=True)
+    assert len(zipped._pinned) == 0
+    assert n_cached() <= base
