@@ -115,14 +115,24 @@ def train_centroids(
     )
     if sample_mod > 1:
         v = v.filter(F.pmod(F.xxhash64(F.col("__id")), sample_mod) == 0)
-    # deterministic seeds: first vector in each of n_cells hash buckets
+    # deterministic seeds: the min-id vector in each of n_cells hash
+    # buckets — groupBy + min_by is a map-side-combinable aggregate, so
+    # seed selection never funnels the (unsampled) corpus into n_cells
+    # sorted partitions the way a partitionBy(cell_id) row_number window
+    # would (each such task sorted |corpus|/n_cells rows: a scale-killer)
     seeded = v.withColumn("cell_id", F.pmod(F.xxhash64(F.col("__id")), n_cells))
-    w = Window.partitionBy("cell_id").orderBy("__id")
-    centroids = (
-        seeded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cell_id", F.col("__v").alias("centroid"))
+    centroids = seeded.groupBy("cell_id").agg(
+        F.min_by("__v", "__id").alias("centroid")
     )
+    # mean update: posexplode + groupBy(cell, pos).avg looks like it blows
+    # the corpus up dim×, but the exploded rows are NEVER shuffled — the
+    # map-side partial aggregate collapses each task to n_cells×dim rows
+    # before the exchange, so shuffle volume is O(n_cells·dim·tasks)
+    # regardless of corpus size. The array-native alternative (one
+    # groupBy(cell_id) with dim per-element avg accumulators) was measured
+    # SLOWER at 8× and 64× sf0.1 (2.70 s vs 1.80 s; 4.72 s vs 3.71 s for 3
+    # rounds — SURVEY §8): 2·dim aggregate buffers per group cost more than
+    # generating the pipelined exploded rows. Kept the measured winner.
     for _ in range(iterations):
         assigned = _assign_cells(v, centroids, "__v")
         centroids = (

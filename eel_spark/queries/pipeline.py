@@ -430,7 +430,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     empties the result. Measured 0.86 at sf0.01 / 0.96 at sf0.001 with
     16 cells, n_probe=6 (scanning ~3/8 of the corpus per query)."""
     emb = table(spark, sf_dir, "embeddings").df
-    cents = similarity.train_centroids(emb, n_cells=16, iterations=2)
+    # sample_mod=4: centroid training scans ~1/4 of the corpus — seeds and
+    # means only need a representative sample, never the full table (the
+    # full-corpus default was the last unsampled training scan in a gated
+    # query; recall gate below re-verified at sf0.001/0.01/0.1 after the
+    # change)
+    cents = similarity.train_centroids(emb, n_cells=16, iterations=2, sample_mod=4)
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

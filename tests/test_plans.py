@@ -167,6 +167,25 @@ def test_quality_metrics_projection_boundary_holds(spark):
     assert opt.count("split(text") <= 3, opt
 
 
+def test_train_centroids_has_no_window(spark):
+    """The WHOLE training plan — seed selection AND every mean-update
+    round — must be aggregate-shaped (map-side combinable), never a
+    partitionBy(cell_id) window: a window shuffles the full (unsampled)
+    corpus into n_cells partitions and sorts each, collapsing parallelism
+    to n_cells at 100 TB. The posexplode in the mean update is fine ONLY
+    because the partial aggregate collapses each task to n_cells×dim rows
+    before the exchange — assert that partial agg is actually there."""
+    from eel_spark.operators import similarity
+    from eel_spark.queries.tables import table
+
+    emb = table(spark, SF, "embeddings").df
+    cents = similarity.train_centroids(emb, n_cells=4, iterations=2)
+    plan = plan_str(cents)
+    assert "Window" not in plan, plan
+    assert "row_number" not in plan, plan
+    assert "partial_avg" in plan, plan
+
+
 def test_ivf_assignment_has_no_window(spark):
     """Centroid assignment is a broadcast fold + array_min, not a
     row_number window — no Exchange+sort of the corpus per assignment."""
