@@ -166,21 +166,28 @@ def minhash_near_duplicates(
     Verification joins the shingle sets back only for LSH candidates —
     the expensive exact Jaccard runs on a bounded pair set.
 
-    The (id, shingles) and (id, sig) tables are persisted: the plan uses
-    each in 2-3 branches (band join, both signature rejoins, both shingle
-    rejoins), and recomputing shingling per branch dominates runtime.
-    Both tables are O(corpus) narrow rows — at 100 TB you'd stage them to
-    a table; MEMORY_AND_DISK is the single-job equivalent. Spark's
-    ContextCleaner reclaims the blocks once the DataFrames are dropped.
+    The (id, shingles) and (id, sig) tables are pinned (tracked persist,
+    eel_spark/caching.py): the plan uses each in 2-3 branches (band join,
+    both signature rejoins, both shingle rejoins), and recomputing
+    shingling per branch dominates runtime. Both tables are O(corpus)
+    narrow rows — at 100 TB you'd stage them to a table; MEMORY_AND_DISK
+    is the single-job equivalent. The caches are freed by
+    ``caching.release_pins()`` — which the query registry invokes on the
+    next query build — not by waiting on GC (cached plans are held by the
+    CacheManager until an explicit unpersist).
     """
-    from pyspark import StorageLevel
+    from eel_spark.caching import pin
 
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig_tbl = shingled.select(
-        id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingled = pin(
+        ensure_parallelism(df).select(
+            F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
+        )
+    )
+    sig_tbl = pin(
+        shingled.select(
+            id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
+        )
+    )
     cands = _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -404,16 +411,28 @@ def connected_components(
     a one-row convergence count per iteration (no data on the driver).
 
     Lineage: per-round ``persist`` keeps COMPUTE shallow but does not
-    truncate the plan — losing a cached partition in round R would
-    recompute the whole chain back to the edges. Every
-    ``checkpoint_interval`` rounds the label table is
-    ``localCheckpoint``-ed (eager), which truncates lineage to the
-    materialized blocks and bounds both recovery cost on executor loss
-    and driver-side plan growth on long chains.
+    truncate the plan — the driver-side plan grows every round and
+    losing a cached partition in round R recomputes the chain back to
+    the edges. Every ``checkpoint_interval`` rounds the label table is
+    checkpointed to truncate lineage. When a checkpoint directory is
+    configured (``sc.setCheckpointDir``) this is a RELIABLE
+    ``checkpoint()`` — blocks live in the checkpoint dir, so executor
+    loss recovers by re-reading them. Without one it falls back to
+    ``localCheckpoint()``, which stores blocks only on executors:
+    lineage is truncated, so losing an executor there makes the labels
+    unrecoverable and fails the job (acceptable single-process/local;
+    set a checkpoint dir on a real cluster). Checkpointed rounds are
+    freed by GC of the checkpoint files / ContextCleaner, not by
+    ``unpersist()`` (which is a no-op for checkpointed blocks).
 
-    Returns (node id, component label = min id in the component).
+    Returns (node id, component label = min id in the component). The
+    final label table is left pinned (it fed the convergence probe);
+    the pin is tracked for ``caching.release_pins()`` so registry
+    queries free it on the next build.
     """
     from pyspark import StorageLevel
+
+    from eel_spark.caching import track
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -437,8 +456,14 @@ def connected_components(
             F.min("label").alias("label")
         )
         if checkpoint_interval > 0 and (i + 1) % checkpoint_interval == 0:
-            # truncate lineage: the checkpointed blocks become the root
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # truncate lineage: the checkpointed blocks become the root.
+            # Reliable checkpoint when a dir is configured (survives
+            # executor loss); localCheckpoint otherwise (see docstring).
+            sc = new_labels.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                new_labels = new_labels.checkpoint(eager=True)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
@@ -452,6 +477,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    track(labels)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

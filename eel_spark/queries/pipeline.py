@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from eel_spark.datastream import DataStream
 from eel_spark.functions import text as TX
 from eel_spark.operators import dedup, multimodal, similarity
+from eel_spark.caching import pin
 from eel_spark.queries.registry import query
 from eel_spark.queries.tables import table
 
@@ -356,12 +357,11 @@ def _gate_on_planted_recall(
     schemes differ between the text and embedding corpora).
 
     ``pairs`` feeds two plan branches (the recall aggregate and the
-    output crossJoin); it is persisted so the LSH pipeline behind it runs
-    once, not once per branch — the pair set is tiny, the pipeline is
-    not."""
-    from pyspark import StorageLevel
-
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    output crossJoin); it is pinned (persist + registry-tracked release —
+    registry.pin) so the LSH pipeline behind it runs once, not once per
+    branch — the pair set is tiny, the pipeline is not — and the cache is
+    freed when the next registry query is built."""
+    pairs = pin(pairs)
     recall = (
         pairs.filter(planted_pair)
         .select(orig_col).distinct()
@@ -439,13 +439,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    from pyspark import StorageLevel
-
-    # ivf feeds the per-query recall aggregate AND the output join —
-    # persist so centroid training + probing run once, not per branch
-    ivf = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ivf feeds the per-query recall aggregate AND the output join — pin
+    # (persist + registry-tracked release) so centroid training + probing
+    # run once, not per branch
+    ivf = pin(similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6))
     bf = similarity.brute_force_topk(emb, queries, k=10).select(
         "query_id", "vec_id"
     )

@@ -12,6 +12,12 @@ from pyspark.sql import SparkSession
 QUERIES: dict = {}
 ORACLE: dict = {}
 
+# tracked-persist plumbing (see eel_spark/caching.py): queries and the
+# operators beneath them pin multiply-read intermediates; building any
+# registry query first releases the previous build's pins, so N
+# in-session runs hold O(1) executor storage.
+from eel_spark.caching import pin, release_pins  # noqa: F401
+
 
 def query(name: str, oracle: str | None = None):
     """Register a query function; unwraps DataStream returns to DataFrame."""
@@ -20,6 +26,7 @@ def query(name: str, oracle: str | None = None):
         def wrapped(spark: SparkSession, sf_dir: str):
             from eel_spark.datastream import DataStream
 
+            release_pins()
             out = fn(spark, sf_dir)
             return out.df if isinstance(out, DataStream) else out
 
