@@ -35,6 +35,35 @@ def _cond(c: Column | str) -> Column:
     return c if isinstance(c, Column) else F.expr(c)
 
 
+def _order_key(order_by: Sequence[ColumnLike]) -> Column:
+    """Build the lexicographic order-key struct for the key-threshold /
+    prefix-bound plans, rejecting SortOrder expressions up front.
+
+    ``F.col("k").desc()`` / ``F.asc(...)`` are SORT DIRECTIVES, not
+    values — wrapped in a struct they fail only at action time with an
+    opaque codegen INTERNAL_ERROR. These plans compare the struct with
+    ``<``/``>``, which is ascending by construction; express a
+    descending order by transforming the key instead (negate a numeric,
+    invert a timestamp) so the comparison direction stays uniform."""
+    for c in order_by:
+        if isinstance(c, Column):
+            node = getattr(c, "_jc", None)
+            is_sort = False
+            try:
+                is_sort = node.node().getClass().getSimpleName() == "SortOrder"
+            except Exception:
+                is_sort = repr(c).endswith(("NULLS LAST'>", "NULLS FIRST'>"))
+            if is_sort:
+                raise ValueError(
+                    f"order_by entry {c!r} is a SortOrder (desc()/asc()); "
+                    "take/drop/take_while/drop_while order keys are "
+                    "compared ascending as struct VALUES - pass plain "
+                    "columns, and express 'descending' by inverting the "
+                    "key itself (e.g. -col for numerics)"
+                )
+    return F.struct(*[_col(c) for c in order_by])
+
+
 class DataStream:
     """Fluent, lazy, Catalyst-backed table of rows.
 
@@ -304,7 +333,7 @@ class DataStream:
         through a global sort. NULL threshold ⇔ the stream is empty.
         """
         kname, tname = self._fresh("__key"), self._fresh("__thr")
-        key = F.struct(*[_col(c) for c in order_by])
+        key = _order_key(order_by)
         thr = (
             self.df.select(key.alias(kname))
             .sort(kname)
@@ -366,7 +395,7 @@ class DataStream:
         correct on a laptop, dead at 100 TB.
         """
         bname = self._fresh("__bound")
-        key = F.struct(*[_col(c) for c in order_by])
+        key = _order_key(order_by)
         bound = self.df.filter(~_cond(predicate)).agg(F.min(key).alias(bname))
         return key, F.broadcast(bound), bname
 
@@ -582,7 +611,15 @@ class DataStream:
         index sides). Call after the consuming action completes; without
         it, repeated pipeline runs accumulate executor storage for the
         session lifetime (``spark.catalog.clearCache()`` is the blunt
-        session-wide alternative)."""
+        session-wide alternative).
+
+        Pins are SHARED between streams derived from the same
+        ``zip_with_index``/``concat`` ancestor (``_wrap`` hands each
+        derivation the same pinned DataFrames): unpersisting one sibling
+        evicts the cache the others still read. That is always safe —
+        their actions recompute the range-partitioned intermediate — but
+        costs the cache hit, so unpersist only after the LAST sibling's
+        action (or accept the recompute)."""
         self.df.unpersist(blocking)
         for df in self._pinned:
             df.unpersist(blocking)

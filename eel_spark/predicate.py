@@ -34,11 +34,18 @@ class Predicate:
     def to_column(self) -> Column:
         raise NotImplementedError
 
-    def to_sql(self, quote_all: bool = False) -> str:
-        """Render a WHERE fragment. ``quote_all=True`` double-quotes every
+    def to_sql(self, quote_all: bool = False, quote: str = '"') -> str:
+        """Render a WHERE fragment. ``quote_all=True`` quotes every
         identifier — required against tables Spark's JDBC writer created
         (quoted, case-sensitive columns); leave False for hand-DDL tables
-        whose unquoted names the engine case-folds."""
+        whose unquoted names the engine case-folds.
+
+        ``quote`` picks the identifier-quoting dialect: ``'"'`` (SQL
+        standard — Derby/Postgres/Oracle/H2), ``'`'`` (MySQL/MariaDB
+        default sql_mode, where ``"col"`` is a STRING LITERAL and a
+        double-quoted identifier silently compares a constant), or
+        ``'['`` (SQL Server brackets). ``JdbcSource`` derives this from
+        the JDBC URL scheme automatically."""
         raise NotImplementedError
 
     # combinators, so trees compose fluently like the reference object's
@@ -68,16 +75,22 @@ def _sql_lit(value: Any) -> str:
     return "'" + str(value).replace("'", "''") + "'"
 
 
-def _sql_ident(name: str, quote_all: bool = False) -> str:
+def _sql_ident(name: str, quote_all: bool = False, quote: str = '"') -> str:
     """Identifier for a WHERE fragment. Unless ``quote_all``, standard-
     shaped names pass through verbatim so engines that case-fold unquoted
     identifiers (Derby/Oracle uppercase, Postgres lowercase) resolve them
     as the caller's DDL did; anything else (spaces, dashes, dots, quotes)
-    is double-quoted with '""' escaping per the SQL standard."""
+    is quoted in the requested dialect — ``'"'`` standard double quotes
+    ('""' escaping), ``'`'`` MySQL backticks ('``' escaping), ``'['``
+    SQL Server brackets (']]' escaping)."""
     import re
 
     if not quote_all and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         return name
+    if quote == "`":
+        return "`" + name.replace("`", "``") + "`"
+    if quote == "[":
+        return "[" + name.replace("]", "]]") + "]"
     return '"' + name.replace('"', '""') + '"'
 
 
@@ -112,8 +125,8 @@ class _Comparison(Predicate):
             ">=": c >= self.value,
         }[self.op]
 
-    def to_sql(self, quote_all: bool = False) -> str:
-        ident = _sql_ident(self.name, quote_all)
+    def to_sql(self, quote_all: bool = False, quote: str = '"') -> str:
+        ident = _sql_ident(self.name, quote_all, quote)
         if self.value is None:
             return f"{ident} IS NULL" if self.op == "=" else f"{ident} IS NOT NULL"
         sql_op = "<>" if self.op == "!=" else self.op
@@ -130,8 +143,8 @@ class NotPredicate(Predicate):
     def to_column(self) -> Column:
         return ~self.inner.to_column()
 
-    def to_sql(self, quote_all: bool = False) -> str:
-        return f"NOT ({self.inner.to_sql(quote_all)})"
+    def to_sql(self, quote_all: bool = False, quote: str = '"') -> str:
+        return f"NOT ({self.inner.to_sql(quote_all, quote)})"
 
 
 class _Composite(Predicate):
@@ -160,8 +173,10 @@ class AndPredicate(_Composite):
             col = col & p.to_column()
         return col
 
-    def to_sql(self, quote_all: bool = False) -> str:
-        return "(" + " AND ".join(p.to_sql(quote_all) for p in self.predicates) + ")"
+    def to_sql(self, quote_all: bool = False, quote: str = '"') -> str:
+        return "(" + " AND ".join(
+            p.to_sql(quote_all, quote) for p in self.predicates
+        ) + ")"
 
 
 class OrPredicate(_Composite):
@@ -171,8 +186,10 @@ class OrPredicate(_Composite):
             col = col | p.to_column()
         return col
 
-    def to_sql(self, quote_all: bool = False) -> str:
-        return "(" + " OR ".join(p.to_sql(quote_all) for p in self.predicates) + ")"
+    def to_sql(self, quote_all: bool = False, quote: str = '"') -> str:
+        return "(" + " OR ".join(
+            p.to_sql(quote_all, quote) for p in self.predicates
+        ) + ")"
 
 
 # factory surface mirroring object Predicate (Predicate.scala:94)

@@ -27,11 +27,34 @@ from eel_spark.datastream import DataStream
 from eel_spark.sources.files import Sink, Source
 
 
+def quote_char_for_url(url: str) -> str:
+    """Identifier-quote dialect for a JDBC URL's engine.
+
+    MySQL/MariaDB (default sql_mode, no ANSI_QUOTES) parse ``"col"`` as a
+    STRING LITERAL — a double-quoted identifier there silently compares a
+    constant and returns wrong (typically zero) rows with no error — so
+    they get backticks; SQL Server gets brackets; everything else
+    (Derby/Postgres/Oracle/H2/DB2) takes standard double quotes."""
+    low = url.lower()
+    scheme = low.split(":")[1] if low.startswith("jdbc:") and low.count(":") >= 2 else ""
+    if scheme in ("mysql", "mariadb"):
+        return "`"
+    if scheme == "sqlserver":
+        return "["
+    return '"'
+
+
+def _ident(name: str, quote: str = '"') -> str:
+    from eel_spark.predicate import _sql_ident
+
+    return _sql_ident(name, quote_all=True, quote=quote)
+
+
 class JdbcPartitionStrategy:
     def reader_kwargs(self) -> dict[str, Any]:
         return {}
 
-    def predicates(self) -> list[str] | None:
+    def predicates(self, quote: str = '"') -> list[str] | None:
         return None
 
 
@@ -69,15 +92,17 @@ class HashPartitionStrategy(JdbcPartitionStrategy):
     column: str
     num_partitions: int
 
-    def predicates(self) -> list[str]:
-        # ANSI-quoted: Spark's JDBC writer creates case-sensitive quoted
-        # columns, so an unquoted reference would be case-folded by the DB.
+    def predicates(self, quote: str = '"') -> list[str]:
+        # quoted in the engine's dialect (JdbcSource derives it from the
+        # URL): Spark's JDBC writer creates case-sensitive quoted columns,
+        # so an unquoted reference would be case-folded by the DB.
         # Double-MOD normalizes negative residues (most engines return
         # MOD(-7,3) = -1, which would match NO partition predicate and
         # silently drop every negative-key row).
         n = self.num_partitions
+        ident = _ident(self.column, quote)
         return [
-            f'MOD(MOD("{self.column}", {n}) + {n}, {n}) = {i}' for i in range(n)
+            f"MOD(MOD({ident}, {n}) + {n}, {n}) = {i}" for i in range(n)
         ]
 
 
@@ -88,7 +113,7 @@ class BucketPartitionStrategy(JdbcPartitionStrategy):
     column: str
     buckets: list[list[Any]] = dc_field(default_factory=list)
 
-    def predicates(self) -> list[str]:
+    def predicates(self, quote: str = '"') -> list[str]:
         # same quote-doubling as JdbcStoredProcSource._literal: an
         # unescaped O'Brien is a syntax error AND an injection vector
         def fmt(v: Any) -> str:
@@ -96,8 +121,9 @@ class BucketPartitionStrategy(JdbcPartitionStrategy):
                 return "'" + v.replace("'", "''") + "'"
             return str(v)
 
+        ident = _ident(self.column, quote)
         return [
-            f'"{self.column}" IN ({", ".join(fmt(v) for v in bucket)})'
+            f'{ident} IN ({", ".join(fmt(v) for v in bucket)})'
             for bucket in self.buckets
         ]
 
@@ -120,14 +146,21 @@ class JdbcSource(Source):
     where: Any = None  # Predicate | str | None
     # Spark's JDBC writer creates quoted case-sensitive columns, so
     # predicates against round-tripped tables must quote; set False for
-    # hand-DDL tables whose unquoted names the engine case-folds
+    # hand-DDL tables whose unquoted names the engine case-folds. The
+    # QUOTE STYLE is derived from the URL scheme (quote_char_for_url):
+    # backticks for mysql/mariadb, brackets for sqlserver, standard
+    # double quotes otherwise — double-quoting against MySQL's default
+    # sql_mode would silently compare a string constant.
     quote_where_identifiers: bool = True
 
     def _read_table(self) -> str:
         if self.where is None:
             return self.table
         sql = (
-            self.where.to_sql(quote_all=self.quote_where_identifiers)
+            self.where.to_sql(
+                quote_all=self.quote_where_identifiers,
+                quote=quote_char_for_url(self.url),
+            )
             if hasattr(self.where, "to_sql")
             else str(self.where)
         )
@@ -135,7 +168,7 @@ class JdbcSource(Source):
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
         props = {"fetchsize": str(self.fetch_size), **self.properties}
-        preds = self.strategy.predicates()
+        preds = self.strategy.predicates(quote_char_for_url(self.url))
         table = self._read_table()
         if preds is not None:
             df = spark.read.jdbc(

@@ -423,3 +423,23 @@ def test_unpersist_releases_pinned_intermediates(spark):
     zipped.unpersist(blocking=True)
     assert len(zipped._pinned) == 0
     assert n_cached() <= base
+
+
+def test_take_drop_reject_sort_order_expressions(spark):
+    """F.col('k').desc() in order_by used to die at action time with an
+    opaque codegen INTERNAL_ERROR (the SortOrder wrapped in F.struct);
+    now it's a clear ValueError at plan time, with the workaround named."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eel_spark.datastream import from_values
+
+    ds = from_values(spark, ["k"], [(1,), (2,), (3,)])
+    for bad in (F.col("k").desc(), F.asc("k")):
+        with pytest.raises(ValueError, match="SortOrder"):
+            ds.take(1, order_by=[bad])
+        with pytest.raises(ValueError, match="invert"):
+            ds.drop(1, order_by=[bad])
+    # the documented workaround: invert the key itself
+    got = ds.take(1, order_by=[-F.col("k")]).collect()
+    assert [r["k"] for r in got] == [3]

@@ -107,3 +107,46 @@ def test_null_predicate_compiles_to_is_null(spark):
     assert [r["k"] for r in got] == [2]
     got = ds.df.filter(P.not_equals("v", None).to_column()).collect()
     assert sorted(r["k"] for r in got) == [1, 3]
+
+
+def test_to_sql_dialect_quoting():
+    """MySQL's default sql_mode parses "col" as a string literal — a
+    double-quoted identifier silently compares a constant. The quote
+    parameter renders backticks / brackets per dialect, with the
+    dialect's own escape doubling."""
+    from eel_spark import predicate as P
+
+    p = P.gt("n_nationkey", 9)
+    assert p.to_sql(quote_all=True, quote="`") == "`n_nationkey` > 9"
+    assert p.to_sql(quote_all=True, quote="[") == "[n_nationkey] > 9"
+    assert P.equals("we`ird", 1).to_sql(quote="`") == "`we``ird` = 1"
+    assert P.equals("we]ird", 1).to_sql(quote="[") == "[we]]ird] = 1"
+    # composites thread the dialect through every leaf
+    tree = (P.gt("a", 1) & ~P.equals("b", "x")).to_sql(quote_all=True, quote="`")
+    assert tree == "(`a` > 1 AND NOT (`b` = 'x'))"
+
+
+def test_jdbc_quote_char_from_url():
+    from eel_spark.sources.jdbc import (
+        BucketPartitionStrategy,
+        HashPartitionStrategy,
+        JdbcSource,
+        quote_char_for_url,
+    )
+    from eel_spark import predicate as P
+
+    assert quote_char_for_url("jdbc:mysql://h/db") == "`"
+    assert quote_char_for_url("jdbc:mariadb://h/db") == "`"
+    assert quote_char_for_url("jdbc:sqlserver://h;databaseName=db") == "["
+    assert quote_char_for_url("jdbc:derby:memory:x;create=true") == '"'
+    assert quote_char_for_url("jdbc:postgresql://h/db") == '"'
+
+    src = JdbcSource("jdbc:mysql://h/db", "t", where=P.gt("n_nationkey", 9))
+    assert "`n_nationkey` > 9" in src._read_table()
+    # partition-strategy predicates run DB-side too — same dialect
+    assert HashPartitionStrategy("k", 2).predicates("`")[0].startswith(
+        "MOD(MOD(`k`, 2)"
+    )
+    assert BucketPartitionStrategy("k", [[1, 2]]).predicates("`") == [
+        "`k` IN (1, 2)"
+    ]
