@@ -107,40 +107,174 @@ def decode_ppm(payload: bytes):
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _rgb_to_ycbcr(px):
+    """Full-range BT.601 RGB → YCbCr, uint8 in/out (pure numpy)."""
+    import numpy as np
+
+    r, g, b = (px[..., k].astype(np.float64) for k in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.stack([y, cb, cr], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(px):
+    """Inverse of ``_rgb_to_ycbcr`` (±1 rounding per channel)."""
+    import numpy as np
+
+    y = px[..., 0].astype(np.float64)
+    cb = px[..., 1].astype(np.float64) - 128.0
+    cr = px[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (4, 1)) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB array as YUV4MPEG2 (y4m), C444.
+
+    y4m is the zero-dependency video container: one ASCII header line
+    (``YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C444``) then per frame a
+    ``FRAME`` line followed by raw Y, Cb, Cr planes (C444 = no chroma
+    subsampling, so each plane is w·h bytes). RGB is converted to full-
+    range BT.601 YCbCr; ``decode_y4m``/``y4m_frame`` invert it."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[-1] != 3:
+        raise ValueError(f"need (n, h, w, 3) frames, got shape {arr.shape}")
+    n, h, w, _ = arr.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode("ascii")]
+    for k in range(n):
+        ycc = _rgb_to_ycbcr(arr[k])
+        # planar: full Y plane, then Cb, then Cr
+        out.append(b"FRAME\n" + ycc.transpose(2, 0, 1).tobytes())
+    return b"".join(out)
+
+
+def parse_y4m(payload: bytes) -> dict:
+    """Parse a y4m stream header → dict(width, height, fps_num, fps_den,
+    n_frames, data_offset, frame_stride). C444 only (the format this
+    module emits); other chroma modes raise ValueError — pure numpy has
+    no business resampling 4:2:0 chroma here."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = fps_num = fps_den = None
+    chroma = "420"  # the spec's default when no C param is present
+    for tok in payload[len(b"YUV4MPEG2"):nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            fps_num, fps_den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if chroma != "444":
+        raise ValueError(
+            f"only C444 y4m is supported (got C{chroma}); chroma-subsampled "
+            "streams need a real decoder"
+        )
+    frame_bytes = 3 * w * h
+    stride = len(b"FRAME\n") + frame_bytes
+    data_offset = nl + 1
+    body = len(payload) - data_offset
+    if body % stride:
+        raise ValueError("truncated y4m stream (partial frame)")
+    n_frames = body // stride
+    # frames with parameters on the FRAME line would break the constant
+    # stride — verify every frame marker where we expect it
+    for k in range(n_frames):
+        off = data_offset + k * stride
+        if payload[off : off + 6] != b"FRAME\n":
+            raise ValueError(f"y4m frame {k} has parameters or is misaligned")
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fps_num or 25,
+        "fps_den": fps_den or 1,
+        "n_frames": n_frames,
+        "data_offset": data_offset,
+        "frame_stride": stride,
+    }
+
+
+def y4m_frame(payload: bytes, k: int):
+    """Decode frame ``k`` of a C444 y4m stream to (h, w, 3) uint8 RGB —
+    indexes straight into the plane bytes, so extracting one frame never
+    materializes the others."""
+    import numpy as np
+
+    info = parse_y4m(payload)
+    if not 0 <= k < info["n_frames"]:
+        raise IndexError(f"frame {k} out of range 0..{info['n_frames'] - 1}")
+    w, h = info["width"], info["height"]
+    off = info["data_offset"] + k * info["frame_stride"] + len(b"FRAME\n")
+    planes = np.frombuffer(payload[off : off + 3 * w * h], dtype=np.uint8)
+    return _ycbcr_to_rgb(planes.reshape(3, h, w).transpose(1, 2, 0))
+
+
+def decode_y4m(payload: bytes):
+    """Decode ALL frames of a C444 y4m stream to (n, h, w, 3) uint8 RGB."""
+    import numpy as np
+
+    info = parse_y4m(payload)
+    return np.stack(
+        [y4m_frame(payload, k) for k in range(info["n_frames"])]
+    ) if info["n_frames"] else np.zeros(
+        (0, info["height"], info["width"], 3), dtype=np.uint8
+    )
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests.
 
-    Image rows carry REAL decodable payloads (PPM P6 with a seeded
-    gradient raster, dimensions matching ``meta``); audio rows carry raw
-    PCM s16le samples of a seeded sine-ish wave; video rows keep opaque
-    seeded bytes (no zero-dependency container format exists)."""
+    Every modality carries a REAL decodable payload: images are PPM P6
+    with a seeded gradient raster (dimensions matching ``meta``); audio
+    is raw PCM s16le samples of a seeded sine-ish wave; video is a
+    YUV4MPEG2 (C444) stream at 4 fps — quarter-resolution seeded
+    gradient frames, one per 250 ms of ``duration_ms`` (a 0-duration
+    video still carries one frame)."""
     import numpy as np
+
+    def gradient(w_, h_, seed):
+        yy, xx = np.mgrid[0:h_, 0:w_]
+        return np.stack(
+            [
+                (xx * 3 + seed) % 256,
+                (yy * 5 + 2 * seed) % 256,
+                (xx + yy + 7 * seed) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
 
     rows = []
     for i in range(n):
         media_type = ["image", "audio", "video"][i % 3]
         w, h = 64 + i % 32, 48 + i % 16
         if media_type == "image":
-            yy, xx = np.mgrid[0:h, 0:w]
-            px = np.stack(
-                [
-                    (xx * 3 + i) % 256,
-                    (yy * 5 + 2 * i) % 256,
-                    (xx + yy + 7 * i) % 256,
-                ],
-                axis=-1,
-            ).astype(np.uint8)
-            payload = encode_ppm(px)
+            payload = encode_ppm(gradient(w, h, i))
         elif media_type == "audio":
             t = np.arange(256 + (i % 5) * 64, dtype=np.float64)
             wave = np.sin(t * (0.05 + 0.01 * (i % 7))) * (1000 + 100 * i)
             payload = wave.astype("<i2").tobytes()
         else:
-            payload = bytes((i * 31 + j) % 256 for j in range(128 + (i % 5) * 64))
+            dur, fps = 1000 * (i % 7), 4
+            n_frames = max(1, dur * fps // 1000)
+            vw, vh = w // 4, h // 4
+            payload = encode_y4m(
+                np.stack([gradient(vw, vh, i + 13 * t) for t in range(n_frames)]),
+                fps=(fps, 1),
+            )
         rows.append(
             (i, payload, media_type,
              (w, h, 1000 * (i % 7), "ppm" if media_type == "image"
-              else ("pcm_s16le" if media_type == "audio" else "synthetic")))
+              else ("pcm_s16le" if media_type == "audio" else "y4m")))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -356,17 +490,32 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _decode_frame_stub(payload: bytes, ts_ms: int, fake: bool) -> bytes:
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/opencv (not in this container); "
-            "pass fake=True for the deterministic test double"
-        )
+def _decode_frame(payload: bytes, ts_ms: int, fake: bool) -> bytes:
+    """Frame nearest ``ts_ms``, re-encoded as PPM P6 so sampled frames
+    feed straight back into the image kernels (extract_image_features /
+    resize_images). y4m payloads decode FOR REAL (pure numpy); container
+    formats (mp4/mkv/webm) need ffmpeg and either raise or, with
+    ``fake=True``, use the timestamp-keyed deterministic double."""
     if payload is None or len(payload) == 0:
         return b""
-    # deterministic "frame": a timestamp-keyed slice of the payload
-    start = ts_ms % max(1, len(payload))
-    return (payload[start:] + payload[:start])[:32]
+    try:
+        info = parse_y4m(payload)
+    except ValueError:
+        if not fake:
+            raise NotImplementedError(
+                "non-y4m video decode requires ffmpeg/opencv (not in this "
+                "container); pass fake=True for the deterministic double"
+            )
+        # deterministic "frame": a timestamp-keyed slice of the payload
+        start = ts_ms % max(1, len(payload))
+        return (payload[start:] + payload[:start])[:32]
+    if info["n_frames"] == 0:
+        return b""
+    idx = min(
+        info["n_frames"] - 1,
+        ts_ms * info["fps_num"] // (1000 * info["fps_den"]),
+    )
+    return encode_ppm(y4m_frame(payload, idx))
 
 
 def sample_video_frames(
@@ -379,7 +528,8 @@ def sample_video_frames(
     payload is carried through ONE mapInPandas that explodes to frames —
     batch iterator in/out, so a 2 GB video with 300 sampled frames never
     materializes all frames of a batch's videos at once beyond the yielded
-    frame rows. Decode kernel is the stub; the explode contract is real.
+    frame rows. y4m payloads decode for real; other containers are
+    gated behind ``fake`` (see ``_decode_frame``).
     """
     planned = df.filter(F.col("media_type") == "video").select(
         "media_id",
@@ -401,7 +551,7 @@ def sample_video_frames(
                 for ts in ts_list:
                     ids.append(mid)
                     tss.append(int(ts))
-                    frames.append(_decode_frame_stub(payload, int(ts), fake))
+                    frames.append(_decode_frame(payload, int(ts), fake))
             yield pd.DataFrame({"media_id": ids, "frame_ts_ms": tss, "frame": frames})
 
     return planned.mapInPandas(run, FRAME_SCHEMA)

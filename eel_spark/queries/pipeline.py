@@ -529,11 +529,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("multimodal_image_features")
-def multimodal_image_features(spark: SparkSession, sf_dir: str):
-    """Binary-column plumbing across BOTH decodable modalities: synthetic
-    media table → Arrow-batched mapInPandas kernels that decode for real
-    (PPM P6 pixels, PCM s16le samples — pure numpy, fake=False).
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str):
+    """Binary-column plumbing across ALL THREE modalities: synthetic
+    media table → Arrow-batched mapInPandas kernels that decode real
+    bytes (PPM P6 pixels, PCM s16le samples, YUV4MPEG2 C444 video frames
+    — pure numpy, fake=False everywhere).
 
     The gated projection digests per-media features into scalars (count +
     rounded sum + rounded L2) — the driver's pandas canonicalizer can't
@@ -545,9 +546,13 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str):
       h = 48 + id%16), 8 real pixel statistics each in [0, 1);
     - audio rows (ids ≡ 1 mod 3): payload must be the synth PCM stream
       ((256 + id%5·64) samples × 2 bytes), sample RMS in [0, 1], and
-      duration_ms must equal the synth formula 1000·(id%7).
-    Any Arrow misalignment or kernel drift drops rows → the driver's
-    row-count check fails."""
+      duration_ms must equal the synth formula 1000·(id%7);
+    - video rows (ids ≡ 2 mod 3, duration > 0): y4m at 4 fps sampled
+      every 1000 ms must yield exactly id%7 + 1 frames, each re-encoded
+      as a valid quarter-resolution P6 (13 + 3·(w div 4)·(h div 4)
+      bytes) whose 8 decoded-pixel statistics are each in [0, 1).
+    Any Arrow misalignment or kernel/codec drift drops rows → the
+    driver's row-count check fails."""
     media = multimodal.synth_media(spark, n=64)
     img = multimodal.extract_image_features(media).select(
         "media_id",
@@ -589,7 +594,56 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str):
         & (F.col("rms") >= 0.0)
         & (F.col("rms") <= 1.0)
     ).drop("duration_ms", "rms")
-    return img.unionByName(aud)
+    # video: sample real y4m frames, re-encoded as P6, then push each
+    # frame back through the IMAGE kernel — one contract gate covers the
+    # whole y4m → RGB → PPM → pixel-statistics chain
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    frame_feats = multimodal.extract_image_features(
+        frames.select(
+            "media_id",
+            F.col("frame").alias("payload"),
+            F.lit("image").alias("media_type"),
+        )
+    )
+    vw = F.floor((64 + F.col("media_id") % 32) / 4)
+    vh = F.floor((48 + F.col("media_id") % 16) / 4)
+    vid = (
+        frame_feats.select(
+            "media_id",
+            "n_bytes",
+            F.size("features").alias("__nf"),
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v).alias("__fs"),
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v * v).alias("__fq"),
+            F.size(
+                F.filter("features", lambda v: (v >= 0.0) & (v < 1.0))
+            ).alias("__inr"),
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_frames"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.sum("__nf").alias("n_features"),
+            F.min("__inr").alias("__min_inr"),
+            F.round(F.sum("__fs"), 6).alias("feature_sum"),
+            F.round(F.sqrt(F.sum("__fq")), 6).alias("feature_l2"),
+        )
+        .filter(
+            (F.col("media_id") % 3 == 2)
+            & (F.col("__n_frames") == F.col("media_id") % 7 + 1)
+            & (F.col("n_bytes") == F.col("__n_frames") * (13 + 3 * vw * vh))
+            & (F.col("n_features") == 8 * F.col("__n_frames"))
+            & (F.col("__min_inr") == 8)
+        )
+        .select(
+            "media_id",
+            F.lit("video").alias("media_type"),
+            "n_bytes",
+            F.col("n_features").cast("int").alias("n_features"),
+            "feature_sum",
+            "feature_l2",
+        )
+    )
+    return img.unionByName(aud).unionByName(vid)
 
 
 # ---------------------------------------------------------------------------
