@@ -14,7 +14,14 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from eel_spark.datastream import DataStream
-from eel_spark.queries.tables import sql_cents, cents, money_sum, sql_money_sum, table
+from eel_spark.queries.tables import (
+    cents,
+    money_sum,
+    sql_cents,
+    sql_money_sum,
+    table,
+    table_via_orc,
+)
 from eel_spark.queries.registry import query
 
 
@@ -33,9 +40,14 @@ WHERE p_size >= 25 AND p_type <> 'PROMO'
 @query("ops_project_derive", _OPS_DERIVE_SQL)
 def ops_project_derive(spark: SparkSession, sf_dir: str) -> DataStream:
     """projection + filter + add_field + rename_field + remove_fields —
-    all column pruning/pushdown-friendly (scan reads 5 columns only)."""
+    all column pruning/pushdown-friendly (scan reads 5 columns only).
+
+    Input deliberately flows through the ORC layer (``table_via_orc``):
+    every other oracled query scans parquet, so this row is the
+    correctness gate's coverage of the ORC source/sink — pushdown and
+    pruning apply identically (ORC SearchArguments)."""
     return (
-        table(spark, sf_dir, "part")
+        table_via_orc(spark, sf_dir, "part")
         .filter("p_size >= 25 AND p_type <> 'PROMO'")
         .add_field("sale_price", expr=F.round(F.col("p_retailprice") * 0.9, 4))
         .add_field("brand", expr=F.upper("p_brand"))

@@ -29,6 +29,26 @@ TABLES = [
 ]
 
 
+def table_via_orc(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
+    """Load a test table through the ORC layer: the parquet original is
+    copied to ORC (OrcSink) once per (sf_dir, table), then read back with
+    OrcSource. Exists so at least one ORACLED query scans a non-parquet
+    format end-to-end — a format-layer regression then flips a
+    CORRECTNESS row, not just a round-trip pytest. The copy is cached on
+    _SUCCESS (testdata is immutable) and lives under the system tmpdir."""
+    import hashlib
+    import os
+    import tempfile
+
+    from eel_spark.sources.files import OrcSink, OrcSource
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "eel_spark_orc", key, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        OrcSink(path).write(table(spark, sf_dir, name))
+    return OrcSource(path).to_datastream(spark)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark only reads

@@ -272,3 +272,14 @@ def test_ordered_take_drop_no_payload_offset_funnel(spark):
             assert any("struct<event_id" in rs and rs.count(",") == 0
                        for rs in read_schemas), read_schemas
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ops_project_derive_scans_orc_with_pushdown(spark):
+    """This oracled query deliberately reads through the ORC layer (the
+    format-coverage row of the correctness gate): the scan must be ORC
+    and still carry pushed filters + pruned columns."""
+    plan = plan_str(QUERIES["ops_project_derive"](spark, SF))
+    assert "orc" in plan.lower(), plan
+    assert "PushedFilters: [" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_retailprice" in read_schema and "p_name" not in read_schema
