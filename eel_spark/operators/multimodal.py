@@ -188,11 +188,13 @@ def parse_y4m(payload: bytes) -> dict:
         raise ValueError("truncated y4m stream (partial frame)")
     n_frames = body // stride
     # frames with parameters on the FRAME line would break the constant
-    # stride — verify every frame marker where we expect it
-    for k in range(n_frames):
-        off = data_offset + k * stride
-        if payload[off : off + 6] != b"FRAME\n":
-            raise ValueError(f"y4m frame {k} has parameters or is misaligned")
+    # stride. Verifying EVERY marker here would make header parsing
+    # O(n_frames) — and frame sampling O(n_frames²) for long videos — so
+    # only frame 0 is checked eagerly; ``y4m_frame`` verifies the marker
+    # of the frame it actually extracts (any parameterized frame shifts
+    # all later offsets, so the next extraction fails loudly).
+    if n_frames and payload[data_offset : data_offset + 6] != b"FRAME\n":
+        raise ValueError("y4m frame 0 has parameters or is misaligned")
     return {
         "width": w,
         "height": h,
@@ -214,7 +216,10 @@ def y4m_frame(payload: bytes, k: int):
     if not 0 <= k < info["n_frames"]:
         raise IndexError(f"frame {k} out of range 0..{info['n_frames'] - 1}")
     w, h = info["width"], info["height"]
-    off = info["data_offset"] + k * info["frame_stride"] + len(b"FRAME\n")
+    off = info["data_offset"] + k * info["frame_stride"]
+    if payload[off : off + 6] != b"FRAME\n":
+        raise ValueError(f"y4m frame {k} has parameters or is misaligned")
+    off += len(b"FRAME\n")
     planes = np.frombuffer(payload[off : off + 3 * w * h], dtype=np.uint8)
     return _ycbcr_to_rgb(planes.reshape(3, h, w).transpose(1, 2, 0))
 
