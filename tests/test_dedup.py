@@ -270,3 +270,36 @@ def test_connected_components_long_chain_bounded_plan(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 10, f"lineage not truncated: {plan[:2000]}"
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:500]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, the lineage-truncation branch
+    uses reliable checkpoint() (files on disk, survives executor loss)
+    instead of localCheckpoint, and the labels are identical."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.operators.dedup import connected_components
+
+    pairs = spark.range(19).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    expect = {(i, 0) for i in range(20)}
+
+    def run():
+        got = connected_components(pairs, max_iterations=30, checkpoint_interval=3)
+        return {(r["node"], r["component"]) for r in got.collect()}
+
+    assert run() == expect  # no dir: localCheckpoint fallback
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    try:
+        assert run() == expect
+        import os
+
+        found = any(fs for _, _, fs in os.walk(ckdir))
+        assert found, "reliable checkpoint wrote no files"
+    finally:
+        # other tests assume no checkpoint dir; reset to the fallback
+        getattr(spark._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.apply(None)
+        )
