@@ -324,26 +324,34 @@ class DataStream:
             name = "_" + name
         return name
 
-    def _nth_key_threshold(self, n: int, order_by: Sequence[ColumnLike]):
-        """(order-key struct, 1-row broadcast n-th-smallest key, name).
+    def _nth_key_threshold(
+        self, n: int, order_by: Sequence[ColumnLike], descending: bool = False
+    ):
+        """(order-key struct, 1-row broadcast n-th key in the requested
+        direction, name).
 
         The threshold job runs over the KEY COLUMNS ONLY (column-pruned at
         the scan) as a top-n — per-partition pruning keeps at most n keys
         per task before the final merge — so no payload row ever passes
         through a global sort. NULL threshold ⇔ the stream is empty.
+        ``descending`` flips both the top-n direction and the extremum
+        (n-th LARGEST key instead of n-th smallest).
         """
         kname, tname = self._fresh("__key"), self._fresh("__thr")
         key = _order_key(order_by)
         thr = (
             self.df.select(key.alias(kname))
-            .sort(kname)
+            .sort(F.col(kname).desc() if descending else F.col(kname))
             .limit(n)
-            .agg(F.max(kname).alias(tname))
+            .agg((F.min if descending else F.max)(kname).alias(tname))
         )
         return key, F.broadcast(thr), tname
 
     def take(
-        self, n: int, order_by: Sequence[ColumnLike] | None = None
+        self,
+        n: int,
+        order_by: Sequence[ColumnLike] | None = None,
+        descending: bool = False,
     ) -> "DataStream":
         """take (DataStream.scala:165). Without ``order_by`` this is a
         bare ``limit`` — an ARBITRARY n-row subset (fast: Spark stops
@@ -356,17 +364,22 @@ class DataStream:
         single-partition GlobalLimit once n exceeds Spark's top-k
         threshold. ``order_by`` must be a TOTAL order (unique keys, as
         the reference's arrival order is): rows tied with the n-th key
-        would all be kept."""
+        would all be kept. ``descending=True`` takes the LAST n of the
+        ascending order (all keys reversed together; per-key mixed
+        directions aren't expressible with one struct comparison — invert
+        individual keys instead)."""
         if order_by:
-            key, thr, tname = self._nth_key_threshold(n, order_by)
-            return self._wrap(
-                self.df.crossJoin(thr)
-                .filter(key <= F.col(tname))
-                .drop(tname)
-            )
+            key, thr, tname = self._nth_key_threshold(n, order_by, descending)
+            keep = key >= F.col(tname) if descending else key <= F.col(tname)
+            return self._wrap(self.df.crossJoin(thr).filter(keep).drop(tname))
         return self._wrap(self.df.limit(n))
 
-    def drop(self, n: int, order_by: Sequence[ColumnLike]) -> "DataStream":
+    def drop(
+        self,
+        n: int,
+        order_by: Sequence[ColumnLike],
+        descending: bool = False,
+    ) -> "DataStream":
         """drop(n) (DataStream.scala:200) over an explicit total order.
 
         Key-threshold plan (the scale answer to OFFSET): find the n-th
@@ -378,11 +391,13 @@ class DataStream:
         column-pruned pass over the key columns — linear and parallel,
         versus a global sort. ``order_by`` must be a TOTAL order (unique
         keys): rows tied with the n-th key would all be dropped.
+        ``descending=True`` drops the LAST n of the ascending order.
         """
-        key, thr, tname = self._nth_key_threshold(n, order_by)
+        key, thr, tname = self._nth_key_threshold(n, order_by, descending)
+        beyond = key < F.col(tname) if descending else key > F.col(tname)
         return self._wrap(
             self.df.crossJoin(thr)
-            .filter(F.col(tname).isNull() | (key > F.col(tname)))
+            .filter(F.col(tname).isNull() | beyond)
             .drop(tname)
         )
 

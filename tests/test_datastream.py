@@ -443,3 +443,29 @@ def test_take_drop_reject_sort_order_expressions(spark):
     # the documented workaround: invert the key itself
     got = ds.take(1, order_by=[-F.col("k")]).collect()
     assert [r["k"] for r in got] == [3]
+
+
+def test_take_drop_descending(spark):
+    """descending=True takes/drops from the top of the order with the
+    same key-threshold plan (no global sort of payload rows); take and
+    drop stay exact complements in both directions."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.datastream import DataStream
+
+    df = spark.range(0, 100, 1, 8).select(F.col("id").alias("k"))
+    ds = DataStream(df)
+    top3 = sorted(r["k"] for r in ds.take(3, ["k"], descending=True).collect())
+    assert top3 == [97, 98, 99]
+    rest = sorted(r["k"] for r in ds.drop(3, ["k"], descending=True).collect())
+    assert rest == list(range(97))
+    # complement property with a multi-column key
+    two = spark.range(0, 50, 1, 4).select(
+        (F.col("id") % 5).alias("a"), F.col("id").alias("b")
+    )
+    ds2 = DataStream(two)
+    taken = {(r["a"], r["b"]) for r in ds2.take(7, ["a", "b"], descending=True).collect()}
+    dropped = {(r["a"], r["b"]) for r in ds2.drop(7, ["a", "b"], descending=True).collect()}
+    assert len(taken) == 7 and not taken & dropped
+    assert taken | dropped == {(i % 5, i) for i in range(50)}
+    assert min(taken) > max(dropped)
