@@ -131,6 +131,89 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
+def zorder_key(
+    ranges: dict[str, tuple[float, float]], bits: int = 12
+) -> Column:
+    """Morton (Z-order) key over N numeric columns: each column is scaled
+    to a ``bits``-bit integer over its [min, max] range, then the bit
+    planes are interleaved (bit b of column i lands at position
+    b·ncols + i).
+
+    Sorting a write by this single key clusters rows that are close in
+    EVERY keyed dimension into the same files, so the parquet min/max
+    footer stats stay tight on ALL of them at once — a linear sort gives
+    tight stats on its leading column only. At 100 TB this is the layout
+    lever for multi-dimensional filters: predicate pushdown then skips
+    row groups / files on whichever dimension the query constrains.
+    Pure Catalyst (shift/and/or terms, ~bits·ncols ops), no UDF.
+    """
+    cols = list(ranges)
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key needs at least one column")
+    max_scaled = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = ranges[c]
+        span = float(hi) - float(lo)
+        if span <= 0:
+            scaled = F.lit(0).cast("long")
+        else:
+            # clamp: values outside the provided range (late data beyond
+            # the sampled min/max) saturate instead of corrupting the key
+            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+            clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+            scaled = F.round(clamped * max_scaled).cast("long")
+        for b in range(bits):
+            bit = F.call_function(
+                "shiftright", scaled, F.lit(b)
+            ).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(
+                F.call_function("shiftleft", bit, F.lit(b * n + i))
+            )
+    return key
+
+
+def column_ranges(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
+    """min/max per column in ONE aggregate job (a driver-side scalar row —
+    bounded, and typically answered from parquet footer stats when
+    ``spark.sql.parquet.aggregatePushdown`` is on and no filter blocks it)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    row = df.agg(*aggs).first()
+    return {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    by: Sequence[str],
+    n_files: int = 32,
+    bits: int = 12,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` laid out in Z-order on ``by``: range-partition by the
+    Morton key into ``n_files`` contiguous key ranges, sort within each,
+    write one file per partition. Every output file then covers a small
+    hyper-rectangle of the keyed space — reads filtering on ANY subset of
+    ``by`` skip most files via footer stats (data-skipping without an
+    index, the OPTIMIZE ZORDER layout pattern)."""
+    zc = _salt_col(df)  # collision-proof helper-column name
+    r = ranges or column_ranges(df, by)
+    keyed = df.withColumn(zc, zorder_key(r, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, F.col(zc))
+        .sortWithinPartitions(zc)
+        .drop(zc)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def repartition_for_join(
     left: DataFrame, right: DataFrame, on: str | Sequence[str], partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:

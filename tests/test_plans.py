@@ -249,6 +249,37 @@ def test_brute_force_topk_rank_is_two_phase_salted(spark):
     assert win_pos[0] < lr_filter < win_pos[1], opt
 
 
+def test_bq_topk_plan_jvm_only_and_salted(spark):
+    """The binary-quantization ANN path must stay JVM-side (packing,
+    xor/bit_count Hamming, rerank cosine are all Catalyst expressions)
+    and rank through the two-phase salted windows in BOTH stages — the
+    Hamming prefilter and the exact rerank — so no per-query reducer ever
+    sees an unbounded input. The bounded candidate set must re-enter the
+    corpus via broadcast joins, not a shuffle."""
+    import re
+
+    from eel_spark.operators import similarity
+    from eel_spark.queries.tables import table
+
+    emb = table(spark, SF, "embeddings").df
+    queries = emb.limit(4).select(
+        emb.vec_id.alias("query_id"), emb.embedding
+    )
+    out = similarity.bq_topk(emb, queries, k=5, dim=64)
+    plan = plan_str(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"python in BQ plan: {marker}"
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", opt)
+    assert len(specs) == 4, f"expected four Window nodes (2 stages x 2 phases): {specs}"
+    salted = [s for s in specs if "__salt" in s]
+    unsalted = [s for s in specs if "__salt" not in s]
+    assert len(salted) == 2 and len(unsalted) == 2, specs
+    assert all("query_id" in s for s in unsalted), specs
+    # candidate ids rejoin the corpus via broadcast (bounded survivor set)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_ordered_take_drop_no_payload_offset_funnel(spark):
     """drop(n)/take(n, order) must use the key-threshold plan: the only
     limit/sort allowed is the keys-only threshold branch (bounded per

@@ -96,3 +96,117 @@ def test_ivf_recall_on_real_embeddings(spark):
     e, a = by_query(exact), by_query(approx)
     recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"
+
+
+# --- binary quantization (sign sketch + Hamming prefilter) ----------------
+
+
+def test_pack_sign_bits_matches_python_packing(spark):
+    from eel_spark.functions import vectors as V
+
+    # dim=70: two words, second word uses only 6 bits; values include 0.0
+    # (packs as a set bit) and a full-ones first word (bit 63 exercised —
+    # shiftleft is bitwise, must not trip ANSI overflow)
+    v_ones = [1.0] * 70
+    v_mixed = [(1.0 if (j % 3) else -1.0) for j in range(70)]
+    v_mixed[5] = 0.0  # >= 0 → bit set
+    df = spark.createDataFrame(
+        [(1, v_ones), (2, v_mixed)], "id: long, v: array<double>"
+    )
+    got = {
+        r["id"]: r["sig"]
+        for r in df.select("id", V.pack_sign_bits("v", 70).alias("sig")).collect()
+    }
+
+    def py_pack(vals):
+        words = []
+        for w in range((len(vals) + 63) // 64):
+            word = 0
+            for i in range(w * 64, min(w * 64 + 64, len(vals))):
+                if vals[i] >= 0:
+                    word |= 1 << (i - w * 64)
+            if word >= 2**63:
+                word -= 2**64
+            words.append(word)
+        return words
+
+    assert got[1] == py_pack(v_ones)
+    assert got[1][0] == -1  # all 64 bits set in word 0
+    assert got[2] == py_pack(v_mixed)
+
+
+def test_hamming_matches_python_popcount(spark):
+    from eel_spark.functions import vectors as V
+
+    a = [-(2**63), 12345]
+    b = [2**63 - 1, -1]
+    df = spark.createDataFrame(
+        [(a, b)], "x: array<long>, y: array<long>"
+    )
+    got = df.select(V.hamming("x", "y").alias("h")).collect()[0]["h"]
+    exp = sum(
+        bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(a, b)
+    )
+    assert got == exp
+
+
+def test_quantize_int8_round_trip_bound(spark):
+    from eel_spark.functions import vectors as V
+
+    vals = [3.7, -1.2, 0.0, 127.0, -0.004]
+    df = spark.createDataFrame([(vals,), ([0.0, 0.0],)], "v: array<double>")
+    rows = df.select(
+        "v", V.dequantize_int8(V.quantize_int8("v")).alias("back")
+    ).collect()
+    for r in rows:
+        scale = max(abs(x) for x in r["v"]) / 127.0
+        for orig, back in zip(r["v"], r["back"]):
+            assert abs(orig - back) <= scale / 2 + 1e-12
+    # zero vector: scale 0, exact zeros back
+    assert rows[1]["back"] == [0.0, 0.0]
+
+
+def test_bq_topk_with_full_refine_equals_brute_force(clustered):
+    """refine·k ≥ |corpus| ⇒ the Hamming prefilter keeps everything, so
+    bq_topk must EQUAL brute_force_topk row-for-row (the rerank stage is
+    exact cosine with identical tie-breaks)."""
+    queries = clustered.filter("vec_id IN (0, 10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(clustered, queries, k=5, exclude_self=True)
+    bq = similarity.bq_topk(
+        clustered, queries, k=5, dim=8, refine=6, exclude_self=True
+    )
+    bf_rows = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9)) for r in bf.collect()}
+    bq_rows = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9)) for r in bq.collect()}
+    assert bf_rows == bq_rows
+
+
+def test_bq_topk_recall_on_real_embeddings(spark):
+    """Hamming-prefilter recall@10 vs exact brute force on the driver
+    embeddings (64-dim → one packed word) with a 4× refine margin."""
+    from eel_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=10, exclude_self=True).collect()
+    sigs = S.pack_signatures(emb, dim=64)
+    # measured on this table: refine 4 → 0.52, 8 → 0.79, 16 → 0.90 mean
+    # recall (isotropic embeddings are the hard case for 1-bit sketches;
+    # per-dim means are ~0, so mean-centered thresholds gain nothing) —
+    # gate at 0.6 with the default refine=8 for seed-drift headroom
+    approx = S.bq_topk(
+        emb, queries, k=10, dim=64, refine=8, exclude_self=True, signatures=sigs
+    ).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = by_query(exact), by_query(approx)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
