@@ -285,6 +285,127 @@ def streaming_corpus_prep(
     )
 
 
+def incremental_near_dedup_sink(
+    docs: DataFrame,
+    survivor_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """Streaming NEAR-duplicate suppression against the full history —
+    the incremental-crawl shape of a training-data pipeline: each new
+    wave of documents is deduped within itself AND against every
+    survivor ever admitted, with no watermark horizon.
+
+    Per micro-batch (foreachBatch): simhash-fingerprint the batch →
+    intra-batch near-dedup (band equi-join + hamming verify + min-id
+    component survivor — identical semantics to the batch
+    ``simhash_near_duplicates`` + ``survivors_from_pairs`` pipeline) →
+    band-join the remainder against the accumulated survivor table and
+    drop anything within ``max_hamming`` of an existing survivor → append
+    the rest under a ``batch_id=N`` partition with dynamic overwrite.
+
+    Contrast with ``streaming_dedup``: that one bounds state via the
+    watermark (a dup arriving after the horizon re-emits); here state is
+    the survivor PARQUET TABLE — storage, not the state store — so it
+    scales like any other table (bucket it by band key via
+    scale.write_bucketed when the survivor set itself is huge) and a
+    near-dup of a document admitted weeks ago is still suppressed.
+    Exactly-once: a replayed batch overwrites its own partition, and the
+    history match EXCLUDES the current batch_id's partition so a replay
+    never matches the failed attempt's own rows (which would empty the
+    partition and lose the batch).
+    """
+    from pyspark.errors import AnalysisException
+
+    from eel_spark.functions import hashes
+    from eel_spark.operators.dedup import survivors_from_pairs
+
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"bands-1={bands - 1}; use bands >= {max_hamming + 1}"
+        )
+    spark = docs.sparkSession
+
+    def banded(fp_df: DataFrame, ident: str) -> DataFrame:
+        return fp_df.select(
+            F.col(ident),
+            "fp",
+            F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b"),
+        ).select(
+            ident, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fp = batch_df.select(
+            F.col(id_col), hashes.token_hashes(text_col).alias("__th")
+        ).select(F.col(id_col), hashes.simhash64_from_hashes("__th").alias("fp"))
+        fp = fp.persist()
+        try:
+            b = banded(fp, id_col)
+            left = b.select(
+                F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key"
+            )
+            right = b.select(
+                F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band", "key"
+            )
+            pairs = (
+                left.join(right, ["band", "key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "fp_a", "fp_b")
+                .distinct()
+                .filter(
+                    hashes.hamming64(F.col("fp_a"), F.col("fp_b")) <= max_hamming
+                )
+                .select("id_a", "id_b")
+            )
+            surv = survivors_from_pairs(fp, pairs, id_col)
+            try:
+                hist = spark.read.parquet(survivor_path).filter(
+                    # replay safety: never match against this batch's own
+                    # (possibly partial) earlier write
+                    F.col("batch_id") != batch_id
+                )
+            except AnalysisException:
+                hist = None
+            if hist is not None:
+                hb = banded(hist.select(F.col(id_col).alias("__hid"), "fp"), "__hid")
+                hits = (
+                    banded(surv, id_col)
+                    .join(
+                        hb.select(
+                            "band", "key", F.col("fp").alias("__hfp")
+                        ),
+                        ["band", "key"],
+                    )
+                    .filter(hashes.hamming64(F.col("fp"), F.col("__hfp")) <= max_hamming)
+                    .select(id_col)
+                    .distinct()
+                )
+                surv = surv.join(hits, id_col, "left_anti")
+            (
+                surv.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(survivor_path)
+            )
+        finally:
+            fp.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -387,3 +387,79 @@ def test_corpus_prep_resumes_from_checkpoint(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_near_dedup_across_waves_and_replay(spark, tmp_path):
+    """Near-dup suppression with NO watermark horizon: wave 2 arrives in
+    a separate micro-batch and must drop (a) a near-dup of a wave-1
+    survivor (1 perturbed token), (b) a verbatim wave-1 copy, and (c) an
+    intra-batch near-dup — while admitting the one fresh doc. Then a
+    simulated failure replay (latest commit file deleted, query
+    restarted) must leave the survivor table IDENTICAL — the replayed
+    batch overwrites its own partition and must not match against its
+    previous attempt's rows."""
+    import os
+
+    from eel_spark.streaming import incremental_near_dedup_sink
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    def perturb(text):
+        toks = text.split()
+        toks[7] = "zzz"
+        return " ".join(toks)
+
+    wave1 = [(1, doc(1)), (2, doc(2)), (3, doc(3)), (4, doc(4))]
+    wave2 = [
+        (5, perturb(doc(1))),  # near-dup of wave-1 survivor 1
+        (6, doc(6)),           # fresh — must be admitted
+        (7, perturb(doc(6))),  # intra-batch near-dup of 6
+        (8, doc(2)),           # verbatim copy of wave-1 survivor 2
+    ]
+    schema = "doc_id long, text string"
+    in_dir = tmp_path / "nd_in"
+    in_dir.mkdir()
+    surv_path = str(tmp_path / "nd_survivors")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def add_wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = incremental_near_dedup_sink(
+            docs, surv_path, ckpt, max_hamming=7, bands=8
+        )
+        q.awaitTermination(120)
+
+    add_wave("w1", wave1)
+    run_once()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    } == {1, 2, 3, 4}
+
+    add_wave("w2", wave2)
+    run_once()
+    survivors = spark.read.parquet(surv_path).collect()
+    assert {r["doc_id"] for r in survivors} == {1, 2, 3, 4, 6}
+
+    # simulated mid-commit failure: drop the LATEST commit marker → the
+    # restarted query replays that batch from the checkpointed offsets
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt, "commits")) if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # hadoop checksum twin blocks the re-commit rename
+        os.remove(crc)
+    run_once()
+    replayed = spark.read.parquet(surv_path).collect()
+    assert {r["doc_id"] for r in replayed} == {1, 2, 3, 4, 6}
+    assert len(replayed) == 5
