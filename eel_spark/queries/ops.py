@@ -20,6 +20,7 @@ from eel_spark.queries.tables import (
     sql_cents,
     sql_money_sum,
     table,
+    table_via_avro,
     table_via_orc,
 )
 from eel_spark.queries.registry import query
@@ -163,9 +164,13 @@ LIMIT 25
 
 @query("ops_explode_tokens", _OPS_EXPLODE_SQL)
 def ops_explode_tokens(spark: SparkSession, sf_dir: str) -> DataStream:
-    """explode over a split array — JVM generator, no Python flatMap."""
+    """explode over a split array — JVM generator, no Python flatMap.
+
+    Input flows through the Avro container layer (``table_via_avro``):
+    with parquet everywhere and ORC on ops_project_derive, this row makes
+    Avro the THIRD format the correctness gate exercises end-to-end."""
     docs = (
-        table(spark, sf_dir, "documents")
+        table_via_avro(spark, sf_dir, "documents")
         .filter("doc_id < 100")
         .add_field("tokens", expr=F.split("text", " "))
         .projection("tokens")

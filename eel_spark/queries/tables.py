@@ -49,6 +49,27 @@ def table_via_orc(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
     return OrcSource(path).to_datastream(spark)
 
 
+def table_via_avro(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
+    """Load a test table through the Avro container layer (AvroSink →
+    AvroSource, the provider-class route): the parquet original is copied
+    to .avro once per (sf_dir, table), cached on _SUCCESS. The Avro twin
+    of ``table_via_orc`` — with it, the correctness gate covers THREE
+    formats end-to-end (parquet everywhere, ORC via ops_project_derive,
+    Avro via ops_explode_tokens), so a row-oriented-format regression
+    flips a CORRECTNESS row, not just a round-trip pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from eel_spark.sources.files import AvroSink, AvroSource
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "eel_spark_avro", key, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        AvroSink(path).write(table(spark, sf_dir, name))
+    return AvroSource(path).to_datastream(spark)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark only reads
