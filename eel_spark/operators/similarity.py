@@ -337,3 +337,253 @@ def bq_topk(
         )
     )
     return _topk_per_query(rerank, query_id_col, id_col, k, n_salt=n_salt)
+
+
+# --- product quantization (PQ / ADC) ---------------------------------------
+
+
+def _subvecs(vec, dim: int, n_subs: int):
+    """array of ``n_subs`` contiguous subvectors (each dim/n_subs doubles)."""
+    sd = dim // n_subs
+    return F.array(
+        *[
+            F.transform(
+                F.slice(vec, s * sd + 1, sd), lambda x: x.cast("double")
+            )
+            for s in range(n_subs)
+        ]
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_pq(
+    vectors_df: DataFrame,
+    dim: int,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    iterations: int = 3,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector splits into ``n_subs``
+    contiguous subvectors; each subspace gets its own ``n_codes``-entry
+    kmeans-lite codebook. ALL subspaces train in ONE job — the corpus
+    explodes to (sub_id, subvec) rows and the same seed/assign/update
+    aggregates as ``train_centroids`` run with ``sub_id`` in the key, so
+    training cost is one pass per iteration regardless of n_subs.
+
+    Returns (sub_id, cell_id, centroid array<double>). Constraints:
+    dim % n_subs == 0 (contiguous split), n_codes <= 127 (codes store as
+    tinyint — 1 byte per subspace).
+    """
+    if dim % n_subs != 0:
+        raise ValueError(f"dim={dim} not divisible by n_subs={n_subs}")
+    if n_codes > 127:
+        raise ValueError(f"n_codes={n_codes} exceeds tinyint code storage (127)")
+    v = vectors_df.select(
+        F.col(id_col).alias("__id"), _subvecs(F.col(vec_col), dim, n_subs).alias("__sv")
+    )
+    if sample_mod > 1:
+        v = v.filter(F.pmod(F.xxhash64(F.col("__id")), sample_mod) == 0)
+    sub = v.select(
+        "__id", F.posexplode("__sv").alias("sub_id", "__v")
+    )
+    # seeds: min-id subvector per (sub_id, hash bucket) — map-side
+    # combinable, no window (the train_centroids rule)
+    seeded = sub.withColumn(
+        "cell_id", F.pmod(F.xxhash64(F.col("__id")), n_codes)
+    )
+    books = seeded.groupBy("sub_id", "cell_id").agg(
+        F.min_by("__v", "__id").alias("centroid")
+    )
+    for _ in range(iterations):
+        assigned = _assign_pq_cells(sub, books, "__v")
+        books = (
+            assigned.select(
+                "sub_id", "cell_id", F.posexplode("__v").alias("pos", "val")
+            )
+            .groupBy("sub_id", "cell_id", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("sub_id", "cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mean")))
+                    ),
+                    lambda s: s.mean,
+                ).alias("centroid")
+            )
+        )
+    return books
+
+
+def _packed_books(books: DataFrame) -> DataFrame:
+    """One broadcastable row: array[sub][code] = centroid, both levels
+    ordered (array_sort on (cell_id,)/(sub_id,) structs)."""
+    per_sub = books.groupBy("sub_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cell_id", "centroid"))),
+            lambda s: s.centroid,
+        ).alias("cents")
+    )
+    return per_sub.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "cents"))),
+            lambda s: s.cents,
+        ).alias("__books")
+    )
+
+
+def _assign_pq_cells(sub: DataFrame, books: DataFrame, vec_expr: str) -> DataFrame:
+    """Nearest-code assignment for (sub_id, subvec) rows — broadcast
+    packed codebooks + array_min argmin, shuffle-free (the PQ twin of
+    ``_assign_cells``)."""
+    packed = _packed_books(books)
+    cents_for_sub = F.element_at(F.col("__books"), F.col("sub_id") + 1)
+    best = F.array_min(
+        F.zip_with(
+            cents_for_sub,
+            F.sequence(F.lit(0), F.size(cents_for_sub) - 1),
+            lambda c, i: F.struct(
+                _l2sq(F.col(vec_expr), c).alias("dist"), i.alias("cell_id")
+            ),
+        )
+    )
+    return (
+        sub.crossJoin(F.broadcast(packed))
+        .withColumn("cell_id", best["cell_id"].cast("long"))
+        .drop("__books")
+    )
+
+
+def encode_pq(
+    vectors_df: DataFrame,
+    books: DataFrame,
+    dim: int,
+    n_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to ``n_subs`` bytes: (id, codes array<tinyint>)
+    where codes[s] is the nearest codebook entry of subspace s. A 100 TB
+    float32 corpus at dim=64/n_subs=8 becomes a ~3 TB code table — the
+    table ``pq_topk`` scans. One broadcast join, no shuffle."""
+    packed = _packed_books(books)
+    sv = vectors_df.select(
+        F.col(id_col), _subvecs(F.col(vec_col), dim, n_subs).alias("__sv")
+    )
+    # per-sub argmin: zip subvectors with their codebooks positionally
+    codes = F.zip_with(
+        F.col("__sv"),
+        F.col("__books"),
+        lambda v, cents: F.array_min(
+            F.zip_with(
+                cents,
+                F.sequence(F.lit(0), F.size(cents) - 1),
+                lambda c, i: F.struct(_l2sq(v, c).alias("dist"), i.alias("code")),
+            )
+        )["code"].cast("tinyint"),
+    )
+    return (
+        sv.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_topk(
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    books: DataFrame,
+    dim: int,
+    n_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    refine: int = 8,
+    n_salt: int = 32,
+    exclude_self: bool = False,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): rank the code
+    table by Σ_s lut[s][codes[s]], then rerank the bounded survivors with
+    exact cosine (same contract as ``bq_topk``/``brute_force_topk``).
+
+    Each query precomputes a lookup table lut[s][c] = ‖q_s − books[s][c]‖²
+    (n_subs·n_codes tiny distance computations, broadcast with the query)
+    — the scan then costs ``n_subs`` array lookups + adds per pair instead
+    of ``dim`` float multiplies, over a code table ~32× smaller than the
+    float corpus. ADC approximates L2; for cosine fidelity pre-normalize
+    corpus and queries (``vectors.normalize``), which makes L2 rank order
+    ≡ cosine rank order. Finer than BQ's 1 bit/dim (here log2(n_codes)
+    bits per dim/n_subs dims), same two-stage shape; at 100 TB compose
+    with IVF cells for the candidate bound and PQ codes for the scan cost.
+    """
+    sd = dim // n_subs
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        _subvecs(F.col(vec_col), dim, n_subs).alias("__qsv"),
+    )
+    lut = F.zip_with(
+        F.col("__qsv"),
+        F.col("__books"),
+        lambda qs, cents: F.transform(cents, lambda c: _l2sq(qs, c)),
+    )
+    q_lut = F.broadcast(
+        q.crossJoin(F.broadcast(_packed_books(books)))
+        .select("__qid", lut.alias("__lut"))
+    )
+    code_table = codes or encode_pq(
+        vectors_df, books, dim, n_subs, id_col, vec_col
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda code, row: F.element_at(row, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        ensure_parallelism(code_table)
+        .crossJoin(q_lut)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            dist.alias("adc"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    cands = _topk_per_query(
+        scored,
+        query_id_col,
+        id_col,
+        refine * k,
+        n_salt=n_salt,
+        value_col="adc",
+        ascending=True,
+    ).select(query_id_col, id_col)
+    qvecs = F.broadcast(
+        queries_df.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    rerank = (
+        vectors_df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cands), id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            vectors.cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
+        )
+    )
+    return _topk_per_query(rerank, query_id_col, id_col, k, n_salt=n_salt)

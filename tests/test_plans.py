@@ -280,6 +280,32 @@ def test_bq_topk_plan_jvm_only_and_salted(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_pq_topk_plan_jvm_only_and_salted(spark):
+    """The PQ/ADC path: codebook training, encoding, the lookup-table
+    scan, and both rank stages must stay JVM-side with the two-phase
+    salted windows — and the whole training plan must be window-free
+    (the train_centroids seed rule applies to PQ codebooks too)."""
+    import re
+
+    from eel_spark.operators import similarity
+    from eel_spark.queries.tables import table
+
+    emb = table(spark, SF, "embeddings").df
+    books = similarity.train_pq(emb, dim=64, n_subs=8, n_codes=8, iterations=1)
+    tplan = plan_str(books)
+    assert "Window" not in tplan and "row_number" not in tplan, tplan
+    queries = emb.limit(4).select(emb.vec_id.alias("query_id"), emb.embedding)
+    static_books = spark.createDataFrame(books.collect(), books.schema)
+    out = similarity.pq_topk(emb, queries, static_books, dim=64, n_subs=8, k=5)
+    plan = plan_str(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"python in PQ plan: {marker}"
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", opt)
+    assert len(specs) == 4, f"expected four Window nodes (2 stages x 2 phases): {specs}"
+    assert len([s for s in specs if "__salt" in s]) == 2, specs
+
+
 def test_ordered_take_drop_no_payload_offset_funnel(spark):
     """drop(n)/take(n, order) must use the key-threshold plan: the only
     limit/sort allowed is the keys-only threshold branch (bounded per

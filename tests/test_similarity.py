@@ -210,3 +210,81 @@ def test_bq_topk_recall_on_real_embeddings(spark):
     e, a = by_query(exact), by_query(approx)
     recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
+
+
+# --- product quantization (ADC) -------------------------------------------
+
+
+def test_train_pq_shapes_and_determinism(clustered):
+    books = similarity.train_pq(clustered, dim=8, n_subs=4, n_codes=4, iterations=2)
+    rows = books.collect()
+    assert {r["sub_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["centroid"]) == 2 for r in rows)  # dim/n_subs
+    again = {
+        (r["sub_id"], r["cell_id"]): r["centroid"]
+        for r in similarity.train_pq(
+            clustered, dim=8, n_subs=4, n_codes=4, iterations=2
+        ).collect()
+    }
+    assert {(r["sub_id"], r["cell_id"]): r["centroid"] for r in rows} == again
+
+
+def test_encode_pq_code_range(clustered):
+    books = similarity.train_pq(clustered, dim=8, n_subs=4, n_codes=4, iterations=1)
+    codes = similarity.encode_pq(clustered, books, dim=8, n_subs=4).collect()
+    assert len(codes) == 30
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c <= 3 for c in r["codes"])
+
+
+def test_pq_topk_with_full_refine_equals_brute_force(clustered):
+    """refine·k covering the corpus ⇒ ADC prefilter keeps everything and
+    the exact-cosine rerank must reproduce brute force row-for-row."""
+    queries = clustered.filter("vec_id IN (0, 10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.train_pq(clustered, dim=8, n_subs=4, n_codes=4, iterations=2)
+    bf = similarity.brute_force_topk(clustered, queries, k=5, exclude_self=True)
+    pq = similarity.pq_topk(
+        clustered, queries, books, dim=8, n_subs=4, k=5, refine=6, exclude_self=True
+    )
+    bf_rows = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9)) for r in bf.collect()}
+    pq_rows = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9)) for r in pq.collect()}
+    assert bf_rows == pq_rows
+
+
+def test_pq_validation_errors(clustered):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq(clustered, dim=8, n_subs=3)
+    with pytest.raises(ValueError, match="tinyint"):
+        similarity.train_pq(clustered, dim=8, n_subs=4, n_codes=200)
+
+
+def test_pq_topk_recall_on_real_embeddings(spark):
+    """ADC recall@10 vs brute force on the (pre-normalized, so L2 rank ≡
+    cosine rank) driver embeddings."""
+    from eel_spark.functions import vectors as V
+    from eel_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", V.normalize("embedding").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=10, exclude_self=True).collect()
+    books = S.train_pq(emb, dim=64, n_subs=8, n_codes=16, iterations=2)
+    approx = S.pq_topk(
+        emb, queries, books, dim=64, n_subs=8, k=10, refine=8, exclude_self=True
+    ).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = by_query(exact), by_query(approx)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
