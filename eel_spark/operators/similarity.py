@@ -471,14 +471,18 @@ def encode_pq(
     n_subs: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Compress each vector to ``n_subs`` bytes: (id, codes array<tinyint>)
     where codes[s] is the nearest codebook entry of subspace s. A 100 TB
     float32 corpus at dim=64/n_subs=8 becomes a ~3 TB code table — the
-    table ``pq_topk`` scans. One broadcast join, no shuffle."""
+    table ``pq_topk`` scans. One broadcast join, no shuffle. ``keep``
+    carries extra columns through (e.g. cell_id for the IVF-PQ layout)."""
     packed = _packed_books(books)
     sv = vectors_df.select(
-        F.col(id_col), _subvecs(F.col(vec_col), dim, n_subs).alias("__sv")
+        F.col(id_col),
+        _subvecs(F.col(vec_col), dim, n_subs).alias("__sv"),
+        *[F.col(c) for c in keep],
     )
     # per-sub argmin: zip subvectors with their codebooks positionally
     codes = F.zip_with(
@@ -494,8 +498,135 @@ def encode_pq(
     )
     return (
         sv.crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), codes.alias("codes"))
+        .select(F.col(id_col), codes.alias("codes"), *[F.col(c) for c in keep])
     )
+
+
+def ivf_pq_topk(
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    dim: int,
+    n_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 8,
+    n_salt: int = 32,
+    exclude_self: bool = False,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × PQ — the composed billion-scale ANN layout: IVF bounds WHICH
+    vectors a query touches (only its ``n_probe`` nearest cells), PQ
+    bounds WHAT each touch costs (n_subs byte-code lookups over a ~32×
+    smaller table), and the exact-cosine rerank of the refine·k survivors
+    restores the brute-force result contract.
+
+    ``coded`` (from ``encode_ivf_pq``) is the persistable corpus: (id,
+    cell_id, codes) — at 100 TB you materialize it partitioned by
+    cell_id so a probe prunes partitions at the scan. Training inputs
+    (``train_centroids``, ``train_pq``) are sampled upstream."""
+    if coded is None:
+        coded = encode_ivf_pq(
+            vectors_df, centroids, books, dim, n_subs, id_col, vec_col
+        )
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+        _subvecs(F.col(vec_col), dim, n_subs).alias("__qsv"),
+    )
+    # probe selection — same shape as ivf_topk (tiny per-query window
+    # over n_cells rows)
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist", vectors.l2_distance(F.col("__qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.asc("__dist"), F.asc("cell_id"))
+    lut = F.zip_with(
+        F.col("__qsv"),
+        F.col("__books"),
+        lambda qs, cents: F.transform(cents, lambda c: _l2sq(qs, c)),
+    )
+    probes = F.broadcast(
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qsv", "cell_id")
+        .crossJoin(F.broadcast(_packed_books(books)))
+        .select("__qid", "cell_id", lut.alias("__lut"))
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda code, row: F.element_at(row, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = probes.join(ensure_parallelism(coded), "cell_id").select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        dist.alias("adc"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    cands = _topk_per_query(
+        scored,
+        query_id_col,
+        id_col,
+        refine * k,
+        n_salt=n_salt,
+        value_col="adc",
+        ascending=True,
+    ).select(query_id_col, id_col)
+    qvecs = F.broadcast(
+        queries_df.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    rerank = (
+        vectors_df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cands), id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            vectors.cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
+        )
+    )
+    return _topk_per_query(rerank, query_id_col, id_col, k, n_salt=n_salt)
+
+
+def encode_ivf_pq(
+    vectors_df: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    dim: int,
+    n_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, codes): the persistable IVF-PQ corpus — one pass,
+    two broadcast joins (cell assignment + code assignment), no shuffle.
+    Write it partitioned by cell_id (or bucketed) so probes prune at the
+    scan."""
+    assigned = _assign_cells(
+        ensure_parallelism(vectors_df).select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        ),
+        centroids,
+        "__v",
+    )
+    return encode_pq(
+        assigned.select(F.col(id_col), F.col("__v").alias(vec_col), "cell_id"),
+        books,
+        dim,
+        n_subs,
+        id_col,
+        vec_col,
+        keep=("cell_id",),
+    ).select(id_col, "cell_id", "codes")
 
 
 def pq_topk(

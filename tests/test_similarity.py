@@ -288,3 +288,58 @@ def test_pq_topk_recall_on_real_embeddings(spark):
     e, a = by_query(exact), by_query(approx)
     recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
+
+
+def test_ivf_pq_topk_full_probe_full_refine_equals_brute_force(clustered):
+    """All cells probed + refine covering the corpus ⇒ IVF×PQ reduces to
+    the exact rerank: must equal brute force row-for-row."""
+    queries = clustered.filter("vec_id IN (0, 10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(clustered, n_cells=3, iterations=2)
+    books = similarity.train_pq(clustered, dim=8, n_subs=4, n_codes=4, iterations=2)
+    bf = similarity.brute_force_topk(clustered, queries, k=5, exclude_self=True)
+    ivfpq = similarity.ivf_pq_topk(
+        clustered, queries, cents, books, dim=8, n_subs=4,
+        k=5, n_probe=3, refine=6, exclude_self=True,
+    )
+    bf_rows = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9)) for r in bf.collect()}
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9)) for r in ivfpq.collect()}
+    assert bf_rows == got
+
+
+def test_ivf_pq_recall_on_real_embeddings(spark):
+    """The composed layout on the (normalized) driver embeddings: probe
+    3/8 cells, ADC-rank only their codes, exact rerank — recall@10 vs
+    brute force bounded below; the persistable coded corpus is built once
+    via encode_ivf_pq and reused."""
+    from eel_spark.functions import vectors as V
+    from eel_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", V.normalize("embedding").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=10, exclude_self=True).collect()
+    cents = S.train_centroids(emb, n_cells=8, iterations=2)
+    books = S.train_pq(emb, dim=64, n_subs=8, n_codes=16, iterations=2)
+    coded = S.encode_ivf_pq(emb, cents, books, dim=64, n_subs=8)
+    assert set(coded.columns) == {"vec_id", "cell_id", "codes"}
+    approx = S.ivf_pq_topk(
+        emb, queries, cents, books, dim=64, n_subs=8,
+        k=10, n_probe=3, refine=8, exclude_self=True, coded=coded,
+    ).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = by_query(exact), by_query(approx)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    # IVF cell misses compound ADC misses: measured 0.66/0.73/0.82 at
+    # n_probe 3/4/6 on this table — gate at 0.4 for seed-drift headroom
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean recall too low: {recalls}"
