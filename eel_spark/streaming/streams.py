@@ -318,19 +318,20 @@ def incremental_near_dedup_sink(
     never matches the failed attempt's own rows (which would empty the
     partition and lose the batch).
     """
-    from pyspark.errors import AnalysisException
-
     from eel_spark.functions import hashes
-    from eel_spark.operators.dedup import survivors_from_pairs
 
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
             f"bands-1={bands - 1}; use bands >= {max_hamming + 1}"
         )
-    spark = docs.sparkSession
 
-    def banded(fp_df: DataFrame, ident: str) -> DataFrame:
+    def fp_fn(batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            F.col(id_col), hashes.token_hashes(text_col).alias("__th")
+        ).select(F.col(id_col), hashes.simhash64_from_hashes("__th").alias("fp"))
+
+    def band_fn(fp_df: DataFrame, ident: str) -> DataFrame:
         return fp_df.select(
             F.col(ident),
             "fp",
@@ -339,15 +340,103 @@ def incremental_near_dedup_sink(
             ident, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key")
         )
 
+    return _incremental_dedup_sink(
+        docs, survivor_path, checkpoint, id_col,
+        fp_fn, band_fn, hashes.hamming64, max_hamming,
+    )
+
+
+def incremental_embedding_dedup_sink(
+    vectors_stream: DataFrame,
+    survivor_path: str,
+    checkpoint: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 7,
+    bands_per_word: int = 8,
+):
+    """Embedding twin of ``incremental_near_dedup_sink``: each wave of
+    vectors is sign-sketched (``vectors.pack_sign_bits`` — the bq_topk
+    signature), deduped within the batch and against the full survivor
+    history by sketch Hamming distance, with the same survivor-table /
+    batch_id-partition exactly-once mechanics. Bands are ``bands_per_word``
+    chunks of each 64-bit sketch word (pigeonhole: two sketches within
+    Hamming n_words·bands_per_word − 1 share a band); candidates verify
+    with the exact word-wise Hamming before dropping."""
+    from eel_spark.functions import vectors as V
+
+    n_words = (dim + 63) // 64
+    if 64 % bands_per_word != 0:
+        raise ValueError(f"bands_per_word={bands_per_word} must divide 64")
+    total_bands = n_words * bands_per_word
+    if max_hamming > total_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"{total_bands - 1} (= words x bands_per_word - 1)"
+        )
+    band_bits = 64 // bands_per_word
+    mask = (1 << band_bits) - 1 if band_bits < 64 else -1
+
+    def fp_fn(batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            F.col(id_col), V.pack_sign_bits(F.col(vec_col), dim).alias("fp")
+        )
+
+    def band_fn(fp_df: DataFrame, ident: str) -> DataFrame:
+        words = fp_df.select(
+            F.col(ident), "fp", F.posexplode("fp").alias("__w", "__word")
+        )
+        return words.select(
+            ident,
+            "fp",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(bands_per_word - 1))
+            ).alias("__b"),
+            "__w",
+            "__word",
+        ).select(
+            ident,
+            "fp",
+            (F.col("__w") * bands_per_word + F.col("__b")).alias("band"),
+            F.call_function(
+                "shiftright", F.col("__word"), (F.col("__b") * band_bits).cast("int")
+            ).bitwiseAND(F.lit(mask).cast("long")).alias("key"),
+        )
+
+    return _incremental_dedup_sink(
+        vectors_stream, survivor_path, checkpoint, id_col,
+        fp_fn, band_fn, V.hamming, max_hamming,
+    )
+
+
+def _incremental_dedup_sink(
+    stream_df: DataFrame,
+    survivor_path: str,
+    checkpoint: str,
+    id_col: str,
+    fp_fn,
+    band_fn,
+    ham_fn,
+    max_hamming: int,
+):
+    """Shared skeleton for the incremental (full-history) near-dedup
+    sinks: fingerprint → intra-batch band-join/verify/component-survivor →
+    anti-join vs accumulated survivors → idempotent batch_id-partition
+    append. ``fp_fn(batch) → (id, fp)``, ``band_fn(fp_df, ident) →
+    (ident, fp, band, key)``, ``ham_fn(a, b) → Column``."""
+    from pyspark.errors import AnalysisException
+
+    from eel_spark.operators.dedup import survivors_from_pairs
+
+    spark = stream_df.sparkSession
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fp = batch_df.select(
-            F.col(id_col), hashes.token_hashes(text_col).alias("__th")
-        ).select(F.col(id_col), hashes.simhash64_from_hashes("__th").alias("fp"))
-        fp = fp.persist()
+        fp = fp_fn(batch_df).persist()
         try:
-            b = banded(fp, id_col)
+            b = band_fn(fp, id_col)
             left = b.select(
                 F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key"
             )
@@ -359,9 +448,7 @@ def incremental_near_dedup_sink(
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b", "fp_a", "fp_b")
                 .distinct()
-                .filter(
-                    hashes.hamming64(F.col("fp_a"), F.col("fp_b")) <= max_hamming
-                )
+                .filter(ham_fn(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
                 .select("id_a", "id_b")
             )
             surv = survivors_from_pairs(fp, pairs, id_col)
@@ -374,16 +461,16 @@ def incremental_near_dedup_sink(
             except AnalysisException:
                 hist = None
             if hist is not None:
-                hb = banded(hist.select(F.col(id_col).alias("__hid"), "fp"), "__hid")
+                hb = band_fn(hist.select(F.col(id_col).alias("__hid"), "fp"), "__hid")
                 hits = (
-                    banded(surv, id_col)
+                    band_fn(surv, id_col)
                     .join(
                         hb.select(
                             "band", "key", F.col("fp").alias("__hfp")
                         ),
                         ["band", "key"],
                     )
-                    .filter(hashes.hamming64(F.col("fp"), F.col("__hfp")) <= max_hamming)
+                    .filter(ham_fn(F.col("fp"), F.col("__hfp")) <= max_hamming)
                     .select(id_col)
                     .distinct()
                 )
@@ -399,7 +486,7 @@ def incremental_near_dedup_sink(
             fp.unpersist()
 
     return (
-        docs.writeStream.foreachBatch(write_batch)
+        stream_df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

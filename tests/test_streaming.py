@@ -463,3 +463,64 @@ def test_incremental_near_dedup_across_waves_and_replay(spark, tmp_path):
     replayed = spark.read.parquet(surv_path).collect()
     assert {r["doc_id"] for r in replayed} == {1, 2, 3, 4, 6}
     assert len(replayed) == 5
+
+
+def test_incremental_embedding_dedup_across_waves(spark, tmp_path):
+    """Embedding twin of the incremental near-dedup sink: wave 2 drops a
+    sign-identical variant of a wave-1 vector (tiny jitter that flips no
+    sign) plus an intra-batch twin, admits the genuinely fresh vector.
+    The existing text-sink test covers the replay branch (shared
+    skeleton); this one covers the sketch/banding plumbing."""
+    import math
+
+    from eel_spark.streaming import incremental_embedding_dedup_sink
+
+    def vec(seed, jitter=0.0):
+        return [
+            math.sin(seed * 31 + j) + jitter * 0.001 for j in range(64)
+        ]
+
+    wave1 = [(1, vec(1)), (2, vec(2)), (3, vec(3))]
+    wave2 = [
+        (4, vec(1, jitter=1.0)),  # same signs as 1 → near-dup, dropped
+        (5, vec(9)),              # fresh
+        (6, vec(9, jitter=1.0)),  # intra-batch twin of 5, dropped
+    ]
+    schema = "vec_id long, embedding array<double>"
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    surv_path = str(tmp_path / "emb_surv")
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = incremental_embedding_dedup_sink(
+            stream, surv_path, ckpt, dim=64, max_hamming=3
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(str(in_dir / "w1"))
+    run_once()
+    assert {r["vec_id"] for r in spark.read.parquet(surv_path).collect()} == {1, 2, 3}
+
+    spark.createDataFrame(wave2, schema).coalesce(1).write.parquet(str(in_dir / "w2"))
+    run_once()
+    assert {r["vec_id"] for r in spark.read.parquet(surv_path).collect()} == {1, 2, 3, 5}
+
+
+def test_incremental_embedding_dedup_validation(spark, tmp_path):
+    from eel_spark.streaming import incremental_embedding_dedup_sink
+
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(
+        str(tmp_path / "nowhere*")
+    )
+    with pytest.raises(ValueError, match="divide 64"):
+        incremental_embedding_dedup_sink(stream, "x", "y", dim=64, bands_per_word=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_embedding_dedup_sink(
+            stream, "x", "y", dim=64, bands_per_word=2, max_hamming=9
+        )
