@@ -303,3 +303,76 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         getattr(spark._jsc.sc(), "checkpointDir_$eq")(
             spark._jvm.scala.Option.apply(None)
         )
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """The O(log n)-round large-star/small-star alternation must produce
+    byte-identical (node, component) labels to min-label propagation on
+    every graph shape: chains (propagation's worst case), stars, self
+    loops, reversed-id chains (min at the far end), and a random graph
+    with cycles and merged components."""
+    import random
+
+    from eel_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(42)
+    shapes = {
+        "mixed": [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "chain": [(i, i + 1) for i in range(40)],
+        "revchain": [(100 - i, 99 - i) for i in range(40)],
+        "star": [(0, i) for i in range(1, 30)],
+        "selfloop": [(5, 5), (7, 8)],
+        "random": [
+            (random.randrange(300), random.randrange(300)) for _ in range(250)
+        ],
+    }
+    for name, rows in shapes.items():
+        pairs = spark.createDataFrame(rows, "id_a: long, id_b: long")
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs, max_iterations=100).collect()
+        }
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"{name}: star labels diverge from propagation"
+
+
+def test_connected_components_star_logarithmic_rounds(spark):
+    """On a 64-deep chain, propagation needs ~63 rounds (min id moves one
+    hop per round); the star alternation must finish well inside 10
+    rounds — the whole point of the algorithm. max_iterations=10 acts as
+    the proof: a diameter-bound algorithm could not converge in time."""
+    from eel_spark.operators.dedup import connected_components_star
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    out = connected_components_star(pairs, max_iterations=10)
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_survivors_from_pairs_star_default(spark):
+    """survivors_from_pairs defaults to the star algorithm and keeps one
+    doc per component either way."""
+    from eel_spark.operators.dedup import survivors_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 99]],
+        "doc_id: long, text: string",
+    )
+    for algo in ("star", "propagation"):
+        kept = sorted(
+            r["doc_id"]
+            for r in survivors_from_pairs(docs, pairs, "doc_id", algorithm=algo).collect()
+        )
+        assert kept == [1, 10, 99]
