@@ -1,3 +1,9 @@
-from eel_spark.operators import dedup, multimodal, rollups, similarity
+from eel_spark.operators import (
+    dedup,
+    multimodal,
+    rollups,
+    sampling,
+    similarity,
+)
 
-__all__ = ["dedup", "multimodal", "rollups", "similarity"]
+__all__ = ["dedup", "multimodal", "rollups", "sampling", "similarity"]

@@ -1,0 +1,195 @@
+"""Deterministic stratified sampling for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines cap documents per
+domain, mix languages by weight (often count^(1/T) "temperature"
+mixing), and need the SAME sample back on every run and every task
+retry. Spark's built-ins don't give that:
+
+- ``df.sample`` / ``df.stat.sampleBy`` draw from ``rand(seed)``, which
+  is seeded per PARTITION INDEX — repartitioning, AQE coalescing, or a
+  task retry on different splits changes the sample. Content-hash
+  sampling (``xxhash64`` of the row key) is a pure function of the
+  data: retry-safe, repartition-safe, reproducible across clusters.
+- there is no built-in "at most n rows per group" or "exact total
+  budget across groups".
+
+Everything here is pure Catalyst (no Python in the row path); the only
+driver-side step is the per-GROUP allocation in
+:func:`proportional_budget_sample`, which touches |groups| rows, never
+|df|.
+
+Reference parity note: the reference's only sampling surface is
+``DataStream.sample`` (`eel-core/src/main/scala/io/eels/datastream/
+DataStream.scala:665`, a racy shared counter) — these operators are the
+brief-mandated LLM-pipeline extension beyond it.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_order(hash_cols: Sequence[str], seed: int) -> Column:
+    """Deterministic pseudo-random order key: a pure function of the
+    named columns (NOT of partitioning), so the induced order — and any
+    sample cut from it — survives retries and repartitioning."""
+    return F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in hash_cols])
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n_per_group: int,
+    hash_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``n_per_group`` rows per group, chosen by
+    deterministic hash order over ``hash_cols`` (unique-key columns —
+    ties beyond the hash break on the columns themselves, so the result
+    is a total function of the data).
+
+    Scale shape: ``row_number() <= literal`` over (partitionBy groups,
+    orderBy hash) is rewritten by Spark into a WindowGroupLimit, which
+    prunes each map-side partition to n rows per group BEFORE the
+    exchange — shuffle volume is ≤ groups×n per input partition, not
+    |df|. Plan-asserted in tests/test_plans.py.
+    """
+    from pyspark.sql import Window
+
+    order = _hash_order(hash_cols, seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        order, *[F.col(c) for c in hash_cols]
+    )
+    return (
+        df.withColumn("__qs_rn", F.row_number().over(w))
+        .filter(F.col("__qs_rn") <= F.lit(int(n_per_group)))
+        .drop("__qs_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[object, float] | float,
+    hash_cols: Sequence[str],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli-by-content-hash: keep a row iff
+    ``pmod(xxhash64(seed, hash_cols), 2^20) < fraction * 2^20`` for its
+    stratum. A pure FILTER — no shuffle, no RNG — so it composes with
+    scan pushdown and is exactly reproducible anywhere.
+
+    ``fractions`` is a single float (uniform) or a mapping from
+    ``group_col`` value to fraction; unlisted strata get
+    ``default_fraction``. The realized rate converges on the fraction
+    (binomial, not exact-count — use :func:`quota_sample` /
+    :func:`proportional_budget_sample` for exact counts).
+    """
+    denom = 1 << 20
+    bucket = F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
+    if isinstance(fractions, Mapping):
+        thresh: Column = F.lit(int(default_fraction * denom))
+        for val, frac in fractions.items():
+            thresh = F.when(
+                F.col(group_col) == F.lit(val), F.lit(int(frac * denom))
+            ).otherwise(thresh)
+    else:
+        thresh = F.lit(int(float(fractions) * denom))
+    return df.filter(bucket < thresh)
+
+
+def _waterfill(counts: list[tuple[object, int]], weights: list[float], total: int) -> dict:
+    """Allocate ``total`` across groups ∝ weights, capping each group at
+    its count and redistributing the excess among uncapped groups
+    (iterative water-filling; ≤ |groups| rounds, driver-side on the
+    per-group summary only). Largest-remainder rounding keeps the sum
+    exact. Deterministic: ties break on group key order."""
+    alloc: dict = {}
+    remaining = list(range(len(counts)))
+    budget = total
+    while remaining and budget > 0:
+        wsum = sum(weights[i] for i in remaining)
+        if wsum <= 0:
+            break
+        shares = [(i, budget * weights[i] / wsum) for i in remaining]
+        # groups whose fair share exceeds their size are capped this round
+        capped = [i for i, s in shares if s >= counts[i][1]]
+        if capped:
+            for i in capped:
+                alloc[counts[i][0]] = counts[i][1]
+                budget -= counts[i][1]
+            remaining = [i for i in remaining if i not in set(capped)]
+            continue
+        # no caps bind: largest-remainder round the fractional shares
+        floors = [(i, int(s)) for i, s in shares]
+        leftover = budget - sum(fl for _, fl in floors)
+        order = sorted(
+            range(len(shares)),
+            key=lambda j: (-(shares[j][1] - floors[j][1]), str(counts[shares[j][0]][0])),
+        )
+        bump = {shares[order[j]][0] for j in range(leftover)}
+        for i, fl in floors:
+            alloc[counts[i][0]] = fl + (1 if i in bump else 0)
+        budget = 0
+        remaining = []
+    for key, _n in counts:
+        alloc.setdefault(key, 0)
+    return alloc
+
+
+def proportional_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    hash_cols: Sequence[str],
+    weights: Mapping[object, float] | None = None,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Sample to an EXACT total row budget with per-group allocation
+    ∝ ``weight(g) * count(g)^(1/temperature)`` — the standard
+    language/domain mixing rule (temperature→∞ flattens toward uniform
+    per group; 1.0 is proportional). Groups smaller than their share are
+    taken whole and the slack is re-spread (water-filling), so the
+    output totals exactly ``min(total, |df|)`` rows.
+
+    Distributed shape: ONE groupBy-count aggregate (map-side partial),
+    the allocation math on |groups| driver rows, then one
+    WindowGroupLimit-pruned quota pass with the per-group quota
+    broadcast back in. |df|-sized data is never collected, sorted
+    globally, or shuffled more than twice.
+    """
+    counts_rows = (
+        df.groupBy(group_col).count().orderBy(group_col).collect()
+    )
+    counts = [(r[group_col], int(r["count"])) for r in counts_rows]
+    ws = []
+    for key, n in counts:
+        w = (weights or {}).get(key, 1.0) if weights is not None else 1.0
+        ws.append(w * (n ** (1.0 / float(temperature))))
+    alloc = _waterfill(counts, ws, int(total))
+    spark = df.sparkSession
+    quota_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in alloc.items()],
+        schema=df.select(group_col).schema.add("__quota", "long"),
+    )
+    max_quota = max(alloc.values(), default=0)
+    from pyspark.sql import Window
+
+    order = _hash_order(hash_cols, seed)
+    w = Window.partitionBy(group_col).orderBy(
+        order, *[F.col(c) for c in hash_cols]
+    )
+    # literal bound first: eligible for the WindowGroupLimit map-side
+    # prune; the per-group (non-literal) quota trims exactly after it.
+    return (
+        df.withColumn("__qs_rn", F.row_number().over(w))
+        .filter(F.col("__qs_rn") <= F.lit(int(max_quota)))
+        .join(F.broadcast(quota_df), group_col)
+        .filter(F.col("__qs_rn") <= F.col("__quota"))
+        .drop("__qs_rn", "__quota")
+    )

@@ -1,0 +1,131 @@
+"""Deterministic stratified sampling operators (operators/sampling.py):
+content-hash determinism, per-group caps, exact budget allocation, and
+the WindowGroupLimit map-side prune that makes quota_sample scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eel_spark.operators.sampling import (
+    _waterfill,
+    proportional_budget_sample,
+    quota_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark, per_group=40, groups=("en", "fr", "de")):
+    rows = [
+        (1000 * gi + i, g, f"doc {g} {i}")
+        for gi, g in enumerate(groups)
+        for i in range(per_group)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+
+
+def test_quota_sample_caps_and_determinism(spark):
+    df = _docs(spark, per_group=40)
+    out = quota_sample(df, ["lang"], 10, ["doc_id"], seed=7)
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 10, "fr": 10, "de": 10}
+    # deterministic: same rows on a re-run and on a repartitioned input
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in quota_sample(df.repartition(13), ["lang"], 10, ["doc_id"], seed=7).collect()
+    )
+    assert ids1 == ids2
+    # a different seed draws a different sample
+    ids3 = sorted(
+        r["doc_id"] for r in quota_sample(df, ["lang"], 10, ["doc_id"], seed=8).collect()
+    )
+    assert ids1 != ids3
+    # groups smaller than the cap pass through whole
+    small = quota_sample(_docs(spark, per_group=3), ["lang"], 10, ["doc_id"])
+    assert small.count() == 9
+
+
+def test_quota_sample_plan_window_group_limit(spark):
+    """row_number <= literal over the group window must be rewritten to
+    a WindowGroupLimit so every map partition is pruned to n rows per
+    group BEFORE the exchange — the property that bounds shuffle volume
+    at 100 TB."""
+    df = _docs(spark)
+    out = quota_sample(df, ["lang"], 5, ["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # both the partial (map-side, before exchange) and final prunes
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = _docs(spark, per_group=400, groups=("en", "fr"))
+    out = stratified_sample(
+        df, "lang", {"en": 0.5, "fr": 0.1}, ["doc_id"], seed=3
+    )
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # binomial at n=400: generous 3-sigma-ish windows
+    assert 140 <= counts["en"] <= 260, counts
+    assert 10 <= counts.get("fr", 0) <= 80, counts
+    # pure filter: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # content-deterministic across repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(17), "lang", {"en": 0.5, "fr": 0.1}, ["doc_id"], seed=3
+        ).collect()
+    )
+    assert a == b
+    # unlisted strata drop by default
+    df3 = _docs(spark, per_group=10, groups=("en", "xx"))
+    out3 = stratified_sample(df3, "lang", {"en": 1.0}, ["doc_id"])
+    assert {r["lang"] for r in out3.select("lang").distinct().collect()} == {"en"}
+
+
+def test_waterfill_allocation():
+    # proportional, exact total via largest remainder
+    alloc = _waterfill([("a", 100), ("b", 100), ("c", 100)], [1, 1, 1], 10)
+    assert sum(alloc.values()) == 10 and set(alloc) == {"a", "b", "c"}
+    # a small group is taken whole; slack re-spreads to the others
+    alloc = _waterfill([("a", 2), ("b", 100), ("c", 100)], [1, 1, 1], 30)
+    assert alloc["a"] == 2 and sum(alloc.values()) == 30
+    assert alloc["b"] + alloc["c"] == 28 and abs(alloc["b"] - alloc["c"]) <= 1
+    # budget above |df|: everything survives
+    alloc = _waterfill([("a", 3), ("b", 4)], [1, 1], 100)
+    assert alloc == {"a": 3, "b": 4}
+    # zero-weight groups get nothing
+    alloc = _waterfill([("a", 50), ("b", 50)], [0, 1], 10)
+    assert alloc == {"a": 0, "b": 10}
+
+
+def test_proportional_budget_sample_exact_total(spark):
+    df = _docs(spark, per_group=40, groups=("en", "fr", "de"))
+    out = proportional_budget_sample(df, "lang", 30, ["doc_id"], seed=1)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sum(counts.values()) == 30
+    assert all(abs(v - 10) <= 1 for v in counts.values()), counts
+
+    # temperature flattening: a skewed corpus, high T → near-uniform
+    skew = _docs(spark, per_group=5, groups=("rare",)).union(
+        _docs(spark, per_group=200, groups=("big",))
+    )
+    prop = proportional_budget_sample(skew, "lang", 40, ["doc_id"])
+    flat = proportional_budget_sample(
+        skew, "lang", 40, ["doc_id"], temperature=100.0
+    )
+    prop_c = {r["lang"]: r["count"] for r in prop.groupBy("lang").count().collect()}
+    flat_c = {r["lang"]: r["count"] for r in flat.groupBy("lang").count().collect()}
+    # proportional: rare gets ~1 of 40; flattened: rare is taken whole (5)
+    assert prop_c.get("rare", 0) <= 2, prop_c
+    assert flat_c["rare"] == 5, flat_c
+    assert sum(prop_c.values()) == 40 and sum(flat_c.values()) == 40
+
+    # explicit weights override
+    wout = proportional_budget_sample(
+        df, "lang", 20, ["doc_id"], weights={"en": 3.0, "fr": 1.0, "de": 0.0}
+    )
+    wc = {r["lang"]: r["count"] for r in wout.groupBy("lang").count().collect()}
+    assert wc.get("de", 0) == 0 and wc["en"] == 15 and wc["fr"] == 5, wc
