@@ -636,3 +636,94 @@ def survivors_from_pairs(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int | None = None,
+    min_doc_fraction: float | None = None,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Lines that repeat across many documents — navigation chrome,
+    cookie banners, license headers, forum signatures. The standard
+    boilerplate signal in web-corpus pipelines (public technique:
+    CCNet / RefinedWeb-style line-frequency filtering).
+
+    Returns (line, n_docs) for every normalized (trimmed) line of at
+    least ``min_line_chars`` characters that appears in ≥ ``min_docs``
+    distinct documents (or ``min_doc_fraction`` of the corpus — that
+    variant costs one extra count() job to size the corpus).
+
+    Scale shape: explode to (doc, line) — bounded by total text size —
+    then ONE two-level aggregate: groupBy(line, doc) dedups per-doc
+    repeats map-side, groupBy(line) counts docs. Grouping is on the
+    line STRING itself (exact — no hash-collision false positives);
+    the frequent set is tiny relative to the corpus, which is what the
+    anti-join in :func:`remove_boilerplate_lines` relies on.
+    """
+    if (min_docs is None) == (min_doc_fraction is None):
+        raise ValueError("pass exactly one of min_docs / min_doc_fraction")
+    if min_doc_fraction is not None:
+        min_docs = max(2, int(min_doc_fraction * df.count()))
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
+    ).select("__doc", F.trim(F.col("__raw")).alias("line"))
+    return (
+        lines.filter(F.length("line") >= min_line_chars)
+        .distinct()  # per-doc repeats collapse map-side (partial agg)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int | None = None,
+    min_doc_fraction: float | None = None,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Strip cross-document boilerplate lines from every document,
+    preserving the order (and the untouched lines) of the rest.
+
+    Pipeline: :func:`frequent_lines` builds the (small) frequent-line
+    set; every document's lines are exploded with their position,
+    anti-joined against that set (AQE broadcasts it — the corpus-sized
+    side is never shuffled), and reassembled by a per-document
+    ``collect_list(struct(pos, line)) → array_sort → array_join`` —
+    group size is bounded by a single document's line count, so the
+    rebuild is one shuffle on ``id_col`` with no skew beyond the
+    longest document.
+
+    Comparison is on the TRIMMED line (a banner indented differently
+    still matches) but the surviving lines keep their original bytes.
+    Documents whose every line is boilerplate come back as empty
+    strings — filter on length afterwards if they should drop.
+    """
+    freq = frequent_lines(
+        df, text_col, id_col,
+        min_docs=min_docs, min_doc_fraction=min_doc_fraction,
+        min_line_chars=min_line_chars,
+    ).select("line")
+    pos_lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
+    ).withColumn("line", F.trim(F.col("__raw")))
+    kept = pos_lines.join(freq, on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__raw"))),
+                lambda s: s["__raw"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    return df.drop(text_col).join(rebuilt, on=id_col, how="left").na.fill(
+        {text_col: ""}
+    )

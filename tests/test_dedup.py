@@ -376,3 +376,52 @@ def test_survivors_from_pairs_star_default(spark):
             for r in survivors_from_pairs(docs, pairs, "doc_id", algorithm=algo).collect()
         )
         assert kept == [1, 10, 99]
+
+
+def test_remove_boilerplate_lines(spark):
+    """Planted cookie-banner lines in most docs must vanish; rare lines,
+    original bytes (indentation), line order, and boilerplate-free docs
+    survive untouched; an all-boilerplate doc comes back empty."""
+    from eel_spark.operators.dedup import frequent_lines, remove_boilerplate_lines
+
+    banner = "ACCEPT ALL COOKIES TO CONTINUE"
+    rows = []
+    for i in range(10):
+        body = f"unique body {i}\n  indented keeper {i}"
+        rows.append((i, f"{banner}\n{body}\nSITE NAV MENU"))
+    rows.append((10, "no banner here\njust content"))  # clean doc
+    rows.append((11, banner))  # all-boilerplate doc
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    freq = frequent_lines(df, "text", "doc_id", min_docs=5)
+    got = {r["line"]: r["n_docs"] for r in freq.collect()}
+    assert got == {banner: 11, "SITE NAV MENU": 10}
+
+    out = remove_boilerplate_lines(df, "text", "doc_id", min_docs=5)
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert texts[3] == "unique body 3\n  indented keeper 3"  # bytes + order kept
+    assert texts[10] == "no banner here\njust content"
+    assert texts[11] == ""
+    assert len(texts) == 12  # no doc dropped
+
+    # fraction variant: 5/12 ≈ 0.42 → same threshold
+    out2 = remove_boilerplate_lines(df, "text", "doc_id", min_doc_fraction=0.42)
+    assert {r["doc_id"]: r["text"] for r in out2.collect()} == texts
+
+    # trimmed matching: an indented copy of the banner is still boilerplate
+    df3 = df.union(
+        spark.createDataFrame([(12, f"   {banner}\nreal line")],
+                              "doc_id: long, text: string")
+    )
+    out3 = remove_boilerplate_lines(df3, "text", "doc_id", min_docs=5)
+    t12 = {r["doc_id"]: r["text"] for r in out3.collect()}[12]
+    assert t12 == "real line"
+
+    # per-doc repeats count once: a line repeated 50x in ONE doc stays
+    spam = spark.createDataFrame(
+        [(i, "SPAM\n" * 3 + f"body {i}") for i in range(2)]
+        + [(5, "\n".join(["only here"] * 50))],
+        "doc_id: long, text: string",
+    )
+    f2 = frequent_lines(spam, "text", "doc_id", min_docs=3)
+    assert f2.count() == 0
