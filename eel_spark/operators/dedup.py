@@ -598,6 +598,7 @@ def connected_components_star(
     # Self-loop-only nodes get a singleton label — but a node can carry a
     # self-loop AND sit in a real component, so anti-join loops against
     # the edge-labeled node set (one bounded join, after convergence).
+    track(edges)  # persisted final round (no-op if it was checkpointed)
     edge_labels = edges.select(
         F.col("u").alias("node"), F.col("v").alias("component")
     ).union(
@@ -638,6 +639,13 @@ def survivors_from_pairs(
     return df.join(losers, id_col, "left_anti")
 
 
+def _ws_trim(c):
+    """Trim ALL leading/trailing whitespace (tabs, \\r) — ``F.trim``
+    strips only spaces, which breaks line matching on \\r\\n corpora
+    and tab-indented boilerplate."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def frequent_lines(
     df: DataFrame,
     text_col: str,
@@ -669,8 +677,8 @@ def frequent_lines(
         min_docs = max(2, int(min_doc_fraction * df.count()))
     lines = df.select(
         F.col(id_col).alias("__doc"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
-    ).select("__doc", F.trim(F.col("__raw")).alias("line"))
+        F.explode(F.split(F.col(text_col), "\r?\n")).alias("__raw"),
+    ).select("__doc", _ws_trim(F.col("__raw")).alias("line"))
     return (
         lines.filter(F.length("line") >= min_line_chars)
         .distinct()  # per-doc repeats collapse map-side (partial agg)
@@ -700,10 +708,13 @@ def remove_boilerplate_lines(
     rebuild is one shuffle on ``id_col`` with no skew beyond the
     longest document.
 
-    Comparison is on the TRIMMED line (a banner indented differently
-    still matches) but the surviving lines keep their original bytes.
-    Documents whose every line is boilerplate come back as empty
-    strings — filter on length afterwards if they should drop.
+    Comparison is on the whitespace-TRIMMED line (a banner indented
+    differently — spaces, tabs — still matches) but surviving lines
+    keep their original bytes. Input ``\\r\\n`` newlines match their
+    ``\\n`` twins; rebuilt documents are joined with ``\\n`` (newline
+    style is normalized, the one byte-level change). Documents whose
+    every line is boilerplate come back as empty strings — filter on
+    length afterwards if they should drop.
     """
     freq = frequent_lines(
         df, text_col, id_col,
@@ -712,8 +723,8 @@ def remove_boilerplate_lines(
     ).select("line")
     pos_lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
-    ).withColumn("line", F.trim(F.col("__raw")))
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("__pos", "__raw"),
+    ).withColumn("line", _ws_trim(F.col("__raw")))
     kept = pos_lines.join(freq, on="line", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

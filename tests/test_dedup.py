@@ -425,3 +425,19 @@ def test_remove_boilerplate_lines(spark):
     )
     f2 = frequent_lines(spam, "text", "doc_id", min_docs=3)
     assert f2.count() == 0
+
+
+def test_boilerplate_crlf_and_tab_matching(spark):
+    """\r\n newlines and tab indentation must not hide boilerplate:
+    trimming covers all whitespace and splitting accepts both newline
+    styles (rebuilt docs normalize to \n)."""
+    from eel_spark.operators.dedup import remove_boilerplate_lines
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    rows = [(i, f"{banner}\r\nbody {i}") for i in range(4)]
+    rows.append((4, f"\t{banner}\nkeep me"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, "text", "doc_id", min_docs=3).collect()}
+    assert out[0] == "body 0"
+    assert out[4] == "keep me"
