@@ -148,3 +148,46 @@ def merge_time_rollup(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def distinct_rollup_aggs(
+    distinct_cols: list[str] | tuple[str, ...],
+    lg_k: int = 12,
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """(aggs, merges) entries that make :func:`time_rollup` /
+    :func:`merge_time_rollup` maintain APPROXIMATE DISTINCT counts
+    incrementally — the one aggregate family a continuous aggregate
+    cannot keep exactly (countDistinct is not algebraic: partials
+    cannot re-merge).
+
+    The fix is mergeable sketches: ``hll_sketch_agg`` (DataSketches
+    HLL, built into Spark — JVM-side, no UDF) materializes a
+    ``<col>_sketch`` binary column per granularity bucket;
+    ``hll_union_agg`` re-merges partials LOSSLESSLY (HLL union is a
+    register-wise max, so union-of-sketches ≡ sketch-of-union — late
+    data folds in with no drift). Read the estimate back with
+    :func:`with_distinct_estimates`. ``lg_k=12`` ⇒ 2^12 registers,
+    ~1.6% relative standard error, ≤ ~4 KiB per bucket regardless of
+    cardinality.
+    """
+    aggs = {
+        f"{c}_sketch": F.hll_sketch_agg(F.col(c), F.lit(int(lg_k)))
+        for c in distinct_cols
+    }
+    merges = {
+        f"{c}_sketch": F.hll_union_agg(F.col(f"{c}_sketch"))
+        for c in distinct_cols
+    }
+    return aggs, merges
+
+
+def with_distinct_estimates(df: DataFrame, distinct_cols: list[str] | tuple[str, ...]) -> DataFrame:
+    """Replace each ``<col>_sketch`` binary column with a
+    ``<col>_distinct`` long estimate (query-time; the materialized
+    table keeps the mergeable sketch)."""
+    out = df
+    for c in distinct_cols:
+        out = out.withColumn(
+            f"{c}_distinct", F.hll_sketch_estimate(F.col(f"{c}_sketch"))
+        ).drop(f"{c}_sketch")
+    return out

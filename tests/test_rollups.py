@@ -107,3 +107,53 @@ def test_merge_time_rollup_incremental_equals_full(spark, events, tmp_path):
             f.split("bucket_date=")[1].split("/")[0]) not in late_dates
     ]
     assert all(__import__("os").path.exists(f) for f in untouched_survivors)
+
+
+def test_distinct_sketch_rollup_incremental(spark, events, tmp_path):
+    """Mergeable HLL sketches let the continuous aggregate maintain
+    distinct counts incrementally — countDistinct itself is not
+    algebraic. Estimates must (a) be near-exact at these cardinalities
+    vs a true countDistinct, and (b) be IDENTICAL between the
+    incremental two-batch merge and the one-shot rollup (HLL union is a
+    register-wise max: union-of-sketches ≡ sketch-of-union)."""
+    from eel_spark.operators.rollups import (
+        distinct_rollup_aggs,
+        merge_time_rollup,
+        time_rollup,
+        with_distinct_estimates,
+    )
+
+    aggs, merges = distinct_rollup_aggs(["user_id"])
+    aggs["n"] = F.count(F.lit(1))
+    merges["n"] = F.sum("n")
+
+    # one-shot: estimate vs exact per day bucket
+    rolled = with_distinct_estimates(
+        time_rollup(events, "ts", aggs, ["day"]), ["user_id"]
+    )
+    exact = events.groupBy(F.date_trunc("day", "ts").alias("b")).agg(
+        F.countDistinct("user_id").alias("d")
+    )
+    joined = rolled.join(exact, rolled.bucket_start == exact.b).collect()
+    assert joined
+    for r in joined:
+        assert abs(r["user_id_distinct"] - r["d"]) <= max(2, 0.05 * r["d"]), r
+
+    # incremental: two merges == one-shot, estimate-for-estimate
+    path = str(tmp_path / "sketch_rollup")
+    split = F.col("user_id") % 3 == 0
+    merge_time_rollup(spark, path, events.filter(~split), "ts", aggs, merges, ["day"])
+    merge_time_rollup(spark, path, events.filter(split), "ts", aggs, merges, ["day"])
+    got = sorted(
+        (str(r["bucket_start"]), r["user_id_distinct"], r["n"])
+        for r in with_distinct_estimates(
+            spark.read.parquet(path), ["user_id"]
+        ).collect()
+    )
+    want = sorted(
+        (str(r["bucket_start"]), r["user_id_distinct"], r["n"])
+        for r in with_distinct_estimates(
+            time_rollup(events, "ts", aggs, ["day"]), ["user_id"]
+        ).collect()
+    )
+    assert got == want and len(got) > 0
