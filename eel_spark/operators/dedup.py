@@ -204,6 +204,114 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_near_duplicates_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of NEW docs against a REFERENCE corpus — the batch
+    twin of the incremental streaming sink (streams.py): dedup a fresh
+    crawl against the training set you already have, without paying for
+    ref×ref (already deduped) or new×new (run the self variant for
+    that) comparisons.
+
+    Returns (id_new, id_ref, est_jaccard, jaccard ≥ threshold). Both
+    sides shingle+sign once; the band join is new-side × ref-side on
+    (band, key) ONLY, so candidate work is the cross-bucket overlap —
+    at 100 TB the reference's signature table is the thing you persist
+    between crawls (it is O(|ref|) narrow rows; re-signing the history
+    every batch is the real cost to avoid).
+
+    Bucket caps apply per side before the join (a verbatim-dup flood in
+    either corpus otherwise multiplies the other side's bucket).
+    """
+    from eel_spark.caching import pin
+
+    def prep(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sh = pin(
+            ensure_parallelism(d).select(
+                F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
+            )
+        )
+        sig = sh.select(
+            id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
+        )
+        return sh, sig
+
+    rows = num_hashes // bands
+    sh_new, sig_new = prep(df)
+    sh_ref, sig_ref = prep(reference)
+
+    def banded(sig_tbl: DataFrame, out_id: str) -> DataFrame:
+        b = sig_tbl.select(
+            F.col(id_col).alias(out_id),
+            F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b"),
+        ).select(out_id, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        return _cap_buckets(b, max_bucket_size)
+
+    pairs = (
+        banded(sig_new, "id_new")
+        .join(banded(sig_ref, "id_ref"), on=["band", "key"])
+        .select("id_new", "id_ref")
+        .distinct()
+    )
+    est = (
+        pairs.join(
+            sig_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_n")),
+            "id_new",
+        )
+        .join(
+            sig_ref.select(F.col(id_col).alias("id_ref"), F.col("sig").alias("sig_r")),
+            "id_ref",
+        )
+        .select(
+            "id_new",
+            "id_ref",
+            hashes.estimated_jaccard(F.col("sig_n"), F.col("sig_r")).alias("est_jaccard"),
+        )
+    )
+    return (
+        est.join(
+            sh_new.select(F.col(id_col).alias("id_new"), F.col("__sh").alias("sh_n")),
+            "id_new",
+        )
+        .join(
+            sh_ref.select(F.col(id_col).alias("id_ref"), F.col("__sh").alias("sh_r")),
+            "id_ref",
+        )
+        .select(
+            "id_new",
+            "id_ref",
+            "est_jaccard",
+            hashes.jaccard(F.col("sh_n"), F.col("sh_r")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """NEW docs that survive near-dedup against the reference corpus:
+    anti-join on the flagged id set from
+    :func:`minhash_near_duplicates_against` (kwargs pass through)."""
+    flagged = minhash_near_duplicates_against(
+        df, reference, text_col, id_col, threshold=threshold, **kwargs
+    ).select(F.col("id_new").alias(id_col)).distinct()
+    return df.join(flagged, id_col, "left_anti")
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,

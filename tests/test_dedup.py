@@ -441,3 +441,41 @@ def test_boilerplate_crlf_and_tab_matching(spark):
            remove_boilerplate_lines(df, "text", "doc_id", min_docs=3).collect()}
     assert out[0] == "body 0"
     assert out[4] == "keep me"
+
+
+def test_minhash_against_reference(spark):
+    """Cross-corpus near-dedup: new docs matching reference docs are
+    flagged (exact copies and bounded perturbations), new-only and
+    ref-only near-dup pairs are NOT reported, and dedup_against keeps
+    exactly the clean new docs."""
+    from eel_spark.operators.dedup import dedup_against, minhash_near_duplicates_against
+
+    base = BASE
+    ref = spark.createDataFrame(
+        [(100, base), (101, "reference only text " * 12), (102, "another ref " * 15)],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (0, base),                                # verbatim copy of ref 100
+            (1, base.replace("quick", "speedy")),     # near-dup of ref 100
+            (2, "genuinely new material " * 12),
+            (3, "genuinely new material " * 12 + "tail"),  # near-dup of NEW 2 only
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = minhash_near_duplicates_against(
+        new, ref, "text", "doc_id", threshold=0.5
+    ).collect()
+    found = {(r["id_new"], r["id_ref"]) for r in pairs}
+    assert (0, 100) in found and (1, 100) in found
+    assert not any(p[0] in (2, 3) for p in found)  # new×new never reported
+    assert all(p[1] >= 100 for p in found)
+    for r in pairs:
+        assert r["jaccard"] >= 0.5 and 0 <= r["est_jaccard"] <= 1
+
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_against(new, ref, "text", "doc_id", threshold=0.5).collect()
+    )
+    assert kept == [2, 3]
