@@ -1,5 +1,6 @@
-"""LLM training-corpus preparation: quality gate -> exact dedup ->
-near-dup detection -> corpus accounting.
+"""LLM training-corpus preparation: boilerplate removal -> exact dedup ->
+near-dup detection -> accounting -> decontamination -> language-mix
+sampling -> sequence packing.
 
 Usage: python examples/corpus_prep.py [sf_dir]
 """
@@ -42,3 +43,21 @@ clean = survivors.join(
 )
 print(f"decontamination: {survivors.count()} -> {clean.count()} "
       f"(dropped {contaminated.select('corpus_id').distinct().count()} overlapping eval)")
+
+# 5. cross-doc boilerplate: strip lines that recur in >=20% of docs
+from eel_spark.operators import packing, sampling
+
+clean = dedup.remove_boilerplate_lines(clean, "text", "doc_id", min_doc_fraction=0.2)
+
+# 6. language mixing: exact 300-doc budget, temperature-flattened toward
+#    rare languages (count^(1/2) weighting), deterministic by content hash
+mixed = sampling.proportional_budget_sample(
+    clean, "lang", 300, ["doc_id"], temperature=2.0
+)
+print("language mix after temperature sampling:")
+mixed.groupBy("lang").count().orderBy("lang").show()
+
+# 7. pack the sampled docs into 2048-token training sequences
+sized = mixed.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+packed = packing.pack_sequences(sized, "doc_id", "n_tokens", 2048, n_shards=8)
+packing.packing_stats(packed, "n_tokens", 2048).show()
