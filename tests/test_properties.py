@@ -161,3 +161,38 @@ def test_top_count_fold_equals_quadratic(spark, arrays):
     ).collect()
     for r in got:
         assert r["fold"] == r["naive"]
+
+
+# -- waterfill allocation (sampling): pure python, generous examples --------
+
+_counts = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 10_000)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@given(_counts, st.integers(0, 50_000))
+def test_waterfill_exact_budget_and_caps(counts, total):
+    from eel_spark.operators.sampling import _waterfill
+
+    weights = [1.0] * len(counts)
+    alloc = _waterfill(counts, weights, total)
+    sizes = dict(counts)
+    # every group allocated, never beyond its size, never negative
+    assert set(alloc) == set(sizes)
+    assert all(0 <= alloc[k] <= sizes[k] for k in alloc)
+    # budget exactly exhausted (or the whole corpus taken when smaller)
+    assert sum(alloc.values()) == min(total, sum(sizes.values()))
+
+
+@given(_counts, st.integers(1, 20_000))
+def test_waterfill_zero_weight_gets_nothing(counts, total):
+    from eel_spark.operators.sampling import _waterfill
+
+    if len(counts) < 2:
+        return
+    weights = [0.0] + [1.0] * (len(counts) - 1)
+    alloc = _waterfill(counts, weights, total)
+    nonzero_capacity = sum(n for _, n in counts[1:])
+    if total <= nonzero_capacity:
+        assert alloc[counts[0][0]] == 0
