@@ -2,6 +2,7 @@ from eel_spark.operators import (
     dedup,
     multimodal,
     packing,
+    quality_model,
     rollups,
     sampling,
     similarity,
@@ -11,6 +12,7 @@ __all__ = [
     "dedup",
     "multimodal",
     "packing",
+    "quality_model",
     "rollups",
     "sampling",
     "similarity",

@@ -1,0 +1,84 @@
+"""Model-based document quality scoring (fasttext-style linear filter).
+
+Heuristic quality metrics (functions/text.py) catch structural junk;
+the standard second stage in public web-corpus pipelines (CCNet,
+RedPajama, Dolma — all public techniques) is a LINEAR text classifier
+trained to separate a high-quality seed corpus (e.g. curated reference
+text) from random crawl text, then applied as a soft filter.
+
+This is the Spark-first realization on ``pyspark.ml``: every stage is
+JVM-side (RegexTokenizer → unigram+bigram HashingTF → LogisticRegression),
+training is distributed L-BFGS over the feature vectors, and scoring is
+a ``PipelineModel.transform`` — no Python in the row path, so the
+filter runs at scan speed on 100 TB. Hashed features mean no vocabulary
+build pass and a fixed-size model that broadcasts to executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pipeline(text_col: str, num_features: int, reg_param: float):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, VectorAssembler
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__words",
+        pattern=r"[^\p{L}\p{N}']+", minTokenLength=1, toLowercase=True,
+    )
+    bi = NGram(n=2, inputCol="__words", outputCol="__bigrams")
+    tf_uni = HashingTF(
+        inputCol="__words", outputCol="__f_uni", numFeatures=num_features
+    )
+    tf_bi = HashingTF(
+        inputCol="__bigrams", outputCol="__f_bi", numFeatures=num_features
+    )
+    asm = VectorAssembler(inputCols=["__f_uni", "__f_bi"], outputCol="__features")
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol="__label",
+        regParam=reg_param, elasticNetParam=0.0, maxIter=50,
+    )
+    return Pipeline(stages=[tok, bi, tf_uni, tf_bi, asm, lr])
+
+
+def train_quality_model(
+    positives: DataFrame,
+    negatives: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    reg_param: float = 1e-3,
+):
+    """Train the quality classifier from a high-quality seed corpus
+    (``positives``) vs junk/random crawl text (``negatives``).
+
+    Returns a fitted ``PipelineModel``; persist it with
+    ``model.write().save(path)`` and reload via ``PipelineModel.load``
+    so scoring jobs never retrain. Feature hashing (2^18 buckets for
+    unigrams + bigrams) keeps the model a fixed few MB independent of
+    corpus size — it broadcasts once per scoring job.
+    """
+    labeled = positives.select(
+        F.col(text_col), F.lit(1.0).alias("__label")
+    ).unionByName(negatives.select(F.col(text_col), F.lit(0.0).alias("__label")))
+    return _pipeline(text_col, num_features, reg_param).fit(labeled)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Append ``out_col`` = P(high quality) ∈ [0, 1] to every row.
+    Pure JVM transform — filter on it (``df.filter(col > 0.5)``) or keep
+    it as a feature for downstream temperature sampling."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df.withColumnRenamed(text_col, text_col))
+    return scored.withColumn(
+        out_col, F.round(vector_to_array(F.col("probability"))[1], 6)
+    ).drop("__words", "__bigrams", "__f_uni", "__f_bi", "__features",
+           "rawPrediction", "probability", "prediction")

@@ -1,0 +1,74 @@
+"""Model-based quality filter (operators/quality_model.py): separability
+on a planted clean-vs-junk corpus, JVM-only scoring, save/load round trip."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from eel_spark.operators.quality_model import score_quality, train_quality_model
+
+
+def _corpus(spark):
+    random.seed(3)
+    clean_tmpl = [
+        "the committee published its annual report on regional development",
+        "researchers described a method for measuring water quality in rivers",
+        "the library extended its opening hours during the examination period",
+        "engineers completed the bridge inspection ahead of schedule this year",
+        "the orchestra performed three symphonies to a full concert hall",
+    ]
+    junk_tmpl = [
+        "click here buy now cheap cheap cheap best price viagra casino",
+        "xjq zzpt qwfk vvnm lorem asdfgh qwerty zxcvb 77777 $$$$",
+        "FREE FREE FREE winner winner claim prize now http bit ly xx",
+        "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk",
+    ]
+
+    def vary(t, i):
+        words = t.split()
+        words[i % len(words)] = words[i % len(words)] + str(i % 7)
+        return " ".join(words)
+
+    pos = [(i, vary(clean_tmpl[i % len(clean_tmpl)], i)) for i in range(120)]
+    neg = [(1000 + i, vary(junk_tmpl[i % len(junk_tmpl)], i)) for i in range(120)]
+    schema = "doc_id: long, text: string"
+    return (
+        spark.createDataFrame(pos[:80] + neg[:80], schema),   # train
+        spark.createDataFrame(pos[80:] + neg[80:], schema),   # held out
+    )
+
+
+def test_quality_model_separates_and_round_trips(spark, tmp_path):
+    train, held = _corpus(spark)
+    model = train_quality_model(
+        train.filter("doc_id < 1000"),
+        train.filter("doc_id >= 1000"),
+        num_features=1 << 12,
+    )
+    scored = score_quality(model, held)
+    assert "quality_score" in scored.columns
+    # no helper columns leak
+    assert set(scored.columns) == {"doc_id", "text", "quality_score"}
+    rows = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    clean_scores = [v for k, v in rows.items() if k < 1000]
+    junk_scores = [v for k, v in rows.items() if k >= 1000]
+    # held-out separation: clean well above junk
+    assert min(clean_scores) > max(junk_scores)
+    assert sum(clean_scores) / len(clean_scores) > 0.8
+    assert sum(junk_scores) / len(junk_scores) < 0.2
+
+    # scoring stays JVM-side: no BatchEvalPython / Python UDF in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan.replace(
+        "ArrowEvalPython", ""
+    ), plan[:1500]
+
+    # persist + reload scores identically (the production scoring path)
+    from pyspark.ml import PipelineModel
+
+    path = str(tmp_path / "qmodel")
+    model.write().overwrite().save(path)
+    re_scored = score_quality(PipelineModel.load(path), held)
+    assert {r["doc_id"]: r["quality_score"] for r in re_scored.collect()} == rows
