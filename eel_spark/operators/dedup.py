@@ -846,3 +846,136 @@ def remove_boilerplate_lines(
     return df.drop(text_col).join(rebuilt, on=id_col, how="left").na.fill(
         {text_col: ""}
     )
+
+
+def _token_windows(df: DataFrame, text_col: str, id_col: str, min_tokens: int, stride: int) -> DataFrame:
+    """(doc, pos, h): xxhash64 of every ``min_tokens``-token window at
+    stride ``stride``. Window hashing is slice+concat_ws+xxhash64 — all
+    codegen expressions; compute is O(tokens × min_tokens) chars per doc
+    (the public suffix-array approach is single-machine; windowed
+    hashing is the distributable equivalent, exact at stride=1)."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    n = F.size("__t")
+    # guard short docs explicitly: sequence(0, -1) yields a DESCENDING
+    # [0, -1], not an empty list
+    starts = F.when(n >= min_tokens, F.filter(
+        F.sequence(F.lit(0), n - min_tokens),
+        lambda i: i % stride == 0,
+    )).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "__doc",
+        F.explode(starts).alias("pos"),
+        F.col("__t"),
+    ).select(
+        "__doc",
+        "pos",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("__t", F.col("pos") + 1, min_tokens))
+        ).alias("h"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    stride: int = 1,
+) -> DataFrame:
+    """Merged (doc, start_token, end_token) spans covered by token
+    windows that occur more than once ANYWHERE in the corpus — the
+    substring-level duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — public paper; their
+    single-machine suffix array becomes a distributed window-hash
+    groupBy here).
+
+    end_token is exclusive. Spans from overlapping windows are merged
+    via the islands trick (token-index minus per-doc rank), one bounded
+    per-doc window sort — never a global one.
+    """
+    from pyspark.sql import Window
+
+    wins = _token_windows(df, text_col, id_col, min_tokens, stride)
+    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") > 1
+    ).select("h")
+    flagged = wins.join(dup_h, "h").select("__doc", "pos")
+    covered = flagged.select(
+        "__doc",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)).alias("idx"),
+    ).distinct()
+    w = Window.partitionBy("__doc").orderBy("idx")
+    return (
+        covered.withColumn("__grp", F.col("idx") - F.row_number().over(w))
+        .groupBy("__doc", "__grp")
+        .agg(
+            F.min("idx").alias("start_token"),
+            (F.max("idx") + 1).alias("end_token"),
+        )
+        .select(F.col("__doc").alias(id_col), "start_token", "end_token")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    stride: int = 1,
+) -> DataFrame:
+    """Cut duplicated substrings (≥ ``min_tokens`` tokens, corpus-wide)
+    out of every document, KEEPING the first occurrence — first by
+    (doc id, position) — so the corpus still contains each passage once
+    (the Lee et al. ExactSubstr policy).
+
+    Mechanics: every duplicated window hash elects one survivor
+    occurrence (``min_by`` over (doc, pos) — map-side aggregate, no
+    window); all other occurrences mark their ``min_tokens`` token
+    positions covered; covered tokens are dropped and the text rebuilt
+    in token order. Tokens are whitespace-split and rejoined with
+    single spaces — whitespace inside rebuilt docs is normalized (the
+    one byte-level change, same contract as remove_boilerplate_lines).
+
+    Scale shape: windows explode to ~tokens×(1/stride) narrow rows; the
+    dup-hash set and survivor election are one groupBy each; coverage
+    marking explodes only flagged windows (bounded by duplication
+    volume); the rebuild shuffles once on ``id_col`` with per-doc
+    bounded groups.
+    """
+    wins = _token_windows(df, text_col, id_col, min_tokens, stride)
+    agg = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("__doc", "pos")).alias("__keep"),
+    ).filter(F.col("__n") > 1)
+    losers = (
+        wins.join(agg, "h")
+        .filter(
+            (F.col("__doc") != F.col("__keep.__doc"))
+            | (F.col("pos") != F.col("__keep.pos"))
+        )
+        .select("__doc", "pos")
+    )
+    covered = losers.select(
+        "__doc",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)).alias("idx"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("idx", "tok"),
+    )
+    kept = toks.join(covered, on=["__doc", "idx"], how="left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    ).select(F.col("__doc").alias(id_col), text_col)
+    return df.drop(text_col).join(rebuilt, on=id_col, how="left").na.fill(
+        {text_col: ""}
+    )

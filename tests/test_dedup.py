@@ -479,3 +479,59 @@ def test_minhash_against_reference(spark):
         for r in dedup_against(new, ref, "text", "doc_id", threshold=0.5).collect()
     )
     assert kept == [2, 3]
+
+
+def test_duplicated_span_removal(spark):
+    """A 12-token passage planted in three docs: the first occurrence
+    (by doc id, position) survives, later occurrences are cut, flanking
+    text is untouched, and short shared strings below min_tokens are
+    ignored. Docs shorter than the window produce no spans."""
+    from eel_spark.operators.dedup import duplicated_spans, remove_duplicated_spans
+
+    passage = " ".join(f"dup{i}" for i in range(12))
+    short_shared = "common tiny phrase"
+    rows = [
+        (0, f"alpha beta {passage} gamma delta {short_shared}"),
+        (1, f"one two three {passage} four {short_shared} five"),
+        (2, f"{passage} standalone tail here"),
+        (3, "entirely original content with no repeats at all today"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    spans = duplicated_spans(df, "text", "doc_id", min_tokens=12)
+    got = {(r["doc_id"], r["start_token"], r["end_token"]) for r in spans.collect()}
+    # doc0 passage at tokens [2,14), doc1 at [3,15), doc2 at [0,12)
+    assert got == {(0, 2, 14), (1, 3, 15), (2, 0, 12)}
+
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_spans(df, "text", "doc_id", min_tokens=12).collect()}
+    # first occurrence (doc 0) keeps the passage; doc1/doc2 lose it
+    assert out[0] == f"alpha beta {passage} gamma delta {short_shared}"
+    assert out[1] == f"one two three four {short_shared} five"
+    assert out[2] == "standalone tail here"
+    assert out[3] == rows[3][1]
+    assert out[4] == "tiny doc"
+    assert len(out) == 5
+
+
+def test_duplicated_span_overlapping_windows_merge(spark):
+    """A long duplicated passage produces many overlapping dup windows;
+    spans must merge into ONE interval per occurrence, and removal must
+    excise exactly the passage."""
+    from eel_spark.operators.dedup import duplicated_spans, remove_duplicated_spans
+
+    passage = " ".join(f"p{i}" for i in range(30))  # 30 tokens, window 10
+    rows = [
+        (0, f"{passage} and some original trailing words"),
+        (1, f"leading words then {passage}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spans = duplicated_spans(df, "text", "doc_id", min_tokens=10)
+    got = {(r["doc_id"], r["start_token"], r["end_token"]) for r in spans.collect()}
+    assert got == {(0, 0, 30), (1, 3, 33)}
+
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_spans(df, "text", "doc_id", min_tokens=10).collect()}
+    assert out[0] == f"{passage} and some original trailing words"
+    assert out[1] == "leading words then"
