@@ -122,3 +122,61 @@ def packing_stats(packed: DataFrame, size_col: str, max_tokens: int) -> DataFram
         ).alias("fill_factor"),
         F.max("__fill").alias("max_bin_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into ≤ ``chunk_tokens``-token chunks with
+    ``overlap_tokens`` of context carried between consecutive chunks —
+    the standard pre-packing step for documents longer than the training
+    sequence (and the retrieval-index chunking shape).
+
+    Pure Catalyst: tokens split once, chunk starts from a ``sequence``
+    with step ``chunk_tokens - overlap_tokens``, one ``posexplode`` row
+    per chunk rebuilt via ``slice`` + ``concat_ws`` — no Python, no
+    shuffle (a narrow map over the corpus; chunk ids are (doc,
+    chunk_index)). Whitespace inside chunks is normalized to single
+    spaces. Documents at or under ``chunk_tokens`` yield exactly one
+    chunk 0. Output: ``id_col``, chunk_index, n_tokens, ``text_col``.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    n = F.size("__t")
+    # last start: the largest multiple of step strictly below n (so a doc
+    # of exactly chunk_tokens yields one chunk; an overlap tail shorter
+    # than step is absorbed by the previous chunk's slice)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - F.lit(1)) - F.pmod(n - F.lit(1), F.lit(step)), F.lit(0))
+        if step > 1 else n - F.lit(1),
+        F.lit(step),
+    )
+    # drop trailing starts that add no NEW tokens (fully inside the
+    # previous chunk): keep start==0 or start + overlap < n
+    starts = F.filter(
+        starts, lambda s: (s == 0) | (s + F.lit(int(overlap_tokens)) < n)
+    )
+    chunks = toks.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_index", "__start"),
+        F.col("__t"),
+    )
+    piece = F.slice("__t", F.col("__start") + 1, chunk_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_index",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias(text_col),
+    )

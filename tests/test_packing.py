@@ -78,3 +78,42 @@ def test_pack_fill_quality_and_stats(spark):
     assert stats["fill_factor"] >= 0.90, stats
     assert stats["max_bin_tokens"] <= 4096
     assert stats["total_tokens"] == sum(sizes)
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from eel_spark.operators.packing import chunk_documents
+
+    text25 = " ".join(f"w{i}" for i in range(25))
+    text10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text25), (2, text10), (3, "short doc")],
+        "doc_id: long, text: string",
+    )
+    # no overlap: exact partition of the token stream
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=10)
+    rows = {(r["doc_id"], r["chunk_index"]): (r["n_tokens"], r["text"])
+            for r in out.collect()}
+    assert rows[(1, 0)] == (10, " ".join(f"w{i}" for i in range(10)))
+    assert rows[(1, 1)] == (10, " ".join(f"w{i}" for i in range(10, 20)))
+    assert rows[(1, 2)] == (5, " ".join(f"w{i}" for i in range(20, 25)))
+    assert rows[(2, 0)] == (10, text10)          # exactly one chunk
+    assert rows[(3, 0)] == (2, "short doc")
+    assert len(rows) == 5
+    # reassembling the no-overlap chunks restores the token stream
+    joined = " ".join(rows[(1, i)][1] for i in range(3))
+    assert joined == text25
+
+    # overlap: consecutive chunks share exactly overlap_tokens
+    ov = chunk_documents(df.filter("doc_id = 1"), "text", "doc_id",
+                         chunk_tokens=10, overlap_tokens=3)
+    chunks = [r["text"].split() for r in ov.orderBy("chunk_index").collect()]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-3:] == b[:3]
+    # every token appears; no chunk exceeds the cap; tail chunks that add
+    # nothing new are suppressed
+    assert set(text25.split()) == {t for c in chunks for t in c}
+    assert all(len(c) <= 10 for c in chunks)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=5, overlap_tokens=5)
