@@ -41,8 +41,20 @@ def track(df):
 
 def release_pins() -> int:
     """Unpersist every tracked intermediate; returns how many."""
+    return release_pins_since(0)
+
+
+def pins_mark() -> int:
+    """Current pin-stack depth — pass to :func:`release_pins_since` to
+    release only the pins a bounded piece of work (e.g. one streaming
+    micro-batch) added, leaving other in-flight queries' caches alone."""
+    return len(_PINS)
+
+
+def release_pins_since(mark: int) -> int:
+    """Unpersist every pin recorded after ``mark``; returns how many."""
     n = 0
-    while _PINS:
+    while len(_PINS) > mark:
         df = _PINS.pop()
         try:
             df.unpersist()

@@ -74,6 +74,58 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     return banded.join(over, on=["band", "key"], how="left_anti")
 
 
+def _shingle_sig_tables(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    pinned: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(id, shingles) and (id, sig) tables — the shared front of every
+    minhash path (self- and cross-corpus). The shingle array is
+    projected through its own select FIRST: inlining the shingle
+    expression into the 64 per-slot transforms makes Catalyst
+    re-evaluate shingling per slot (measured 20× slower at sf0.01).
+    ``pinned`` tracks both through caching.pin for multi-branch plans."""
+    from eel_spark.caching import pin
+
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
+    )
+    if pinned:
+        shingled = pin(shingled)
+    sig_tbl = shingled.select(
+        id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
+    )
+    if pinned:
+        sig_tbl = pin(sig_tbl)
+    return shingled, sig_tbl
+
+
+def _banded_table(
+    sig_tbl: DataFrame,
+    id_col: str,
+    out_id: str,
+    bands: int,
+    num_hashes: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(out_id, band, key) rows from a signature table, bucket-capped.
+    Band rows stay narrow: carrying the 64-slot signature through the
+    explode + join would multiply shuffle width ×bands."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}"
+        )
+    rows = num_hashes // bands
+    banded = sig_tbl.select(
+        F.col(id_col).alias(out_id),
+        F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b"),
+    ).select(out_id, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    return _cap_buckets(banded, max_bucket_size)
+
+
 def _candidates_from_sigs(
     sig_tbl: DataFrame,
     id_col: str,
@@ -91,13 +143,9 @@ def _candidates_from_sigs(
     dedup_exact handles at Σ|bucket| cost — run it first (the documented
     pipeline order in queries/pipeline.py).
     """
-    rows = num_hashes // bands
-    # Band rows stay narrow (id, band, key): carrying the 64-slot signature
-    # through the explode + self-join would multiply shuffle width ×bands.
-    banded = sig_tbl.select(
-        id_col, F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded = _banded_table(
+        sig_tbl, id_col, id_col, bands, num_hashes, max_bucket_size
+    )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -138,15 +186,11 @@ def minhash_candidates(
     sizes, not n². ``bands``/``num_hashes`` set the similarity threshold
     s ≈ (1/bands)^(bands/num_hashes).
 
-    The shingle array is projected through its own select FIRST: inlining
-    the shingle expression into the 64 per-slot transforms makes Catalyst
-    re-evaluate shingling per slot (measured 20× slower at sf0.01).
+    Shingle/signature construction is shared with every other minhash
+    path (``_shingle_sig_tables``).
     """
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-    )
-    sig_tbl = shingled.select(
-        id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
+    _, sig_tbl = _shingle_sig_tables(
+        df, text_col, id_col, shingle_n, num_hashes, pinned=False
     )
     return _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
 
@@ -176,17 +220,8 @@ def minhash_near_duplicates(
     next query build — not by waiting on GC (cached plans are held by the
     CacheManager until an explicit unpersist).
     """
-    from eel_spark.caching import pin
-
-    shingled = pin(
-        ensure_parallelism(df).select(
-            F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-        )
-    )
-    sig_tbl = pin(
-        shingled.select(
-            id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
-        )
+    shingled, sig_tbl = _shingle_sig_tables(
+        df, text_col, id_col, shingle_n, num_hashes, pinned=True
     )
     cands = _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
@@ -231,33 +266,20 @@ def minhash_near_duplicates_against(
     Bucket caps apply per side before the join (a verbatim-dup flood in
     either corpus otherwise multiplies the other side's bucket).
     """
-    from eel_spark.caching import pin
-
-    def prep(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-        sh = pin(
-            ensure_parallelism(d).select(
-                F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-            )
-        )
-        sig = sh.select(
-            id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
-        )
-        return sh, sig
-
-    rows = num_hashes // bands
-    sh_new, sig_new = prep(df)
-    sh_ref, sig_ref = prep(reference)
-
-    def banded(sig_tbl: DataFrame, out_id: str) -> DataFrame:
-        b = sig_tbl.select(
-            F.col(id_col).alias(out_id),
-            F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b"),
-        ).select(out_id, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-        return _cap_buckets(b, max_bucket_size)
-
+    sh_new, sig_new = _shingle_sig_tables(
+        df, text_col, id_col, shingle_n, num_hashes, pinned=True
+    )
+    sh_ref, sig_ref = _shingle_sig_tables(
+        reference, text_col, id_col, shingle_n, num_hashes, pinned=True
+    )
     pairs = (
-        banded(sig_new, "id_new")
-        .join(banded(sig_ref, "id_ref"), on=["band", "key"])
+        _banded_table(sig_new, id_col, "id_new", bands, num_hashes, max_bucket_size)
+        .join(
+            _banded_table(
+                sig_ref, id_col, "id_ref", bands, num_hashes, max_bucket_size
+            ),
+            on=["band", "key"],
+        )
         .select("id_new", "id_ref")
         .distinct()
     )
@@ -739,8 +761,12 @@ def survivors_from_pairs(
     rounds on chains. Measured at 8×sf0.1 in SURVEY §8."""
     if algorithm == "star":
         comp = connected_components_star(pairs, id_a, id_b)
-    else:
+    elif algorithm == "propagation":
         comp = connected_components(pairs, id_a, id_b)
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; pick 'star' or 'propagation'"
+        )
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -898,7 +924,13 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    wins = _token_windows(df, text_col, id_col, min_tokens, stride)
+    from eel_spark.caching import pin
+
+    # the window-hash table feeds two plan branches (dup-hash election +
+    # the rejoin); it is also the dominant O(tokens × min_tokens) cost —
+    # pin it like the minhash shingle/sig tables (released by
+    # caching.release_pins())
+    wins = pin(_token_windows(df, text_col, id_col, min_tokens, stride))
     dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).filter(
         F.col("__n") > 1
     ).select("h")
@@ -935,9 +967,16 @@ def remove_duplicated_spans(
     occurrence (``min_by`` over (doc, pos) — map-side aggregate, no
     window); all other occurrences mark their ``min_tokens`` token
     positions covered; covered tokens are dropped and the text rebuilt
-    in token order. Tokens are whitespace-split and rejoined with
-    single spaces — whitespace inside rebuilt docs is normalized (the
-    one byte-level change, same contract as remove_boilerplate_lines).
+    in token order. Tokens ELECTED AS KEEPERS ARE PROTECTED: coverage
+    from a different duplicated passage's loser region never cuts into
+    a kept occurrence (otherwise two overlapping duplicated passages
+    could each keep an occurrence the other one cut, and a passage
+    would survive nowhere). The flip side: loser regions overlapping a
+    keeper are preserved at that overlap, so a bounded fragment of a
+    removed occurrence can remain. Tokens are whitespace-split and
+    rejoined with single spaces — whitespace inside rebuilt docs is
+    normalized (the one byte-level change, same contract as
+    remove_boilerplate_lines).
 
     Scale shape: windows explode to ~tokens×(1/stride) narrow rows; the
     dup-hash set and survivor election are one groupBy each; coverage
@@ -945,11 +984,22 @@ def remove_duplicated_spans(
     volume); the rebuild shuffles once on ``id_col`` with per-doc
     bounded groups.
     """
-    wins = _token_windows(df, text_col, id_col, min_tokens, stride)
+    from eel_spark.caching import pin
+
+    wins = pin(_token_windows(df, text_col, id_col, min_tokens, stride))
     agg = wins.groupBy("h").agg(
         F.count(F.lit(1)).alias("__n"),
         F.min(F.struct("__doc", "pos")).alias("__keep"),
     ).filter(F.col("__n") > 1)
+
+    def coverage(occ: DataFrame) -> DataFrame:
+        return occ.select(
+            "__doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
+            ).alias("idx"),
+        ).distinct()
+
     losers = (
         wins.join(agg, "h")
         .filter(
@@ -958,10 +1008,13 @@ def remove_duplicated_spans(
         )
         .select("__doc", "pos")
     )
-    covered = losers.select(
-        "__doc",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)).alias("idx"),
-    ).distinct()
+    keepers = agg.select(
+        F.col("__keep.__doc").alias("__doc"), F.col("__keep.pos").alias("pos")
+    )
+    # protect kept occurrences from other passages' loser coverage
+    covered = coverage(losers).join(
+        coverage(keepers), on=["__doc", "idx"], how="left_anti"
+    )
     toks = df.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("idx", "tok"),

@@ -149,18 +149,24 @@ def chunk_documents(
     if not (0 <= overlap_tokens < chunk_tokens):
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     step = chunk_tokens - overlap_tokens
+    # NULL/blank text must still yield one (empty, n_tokens=0) chunk —
+    # split("") returns [""], a phantom token, and split(NULL) is NULL,
+    # which posexplode would silently DROP the document on
     toks = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+        ).otherwise(F.array().cast("array<string>")).alias("__t"),
     )
     n = F.size("__t")
     # last start: the largest multiple of step strictly below n (so a doc
     # of exactly chunk_tokens yields one chunk; an overlap tail shorter
-    # than step is absorbed by the previous chunk's slice)
+    # than step is absorbed by the previous chunk's slice); the greatest()
+    # guard keeps n=0 docs at starts=[0] instead of a descending sequence
     starts = F.sequence(
         F.lit(0),
-        F.greatest((n - F.lit(1)) - F.pmod(n - F.lit(1), F.lit(step)), F.lit(0))
-        if step > 1 else n - F.lit(1),
+        F.greatest((n - F.lit(1)) - F.pmod(n - F.lit(1), F.lit(step)), F.lit(0)),
         F.lit(step),
     )
     # drop trailing starts that add no NEW tokens (fully inside the

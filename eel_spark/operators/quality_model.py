@@ -44,6 +44,43 @@ def _pipeline(text_col: str, num_features: int, reg_param: float):
     return Pipeline(stages=[tok, bi, tf_uni, tf_bi, asm, lr])
 
 
+def _drop_training_summary(pipeline_model) -> None:
+    """Null out the fitted LogisticRegressionModel's ``trainingSummary``.
+
+    The summary holds a reference to the SparkSession; once any
+    ``Observation`` has been used in that session, Spark 4's lazily
+    materialized (and non-transient) ``ObservationManager`` makes the
+    session — and therefore any task closure that captures the model,
+    i.e. every ``transform`` — fail with ``Task not serializable``.
+    The summary is diagnostics-only (it is dropped by save/load anyway),
+    so stripping it loses nothing. Best-effort: a JVM where the private
+    field moved just keeps the summary.
+    """
+    for stage in pipeline_model.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            from pyspark import SparkContext
+
+            jvm = SparkContext._active_spark_context._jvm
+            none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+            cls = jobj.getClass()
+            while cls is not None:
+                hit = None
+                for fld in cls.getDeclaredFields():
+                    if fld.getName().split("$")[-1] == "trainingSummary":
+                        hit = fld
+                        break
+                if hit is not None:
+                    hit.setAccessible(True)
+                    hit.set(jobj, none)
+                    break
+                cls = cls.getSuperclass()
+        except Exception:
+            pass
+
+
 def train_quality_model(
     positives: DataFrame,
     negatives: DataFrame,
@@ -63,7 +100,9 @@ def train_quality_model(
     labeled = positives.select(
         F.col(text_col), F.lit(1.0).alias("__label")
     ).unionByName(negatives.select(F.col(text_col), F.lit(0.0).alias("__label")))
-    return _pipeline(text_col, num_features, reg_param).fit(labeled)
+    model = _pipeline(text_col, num_features, reg_param).fit(labeled)
+    _drop_training_summary(model)
+    return model
 
 
 def score_quality(
@@ -74,11 +113,25 @@ def score_quality(
 ) -> DataFrame:
     """Append ``out_col`` = P(high quality) ∈ [0, 1] to every row.
     Pure JVM transform — filter on it (``df.filter(col > 0.5)``) or keep
-    it as a feature for downstream temperature sampling."""
+    it as a feature for downstream temperature sampling.
+
+    ``text_col`` may differ from the column the model was trained on:
+    the frame is aliased to the tokenizer's input column for the
+    transform and aliased back afterwards.
+    """
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(df.withColumnRenamed(text_col, text_col))
-    return scored.withColumn(
+    train_col = model.stages[0].getInputCol()
+    renamed = text_col != train_col
+    if renamed and train_col in df.columns:
+        raise ValueError(
+            f"df already has a column named {train_col!r} (the model's "
+            f"training input) — drop or rename it before scoring {text_col!r}"
+        )
+    inp = df.withColumnRenamed(text_col, train_col) if renamed else df
+    scored = model.transform(inp)
+    out = scored.withColumn(
         out_col, F.round(vector_to_array(F.col("probability"))[1], 6)
     ).drop("__words", "__bigrams", "__f_uni", "__f_bi", "__features",
            "rawPrediction", "probability", "prediction")
+    return out.withColumnRenamed(train_col, text_col) if renamed else out

@@ -55,7 +55,8 @@ def quota_sample(
     orderBy hash) is rewritten by Spark into a WindowGroupLimit, which
     prunes each map-side partition to n rows per group BEFORE the
     exchange — shuffle volume is ≤ groups×n per input partition, not
-    |df|. Plan-asserted in tests/test_plans.py.
+    |df|. Plan-asserted in tests/test_sampling.py
+    (test_quota_sample_plan_window_group_limit).
     """
     from pyspark.sql import Window
 
@@ -107,7 +108,11 @@ def _waterfill(counts: list[tuple[object, int]], weights: list[float], total: in
     its count and redistributing the excess among uncapped groups
     (iterative water-filling; ≤ |groups| rounds, driver-side on the
     per-group summary only). Largest-remainder rounding keeps the sum
-    exact. Deterministic: ties break on group key order."""
+    exact. Deterministic: ties break on group key order.
+
+    Zero-weight groups are hard exclusions: they never receive budget,
+    so the sum allocated is min(total, Σ counts of POSITIVE-weight
+    groups) — leftover budget is not forced into excluded groups."""
     alloc: dict = {}
     remaining = list(range(len(counts)))
     budget = total
@@ -155,7 +160,11 @@ def proportional_budget_sample(
     language/domain mixing rule (temperature→∞ flattens toward uniform
     per group; 1.0 is proportional). Groups smaller than their share are
     taken whole and the slack is re-spread (water-filling), so the
-    output totals exactly ``min(total, |df|)`` rows.
+    output totals exactly ``min(total, |df|)`` rows — except that
+    explicit zero-weight groups are hard exclusions: their rows never
+    count toward the budget, so with exclusions the total is
+    ``min(total, rows in positive-weight groups)``. A NULL ``group_col``
+    value is a real stratum (counted, allocated, null-safe joined).
 
     Distributed shape: ONE groupBy-count aggregate (map-side partial),
     the allocation math on |groups| driver rows, then one
@@ -186,10 +195,17 @@ def proportional_budget_sample(
     )
     # literal bound first: eligible for the WindowGroupLimit map-side
     # prune; the per-group (non-literal) quota trims exactly after it.
+    # The quota join is NULL-SAFE: a NULL group is a real stratum (it was
+    # counted and allocated budget), and a plain equi-join would silently
+    # drop its rows and leave that slice of the budget unfilled.
+    quota_df = quota_df.withColumnRenamed(group_col, "__qs_grp")
     return (
         df.withColumn("__qs_rn", F.row_number().over(w))
         .filter(F.col("__qs_rn") <= F.lit(int(max_quota)))
-        .join(F.broadcast(quota_df), group_col)
+        .join(
+            F.broadcast(quota_df),
+            F.col(group_col).eqNullSafe(F.col("__qs_grp")),
+        )
         .filter(F.col("__qs_rn") <= F.col("__quota"))
-        .drop("__qs_rn", "__quota")
+        .drop("__qs_rn", "__quota", "__qs_grp")
     )

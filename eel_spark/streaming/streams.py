@@ -432,8 +432,14 @@ def _incremental_dedup_sink(
     spark = stream_df.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from eel_spark.caching import pins_mark, release_pins_since
+
         if batch_df.isEmpty():
             return
+        # connected-components tracks its label table as a pin; scope the
+        # release to THIS batch's pins so a long-running stream holds O(1)
+        # executor storage without evicting concurrent queries' caches
+        __mark = pins_mark()
         fp = fp_fn(batch_df).persist()
         try:
             b = band_fn(fp, id_col)
@@ -451,7 +457,11 @@ def _incremental_dedup_sink(
                 .filter(ham_fn(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
                 .select("id_a", "id_b")
             )
-            surv = survivors_from_pairs(fp, pairs, id_col)
+            # propagation, explicitly: intra-batch pair graphs are tiny
+            # and star-shaped (the case propagation wins), and the star
+            # variant's per-round checkpoint + pin tracking would
+            # accumulate work/storage across a long-running stream
+            surv = survivors_from_pairs(fp, pairs, id_col, algorithm="propagation")
             try:
                 hist = spark.read.parquet(survivor_path).filter(
                     # replay safety: never match against this batch's own
@@ -484,6 +494,7 @@ def _incremental_dedup_sink(
             )
         finally:
             fp.unpersist()
+            release_pins_since(__mark)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -535,3 +535,27 @@ def test_duplicated_span_overlapping_windows_merge(spark):
            remove_duplicated_spans(df, "text", "doc_id", min_tokens=10).collect()}
     assert out[0] == f"{passage} and some original trailing words"
     assert out[1] == "leading words then"
+
+
+def test_duplicated_span_keeper_protection(spark):
+    """A kept occurrence must survive WHOLE even when a different
+    duplicated passage's loser coverage overlaps it: doc0=W, doc1=W++T,
+    doc2=V where V = tail of doc1 overlapping W's copy — without keeper
+    protection V's kept occurrence in doc1 loses its head to W's loser
+    coverage and the passage V survives nowhere."""
+    from eel_spark.operators.dedup import remove_duplicated_spans
+
+    W = [f"w{i}" for i in range(10)]          # 10-token passage
+    T_ = [f"t{i}" for i in range(5)]
+    doc1 = W + T_                              # W at [0,10), tail [10,15)
+    V = doc1[5:15]                             # overlaps W's copy at [5,10)
+    df = spark.createDataFrame(
+        [(0, " ".join(W)), (1, " ".join(doc1)), (2, " ".join(V))],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_spans(df, "text", "doc_id", min_tokens=10).collect()}
+    # W keeps its doc0 occurrence; V's keeper is doc1@5 and must be whole
+    assert out[0] == " ".join(W)
+    assert " ".join(V) in out[1]
+    assert out[2] == ""

@@ -117,3 +117,21 @@ def test_chunk_documents_cover_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_tokens=5, overlap_tokens=5)
+
+
+def test_chunk_documents_degenerate_text(spark):
+    """NULL and blank docs must not vanish (or sprout phantom tokens):
+    each yields exactly one chunk with n_tokens=0 and empty text."""
+    from eel_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real tokens here")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: (r["chunk_index"], r["n_tokens"], r["text"])
+           for r in chunk_documents(df, "text", "doc_id", chunk_tokens=8).collect()}
+    assert out[1] == (0, 0, "")
+    assert out[2] == (0, 0, "")
+    assert out[3] == (0, 0, "")
+    assert out[4] == (0, 3, "real tokens here")
+    assert len(out) == 4

@@ -72,3 +72,46 @@ def test_quality_model_separates_and_round_trips(spark, tmp_path):
     model.write().overwrite().save(path)
     re_scored = score_quality(PipelineModel.load(path), held)
     assert {r["doc_id"]: r["quality_score"] for r in re_scored.collect()} == rows
+
+
+def test_scoring_survives_session_observations(spark):
+    """Once any Observation has run in the session, Spark 4's lazily
+    materialized (non-transient) ObservationManager makes the session
+    unserializable — and the fitted LR model's trainingSummary drags the
+    session into every transform closure ("Task not serializable").
+    train_quality_model strips the summary, so training AND scoring must
+    work in a session where Observations have been used."""
+    from pyspark.sql import Observation
+
+    obs = Observation("qm_probe")
+    spark.range(16).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 16
+
+    train, held = _corpus(spark)
+    model = train_quality_model(
+        train.filter("doc_id < 1000"), train.filter("doc_id >= 1000"),
+        num_features=1 << 10,
+    )
+    assert score_quality(model, held.limit(20)).count() == 20
+
+
+def test_score_quality_renamed_text_column(spark):
+    """Scoring a frame whose text lives under a different column name
+    must work (aliased to the model's training input and back)."""
+    train, held = _corpus(spark)
+    model = train_quality_model(
+        train.filter("doc_id < 1000"), train.filter("doc_id >= 1000"),
+        num_features=1 << 12,
+    )
+    renamed = held.withColumnRenamed("text", "content")
+    scored = score_quality(model, renamed, text_col="content")
+    assert set(scored.columns) == {"doc_id", "content", "quality_score"}
+    rows = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    assert min(v for k, v in rows.items() if k < 1000) > max(
+        v for k, v in rows.items() if k >= 1000
+    )
+    # a clashing column named like the training input is rejected clearly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="training input"):
+        score_quality(model, renamed.withColumn("text", F.lit("x")),
+                      text_col="content")

@@ -129,3 +129,25 @@ def test_proportional_budget_sample_exact_total(spark):
     )
     wc = {r["lang"]: r["count"] for r in wout.groupBy("lang").count().collect()}
     assert wc.get("de", 0) == 0 and wc["en"] == 15 and wc["fr"] == 5, wc
+
+
+def test_budget_sample_null_group_and_zero_weight(spark):
+    from eel_spark.operators.sampling import proportional_budget_sample
+
+    rows = [(i, None if i % 3 == 0 else ("en" if i % 3 == 1 else "de"),
+             f"doc {i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    # NULL is a real stratum: counted, allocated, null-safe joined
+    out = proportional_budget_sample(df, "lang", 30, ["doc_id"])
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sum(counts.values()) == 30
+    assert counts.get(None, 0) == 10, counts
+
+    # zero weight = hard exclusion; budget fills from the others only
+    out2 = proportional_budget_sample(
+        df, "lang", 80, ["doc_id"], weights={"en": 1.0, "de": 1.0, None: 0.0}
+    )
+    c2 = {r["lang"]: r["count"] for r in out2.groupBy("lang").count().collect()}
+    assert c2.get(None, 0) == 0
+    # 60 rows have positive weight: total = min(80, 60) per the contract
+    assert sum(c2.values()) == 60
