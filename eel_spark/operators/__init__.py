@@ -5,6 +5,7 @@ from eel_spark.operators import (
     quality_model,
     rollups,
     sampling,
+    semdedup,
     similarity,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "quality_model",
     "rollups",
     "sampling",
+    "semdedup",
     "similarity",
 ]

@@ -209,3 +209,37 @@ def proportional_budget_sample(
         .filter(F.col("__qs_rn") <= F.col("__quota"))
         .drop("__qs_rn", "__quota", "__qs_grp")
     )
+
+
+def shuffle_rows(
+    df: DataFrame,
+    hash_cols: Sequence[str],
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle: reorder the corpus by the content
+    hash of ``hash_cols`` (unique-key columns; they also break hash
+    ties, so the order is a total function of the data + seed).
+
+    Training pipelines need source/time ordering broken BEFORE packing
+    and sharding — consecutive crawl records correlate, and a model fed
+    file-order batches sees non-stationary data. ``df.orderBy(rand())``
+    is neither reproducible across retries nor stable under
+    repartitioning; this is both, and a new ``seed`` is a fresh epoch
+    permutation.
+
+    Scale shape: ONE range-repartition on the hash key (samples the key
+    range, then shuffles each row once) + an in-partition sort — no
+    global single-node sort, no skew (xxhash64 keys are uniform by
+    construction, so range bounds split evenly). Writing the result
+    yields files that ARE the shuffled shards.
+    """
+    key = _hash_order(hash_cols, seed).alias("__shuffle_key")
+    tie = [F.col(c) for c in hash_cols]
+    out = df.withColumn("__shuffle_key", key)
+    out = (
+        out.repartitionByRange(num_partitions, "__shuffle_key")
+        if num_partitions
+        else out.repartitionByRange("__shuffle_key")
+    )
+    return out.sortWithinPartitions("__shuffle_key", *tie).drop("__shuffle_key")

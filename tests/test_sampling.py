@@ -151,3 +151,25 @@ def test_budget_sample_null_group_and_zero_weight(spark):
     assert c2.get(None, 0) == 0
     # 60 rows have positive weight: total = min(80, 60) per the contract
     assert sum(c2.values()) == 60
+
+
+def test_shuffle_rows_deterministic_total_permutation(spark):
+    from eel_spark.operators.sampling import shuffle_rows
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}", f"doc {i}") for i in range(500)],
+        "doc_id: long, source: string, text: string",
+    )
+    a = [r["doc_id"] for r in shuffle_rows(df, ["doc_id"], seed=1,
+                                           num_partitions=8).collect()]
+    # permutation: every row exactly once, input order broken
+    assert sorted(a) == list(range(500))
+    assert a != list(range(500))
+    # deterministic under different input partitioning
+    b = [r["doc_id"] for r in shuffle_rows(df.repartition(13), ["doc_id"],
+                                           seed=1, num_partitions=8).collect()]
+    assert a == b
+    # a different seed is a different epoch permutation
+    c = [r["doc_id"] for r in shuffle_rows(df, ["doc_id"], seed=2,
+                                           num_partitions=8).collect()]
+    assert sorted(c) == list(range(500)) and c != a
