@@ -59,6 +59,12 @@ def _assigned(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
     assigned = _assign_cells(v, centroids, "__v")
+    # normalize ONCE per vector, after assignment (cosine is
+    # scale-invariant, so results are identical) — the within-cell pair
+    # kernel then needs a single dot product instead of dot + two norms
+    # per pair (norms would otherwise be recomputed |cell| times each);
+    # measured 5.2× on the 8× spot check (SURVEY §8)
+    assigned = assigned.withColumn("__v", vectors.normalize(F.col("__v")))
     if max_cell_size is not None:
         over = (
             assigned.groupBy("cell_id")
@@ -115,7 +121,8 @@ def semantic_duplicate_pairs(
         .select(
             "id_a",
             "id_b",
-            vectors.cosine(F.col("__va"), F.col("__vb")).alias("cos"),
+            # vectors arrive unit-normalized from _assigned: cos ≡ dot
+            vectors.dot(F.col("__va"), F.col("__vb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
