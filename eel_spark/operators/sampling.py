@@ -243,3 +243,97 @@ def shuffle_rows(
         else out.repartitionByRange("__shuffle_key")
     )
     return out.sortWithinPartitions("__shuffle_key", *tie).drop("__shuffle_key")
+
+
+def replicate_by_weight(
+    df: DataFrame,
+    weight: Column | Mapping[object, float] | float,
+    hash_cols: Sequence[str],
+    group_col: str | None = None,
+    seed: int = 0,
+    epoch_col: str | None = None,
+) -> DataFrame:
+    """Upsample by fractional epoch count: a row with weight 2.5 appears
+    twice, plus a third time for the (content-hash-chosen) half of its
+    stratum. The mixing-recipe counterpart to
+    :func:`proportional_budget_sample` — published data recipes run
+    high-quality sources for >1 epochs while crawl text gets <1; the
+    integer part is exact replication, the fractional part is the same
+    deterministic hash-Bernoulli as :func:`stratified_sample` (retry-
+    and repartition-safe, no RNG).
+
+    ``weight`` is a float (uniform), a mapping ``group_col`` value →
+    epochs (requires ``group_col``; unlisted groups get 1.0), or any
+    Column expression. Weights < 1 subsample (floor 0 + Bernoulli) —
+    one operator expresses the whole mixture.
+
+    ``epoch_col`` (optional) emits the 0-based copy index — feed it into
+    :func:`shuffle_rows`'s ``hash_cols`` so different epochs of the same
+    document land far apart in the shuffled order.
+
+    Scale shape: one ``posexplode(sequence(...))`` — no shuffle, no
+    Python; output volume is Σ weights, the exact cost the caller asked
+    for. Copies are generated at scan time, so a downstream shuffle
+    (e.g. the epoch shuffle) is the first time they move.
+    """
+    if isinstance(weight, Mapping):
+        if group_col is None:
+            raise ValueError("mapping weight requires group_col")
+        w: Column = F.lit(1.0)
+        for val, wt in weight.items():
+            w = F.when(F.col(group_col) == F.lit(val), F.lit(float(wt))).otherwise(w)
+    elif isinstance(weight, Column):
+        w = weight
+    else:
+        w = F.lit(float(weight))
+
+    denom = 1 << 20
+    frac_keep = (
+        F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
+        < (w - F.floor(w)) * denom
+    )
+    n_copies = (F.floor(w) + frac_keep.cast("long")).cast("long")
+    out = (
+        df.withColumn("__rep_n", n_copies)
+        .filter(F.col("__rep_n") > 0)
+        .select("*", F.posexplode(F.sequence(F.lit(1), F.col("__rep_n"))).alias(
+            "__rep_i", "__rep_dummy"))
+        .drop("__rep_n", "__rep_dummy")
+    )
+    if epoch_col is not None:
+        return out.withColumnRenamed("__rep_i", epoch_col)
+    return out.drop("__rep_i")
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    hash_cols: Sequence[str],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: append
+    ``split_col`` with the split name, chosen by content hash so the
+    same row lands in the same split on every run, every cluster, and
+    every retry (``randomSplit`` guarantees none of those — it re-rolls
+    per partition split). Fractions must sum to ≤ 1; a remainder, if
+    any, gets the empty-string split (filter it or make fractions sum
+    to 1).
+
+    Pure projection — no shuffle; filters on ``split_col`` collapse to
+    a scan-level predicate on the hash.
+    """
+    total = sum(float(v) for v in fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    denom = 1 << 20
+    bucket = F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
+    expr: Column = F.lit("")
+    hi = 0.0
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + float(frac)
+        expr = F.when(
+            (bucket >= F.lit(int(lo * denom))) & (bucket < F.lit(int(hi * denom))),
+            F.lit(name),
+        ).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -173,3 +173,69 @@ def test_shuffle_rows_deterministic_total_permutation(spark):
     c = [r["doc_id"] for r in shuffle_rows(df, ["doc_id"], seed=2,
                                            num_partitions=8).collect()]
     assert sorted(c) == list(range(500)) and c != a
+
+
+def test_replicate_by_weight_epochs(spark):
+    from eel_spark.operators.sampling import replicate_by_weight, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "wiki" if i % 2 == 0 else "crawl", f"doc {i}") for i in range(400)],
+        "doc_id: long, source: string, text: string",
+    )
+    # integer weight: exact replication
+    out2 = replicate_by_weight(df, 2.0, ["doc_id"])
+    counts = {r["doc_id"]: r["count"] for r in out2.groupBy("doc_id").count().collect()}
+    assert set(counts.values()) == {2} and len(counts) == 400
+
+    # fractional weight: floor copies + hash-Bernoulli extra, deterministic
+    out = replicate_by_weight(df, 2.5, ["doc_id"], seed=7)
+    c = {r["doc_id"]: r["count"] for r in out.groupBy("doc_id").count().collect()}
+    assert set(c.values()) == {2, 3}
+    extra = sum(1 for v in c.values() if v == 3)
+    assert 140 <= extra <= 260  # ≈ half
+    again = replicate_by_weight(df.repartition(17), 2.5, ["doc_id"], seed=7)
+    c2 = {r["doc_id"]: r["count"] for r in again.groupBy("doc_id").count().collect()}
+    assert c == c2
+
+    # weight < 1 subsamples with the SAME selection as stratified_sample
+    kept = {r["doc_id"] for r in
+            replicate_by_weight(df, 0.3, ["doc_id"], seed=7).collect()}
+    strat = {r["doc_id"] for r in
+             stratified_sample(df, "source", 0.3, ["doc_id"], seed=7).collect()}
+    assert kept == strat
+
+    # per-group mapping; unlisted groups default to 1 epoch
+    mixed = replicate_by_weight(
+        df, {"wiki": 3.0}, ["doc_id"], group_col="source"
+    )
+    g = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert g == {"wiki": 600, "crawl": 200}
+
+    # epoch_col: 0-based copy index per row
+    e = replicate_by_weight(df.limit(5), 3.0, ["doc_id"], epoch_col="epoch")
+    per = {(r["doc_id"], r["epoch"]) for r in e.collect()}
+    assert per == {(i, k) for i in range(5) for k in range(3)}
+
+
+def test_hash_split_partition(spark):
+    import pytest as _pytest
+    from eel_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id: long, text: string"
+    )
+    out = hash_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"])
+    c = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(c) == {"train", "valid", "test"}
+    assert sum(c.values()) == 2000
+    assert 1540 < c["train"] < 1660 and 150 < c["valid"] < 250
+    # deterministic under repartitioning
+    again = hash_split(df.repartition(13), {"train": 0.8, "valid": 0.1, "test": 0.1},
+                       ["doc_id"])
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # remainder rows get the empty split; over-1 fractions rejected
+    rem = hash_split(df, {"train": 0.5}, ["doc_id"])
+    rc = {r["split"]: r["count"] for r in rem.groupBy("split").count().collect()}
+    assert set(rc) == {"train", ""} and sum(rc.values()) == 2000
+    with _pytest.raises(ValueError, match="sum"):
+        hash_split(df, {"a": 0.9, "b": 0.2}, ["doc_id"])
