@@ -1,6 +1,7 @@
 """LLM training-corpus preparation: boilerplate removal -> exact dedup ->
-near-dup detection -> accounting -> decontamination -> language-mix
-sampling -> sequence packing.
+near-dup detection -> semantic dedup -> accounting -> decontamination ->
+language-mix sampling -> epoch upsampling -> train/val split ->
+epoch-shuffled ordering -> sequence packing.
 
 Usage: python examples/corpus_prep.py [sf_dir]
 """
@@ -30,6 +31,18 @@ pairs = dedup.minhash_near_duplicates(
 print("near-duplicate pairs (exact-Jaccard verified):")
 pairs.orderBy(F.desc("jaccard")).show(10)
 
+# 2b. semantic dedup: paraphrase-level duplicates MinHash can't see —
+#     cluster the embedding space, pairwise cosine within clusters only,
+#     keep the farthest-from-centroid member of each duplicate group
+from eel_spark.operators import semdedup
+
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+sem = semdedup.semantic_dedup(
+    survivors.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"),
+    emb, id_col="doc_id", n_cells=8, threshold=0.98, train_sample_mod=2,
+)
+print(f"semantic dedup over embedded docs: kept {sem.count()}")
+
 # 3. corpus accounting per (lang, source)
 survivors.groupBy("lang", "source").count().orderBy("lang", "source").show()
 
@@ -57,7 +70,22 @@ mixed = sampling.proportional_budget_sample(
 print("language mix after temperature sampling:")
 mixed.groupBy("lang").count().orderBy("lang").show()
 
-# 7. pack the sampled docs into 2048-token training sequences
-sized = mixed.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
-packed = packing.pack_sequences(sized, "doc_id", "n_tokens", 2048, n_shards=8)
+# 7. composition: 2 epochs of wiki-like sources, 1 of the rest; then a
+#    deterministic 95/5 train/valid split, and an epoch-interleaved
+#    global shuffle (hash order = reproducible across runs and retries)
+weighted = sampling.replicate_by_weight(
+    mixed, 1.5, ["doc_id"], epoch_col="epoch"
+)
+split = sampling.hash_split(weighted, {"train": 0.95, "valid": 0.05},
+                            ["doc_id", "epoch"])
+train = split.filter("split = 'train'")
+train = sampling.shuffle_rows(train, ["doc_id", "epoch"], seed=1)
+print(f"epochs x split: {weighted.count()} copies -> train {train.count()}")
+
+# 8. pack the shuffled training docs into 2048-token sequences
+#    (epoch copies share doc_id, so pack by the unique (doc, epoch) key)
+sized = train.withColumn(
+    "copy_id", F.concat_ws("#", "doc_id", "epoch")
+).withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+packed = packing.pack_sequences(sized, "copy_id", "n_tokens", 2048, n_shards=8)
 packing.packing_stats(packed, "n_tokens", 2048).show()
