@@ -340,3 +340,62 @@ def test_ops_project_derive_scans_orc_with_pushdown(spark):
     assert "PushedFilters: [" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "p_retailprice" in read_schema and "p_name" not in read_schema
+
+
+def test_corpus_composition_ops_shuffle_budget(spark):
+    """The corpus-composition operators' shuffle claims, plan-asserted:
+    replicate_by_weight and hash_split add NO Exchange beyond the scan;
+    shuffle_rows adds exactly ONE range Exchange (and no global Sort)."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.operators.sampling import (
+        hash_split,
+        replicate_by_weight,
+        shuffle_rows,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    rep = replicate_by_weight(docs, 2.5, ["doc_id"], epoch_col="epoch")
+    p = plan_str(rep, "simple")
+    assert "Exchange" not in p and "Generate" in p, p[:800]
+
+    sp = hash_split(docs, {"train": 0.9, "valid": 0.1}, ["doc_id"])
+    p = plan_str(sp, "simple")
+    assert "Exchange" not in p, p[:800]
+    # a filter on the split collapses to a scan-level hash predicate
+    # (no extra exchange, no join)
+    p = plan_str(sp.filter(F.col("split") == "train"), "simple")
+    assert "Exchange" not in p and "Join" not in p.replace("join", "Join"), p[:800]
+
+    sh = shuffle_rows(docs, ["doc_id"], seed=1, num_partitions=8)
+    p = plan_str(sh, "simple")
+    assert p.count("Exchange") == 1 and "rangepartitioning" in p, p[:800]
+    # the sort is within partitions only: Sort [..] false (global=false)
+    assert "Sort" in p and "], true, " not in p, p[:800]
+
+
+def test_semantic_pairs_plan_bounded_join(spark):
+    """semantic_duplicate_pairs: the quadratic kernel must be ONE
+    equi-join on cell_id — no BroadcastNestedLoopJoin (an unbounded
+    cross product), no Window, no Python in the pair path."""
+    from eel_spark.operators.semdedup import semantic_duplicate_pairs
+    from eel_spark.operators.similarity import train_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_centroids(emb, n_cells=4, iterations=1, sample_mod=2)
+    pairs = semantic_duplicate_pairs(
+        emb, centroids=cents, threshold=0.9, max_cell_size=10_000
+    )
+    p = plan_str(pairs, "simple")
+    # the pair kernel is an equi-join keyed on cell_id
+    assert "Join [cell_id" in p.replace("BroadcastHashJoin", "Join").replace(
+        "SortMergeJoin", "Join"
+    ).replace("ShuffledHashJoin", "Join"), p[:1200]
+    assert "Window" not in p, p[:1200]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1200]
+    # the only nested-loop joins are the broadcast 1-row packed-centroid
+    # cross joins from _assign_cells (bounded by construction)
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
