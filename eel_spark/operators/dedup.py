@@ -576,6 +576,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for i in range(max_iterations):
         # candidate label per node: min over (own label, neighbors' labels)
         neighbor = (
@@ -605,8 +606,20 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        # an unconverged label table is WRONG (a component would surface
+        # several survivors and near-dups leak through) — fail loudly.
+        # Propagation needs O(diameter) rounds; a graph deeper than
+        # max_iterations wants connected_components_star (O(log n)).
+        raise ValueError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (pair-graph diameter exceeds it); raise "
+            "max_iterations or use connected_components_star"
+        )
     track(labels)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

@@ -281,16 +281,25 @@ def replicate_by_weight(
             raise ValueError("mapping weight requires group_col")
         w: Column = F.lit(1.0)
         for val, wt in weight.items():
-            w = F.when(F.col(group_col) == F.lit(val), F.lit(float(wt))).otherwise(w)
+            # eqNullSafe: a {None: w} entry must bind the NULL stratum
+            # (plain == is never true for NULL — the entry would be
+            # silently ignored; proportional_budget_sample treats NULL
+            # as a real stratum, this must match)
+            w = F.when(
+                F.col(group_col).eqNullSafe(F.lit(val)), F.lit(float(wt))
+            ).otherwise(w)
     elif isinstance(weight, Column):
         w = weight
     else:
         w = F.lit(float(weight))
 
     denom = 1 << 20
+    # floor() the threshold so the kept bucket set is IDENTICAL to
+    # stratified_sample's int(frac * denom) truncation — a bare double
+    # compare admits one extra bucket whenever frac*denom is fractional
     frac_keep = (
         F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
-        < (w - F.floor(w)) * denom
+        < F.floor((w - F.floor(w)) * denom)
     )
     n_copies = (F.floor(w) + frac_keep.cast("long")).cast("long")
     out = (
@@ -330,10 +339,18 @@ def hash_split(
     bucket = F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
     expr: Column = F.lit("")
     hi = 0.0
+    bounds = []
     for name, frac in fractions.items():
         lo, hi = hi, hi + float(frac)
+        bounds.append((name, int(lo * denom), int(hi * denom)))
+    if abs(total - 1.0) < 1e-9:
+        # fractions sum to 1 up to float error (0.8+0.1+0.1 < 1.0 in
+        # binary): snap the last bound to denom so no sliver of rows
+        # silently lands in the remainder split
+        name, lo, _ = bounds[-1]
+        bounds[-1] = (name, lo, denom)
+    for name, lo, hi_b in bounds:
         expr = F.when(
-            (bucket >= F.lit(int(lo * denom))) & (bucket < F.lit(int(hi * denom))),
-            F.lit(name),
+            (bucket >= F.lit(lo)) & (bucket < F.lit(hi_b)), F.lit(name)
         ).otherwise(expr)
     return df.withColumn(split_col, expr)

@@ -98,6 +98,9 @@ def semantic_duplicate_pairs(
     paper): a duplicate pair split across two cells is NOT examined —
     recall is traded for the Σ|cell|² bound. More cells = faster + lower
     recall; the knob is ``n_cells``.
+
+    The assignment table is pinned (it feeds both join sides); call
+    ``eel_spark.caching.release_pins()`` when done to free the cache.
     """
     if centroids is None:
         centroids = train_centroids(
@@ -108,7 +111,14 @@ def semantic_duplicate_pairs(
             sample_mod=train_sample_mod,
             id_col=id_col,
         )
-    assigned = _assigned(vectors_df, id_col, vec_col, centroids, max_cell_size)
+    from eel_spark.caching import pin
+
+    # assigned feeds BOTH sides of the cell_id self-join: unpinned, the
+    # assignment (broadcast-centroid argmin + normalize — and the whole
+    # k-means lineage when centroids were trained inline) runs twice per
+    # action. Same convention as the minhash shingle/sig tables; released
+    # by caching.release_pins().
+    assigned = pin(_assigned(vectors_df, id_col, vec_col, centroids, max_cell_size))
     left = assigned.select(
         "cell_id", F.col("__id").alias("id_a"), F.col("__v").alias("__va")
     )

@@ -460,7 +460,13 @@ def _incremental_dedup_sink(
             # propagation, explicitly: intra-batch pair graphs are tiny
             # and star-shaped (the case propagation wins), and the star
             # variant's per-round checkpoint + pin tracking would
-            # accumulate work/storage across a long-running stream
+            # accumulate work/storage across a long-running stream.
+            # A pathological batch (drift chain deeper than propagation's
+            # max_iterations) now FAILS the batch loudly instead of
+            # silently writing several survivors from one dup group into
+            # the history table — restart with a higher max_iterations
+            # (or switch this call to star) rather than absorbing
+            # corrupted state forever
             surv = survivors_from_pairs(fp, pairs, id_col, algorithm="propagation")
             try:
                 hist = spark.read.parquet(survivor_path).filter(

@@ -70,17 +70,19 @@ mixed = sampling.proportional_budget_sample(
 print("language mix after temperature sampling:")
 mixed.groupBy("lang").count().orderBy("lang").show()
 
-# 7. composition: 2 epochs of wiki-like sources, 1 of the rest; then a
-#    deterministic 95/5 train/valid split, and an epoch-interleaved
-#    global shuffle (hash order = reproducible across runs and retries)
-weighted = sampling.replicate_by_weight(
-    mixed, 1.5, ["doc_id"], epoch_col="epoch"
-)
-split = sampling.hash_split(weighted, {"train": 0.95, "valid": 0.05},
-                            ["doc_id", "epoch"])
+# 7. composition: SPLIT FIRST on the document key (so every copy of a
+#    doc stays on one side — splitting after replication would leak
+#    training docs into validation), then upsample only the train side:
+#    2 epochs of the curated src1/src2 slices, 1.5 of everything else.
+#    Finally an epoch-interleaved deterministic global shuffle.
+split = sampling.hash_split(mixed, {"train": 0.95, "valid": 0.05}, ["doc_id"])
 train = split.filter("split = 'train'")
-train = sampling.shuffle_rows(train, ["doc_id", "epoch"], seed=1)
-print(f"epochs x split: {weighted.count()} copies -> train {train.count()}")
+weights = F.when(F.col("source").isin("src1", "src2"), F.lit(2.0)).otherwise(1.5)
+weighted = sampling.replicate_by_weight(
+    train, weights, ["doc_id"], epoch_col="epoch"
+)
+train = sampling.shuffle_rows(weighted, ["doc_id", "epoch"], seed=1)
+print(f"split -> train docs upsampled to {train.count()} copies")
 
 # 8. pack the shuffled training docs into 2048-token sequences
 #    (epoch copies share doc_id, so pack by the unique (doc, epoch) key)

@@ -559,3 +559,23 @@ def test_duplicated_span_keeper_protection(spark):
     assert out[0] == " ".join(W)
     assert " ".join(V) in out[1]
     assert out[2] == ""
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain deeper than max_iterations must FAIL LOUDLY (unconverged
+    labels would surface several survivors per component); star handles
+    the same graph in O(log n) rounds."""
+    import pytest as _pytest
+
+    from eel_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a: long, id_b: long"
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iterations=3, checkpoint_interval=0)
+    comp = connected_components_star(chain)
+    assert {r["component"] for r in comp.collect()} == {0}

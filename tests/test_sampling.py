@@ -239,3 +239,36 @@ def test_hash_split_partition(spark):
     assert set(rc) == {"train", ""} and sum(rc.values()) == 2000
     with _pytest.raises(ValueError, match="sum"):
         hash_split(df, {"a": 0.9, "b": 0.2}, ["doc_id"])
+
+
+def test_replicate_by_weight_null_group_and_exact_boundary(spark):
+    from eel_spark.operators.sampling import replicate_by_weight
+
+    rows = [(i, None if i % 3 == 0 else "en", f"doc {i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    # {None: 0.0} must exclude the NULL stratum (eqNullSafe binding)
+    out = replicate_by_weight(
+        df, {None: 0.0, "en": 2.0}, ["doc_id"], group_col="lang"
+    )
+    c = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert c == {"en": 120}
+
+
+def test_hash_split_full_fractions_cover_every_bucket(spark):
+    """Fractions that sum to 1 only up to float error (0.8+0.1+0.1)
+    must still cover the whole bucket range: find a row whose hash
+    bucket is the topmost value and assert it gets a NAMED split."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.operators.sampling import hash_split
+
+    denom = 1 << 20
+    ids = spark.range(0, 50_000_000).withColumn(
+        "b", F.pmod(F.xxhash64(F.lit(0), F.col("id")), F.lit(denom))
+    )
+    top = ids.filter(F.col("b") == denom - 1).limit(1)
+    assert top.count() == 1, "no id hashing to the top bucket in range"
+    out = hash_split(
+        top, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["id"], seed=0
+    )
+    assert out.collect()[0]["split"] == "test"
