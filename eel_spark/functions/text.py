@@ -302,3 +302,66 @@ def redact_pii(text: Column | str) -> Column:
     out = F.regexp_replace(_c(text), PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased hostname of a URL (``try_parse_url`` — JVM-side,
+    handles scheme/userinfo/port/path, NULL instead of an ANSI error for
+    unparseable values). Scheme-less inputs ("example.com/x") are tried
+    again with a dummy scheme."""
+    u = _c(url)
+    direct = F.try_parse_url(u, F.lit("HOST"))
+    fallback = F.try_parse_url(F.concat(F.lit("http://"), u), F.lit("HOST"))
+    return F.lower(F.coalesce(direct, fallback))
+
+
+def url_registered_domain(url: Column | str) -> Column:
+    """Heuristic eTLD+1: the last two host labels, or the last three
+    when the 2nd-level label is a common country-code SLD (co/com/ac/
+    gov/org/net/edu — 'bbc.co.uk' → 'bbc.co.uk', not 'co.uk').
+
+    A full public-suffix list is data, not code — pass your own mapping
+    for exactness; this heuristic is the standard approximation when the
+    PSL isn't shipped. Pure Catalyst (split + slice + array_join).
+    """
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    take = F.when(
+        (n >= 3) & second.isin("co", "com", "ac", "gov", "org", "net", "edu"),
+        F.lit(3),
+    ).otherwise(F.least(n, F.lit(2)))
+    return F.when(
+        host.isNotNull() & (n >= 2), F.array_join(F.slice(parts, -take, take), ".")
+    ).otherwise(host)
+
+
+def filter_blocked_hosts(
+    df, url_col: str, blocklist, host_col: str = "__host"
+) -> "DataFrame":  # noqa: F821 - DataFrame for callers, Column funcs above
+    """Drop rows whose registered domain appears in ``blocklist`` (a
+    DataFrame with a single ``domain`` column, or an iterable of
+    strings). The standard crawl-pipeline domain filter.
+
+    Scale shape: the blocklist (thousands to low millions of rows) is
+    broadcast into a LEFT ANTI join on the derived domain — the corpus
+    is never shuffled. Subdomains are blocked with their parent
+    (matching on registered domain, not raw host).
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    if not isinstance(blocklist, _DF):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], "domain: string"
+        )
+    blocked = blocklist.select(F.lower(F.col("domain")).alias("domain")).distinct()
+    with_host = df.withColumn(host_col, url_registered_domain(F.col(url_col)))
+    return (
+        with_host.join(
+            F.broadcast(blocked),
+            with_host[host_col] == blocked["domain"],
+            "left_anti",
+        ).drop(host_col)
+    )

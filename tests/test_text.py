@@ -187,3 +187,56 @@ def test_text_kernels_total_on_null_and_empty(spark):
         assert r["tf"] == 0.0 and r["bf"] == 0.0 and r["dl"] == 0.0, r
         assert r["lang"] == "und", r
         assert r["ml"] is None or r["ml"] == 0.0, r
+
+
+def test_url_host_and_registered_domain(spark):
+    from eel_spark.functions.text import url_host, url_registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://News.Example.com/a/b?q=1"),
+            (2, "http://user:pw@sub.shop.example.co.uk:8080/x"),
+            (3, "example.com/plain"),
+            (4, "not a url at all"),
+            (5, None),
+        ],
+        "id: long, url: string",
+    )
+    out = {
+        r["id"]: (r["h"], r["d"])
+        for r in df.select(
+            "id",
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+        ).collect()
+    }
+    assert out[1] == ("news.example.com", "example.com")
+    assert out[2] == ("sub.shop.example.co.uk", "example.co.uk")
+    assert out[3] == ("example.com", "example.com")
+    assert out[5] == (None, None)
+
+
+def test_filter_blocked_hosts(spark):
+    from eel_spark.functions.text import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),      # subdomain of blocked
+            (2, "https://example.com/y"),           # blocked exactly
+            (3, "https://good.org/z"),
+            (4, "https://bad.co.uk/w"),             # ccSLD blocked
+            (5, "https://notbad.co.uk/v"),
+        ],
+        "id: long, url: string",
+    )
+    kept = {
+        r["id"]
+        for r in filter_blocked_hosts(
+            df, "url", ["Example.com", "bad.co.uk"]
+        ).collect()
+    }
+    assert kept == {3, 5}
+    # plan: blocklist is broadcast, corpus not shuffled
+    plan = filter_blocked_hosts(df, "url", ["example.com"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
