@@ -135,3 +135,82 @@ def score_quality(
     ).drop("__words", "__bigrams", "__f_uni", "__f_bi", "__features",
            "rawPrediction", "probability", "prediction")
     return out.withColumnRenamed(train_col, text_col) if renamed else out
+
+
+def train_unigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+):
+    """Unigram language model for perplexity-based quality filtering.
+
+    CCNet's published recipe scores documents by LM perplexity and keeps
+    the low-perplexity (most natural) band; the reference LM there is
+    KenLM (external binary). This is the zero-dependency distributed
+    analogue: token unigram log-probabilities estimated from a (clean)
+    corpus — one explode + one groupBy, both map-side combinable.
+
+    Returns ``(vocab, oov_logp)``: a (token, logp) DataFrame over tokens
+    seen ≥ ``min_count`` times, and the OOV log-probability — the
+    discounted probability mass of all filtered tokens spread over their
+    distinct types (computed from two 1-row aggregates; no data on the
+    driver beyond them). Persist ``vocab`` with the model run; it is a
+    few MB for web-scale corpora after the count cut.
+    """
+    toks = corpus.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") < min_count, F.col("c"))).alias("oov_mass"),
+        F.count(F.when(F.col("c") < min_count, F.lit(1))).alias("oov_types"),
+    ).collect()[0]
+    n = tot["n"] or 1
+    oov_mass = tot["oov_mass"] or 1
+    oov_types = max(tot["oov_types"] or 1, 1)
+    import math
+
+    oov_logp = math.log(max(oov_mass, 1) / n / oov_types)
+    vocab = counts.filter(F.col("c") >= min_count).select(
+        "tok", F.log(F.col("c") / F.lit(float(n))).alias("logp")
+    )
+    return vocab, oov_logp
+
+
+def score_perplexity(
+    df: DataFrame,
+    vocab: DataFrame,
+    oov_logp: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bits_per_token",
+) -> DataFrame:
+    """Append ``out_col`` = unigram cross-entropy in bits/token (lower =
+    more natural under the training corpus; empty docs get NULL).
+    Filter on a band (CCNet keeps the middle: too low = boilerplate,
+    too high = gibberish).
+
+    Scale shape: tokens explode to narrow (id, tok) rows; the vocab
+    join broadcasts when small (AQE decides), unmatched tokens take the
+    OOV log-prob via the left join's NULL; one groupBy(id) average; one
+    final join back to ``df`` on the (unique) id. The document text
+    itself is never shuffled with the token rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__pid"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    ln2 = 0.6931471805599453
+    scored = (
+        toks.join(vocab, "tok", "left")
+        .groupBy("__pid")
+        .agg(
+            (-F.avg(F.coalesce(F.col("logp"), F.lit(float(oov_logp)))) / ln2).alias(
+                out_col
+            )
+        )
+    )
+    return df.join(
+        scored.withColumnRenamed("__pid", id_col), id_col, "left"
+    ).withColumn(out_col, F.round(F.col(out_col), 4))

@@ -115,3 +115,40 @@ def test_score_quality_renamed_text_column(spark):
     with _pytest.raises(ValueError, match="training input"):
         score_quality(model, renamed.withColumn("text", F.lit("x")),
                       text_col="content")
+
+
+def test_unigram_perplexity_separates(spark):
+    """Perplexity under a clean-corpus unigram LM: held-out clean text
+    scores fewer bits/token than gibberish; OOV-only docs score the OOV
+    floor; empty docs get NULL."""
+    from eel_spark.operators.quality_model import (
+        score_perplexity,
+        train_unigram_lm,
+    )
+
+    train, held = _corpus(spark)
+    vocab, oov_logp = train_unigram_lm(
+        train.filter("doc_id < 1000"), min_count=2
+    )
+    assert oov_logp < 0
+    # vocab rows carry finite negative log-probs
+    import math
+
+    for r in vocab.limit(5).collect():
+        assert r["logp"] < 0 and math.isfinite(r["logp"])
+
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "zzqx vvnm qqpt wwkl")],
+        "doc_id: long, text: string",
+    )
+    out = score_perplexity(
+        held.unionByName(extra), vocab, oov_logp
+    )
+    rows = {r["doc_id"]: r["bits_per_token"] for r in out.collect()}
+    clean = [v for k, v in rows.items() if k < 1000]
+    junk = [v for k, v in rows.items() if 1000 <= k < 9000]
+    # clean held-out text is more predictable than junk on average
+    assert sum(clean) / len(clean) < sum(junk) / len(junk)
+    assert rows[9001] is None
+    # all-OOV doc: exactly the OOV floor in bits
+    assert abs(rows[9002] - (-oov_logp / math.log(2))) < 1e-3
