@@ -307,24 +307,31 @@ def redact_pii(text: Column | str) -> Column:
 def url_host(url: Column | str) -> Column:
     """Lower-cased hostname of a URL (``try_parse_url`` — JVM-side,
     handles scheme/userinfo/port/path, NULL instead of an ANSI error for
-    unparseable values). Scheme-less inputs ("example.com/x") are tried
-    again with a dummy scheme."""
-    u = _c(url)
+    unparseable values). Input is trimmed first (crawl URLs carry stray
+    whitespace, which would otherwise NULL the parse and let padded
+    URLs slip past blocklists); scheme-less inputs ("example.com/x")
+    are tried again with a dummy scheme; a trailing root-dot FQDN
+    ("example.com.") is normalized to its dotless form."""
+    u = F.trim(_c(url))
     direct = F.try_parse_url(u, F.lit("HOST"))
     fallback = F.try_parse_url(F.concat(F.lit("http://"), u), F.lit("HOST"))
-    return F.lower(F.coalesce(direct, fallback))
+    return F.regexp_replace(F.lower(F.coalesce(direct, fallback)), r"\.$", "")
 
 
 def url_registered_domain(url: Column | str) -> Column:
     """Heuristic eTLD+1: the last two host labels, or the last three
     when the 2nd-level label is a common country-code SLD (co/com/ac/
-    gov/org/net/edu — 'bbc.co.uk' → 'bbc.co.uk', not 'co.uk').
+    gov/org/net/edu — 'bbc.co.uk' → 'bbc.co.uk', not 'co.uk'). Literal
+    addresses (IPv4 like '1.2.3.4', bracketed IPv6) have no registered
+    domain and pass through whole — slicing octets would both break
+    raw-IP blocklisting and alias unrelated IPs.
 
     A full public-suffix list is data, not code — pass your own mapping
     for exactness; this heuristic is the standard approximation when the
     PSL isn't shipped. Pure Catalyst (split + slice + array_join).
     """
     host = url_host(url)
+    is_literal = host.rlike(r"^(\d{1,3}(\.\d{1,3}){3}|\[.*\])$")
     parts = F.split(host, r"\.")
     n = F.size(parts)
     second = F.element_at(parts, -2)
@@ -333,7 +340,8 @@ def url_registered_domain(url: Column | str) -> Column:
         F.lit(3),
     ).otherwise(F.least(n, F.lit(2)))
     return F.when(
-        host.isNotNull() & (n >= 2), F.array_join(F.slice(parts, -take, take), ".")
+        host.isNotNull() & ~is_literal & (n >= 2),
+        F.array_join(F.slice(parts, -take, take), "."),
     ).otherwise(host)
 
 
@@ -347,16 +355,27 @@ def filter_blocked_hosts(
     Scale shape: the blocklist (thousands to low millions of rows) is
     broadcast into a LEFT ANTI join on the derived domain — the corpus
     is never shuffled. Subdomains are blocked with their parent
-    (matching on registered domain, not raw host).
+    (matching on registered domain, not raw host); blocklist entries are
+    themselves normalized to registered domain, so host-form entries
+    ('www.example.com', as real published blocklists contain) match —
+    asymmetric normalization would silently under-block.
     """
     from pyspark.sql import DataFrame as _DF
 
+    if isinstance(blocklist, str):
+        raise TypeError(
+            "blocklist must be a DataFrame or an iterable of domains, not a "
+            "single string (iterating a string yields characters, which "
+            "would silently block nothing)"
+        )
     if not isinstance(blocklist, _DF):
         spark = df.sparkSession
         blocklist = spark.createDataFrame(
             [(d,) for d in blocklist], "domain: string"
         )
-    blocked = blocklist.select(F.lower(F.col("domain")).alias("domain")).distinct()
+    blocked = blocklist.select(
+        url_registered_domain(F.col("domain")).alias("domain")
+    ).distinct()
     with_host = df.withColumn(host_col, url_registered_domain(F.col(url_col)))
     return (
         with_host.join(

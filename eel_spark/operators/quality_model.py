@@ -157,16 +157,27 @@ def train_unigram_lm(
     driver beyond them). Persist ``vocab`` with the model run; it is a
     few MB for web-scale corpora after the count cut.
     """
+    from eel_spark.caching import pin
+
     toks = corpus.select(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # counts feeds BOTH the totals collect and the returned vocab —
+    # unpinned, the first scoring job would re-run the full corpus
+    # tokenize+count (released by caching.release_pins(); callers that
+    # persist the vocab to storage can release immediately)
+    counts = pin(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
     tot = counts.agg(
         F.sum("c").alias("n"),
         F.sum(F.when(F.col("c") < min_count, F.col("c"))).alias("oov_mass"),
         F.count(F.when(F.col("c") < min_count, F.lit(1))).alias("oov_types"),
     ).collect()[0]
-    n = tot["n"] or 1
+    if not tot["n"]:
+        # silent degenerate LM would be worse than the failure: oov_logp
+        # of 0.0 scores every document 0 bits/token ("perfectly natural")
+        # and a keep-low-band filter then keeps everything
+        raise ValueError("train_unigram_lm: training corpus has no tokens")
+    n = tot["n"]
     oov_mass = tot["oov_mass"] or 1
     oov_types = max(tot["oov_types"] or 1, 1)
     import math

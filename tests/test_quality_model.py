@@ -152,3 +152,13 @@ def test_unigram_perplexity_separates(spark):
     assert rows[9001] is None
     # all-OOV doc: exactly the OOV floor in bits
     assert abs(rows[9002] - (-oov_logp / math.log(2))) < 1e-3
+
+
+def test_unigram_lm_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from eel_spark.operators.quality_model import train_unigram_lm
+
+    empty = spark.createDataFrame([], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        train_unigram_lm(empty)

@@ -213,6 +213,7 @@ def test_url_host_and_registered_domain(spark):
     assert out[1] == ("news.example.com", "example.com")
     assert out[2] == ("sub.shop.example.co.uk", "example.co.uk")
     assert out[3] == ("example.com", "example.com")
+    assert out[4] == (None, None)      # junk input: no bogus host
     assert out[5] == (None, None)
 
 
@@ -240,3 +241,53 @@ def test_filter_blocked_hosts(spark):
     plan = filter_blocked_hosts(df, "url", ["example.com"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+
+
+def test_url_edge_forms_and_blocklist_normalization(spark):
+    from eel_spark.functions.text import (
+        filter_blocked_hosts,
+        url_host,
+        url_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "  https://example.com/padded  "),   # whitespace-padded
+            (2, "http://example.com./rootdot"),      # trailing-dot FQDN
+            (3, "http://1.2.3.4/rawip"),             # IPv4 literal
+            (4, "http://5.6.3.4/other"),
+        ],
+        "id: long, url: string",
+    )
+    out = {
+        r["id"]: (r["h"], r["d"])
+        for r in df.select(
+            "id",
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+        ).collect()
+    }
+    assert out[1] == ("example.com", "example.com")
+    assert out[2] == ("example.com", "example.com")
+    # IP literals pass through whole - no octet slicing
+    assert out[3] == ("1.2.3.4", "1.2.3.4")
+
+    # padded/root-dot/raw-IP forms are all blockable; unrelated IPs that
+    # share trailing octets are NOT aliased together
+    kept = {
+        r["id"]
+        for r in filter_blocked_hosts(
+            df, "url", ["example.com", "1.2.3.4"]
+        ).collect()
+    }
+    assert kept == {4}
+    # host-form blocklist entries normalize to their registered domain
+    kept2 = {
+        r["id"]
+        for r in filter_blocked_hosts(df, "url", ["www.example.com"]).collect()
+    }
+    assert kept2 == {3, 4}
+    # a bare string blocklist is a type error, not a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="iterable"):
+        filter_blocked_hosts(df, "url", "example.com")
