@@ -62,6 +62,16 @@ from eel_spark.operators import packing, sampling
 
 clean = dedup.remove_boilerplate_lines(clean, "text", "doc_id", min_doc_fraction=0.2)
 
+# 5b. perplexity band filter: unigram LM trained on the cleaned corpus;
+#     keep the middle band (very low = boilerplate, very high = gibberish)
+from eel_spark.operators.quality_model import score_perplexity, train_unigram_lm
+
+vocab, oov_logp = train_unigram_lm(clean, min_count=2)
+ppl = score_perplexity(clean, vocab, oov_logp)
+lo, hi = ppl.approxQuantile("bits_per_token", [0.05, 0.95], 0.01)
+clean = ppl.filter(F.col("bits_per_token").between(lo, hi)).drop("bits_per_token")
+print(f"perplexity band [{lo:.2f}, {hi:.2f}] bits/token keeps {clean.count()}")
+
 # 6. language mixing: exact 300-doc budget, temperature-flattened toward
 #    rare languages (count^(1/2) weighting), deterministic by content hash
 mixed = sampling.proportional_budget_sample(
