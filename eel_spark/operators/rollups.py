@@ -181,6 +181,159 @@ def distinct_rollup_aggs(
     return aggs, merges
 
 
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def ddsketch_bucket(
+    col: Column | str,
+    alpha: float = 0.05,
+    min_value: float = 1e-3,
+    n_buckets: int = 128,
+) -> Column:
+    """Log-bucket index of a non-negative value, DDSketch-style (Masson
+    et al. 2019, public): bucket ``1 + ceil(log_gamma(v / min_value))``
+    with ``gamma = (1+alpha)/(1-alpha)``, so every bucket spans a
+    ``(1±alpha)`` relative range. Bucket 0 collects ``v < min_value``
+    (including 0 and negatives — report as 0.0); the top bucket clamps
+    overflow (values beyond ``min_value·gamma^(n_buckets-2)`` lose the
+    relative guarantee but never the count). Pure Catalyst.
+    """
+    import math
+
+    c = F.col(col) if isinstance(col, str) else col
+    lg = math.log(_dd_gamma(alpha))
+    raw = F.ceil(F.log(c.cast("double") / F.lit(float(min_value))) / F.lit(lg))
+    idx = F.least(
+        F.greatest(raw + 1, F.lit(1)), F.lit(int(n_buckets) - 1)
+    ).cast("int")
+    return F.when(
+        c.isNull() | (c.cast("double") < F.lit(float(min_value))), F.lit(0)
+    ).otherwise(idx)
+
+
+def quantile_rollup_aggs(
+    value_cols: list[str] | tuple[str, ...],
+    alpha: float = 0.05,
+    min_value: float = 1e-3,
+    n_buckets: int = 128,
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """(aggs, merges) entries that make :func:`time_rollup` /
+    :func:`merge_time_rollup` maintain APPROXIMATE QUANTILES
+    incrementally — the other non-algebraic aggregate family
+    (percentile partials cannot re-merge; ``approx_percentile`` is
+    one-shot).
+
+    The mergeable form is a fixed-size log-bucketed histogram
+    (``<col>_qhist``, ``array<long>`` of ``n_buckets``): bucket counts
+    add element-wise, so union-of-histograms ≡ histogram-of-union —
+    late batches fold in losslessly, exactly like the HLL sketches
+    above. Quantiles read back within ``alpha`` RELATIVE error (the
+    DDSketch guarantee) via :func:`quantile_from_histogram`. Default
+    sizing: 128 buckets at alpha=0.05 covers ``[1e-3, ~2e2·1e3]``…
+    pick ``min_value``/``n_buckets`` for your value range; 8 bytes ×
+    n_buckets per bucket row regardless of cardinality.
+
+    Everything is Catalyst: the agg is an array of conditional sums
+    (map-side partial agg applies), the merge is an array of
+    element-wise sums — no UDF, no collect.
+    """
+    n = int(n_buckets)
+    aggs: dict[str, Column] = {}
+    merges: dict[str, Column] = {}
+    for c in value_cols:
+        b = ddsketch_bucket(c, alpha, min_value, n)
+        aggs[f"{c}_qhist"] = F.array(
+            *[
+                F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+                for i in range(n)
+            ]
+        )
+        merges[f"{c}_qhist"] = F.array(
+            *[
+                F.sum(F.element_at(F.col(f"{c}_qhist"), i + 1)).cast("long")
+                for i in range(n)
+            ]
+        )
+    return aggs, merges
+
+
+def quantile_from_histogram(
+    hist: Column | str,
+    q: float,
+    alpha: float = 0.05,
+    min_value: float = 1e-3,
+) -> Column:
+    """Read the q-quantile (0 < q ≤ 1) out of a ``quantile_rollup_aggs``
+    histogram, as a Column (works in any projection over the
+    materialized table — no driver round-trip).
+
+    One fold finds the bucket holding rank ``ceil(q·total)``; the
+    estimate is the bucket's geometric midpoint ``2·min·γ^(i-1)/(1+γ)``
+    (relative error ≤ alpha). Bucket 0 reports 0.0 (below
+    ``min_value``); empty histograms report NULL.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError("need 0 < q <= 1")
+    h = F.col(hist) if isinstance(hist, str) else hist
+    # an agg over zero rows yields an array of NULL sums — normalize to
+    # zero counts so the rank fold stays well-defined (and reports NULL
+    # via the total==0 branch)
+    h = F.transform(h, lambda x: F.coalesce(x, F.lit(0).cast("long")))
+    gamma = _dd_gamma(alpha)
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    rank = F.greatest(F.ceil(F.lit(float(q)) * total), F.lit(1)).cast("long")
+    entries = F.zip_with(
+        h,
+        F.sequence(F.lit(1), F.size(h)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    found = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("idx")
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["c"]).alias("cum"),
+            F.when(
+                (acc["idx"] < 0) & (acc["cum"] + e["c"] >= rank), e["i"] - 1
+            )
+            .otherwise(acc["idx"])
+            .alias("idx"),
+        ),
+    )["idx"]
+    est = (
+        F.lit(2.0 * float(min_value))
+        * F.pow(F.lit(gamma), (found - 1).cast("double"))
+        / F.lit(1.0 + gamma)
+    )
+    return (
+        F.when(total == 0, F.lit(None).cast("double"))
+        .when(found == 0, F.lit(0.0))
+        .otherwise(est)
+    )
+
+
+def with_quantile_estimates(
+    df: DataFrame,
+    value_cols: list[str] | tuple[str, ...],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    alpha: float = 0.05,
+    min_value: float = 1e-3,
+) -> DataFrame:
+    """Replace each ``<col>_qhist`` with ``<col>_p<q>`` estimate columns
+    (query-time; the materialized table keeps the mergeable histogram)."""
+    out = df
+    for c in value_cols:
+        for q in qs:
+            out = out.withColumn(
+                f"{c}_p{int(round(q * 100))}",
+                quantile_from_histogram(f"{c}_qhist", q, alpha, min_value),
+            )
+        out = out.drop(f"{c}_qhist")
+    return out
+
+
 def with_distinct_estimates(df: DataFrame, distinct_cols: list[str] | tuple[str, ...]) -> DataFrame:
     """Replace each ``<col>_sketch`` binary column with a
     ``<col>_distinct`` long estimate (query-time; the materialized

@@ -157,3 +157,95 @@ def test_distinct_sketch_rollup_incremental(spark, events, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_quantile_histogram_rollup_incremental(spark, events, tmp_path):
+    """DDSketch-style log-bucketed histograms let the continuous
+    aggregate maintain quantiles incrementally — percentile partials
+    are not re-mergeable. (a) estimates within the alpha relative
+    guarantee vs exact per-bucket percentiles, (b) the incremental
+    two-batch merge is bucket-count IDENTICAL to the one-shot rollup
+    (element-wise add: union-of-histograms ≡ histogram-of-union)."""
+    from eel_spark.operators.rollups import (
+        merge_time_rollup,
+        quantile_from_histogram,
+        quantile_rollup_aggs,
+        time_rollup,
+        with_quantile_estimates,
+    )
+
+    ALPHA, MINV, NB = 0.05, 1e-3, 128
+    aggs, merges = quantile_rollup_aggs(["value"], ALPHA, MINV, NB)
+    aggs["n"] = F.count(F.lit(1))
+    merges["n"] = F.sum("n")
+
+    rolled = time_rollup(events, "ts", aggs, ["day"])
+    est = with_quantile_estimates(rolled, ["value"], (0.5, 0.95), ALPHA, MINV)
+    # the DDSketch guarantee is RELATIVE error alpha vs the discrete
+    # rank-ceil(q*n) order statistic — compute that oracle exactly
+    import math
+
+    by_day = {}
+    for r in events.select(
+        F.date_trunc("day", "ts").alias("b"), "value"
+    ).collect():
+        by_day.setdefault(str(r["b"]), []).append(r["value"])
+    rows = est.collect()
+    assert rows
+    for r in rows:
+        vals = sorted(by_day[str(r["bucket_start"])])
+        for q, got in ((0.5, r["value_p50"]), (0.95, r["value_p95"])):
+            want = vals[max(1, math.ceil(q * len(vals))) - 1]
+            if want < MINV:
+                assert got == 0.0
+            else:
+                assert abs(got - want) <= ALPHA * want + 1e-9, (r, want)
+
+    path = str(tmp_path / "qhist_rollup")
+    split = F.col("user_id") % 3 == 0
+    merge_time_rollup(spark, path, events.filter(~split), "ts", aggs, merges, ["day"])
+    merge_time_rollup(spark, path, events.filter(split), "ts", aggs, merges, ["day"])
+    got = sorted(
+        (str(r["bucket_start"]), tuple(r["value_qhist"]), r["n"])
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (str(r["bucket_start"]), tuple(r["value_qhist"]), r["n"])
+        for r in time_rollup(events, "ts", aggs, ["day"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_quantile_histogram_edges(spark):
+    """Zero/negative/NULL → bucket 0 (reported 0.0); empty histogram →
+    NULL quantile; overflow clamps to the top bucket (count preserved)."""
+    from eel_spark.operators.rollups import (
+        ddsketch_bucket,
+        quantile_from_histogram,
+        quantile_rollup_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (-5.0,), (None,), (1e30,), (1.0,)], "v DOUBLE"
+    )
+    # alpha=0.5 -> gamma=3: 16 buckets cover [1e-3, 1e-3*3^14 ~ 4.8e3]
+    b = df.select(ddsketch_bucket("v", 0.5, 1e-3, 16).alias("b")).collect()
+    bs = [r["b"] for r in b]
+    assert bs[0] == 0 and bs[1] == 0 and bs[2] == 0   # zero/neg/NULL
+    assert bs[3] == 15                                 # overflow clamps
+    assert 0 < bs[4] < 15
+
+    aggs, _ = quantile_rollup_aggs(["v"], 0.5, 1e-3, 16)
+    hist = df.agg(aggs["v_qhist"].alias("h"))
+    total = hist.select(
+        F.aggregate("h", F.lit(0).cast("long"), lambda a, x: a + x).alias("t")
+    ).collect()[0]["t"]
+    assert total == 5  # every row lands in exactly one bucket
+
+    empty = spark.createDataFrame([], "v DOUBLE").agg(aggs["v_qhist"].alias("h"))
+    q = empty.select(
+        quantile_from_histogram("h", 0.5, 0.05, 1e-3).alias("q")
+    ).collect()
+    # no rows -> agg over empty input yields one row of NULL-sum arrays;
+    # accept either NULL quantile or no row at all
+    assert not q or q[0]["q"] is None
