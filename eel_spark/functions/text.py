@@ -384,3 +384,118 @@ def filter_blocked_hosts(
             "left_anti",
         ).drop(host_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1 — public): the
+# standard document-level heuristic filter bundle for web-crawl corpora.
+# All pure Catalyst — per-row expressions, no shuffle, scan speed.
+# Thresholds are the published MassiveText defaults; every one is a
+# keyword argument because real pipelines tune them per source.
+# ---------------------------------------------------------------------------
+
+#: the paper's required-stopword list: a KEEP document must contain at
+#: least two of these (a language/coherence proxy, not a frequency one)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: line prefixes the paper treats as bullets
+_BULLET_RE = r"^\s*([-*•‣▪◦])"
+
+
+def gopher_quality_flags(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_duplicate_line_fraction: float = 0.3,
+    max_top_bigram_fraction: float = 0.18,
+) -> Column:
+    """Struct of named per-rule booleans (true = rule satisfied) for the
+    Gopher/MassiveText heuristic filter. NULL/empty documents fail the
+    word-count rule and PASS the vacuous line/ratio rules — combine with
+    :func:`gopher_keep` (an AND) for the filter decision.
+
+    Project this struct through ONE select and read fields out of it —
+    the token/line arrays feeding several rules are shared
+    subexpressions within the single projection (the module's
+    projection-boundary rule).
+    """
+    t = _c(text)
+    toks = tokens(t, r"\s+")
+    n = F.size(toks)
+    nd = n.cast("double")
+    ls = lines(t)
+    n_lines = F.size(ls)
+
+    def _line_ratio_ok(pred, bound):
+        # vacuously true for 0-line docs; exact int/int
+        hits = F.size(F.filter(ls, pred))
+        return F.when(
+            n_lines > 0,
+            hits.cast("double") / n_lines.cast("double") <= F.lit(bound),
+        ).otherwise(F.lit(True))
+
+    symbol_hits = (
+        F.size(F.split(t, "#", -1)) - 1
+        + F.size(F.split(t, r"\.\.\.", -1)) - 1
+        + F.size(F.split(t, "…", -1)) - 1
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw_hits = F.size(
+        F.array_intersect(F.transform(toks, F.lower), sw)
+    )
+    flags = {
+        "word_count_ok": (n >= min_words) & (n <= max_words),
+        # mean length over the SAME \s+ token array as the word count
+        # (mean_token_length splits on single spaces only)
+        "mean_word_length_ok": F.when(
+            n > 0,
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / nd,
+        ).between(min_mean_word_len, max_mean_word_len),
+        "symbol_ratio_ok": F.when(
+            n > 0, symbol_hits.cast("double") / nd <= max_symbol_word_ratio
+        ).otherwise(F.lit(True)),
+        "bullet_ratio_ok": _line_ratio_ok(
+            lambda l: l.rlike(_BULLET_RE), max_bullet_line_ratio
+        ),
+        "ellipsis_ratio_ok": _line_ratio_ok(
+            lambda l: l.rlike(r"(\.\.\.|…)\s*$"), max_ellipsis_line_ratio
+        ),
+        "alpha_word_ratio_ok": F.when(
+            n > 0, alpha_words.cast("double") / nd >= min_alpha_word_ratio
+        ).otherwise(F.lit(True)),
+        "stopword_ok": sw_hits >= min_stopword_hits,
+        "duplicate_line_ok": duplicate_line_fraction(t)
+        <= max_duplicate_line_fraction,
+        "top_bigram_ok": F.coalesce(
+            top_bigram_fraction(t) <= max_top_bigram_fraction, F.lit(True)
+        ),
+    }
+    return F.struct(
+        *[F.coalesce(c, F.lit(False)).alias(name) for name, c in flags.items()]
+    )
+
+
+def gopher_keep(text: Column | str, **thresholds) -> Column:
+    """Boolean keep decision: AND of every :func:`gopher_quality_flags`
+    rule. ``df.filter(gopher_keep("text"))`` is the whole filter stage."""
+    s = gopher_quality_flags(text, **thresholds)
+    names = [
+        "word_count_ok", "mean_word_length_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ratio_ok",
+        "stopword_ok", "duplicate_line_ok", "top_bigram_ok",
+    ]
+    out = F.lit(True)
+    for nm in names:
+        out = out & s[nm]
+    return out

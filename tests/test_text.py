@@ -291,3 +291,84 @@ def test_url_edge_forms_and_blocklist_normalization(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError, match="iterable"):
         filter_blocked_hosts(df, "url", "example.com")
+
+
+# --- Gopher quality rule bundle ---------------------------------------------
+
+
+def _gopher_rows(spark, docs, **kw):
+    from eel_spark.functions.text import gopher_keep, gopher_quality_flags
+
+    df = spark.createDataFrame([(d,) for d in docs], "text STRING")
+    return df.select(
+        gopher_quality_flags("text", **kw).alias("f"),
+        gopher_keep("text", **kw).alias("keep"),
+    ).collect()
+
+
+GOOD_DOC = (
+    "the growth of open data has changed how teams plan their work and "
+    "share results with the public every season\n"
+    "people that have clear goals tend to finish more tasks and waste "
+    "less time than groups with vague plans\n"
+    "good tools help but habits matter more when the load gets heavy and "
+    "the days turn long for everyone involved\n"
+    "review what you built each week and adjust the plan so that small "
+    "errors never grow into large failures over time"
+)
+
+
+def test_gopher_good_doc_keeps(spark):
+    r = _gopher_rows(spark, [GOOD_DOC])[0]
+    assert r["keep"] is True
+    assert all(r["f"][k] for k in r["f"].asDict())
+
+
+def test_gopher_each_rule_fails_alone(spark):
+    base_words = GOOD_DOC.split()
+    cases = {
+        # too short
+        "word_count_ok": "the dog and the cat have fun with that",
+        # 50+ one-char words: mean length < 3
+        "mean_word_length_ok": "the of be to and that have with " + "a b " * 30,
+        # hashes everywhere
+        "symbol_ratio_ok": GOOD_DOC.replace(" ", " # "),
+        # every line a bullet
+        "bullet_ratio_ok": "\n".join(
+            "- " + " ".join(base_words[i : i + 10]) for i in range(0, 80, 10)
+        ),
+        # every line ends with ellipsis
+        "ellipsis_ratio_ok": "\n".join(
+            " ".join(base_words[i : i + 10]) + " ..." for i in range(0, 80, 10)
+        ),
+        # numbers, not words
+        "alpha_word_ratio_ok": "the of and that be to have with "
+        + " ".join(str(1000 + i) for i in range(60)),
+        # no required stopwords at all
+        "stopword_ok": " ".join(f"word{i} item{i} thing{i}" for i in range(20)),
+        # one line repeated
+        "duplicate_line_ok": "\n".join(["all work and no play makes life dull"] * 12),
+        # one bigram dominates
+        "top_bigram_ok": "the of be to and that have with " + "buy now " * 40,
+    }
+    for rule, doc in cases.items():
+        r = _gopher_rows(spark, [doc])[0]
+        assert r["f"][rule] is False, (rule, r["f"].asDict())
+        assert r["keep"] is False, rule
+
+
+def test_gopher_null_and_empty(spark):
+    from eel_spark.functions.text import gopher_keep
+
+    df = spark.createDataFrame([(None,), ("",), ("   ",)], "text STRING")
+    assert [r["k"] for r in df.select(gopher_keep("text").alias("k")).collect()] == [
+        False, False, False,
+    ]
+
+
+def test_gopher_thresholds_are_tunable(spark):
+    # relaxing min_words rescues the short doc
+    doc = "the dog and the cat have fun with that plan of the day"
+    strict = _gopher_rows(spark, [doc])[0]
+    relaxed = _gopher_rows(spark, [doc], min_words=5)[0]
+    assert strict["keep"] is False and relaxed["keep"] is True
