@@ -499,3 +499,65 @@ def gopher_keep(text: Column | str, **thresholds) -> Column:
     for nm in names:
         out = out & s[nm]
     return out
+
+
+#: query parameters that identify a click, not a resource (public
+#: tracking conventions: Google/Facebook/Microsoft click ids, UTM
+#: campaign tags, Mailchimp, Instagram, bare referrer tags) — matched
+#: case-insensitively against the parameter KEY
+TRACKING_PARAM_PATTERN = (
+    r"(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|yclid|igshid|"
+    r"mc_eid|mc_cid|ref|ref_src|spm|_ga|_gl)$"
+)
+
+
+def canonical_url(
+    url: Column | str,
+    tracking_param_pattern: str = TRACKING_PARAM_PATTERN,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of a URL for identity purposes — the key a crawl
+    pipeline dedups on BEFORE fetching or hashing content (the cheapest
+    dedup there is: two crawls of the same page differ in URL decoration
+    far more often than in content).
+
+    Normalizations (all pure Catalyst: ``try_parse_url`` + regexes over
+    the parts): scheme and authority lowercased; userinfo dropped;
+    default ports (http:80, https:443) dropped; ``www.`` prefix dropped
+    (optional); trailing root-dot FQDN normalized; empty path → ``/``;
+    trailing path slashes dropped (except root); fragment dropped;
+    query parameters with tracking keys dropped, the rest SORTED so
+    param order never splits identity. Unparseable/NULL input → NULL
+    (callers decide whether unparseable means keep or drop).
+    """
+    u0 = F.trim(_c(url))
+    has_scheme = u0.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    u = F.when(has_scheme, u0).otherwise(F.concat(F.lit("http://"), u0))
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")         # userinfo
+    auth = F.regexp_replace(auth, r"\.(?=:|$)", "")       # root-dot FQDN
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    if strip_www:
+        auth = F.regexp_replace(auth, r"^www\.", "")
+    path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.regexp_replace(F.coalesce(path, F.lit("")), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.regexp_extract(p, r"^([^=]+)", 1).rlike(tracking_param_pattern),
+    )
+    qs = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    out = F.concat(scheme, F.lit("://"), auth, path, qs)
+    return F.when(
+        u0.isNotNull() & auth.isNotNull() & (auth != ""), out
+    )

@@ -1045,3 +1045,30 @@ def remove_duplicated_spans(
     return df.drop(text_col).join(rebuilt, on=id_col, how="left").na.fill(
         {text_col: ""}
     )
+
+
+def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Survivor set keyed by CANONICAL URL — the first dedup stage of a
+    crawl pipeline (cheaper than any content hash: runs before content
+    is even compared, and catches the recrawl/tracking-decoration dups
+    that dominate web corpora).
+
+    Same shape as :func:`dedup_exact`: one shuffle on the canonical-URL
+    key, min-``id_col`` survivor election (map-side combinable), LEFT
+    SEMI back to the full rows — text never shuffles. Rows whose URL
+    does not canonicalize (NULL/garbage) are ALL kept: an unparseable
+    URL is no evidence two documents are the same page.
+    """
+    from eel_spark.functions.text import canonical_url
+
+    keyed = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("__curl")
+    )
+    survivors = (
+        keyed.filter(F.col("__curl").isNotNull())
+        .groupBy("__curl")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    unparseable = keyed.filter(F.col("__curl").isNull()).select(id_col)
+    return df.join(survivors.union(unparseable), on=id_col, how="left_semi")

@@ -579,3 +579,19 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iterations=3, checkpoint_interval=0)
     comp = connected_components_star(chain)
     assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_dedup_by_url(spark):
+    from eel_spark.operators.dedup import dedup_by_url
+
+    rows = [
+        (1, "http://www.example.com/a?utm_source=feed&x=1"),
+        (2, "example.com/a/?x=1"),
+        (3, "http://example.com/a?x=2"),
+        (4, "http://other.org/a?x=1"),
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, url STRING")
+    kept = sorted(r["id"] for r in dedup_by_url(df, "url", "id").collect())
+    assert kept == [1, 3, 4, 5, 6]

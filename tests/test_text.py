@@ -372,3 +372,47 @@ def test_gopher_thresholds_are_tunable(spark):
     strict = _gopher_rows(spark, [doc])[0]
     relaxed = _gopher_rows(spark, [doc], min_words=5)[0]
     assert strict["keep"] is False and relaxed["keep"] is True
+
+
+# --- URL canonicalization ----------------------------------------------------
+
+
+def _canon(spark, urls, **kw):
+    from eel_spark.functions.text import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u STRING")
+    return [r["c"] for r in df.select(canonical_url("u", **kw).alias("c")).collect()]
+
+
+def test_canonical_url_variants_collapse(spark):
+    variants = [
+        "HTTP://WWW.Example.com:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a/b?a=1&b=2",
+        "http://user:pw@example.com./a/b/?b=2&a=1&fbclid=zzz",
+        "example.com/a/b?b=2&a=1",
+    ]
+    got = _canon(spark, variants)
+    assert got == ["http://example.com/a/b?a=1&b=2"] * 4
+
+
+def test_canonical_url_parts(spark):
+    cases = {
+        "https://Example.com": "https://example.com/",
+        "https://example.com:443/x": "https://example.com/x",
+        "https://example.com:8443/x": "https://example.com:8443/x",
+        "http://example.com/?utm_campaign=a&utm_medium=b": "http://example.com/",
+        "http://example.com/p?flag&z=1&a": "http://example.com/p?a&flag&z=1",
+        "http://www2.example.com/": "http://www2.example.com/",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_canonical_url_null_and_garbage(spark):
+    got = _canon(spark, [None, "", "   ", "not a url at all  "])
+    assert got == [None] * 4
+
+
+def test_canonical_url_keep_www(spark):
+    got = _canon(spark, ["http://www.example.com/x"], strip_www=False)
+    assert got == ["http://www.example.com/x"]
