@@ -1072,3 +1072,101 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     )
     unparseable = keyed.filter(F.col("__curl").isNull()).select(id_col)
     return df.join(survivors.union(unparseable), on=id_col, how="left_semi")
+
+
+def _paragraphs(text_col: str) -> Column:
+    """Blank-line-separated paragraphs (rebuilds join with a normalized
+    single blank line)."""
+    return F.split(F.col(text_col), r"\n\s*\n")
+
+
+def _paragraph_keys(
+    df: DataFrame, text_col: str, id_col: str, min_chars: int
+) -> DataFrame:
+    """(id, pos, h) for every substantial paragraph occurrence — the
+    SLIM table paragraph dedup shuffles; paragraph text never leaves
+    the originating task."""
+    exploded = df.select(
+        F.col(id_col), F.posexplode(_paragraphs(text_col)).alias("pos", "__p")
+    )
+    if min_chars > 0:
+        exploded = exploded.filter(F.length(F.trim("__p")) >= min_chars)
+    return exploded.select(
+        id_col,
+        "pos",
+        F.md5(normalized_text("__p").cast("binary")).alias("h"),
+    )
+
+
+def duplicate_paragraphs(
+    df: DataFrame, text_col: str, id_col: str, min_chars: int = 50
+) -> DataFrame:
+    """Report: (paragraph hash, n occurrences, occurrences sorted) for
+    paragraphs appearing more than once across the corpus."""
+    keyed = _paragraph_keys(df, text_col, id_col, min_chars)
+    return (
+        keyed.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sort_array(
+                F.collect_list(F.struct(id_col, "pos"))
+            ).alias("occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str, id_col: str, min_chars: int = 50
+) -> DataFrame:
+    """Remove every paragraph occurrence that duplicates an EARLIER one
+    (global first occurrence by (id, pos) survives) — RefinedWeb-style
+    exact paragraph dedup, the granularity between whole-document
+    hashing and span removal. Paragraphs shorter than ``min_chars``
+    are never touched (headers and one-liners legitimately repeat).
+
+    Scale shape: the only corpus-wide shuffle carries (hash, id, pos)
+    triples — paragraph TEXT never shuffles. Winners are elected with
+    one min-struct aggregate (map-side combinable); only the REMOVED
+    occurrences (usually a tiny fraction) aggregate into per-doc
+    position lists, which join back to the corpus by id (AQE broadcasts
+    the removal list when small) and the text is rebuilt in place with
+    array ops. Documents losing every paragraph come back with empty
+    text (callers filter); paragraph separators normalize to one blank
+    line in rebuilt documents — untouched documents pass through
+    byte-identical.
+    """
+    keyed = _paragraph_keys(df, text_col, id_col, min_chars)
+    winners = keyed.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    removed = (
+        keyed.join(winners.filter(F.col("__n") > 1), on="h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__w.{id_col}"))
+                & (F.col("pos") == F.col("__w.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__rm"))
+    )
+    out = df.join(removed, on=id_col, how="left")
+    paras = _paragraphs(text_col)
+    indexed = F.zip_with(
+        paras,
+        F.sequence(F.lit(0), F.size(paras) - 1),
+        lambda p, i: F.struct(p.alias("p"), i.alias("i")),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.filter(indexed, lambda e: ~F.array_contains("__rm", e["i"])),
+            lambda e: e["p"],
+        ),
+        "\n\n",
+    )
+    return out.withColumn(
+        text_col,
+        F.when(F.col("__rm").isNull(), F.col(text_col)).otherwise(rebuilt),
+    ).drop("__rm")

@@ -595,3 +595,55 @@ def test_dedup_by_url(spark):
     df = spark.createDataFrame(rows, "id LONG, url STRING")
     kept = sorted(r["id"] for r in dedup_by_url(df, "url", "id").collect())
     assert kept == [1, 3, 4, 5, 6]
+
+
+def test_dedup_paragraphs_first_occurrence_survives(spark):
+    from eel_spark.operators.dedup import dedup_paragraphs, duplicate_paragraphs
+
+    boiler = "subscribe to our newsletter for updates " * 3  # >=50 chars
+    unique1 = "the first article body talks about distributed query engines at length"
+    unique2 = "a second piece describes storage formats and their tradeoffs in detail"
+    short = "Intro"  # under min_chars: repeats everywhere, never touched
+    rows = [
+        (1, f"{short}\n\n{unique1}\n\n{boiler}"),
+        (2, f"{short}\n\n{boiler}\n\n{unique2}"),
+        (3, f"{boiler}"),               # all substantial paragraphs are dups
+        (4, None),                        # null text passes through
+        (5, "no blank lines here just one paragraph of reasonable length ok"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+
+    rep = duplicate_paragraphs(df, "text", "id").collect()
+    assert len(rep) == 1 and rep[0]["n_occurrences"] == 3
+
+    got = {r["id"]: r["text"] for r in dedup_paragraphs(df, "text", "id").collect()}
+    assert got[1] == f"{short}\n\n{unique1}\n\n{boiler}"   # first occurrence intact
+    assert got[2] == f"{short}\n\n{unique2}"                # boiler removed, short kept
+    assert got[3] == ""                                     # everything removed
+    assert got[4] is None
+    assert got[5] == rows[4][1]                             # untouched, byte-identical
+
+
+def test_dedup_paragraphs_separator_normalization(spark):
+    from eel_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "this paragraph is duplicated across both documents verbatim body"
+    a = f"alpha paragraph with enough characters to clear the threshold\n\n\n{boiler}"
+    b = f"{boiler}\n\n  \nbeta paragraph also long enough to clear the dedup threshold"
+    df = spark.createDataFrame([(1, a), (2, b)], "id LONG, text STRING")
+    got = {r["id"]: r["text"] for r in dedup_paragraphs(df, "text", "id").collect()}
+    # doc 1 wins (smaller id); doc 2 rebuilt with normalized separator
+    assert got[1] == a
+    assert got[2] == "beta paragraph also long enough to clear the dedup threshold"
+
+
+def test_dedup_paragraphs_within_doc(spark):
+    from eel_spark.operators.dedup import dedup_paragraphs
+
+    p = "a repeated paragraph inside one single document with enough length"
+    df = spark.createDataFrame(
+        [(1, f"{p}\n\nmiddle filler paragraph that is long enough to count\n\n{p}")],
+        "id LONG, text STRING",
+    )
+    got = dedup_paragraphs(df, "text", "id").collect()[0]["text"]
+    assert got == f"{p}\n\nmiddle filler paragraph that is long enough to count"
