@@ -1,7 +1,8 @@
-"""LLM training-corpus preparation: boilerplate removal -> exact dedup ->
-near-dup detection -> semantic dedup -> accounting -> decontamination ->
-language-mix sampling -> epoch upsampling -> train/val split ->
-epoch-shuffled ordering -> sequence packing.
+"""LLM training-corpus preparation: unicode normalization -> heuristic
+quality gate -> exact dedup -> near-dup detection -> semantic dedup ->
+accounting -> decontamination -> boilerplate/paragraph dedup ->
+perplexity band -> language-mix sampling -> epoch upsampling ->
+train/val split -> epoch-shuffled ordering -> BPE-budgeted packing.
 
 Usage: python examples/corpus_prep.py [sf_dir]
 """
@@ -20,9 +21,22 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 spark = get_session("corpus-prep-example")
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+# 0. NFKC normalization (fold invisible/compat characters BEFORE any
+#    hashing — they split dedup keys) + Gopher heuristic gate. The
+#    synthetic corpus is short-doc and has a one-stopword vocabulary,
+#    so the word-count band and required-stopword rules are relaxed
+#    here; on a real crawl keep the published defaults.
+from eel_spark.functions.pytext import normalize_unicode
+from eel_spark.functions.text import gopher_keep
+
+n_raw = docs.count()
+docs = docs.withColumn("text", normalize_unicode("text"))
+docs = docs.filter(gopher_keep("text", min_words=10, min_stopword_hits=1))
+print(f"raw docs: {n_raw} -> after normalize + gopher gate: {docs.count()}")
+
 # 1. exact dedup first (cheap, removes verbatim copies)
 survivors = dedup.dedup_exact(docs, "text", "doc_id")
-print(f"docs: {docs.count()} -> exact-dedup survivors: {survivors.count()}")
+print(f"-> exact-dedup survivors: {survivors.count()}")
 
 # 2. near-dup pairs among the survivors (LSH-bounded, bucket-capped)
 pairs = dedup.minhash_near_duplicates(
@@ -62,6 +76,11 @@ from eel_spark.operators import packing, sampling
 
 clean = dedup.remove_boilerplate_lines(clean, "text", "doc_id", min_doc_fraction=0.2)
 
+# 5a. global paragraph dedup: a duplicated paragraph survives only at
+#     its first (doc, pos) occurrence (slim shuffle: text never moves)
+clean = dedup.dedup_paragraphs(clean, "text", "doc_id", min_chars=40)
+clean = clean.filter(F.length(F.trim("text")) > 0)
+
 # 5b. perplexity band filter: unigram LM trained on the cleaned corpus;
 #     keep the middle band (very low = boilerplate, very high = gibberish)
 from eel_spark.operators.quality_model import score_perplexity, train_unigram_lm
@@ -94,10 +113,17 @@ weighted = sampling.replicate_by_weight(
 train = sampling.shuffle_rows(weighted, ["doc_id", "epoch"], seed=1)
 print(f"split -> train docs upsampled to {train.count()} copies")
 
-# 8. pack the shuffled training docs into 2048-token sequences
-#    (epoch copies share doc_id, so pack by the unique (doc, epoch) key)
+# 8. pack the shuffled training docs into 2048-token sequences, sized
+#    by a REAL trained tokenizer: BPE merges learned from the training
+#    split itself (one corpus scan + a driver loop over word types),
+#    counts from the Arrow-batched encoder. Epoch copies share doc_id,
+#    so pack by the unique (doc, epoch) key.
+from eel_spark.operators import bpe
+
+merges = bpe.train_bpe(train, "text", num_merges=500, max_word_types=20000)
+print(f"BPE: learned {len(merges)} merges from the train split")
 sized = train.withColumn(
     "copy_id", F.concat_ws("#", "doc_id", "epoch")
-).withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+).withColumn("n_tokens", bpe.bpe_token_count("text", merges))
 packed = packing.pack_sequences(sized, "copy_id", "n_tokens", 2048, n_shards=8)
 packing.packing_stats(packed, "n_tokens", 2048).show()
