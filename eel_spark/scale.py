@@ -225,3 +225,94 @@ def repartition_for_join(
     if partitions:
         return left.repartition(partitions, *cols), right.repartition(partitions, *cols)
     return left.repartition(*cols), right.repartition(*cols)
+
+
+def key_skew_report(
+    df: DataFrame, keys: str | Sequence[str], top: int = 20
+) -> dict:
+    """Diagnose key skew BEFORE committing to a join/agg strategy: the
+    measured basis for choosing ``salted_join`` / ``salted_aggregate``
+    / plain AQE.
+
+    One groupBy(keys).count() — the exact shuffle the join or aggregate
+    would do anyway — then driver-bounded summaries: total rows,
+    distinct keys, count percentiles, and the ``top`` heaviest keys
+    with their corpus fraction. ``skew_factor`` is
+    ``max_key_count / mean_key_count`` (1.0 = perfectly uniform; at
+    ≳one-salt-bucket's worth, salt or let AQE split). Everything
+    collected is O(top), never O(keys).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*ks).agg(F.count(F.lit(1)).alias("__n"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum("__n").alias("rows"),
+        F.max("__n").alias("max_count"),
+        F.percentile_approx("__n", [0.5, 0.99], 10_000).alias("p"),
+    ).first()
+    top_rows = counts.orderBy(F.desc("__n"), *ks).limit(top).collect()
+    rows, distinct = summary["rows"], summary["distinct_keys"]
+    mean = rows / distinct if distinct else 0.0
+    return {
+        "rows": rows,
+        "distinct_keys": distinct,
+        "mean_count": mean,
+        "p50_count": summary["p"][0] if distinct else None,
+        "p99_count": summary["p"][1] if distinct else None,
+        "max_count": summary["max_count"],
+        "skew_factor": (summary["max_count"] / mean) if mean else 0.0,
+        "top_keys": [
+            {
+                "key": {k: r[k] for k in ks},
+                "count": r["__n"],
+                "fraction": r["__n"] / rows,
+            }
+            for r in top_rows
+        ],
+    }
+
+
+def write_sized_files(
+    df: DataFrame,
+    path: str,
+    target_mb: float = 128.0,
+    compression_ratio: float = 3.0,
+    max_partitions: int = 100_000,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Write ``df`` with the output file count chosen for ~``target_mb``
+    files — the small-files lever: at 100 TB a 200-wide shuffle default
+    writes 200 files per partition directory, and a 10k-task pipeline
+    writes 10k shards of a few KB each; both poison the NEXT job's scan
+    (file-open dominated) and the metastore.
+
+    File count = optimizer size estimate ÷ (compression_ratio ×
+    target_mb), clamped to [1, max_partitions]. The size estimate is
+    Catalyst's own (the number AQE plans with); ``compression_ratio``
+    converts its in-memory bytes to on-disk parquet bytes (~3× for
+    text-heavy data — measure once per dataset and pass it in). When
+    Catalyst has NO estimate (size pegged at the unknown sentinel),
+    falls back to one output file per current partition. Returns the
+    chosen file count.
+
+    Round-robin repartition: write-size balancing only. If downstream
+    reads filter on specific columns, prefer :func:`write_zordered`
+    (layout for skipping) or :func:`write_bucketed` (layout for joins).
+    """
+    if target_mb <= 0 or compression_ratio <= 0:
+        raise ValueError("target_mb and compression_ratio must be positive")
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est <= 0 or est >= (1 << 60):  # unknown/sentinel estimate
+        n = df.rdd.getNumPartitions()
+    else:
+        import math
+
+        n = math.ceil(est / (compression_ratio * target_mb * 1024 * 1024))
+    n = max(1, min(int(n), int(max_partitions)))
+    writer = df.repartition(n).write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return n

@@ -108,3 +108,55 @@ def test_zorder_layout_tightens_stats_on_both_dims(spark, tmp_path):
     # well below the global 1000 — and far below linear-sort's untouched y
     assert z_worst < 0.6 * l_worst, (z_worst, l_worst)
     assert z_worst < 600, z_worst
+
+
+def test_key_skew_report(spark):
+    from eel_spark.scale import key_skew_report
+
+    rows = [(0, "hot") for _ in range(900)] + [(i, f"k{i}") for i in range(1, 101)]
+    df = spark.createDataFrame([(k,) for _, k in rows], "k STRING")
+    rep = key_skew_report(df, "k", top=3)
+    assert rep["rows"] == 1000 and rep["distinct_keys"] == 101
+    assert rep["max_count"] == 900
+    assert rep["top_keys"][0]["key"] == {"k": "hot"}
+    assert abs(rep["top_keys"][0]["fraction"] - 0.9) < 1e-9
+    assert rep["skew_factor"] > 80  # 900 / (1000/101) ~ 90.9
+    assert len(rep["top_keys"]) == 3
+
+
+def test_key_skew_report_multi_key_uniform(spark):
+    from eel_spark.scale import key_skew_report
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 5).alias("b")
+    )
+    rep = key_skew_report(df, ["a", "b"], top=2)
+    assert rep["distinct_keys"] == 10  # (a, b) pairs: lcm structure
+    assert rep["skew_factor"] == 1.0   # perfectly uniform
+    assert set(rep["top_keys"][0]["key"]) == {"a", "b"}
+
+
+def test_write_sized_files(spark, tmp_path):
+    import glob
+
+    from eel_spark.scale import write_sized_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one = str(tmp_path / "one")
+    n1 = write_sized_files(docs, one, target_mb=512)
+    assert n1 == 1
+    assert len(glob.glob(f"{one}/part-*")) == 1
+
+    many = str(tmp_path / "many")
+    nm = write_sized_files(docs, many, target_mb=0.005, compression_ratio=1.0)
+    assert nm > 1
+    assert len(glob.glob(f"{many}/part-*")) == nm
+    # identical content either way
+    a = sorted(r["doc_id"] for r in spark.read.parquet(one).collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(many).collect())
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_sized_files(docs, str(tmp_path / "x"), target_mb=0)
