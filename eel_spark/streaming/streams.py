@@ -688,3 +688,86 @@ class EventStream:
             reader = reader.option("pathGlobFilter", glob_filter)
         df = reader.schema(static_schema).parquet(path)
         return normalize_ts(df)
+
+
+def streaming_url_dedup(
+    docs: DataFrame,
+    url_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded URL dedup on a crawl stream: one document per
+    CANONICAL url (functions/text.canonical_url — tracking params and
+    decoration folded) within the watermark window. The streaming twin
+    of ``operators/dedup.dedup_by_url`` with the same bounded-state
+    mechanics as :func:`streaming_dedup`.
+
+    NULL-key hazard handled explicitly: ``dropDuplicatesWithinWatermark``
+    would collapse ALL unparseable URLs (NULL canonical key) into one
+    surviving row. Unparseable URLs instead key on their raw string
+    (equal garbage dedups, distinct garbage survives) and NULL urls on
+    a per-row uuid (never deduped) — matching the batch operator's
+    "unparseable is no evidence of sameness" rule as closely as
+    bounded streaming state allows.
+    """
+    from eel_spark.functions.text import canonical_url
+
+    key = F.coalesce(
+        canonical_url(F.col(url_col)),
+        F.concat(F.lit("__raw::"), F.col(url_col)),
+        F.concat(F.lit("__null::"), F.expr("uuid()")),
+    )
+    return (
+        docs.withColumn("__urlkey", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__urlkey"])
+        .drop("__urlkey")
+    )
+
+
+def validated_batch_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    checks: list,
+    quarantine_path: str | None = None,
+    format: str = "parquet",
+):
+    """Per-micro-batch data-quality gate: run a one-pass expectations
+    suite (operators/expectations) on every batch; passing batches land
+    in ``path``, failing batches in ``quarantine_path`` (or the query
+    DIES on the first bad batch when no quarantine is given — the
+    fail-fast CI shape).
+
+    Exactly-once like :func:`idempotent_batch_sink`: both destinations
+    write a ``batch_id=N`` partition with dynamic overwrite, so a
+    replayed batch overwrites itself on either side and a batch that
+    failed validation before the crash re-validates on replay.
+    """
+    from eel_spark.operators.expectations import validate
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ok, report = validate(batch_df, checks)
+        if not ok and quarantine_path is None:
+            failed = "; ".join(
+                f"{r['check']} ({r['observed']})" for r in report if not r["passed"]
+            )
+            raise ValueError(
+                f"batch {batch_id} failed validation: {failed}"
+            )
+        dest = path if ok else quarantine_path
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.format(format)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .save(dest)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

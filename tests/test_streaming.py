@@ -524,3 +524,94 @@ def test_incremental_embedding_dedup_validation(spark, tmp_path):
         incremental_embedding_dedup_sink(
             stream, "x", "y", dim=64, bands_per_word=2, max_hamming=9
         )
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    from datetime import datetime
+
+    from eel_spark.streaming import file_stream, streaming_url_dedup
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, "http://www.example.com/a?utm_source=x"),
+        (2, t, "example.com/a/"),                  # same page decorated
+        (3, t, "HTTP://EXAMPLE.COM:80/a"),          # same page again
+        (4, t, "http://example.com/b"),             # distinct page
+        (5, t, None),                               # null url: never deduped
+        (6, t, None),
+        (7, t, "::garbage::"),                      # equal garbage dedups
+        (8, t, "::garbage::"),
+        (9, t, ":other garbage:"),                  # distinct garbage survives
+    ]
+    src = str(tmp_path / "urls_in")
+    spark.createDataFrame(rows, "id LONG, ts TIMESTAMP, url STRING").write.parquet(src)
+    stream = file_stream(
+        spark, src,
+        schema="id LONG, ts TIMESTAMP, url STRING",
+        max_files_per_trigger=100,
+    )
+    out = streaming_url_dedup(stream, "url", watermark="1 hour")
+    _run_available_now(out, tmp_path, "urldedup")
+    got = spark.sql("SELECT * FROM urldedup").collect()
+    ids = sorted(r["id"] for r in got)
+    # one of {1,2,3}, page b, both nulls, one of {7,8}, and 9
+    assert len(ids) == 6
+    assert len({1, 2, 3} & set(ids)) == 1
+    assert 4 in ids and 5 in ids and 6 in ids and 9 in ids
+    assert len({7, 8} & set(ids)) == 1
+    assert "__urlkey" not in spark.sql("SELECT * FROM urldedup").columns
+
+
+def test_validated_batch_sink_pass_and_quarantine(spark, tmp_path):
+    from datetime import datetime
+
+    from eel_spark.operators import expectations as E
+    from eel_spark.streaming import file_stream, validated_batch_sink
+
+    t = datetime(2024, 1, 1)
+    good = [(1, t, 10.0), (2, t, 20.0)]
+    bad = [(3, t, -5.0), (4, t, 30.0)]     # negative v fails in_range
+    src = str(tmp_path / "vin")
+    # one file per group: validation is PER BATCH, so each group must
+    # arrive as exactly one micro-batch
+    spark.createDataFrame(good, "id LONG, ts TIMESTAMP, v DOUBLE").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(bad, "id LONG, ts TIMESTAMP, v DOUBLE").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = file_stream(spark, src, schema="id LONG, ts TIMESTAMP, v DOUBLE")
+    main, quar = str(tmp_path / "vmain"), str(tmp_path / "vquar")
+    q = validated_batch_sink(
+        stream, main, str(tmp_path / "vckpt"),
+        checks=[E.not_null("id"), E.in_range("v", 0, 100)],
+        quarantine_path=quar,
+    )
+    q.awaitTermination(120)
+    main_ids = sorted(r["id"] for r in spark.read.parquet(main).collect())
+    quar_ids = sorted(r["id"] for r in spark.read.parquet(quar).collect())
+    assert main_ids == [1, 2]
+    assert quar_ids == [3, 4]
+
+
+def test_validated_batch_sink_fail_fast(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.errors import StreamingQueryException
+
+    from eel_spark.operators import expectations as E
+    from eel_spark.streaming import file_stream, validated_batch_sink
+
+    t = datetime(2024, 1, 1)
+    src = str(tmp_path / "fin")
+    spark.createDataFrame(
+        [(1, t, -1.0)], "id LONG, ts TIMESTAMP, v DOUBLE"
+    ).write.parquet(src)
+    stream = file_stream(spark, src, schema="id LONG, ts TIMESTAMP, v DOUBLE")
+    q = validated_batch_sink(
+        stream, str(tmp_path / "fmain"), str(tmp_path / "fckpt"),
+        checks=[E.in_range("v", 0, 100)],
+    )
+    with pytest.raises(StreamingQueryException, match="failed validation"):
+        q.awaitTermination(120)
