@@ -115,3 +115,128 @@ def range_join(
         ),
     )
     return pts.join(ivs, "__bin").filter((p >= l) & (p <= h)).drop("__bin")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 2,
+    q: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Edit-distance join (record linkage): pairs whose strings are
+    within ``max_distance`` Levenshtein edits. Spark plans a bare
+    ``levenshtein(a,b) <= d`` join as a BroadcastNestedLoopJoin —
+    O(n·m) edit-distance evaluations; this is the standard two-phase
+    shape instead: cheap equi-join BLOCKING bounds the candidate set,
+    exact JVM ``levenshtein`` (with early-exit threshold) verifies it.
+
+    Blocking:
+
+    - every string with len ≥ q emits its distinct q-grams; the count
+      filter guarantees recall for pairs whose LONGER string has
+      len ≥ q·(d+1): distance ≤ d strings share
+      ≥ max_len − q + 1 − q·d ≥ 1 q-grams. Pairs must also satisfy
+      |len_a − len_b| ≤ d (checked in the join condition).
+    - pairs where BOTH strings are short (len < q·(d+1), where the
+      q-gram bound is vacuous) block on length bands instead: shorts
+      join shorts with |len_a − len_b| ≤ d via an exploded band key.
+      (A short×long boundary pair is covered by the q-gram bound; a
+      sub-q string can only be within d of a ≥ q·(d+1) string when
+      q = 1, in which case it has grams too.)
+
+    Scale levers, same philosophy as the LSH ops: blocking keys whose
+    total bucket population exceeds ``max_bucket_size`` are DROPPED
+    before the join (a q-gram shared by 100k strings is
+    low-information and would dominate Σ|bucket|²; a pair whose ONLY
+    shared q-gram is capped is lost — raise the cap or lower q if that
+    matters). All shuffles carry (key, id, len) triples; strings are
+    joined back only for the bounded verify. NULL strings never match.
+
+    Output: (left_id, right_id [suffixed ``_r`` on name collision],
+    left_col, right_col [suffixed likewise], distance).
+    """
+    if max_distance < 0 or q < 1:
+        raise ValueError("need max_distance >= 0 and q >= 1")
+    d = int(max_distance)
+    short_bound = q * (d + 1)
+
+    def _slim(df, col, idc, side):
+        return df.select(
+            F.col(idc).alias(f"__id_{side}"),
+            F.col(col).alias(f"__s_{side}"),
+            F.length(col).alias(f"__len_{side}"),
+        ).filter(F.col(col).isNotNull())
+
+    l = _slim(left, left_col, left_id, "l")
+    r = _slim(right, right_col, right_id, "r")
+
+    def _gram_keys(df, side):
+        s, ln = F.col(f"__s_{side}"), F.col(f"__len_{side}")
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ln - q + 1),
+                lambda i: F.substring(s, i, q),
+            )
+        )
+        return (
+            df.filter(ln >= q)
+            .select(f"__id_{side}", f"__len_{side}", F.explode(grams).alias("__g"))
+        )
+
+    gl, gr = _gram_keys(l, "l"), _gram_keys(r, "r")
+    # cap flooded grams: population counted across BOTH sides, over-cap
+    # keys anti-joined away (tiny set -> AQE broadcast)
+    over = (
+        gl.select("__g").unionAll(gr.select("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("__g")
+    )
+    gl = gl.join(over, "__g", "left_anti")
+    gr = gr.join(over, "__g", "left_anti")
+    cand_long = (
+        gl.join(
+            gr,
+            (gl["__g"] == gr["__g"])
+            & (F.abs(gl["__len_l"] - gr["__len_r"]) <= d),
+        )
+        .select("__id_l", "__id_r")
+        .distinct()
+    )
+
+    # short path: band key = every length the partner may have
+    sl = l.filter(F.col("__len_l") < short_bound).select(
+        "__id_l", F.col("__len_l").alias("__band")
+    )
+    sr = r.filter(F.col("__len_r") < short_bound).select(
+        "__id_r",
+        F.explode(
+            F.sequence(F.col("__len_r") - d, F.col("__len_r") + d)
+        ).alias("__band"),
+    )
+    cand_short = sl.join(sr, "__band").select("__id_l", "__id_r").distinct()
+
+    cands = cand_long.unionAll(cand_short).distinct()
+    verified = (
+        cands.join(l.select("__id_l", "__s_l"), "__id_l")
+        .join(r.select("__id_r", "__s_r"), "__id_r")
+        .withColumn(
+            "distance", F.levenshtein("__s_l", "__s_r", d)
+        )
+        .filter(F.col("distance") >= 0)
+    )
+    rid_out = right_id if right_id != left_id else f"{right_id}_r"
+    rcol_out = right_col if right_col != left_col else f"{right_col}_r"
+    return verified.select(
+        F.col("__id_l").alias(left_id),
+        F.col("__id_r").alias(rid_out),
+        F.col("__s_l").alias(left_col),
+        F.col("__s_r").alias(rcol_out),
+        "distance",
+    )

@@ -68,3 +68,83 @@ def test_range_join_no_nested_loop(spark):
     plan = range_join(points, intervals, "x", "lo", "hi", 1.0)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+# --- fuzzy (edit distance) join ---------------------------------------------
+
+
+def _brute_pairs(left, right, d):
+    # oracle: full cross product + python Levenshtein
+    def lev(a, b):
+        if a == b:
+            return 0
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    return {
+        (i, j)
+        for i, a in left
+        for j, b in right
+        if a is not None and b is not None and lev(a, b) <= d
+    }
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    from eel_spark.operators.joins import fuzzy_join
+
+    names = [
+        (1, "jonathan smith"), (2, "jonathan smyth"), (3, "jon smith"),
+        (4, "maria garcia"), (5, "maria garcias"), (6, "marla garcia"),
+        (7, "completely different"), (8, "ab"), (9, "abc"), (10, "abd"),
+        (11, ""), (12, "a"), (13, None), (14, "xy"),
+        (15, "the quick brown fox"), (16, "the quick brown fax"),
+    ]
+    df = spark.createDataFrame(names, "id LONG, name STRING")
+    got = {
+        (r["id"], r["id_r"])
+        for r in fuzzy_join(df, df, "name", "name", "id", "id", max_distance=2).collect()
+    }
+    want = _brute_pairs(
+        [(i, n) for i, n in names], [(i, n) for i, n in names], 2
+    )
+    assert got == want
+    # sanity on the oracle itself: self pairs present, known typo pairs in
+    assert (1, 2) in got and (15, 16) in got and (8, 9) in got
+    assert (1, 7) not in got
+
+
+def test_fuzzy_join_distance_column_and_names(spark):
+    from eel_spark.operators.joins import fuzzy_join
+
+    a = spark.createDataFrame([(1, "colour")], "lid LONG, s STRING")
+    b = spark.createDataFrame([(9, "color"), (10, "colander")], "rid LONG, t STRING")
+    rows = fuzzy_join(a, b, "s", "t", "lid", "rid", max_distance=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lid"] == 1 and r["rid"] == 9 and r["distance"] == 1
+    assert r["s"] == "colour" and r["t"] == "color"
+
+
+def test_fuzzy_join_flooded_gram_cap(spark):
+    from eel_spark.operators.joins import fuzzy_join
+
+    # every string shares the flooded gram "aaa"; pair (1,2) shares ONLY
+    # that gram -> lost under a tiny cap (the documented tradeoff), while
+    # the identical pair (3,4) also shares "zzz" grams and survives.
+    # All strings are >= q*(d+1) = 6 chars so none take the short path.
+    rows = [(1, "aaaxqw"), (2, "aaayqw"), (3, "zzzaaa"), (4, "zzzaaa")]
+    pad = [(100 + i, f"aaa{i:04d}") for i in range(50)]
+    df = spark.createDataFrame(rows + pad, "id LONG, s STRING")
+    got = {
+        (r["id"], r["id_r"])
+        for r in fuzzy_join(
+            df, df, "s", "s", "id", "id", max_distance=1, max_bucket_size=20
+        ).collect()
+        if r["id"] < r["id_r"]
+    }
+    assert (3, 4) in got
+    assert (1, 2) not in got
