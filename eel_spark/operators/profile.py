@@ -1,0 +1,91 @@
+"""One-pass column profiling: the "what is this table" report that
+precedes writing expectations (Deequ's ColumnProfiler shape, public).
+
+Every column's metrics — counts, null fraction, approximate distinct
+(HLL), min/max, mean/stddev for numerics, approximate top-k values
+(``approx_top_k`` sketch) — are computed in ONE aggregation job over
+one scan, map-side partials throughout. The collected result is a
+single driver row bounded by columns × metrics, never by data size.
+
+Complex-typed columns (arrays/maps/structs) profile counts and null
+fraction only — ordering and sketching aren't defined for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_ORDERABLE = _NUMERIC + (
+    T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    T.BooleanType,
+)
+
+
+def profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    top_k: int = 5,
+    rsd: float = 0.05,
+) -> list[dict]:
+    """Profile ``cols`` (default: every column) in one aggregation.
+
+    Returns one dict per column: ``name, type, rows, nulls,
+    null_fraction, distinct_approx`` always; ``min, max, top`` (list of
+    {value, count}) for orderable scalars; ``mean, stddev`` for
+    numerics. ``top`` counts are themselves approximate (sketch) — use
+    them to spot dominants, not to reconcile sums.
+    """
+    names = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in names if c not in fields]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in names:
+        t = fields[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        if isinstance(t, _ORDERABLE):
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"__dist_{c}")
+            )
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(
+                F.expr(f"approx_top_k(`{c}`, {int(top_k)})").alias(f"__top_{c}")
+            )
+        if isinstance(t, _NUMERIC):
+            aggs.append(F.avg(c).alias(f"__mean_{c}"))
+            aggs.append(F.stddev(c).alias(f"__std_{c}"))
+    row = df.agg(*aggs).first().asDict()
+
+    out = []
+    rows = row["__rows"]
+    for c in names:
+        t = fields[c]
+        rec = {
+            "name": c,
+            "type": t.simpleString(),
+            "rows": rows,
+            "nulls": row[f"__null_{c}"],
+            "null_fraction": (row[f"__null_{c}"] / rows) if rows else 0.0,
+        }
+        if isinstance(t, _ORDERABLE):
+            rec["distinct_approx"] = row[f"__dist_{c}"]
+            rec["min"] = row[f"__min_{c}"]
+            rec["max"] = row[f"__max_{c}"]
+            rec["top"] = [
+                {"value": e["item"], "count": e["count"]}
+                for e in (row[f"__top_{c}"] or [])
+            ]
+        if isinstance(t, _NUMERIC):
+            rec["mean"] = row[f"__mean_{c}"]
+            rec["stddev"] = row[f"__std_{c}"]
+        out.append(rec)
+    return out
