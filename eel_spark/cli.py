@@ -190,24 +190,31 @@ def cmd_stream(args: argparse.Namespace) -> int:
 
 
 def cmd_analyze(args: argparse.Namespace) -> int:
+    from eel_spark.operators.profile import profile
+
     spark = get_session("eel-cli")
     ds = _source(args.src).to_datastream(spark)
     cols = args.columns.split(",") if args.columns else ds.field_names
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
-        aggs.append(F.count(c).alias(f"{c}__nonnull"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
-        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
-    row = ds.df.agg(*aggs).first()
-    out = {"rows": row["__rows"], "columns": {}}
-    for c in cols:
-        out["columns"][c] = {
-            "nulls": row["__rows"] - row[f"{c}__nonnull"],
-            "approx_distinct": row[f"{c}__distinct"],
-            "min": row[f"{c}__min"],
-            "max": row[f"{c}__max"],
+    report = profile(ds.df, cols)  # still ONE aggregation pass
+    out = {"rows": report[0]["rows"] if report else 0, "columns": {}}
+    for r in report:
+        col = {
+            "type": r["type"],
+            "nulls": r["nulls"],
         }
+        if "distinct_approx" in r:
+            col["approx_distinct"] = r["distinct_approx"]
+            # stringified min/max: stable JSON across date/decimal types
+            col["min"] = None if r["min"] is None else str(r["min"])
+            col["max"] = None if r["max"] is None else str(r["max"])
+            col["top"] = [
+                {"value": str(e["value"]), "count": e["count"]}
+                for e in r["top"]
+            ]
+        if "mean" in r:
+            col["mean"] = r["mean"]
+            col["stddev"] = r["stddev"]
+        out["columns"][r["name"]] = col
     print(json.dumps(out, indent=2, default=str))
     return 0
 

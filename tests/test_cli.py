@@ -204,3 +204,14 @@ def test_jdbc_uri_single_question_mark_routes_driver_params():
     url, tbl, _ = _jdbc_parts(path, opts, JdbcSource)
     assert url == "jdbc:mysql://host/db?useSSL=false&ssl=on"
     assert tbl == "t" and opts == {}
+
+
+def test_analyze_profile_fields(capsys, spark):
+    assert main(["analyze", f"{SF}/region.parquet"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    key = stats["columns"]["r_regionkey"]
+    assert key["mean"] == 2.0                   # keys 0..4
+    assert key["approx_distinct"] == 5
+    top = {e["value"]: e["count"] for e in key["top"]}
+    assert all(c == 1 for c in top.values())
+    assert stats["columns"]["r_name"]["type"] == "string"
