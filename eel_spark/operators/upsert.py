@@ -1,0 +1,138 @@
+"""MERGE-style key upsert for plain parquet directories — the
+"update these keys, insert the rest" maintenance op (survivor tables,
+dimension snapshots, incremental corpus metadata) without requiring a
+transactional table format.
+
+Scale shape mirrors ``rollups.merge_time_rollup``: with a partition
+column, ONLY the partitions the batch touches are read back (literal
+IN filter → partition pruning) and rewritten (dynamic partition
+overwrite); history outside them is never read or written. The
+touched-partition list collects to the driver bounded by the batch's
+distinct partition values, not by data size.
+
+Without a partition column the whole table must merge (there is
+nothing to prune); the rewrite goes through a temp directory and a
+filesystem rename so the readable table is never half-written — but
+the delete→rename window is NOT transactional (use a real table
+format when concurrent readers matter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str] | str,
+    partition_col: str | None = None,
+    assert_unique_keys: bool = True,
+) -> dict:
+    """Upsert ``updates`` into the parquet table at ``path`` by
+    ``keys``: matched keys are REPLACED by the update row, unmatched
+    keys are inserted. Returns ``{"inserted", "updated",
+    "partitions_rewritten"}`` (counts cost one extra slim aggregate on
+    the batch-side join, never a history scan).
+
+    Preconditions: ``updates`` must be key-unique (checked by default —
+    duplicate keys would make "replace" ambiguous; disable the check
+    only when an upstream dedup already guarantees it) and
+    schema-compatible with the existing table (``unionByName``
+    rejects drift loudly rather than nulling columns silently).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if partition_col is not None and partition_col in ks:
+        # fine: keyed AND partitioned by the same column
+        pass
+    if assert_unique_keys:
+        dup = (
+            updates.groupBy(*ks)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            bad = {k: dup[0][k] for k in ks}
+            raise ValueError(
+                f"updates contain duplicate key {bad}; MERGE semantics "
+                "need key-unique updates (pre-aggregate or dedup first)"
+            )
+
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    writer_cols = updates.columns
+
+    if not ops.exists(path):
+        w = updates.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(path)
+        n = updates.count()
+        return {"inserted": n, "updated": 0, "partitions_rewritten": 0}
+
+    if partition_col:
+        touched = [
+            r[partition_col]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).where(
+            F.col(partition_col).isin(touched)
+        )
+    else:
+        existing = spark.read.parquet(path)
+
+    # column drift check BEFORE the merge: a select(updates.columns)
+    # over survivors would silently DROP table columns the batch lacks
+    # (table-wide data loss), and extra batch columns would fail the
+    # union anyway — reject both loudly
+    if set(existing.columns) != set(updates.columns):
+        missing = set(existing.columns) - set(updates.columns)
+        extra = set(updates.columns) - set(existing.columns)
+        raise ValueError(
+            f"updates schema drifts from table: missing={sorted(missing)} "
+            f"extra={sorted(extra)}; align the batch with the table "
+            "schema (or migrate the table) before upserting"
+        )
+
+    upd_keys = updates.select(*ks).distinct()
+    survivors = existing.join(upd_keys, on=ks, how="left_anti")
+    matched = existing.join(upd_keys, on=ks, how="left_semi").count()
+    merged = survivors.select(*writer_cols).unionByName(updates)
+
+    if partition_col:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        rewritten = len(touched)
+    else:
+        tmp = path.rstrip("/") + "__upsert_tmp"
+        ops.delete(tmp, recursive=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        ops.delete(path, recursive=True)
+        if not ops.rename(tmp, path):
+            raise IOError(
+                f"rename {tmp} -> {path} failed; merged data is intact "
+                "under the temp path"
+            )
+        rewritten = 1
+
+    n_updates = updates.count()
+    return {
+        "inserted": n_updates - matched,
+        "updated": matched,
+        "partitions_rewritten": rewritten,
+    }
