@@ -101,7 +101,11 @@ def upsert_parquet(
 
     upd_keys = updates.select(*ks).distinct()
     survivors = existing.join(upd_keys, on=ks, how="left_anti")
+    # count BEFORE the write: ``updates`` is commonly derived from the
+    # target table itself, and any action after the overwrite would
+    # lazily re-read files the write just replaced (FileNotFound)
     matched = existing.join(upd_keys, on=ks, how="left_semi").count()
+    n_updates = updates.count()
     merged = survivors.select(*writer_cols).unionByName(updates)
 
     if partition_col:
@@ -130,7 +134,6 @@ def upsert_parquet(
             )
         rewritten = 1
 
-    n_updates = updates.count()
     return {
         "inserted": n_updates - matched,
         "updated": matched,

@@ -1,6 +1,6 @@
 """Managed-table lifecycle: ingest with schema evolution -> file listing
 -> watcher-triggered incremental loads -> compaction -> exactly-once
-streaming replays.
+streaming replays -> profile/expectations gate -> MERGE-style upsert.
 
 Usage: python examples/table_management.py [sf_dir]
 """
@@ -71,5 +71,31 @@ first = spark.read.parquet(out).count()
 q2 = idempotent_batch_sink(events, out, os.path.join(work, "ck2"))  # replay
 q2.awaitTermination(60)
 print(f"rows after load: {first}; after full replay: {spark.read.parquet(out).count()}")
+
+# 7. pre-publish gate: profile the landed table, then enforce
+#    expectations in one pass each (the CI shape — raise_on_failure)
+from eel_spark.operators import expectations as E
+from eel_spark.operators.profile import profile
+
+landed = spark.read.parquet(out)
+for col in profile(landed, cols=["event_id", "value"]):
+    print("profile:", col["name"], {k: col[k] for k in ("nulls", "min", "max") if k in col})
+ok, report = E.validate(
+    landed,
+    [E.row_count_between(1), E.not_null("event_id"), E.unique("event_id")],
+    raise_on_failure=True,
+)
+print("expectations:", [(r["check"], r["passed"]) for r in report])
+
+# 8. MERGE-style upsert: correct a slice of rows + append new ones, by
+#    key, rewriting only the touched batch_id partitions
+from eel_spark.operators.upsert import upsert_parquet
+
+fixes = landed.limit(50).withColumn("value", F.col("value") * 0.0)
+news = landed.limit(20).withColumn("event_id", F.col("event_id") + 10_000_000)
+stats = upsert_parquet(
+    spark, out, fixes.unionByName(news), "event_id", partition_col="batch_id"
+)
+print("upsert:", stats, "| rows now:", spark.read.parquet(out).count())
 
 spark.sql("DROP TABLE demo_nation")

@@ -90,3 +90,22 @@ def test_schema_drift_rejected(spark, tmp_path):
     slim = spark.createDataFrame([(2, "b")], "k LONG, v STRING")
     with pytest.raises(Exception):
         upsert_parquet(spark, path, slim, "k")
+
+
+def test_updates_derived_from_target(spark, tmp_path):
+    # the common maintenance shape: the batch is a transformation OF the
+    # target table itself; all counting must happen before the overwrite
+    # or the lazy plan re-reads replaced files
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "selfref")
+    base = spark.createDataFrame(
+        [(i, float(i), "P") for i in range(10)], "k LONG, v DOUBLE, p STRING"
+    )
+    upsert_parquet(spark, path, base, "k", partition_col="p")
+    landed = spark.read.parquet(path)
+    fixes = landed.filter(F.col("k") < 3).withColumn("v", F.lit(-1.0))
+    stats = upsert_parquet(spark, path, fixes, "k", partition_col="p")
+    assert stats["updated"] == 3 and stats["inserted"] == 0
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[0] == -1.0 and got[9] == 9.0 and len(got) == 10
