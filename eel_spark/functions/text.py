@@ -503,11 +503,16 @@ def gopher_keep(text: Column | str, **thresholds) -> Column:
 
 #: query parameters that identify a click, not a resource (public
 #: tracking conventions: Google/Facebook/Microsoft click ids, UTM
-#: campaign tags, Mailchimp, Instagram, bare referrer tags) — matched
-#: case-insensitively against the parameter KEY
+#: campaign tags, Mailchimp, Instagram) — matched case-insensitively
+#: against the parameter KEY. Deliberately NOT included: ``ref``,
+#: ``ref_src``, ``spm`` — those are content-bearing on major sites
+#: (e.g. a VCS ``?ref=<branch>`` selects different page content), so
+#: stripping them by default would alias genuinely distinct pages and
+#: make URL dedup drop real documents; extend the pattern per-source
+#: when you know a key is pure tracking there.
 TRACKING_PARAM_PATTERN = (
     r"(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|yclid|igshid|"
-    r"mc_eid|mc_cid|ref|ref_src|spm|_ga|_gl)$"
+    r"mc_eid|mc_cid|_ga|_gl)$"
 )
 
 

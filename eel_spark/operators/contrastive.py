@@ -51,6 +51,7 @@ def mine_triplets(
     n_buckets: int | None = None,
     seed: int = 0,
     n_salt: int = 32,
+    neighbors_df: DataFrame | None = None,
 ) -> DataFrame:
     """(anchor_id, positive_id, negative_id, pos_cos, neg_cos) triplets.
 
@@ -62,23 +63,45 @@ def mine_triplets(
     against ``neg_max``. Anchors lacking positives (or negatives)
     yield no triplets — mine with a deeper ``k_scan`` or looser
     bounds rather than fabricating pairs.
+
+    The default ANN pass is ``brute_force_topk``, which BROADCASTS the
+    query side — here the whole corpus. Right at small/medium scale;
+    for millions of vectors pass ``neighbors_df`` instead: any
+    precomputed per-anchor candidate table with columns
+    ``(anchor_id, candidate_id, cos, rank)`` (e.g. from
+    ``similarity.bq_topk`` / ``ivf_pq_topk``, self excluded), and no
+    corpus broadcast happens here at all.
     """
     if not (0 <= neg_max < pos_min <= 1):
         raise ValueError("need 0 <= neg_max < pos_min <= 1")
     if negatives not in ("hard", "random"):
         raise ValueError("negatives must be 'hard' or 'random'")
 
-    # self-query: alias the query-side id first — brute_force_topk's
-    # exclude_self compares query id to corpus id by NAME, which is
-    # ambiguous when both sides share the column name
-    q = emb.select(F.col(id_col).alias("__anchor"), F.col(vec_col))
-    neighbors = brute_force_topk(
-        emb, q,
-        id_col=id_col, vec_col=vec_col, query_id_col="__anchor",
-        k=k_scan, exclude_self=True, n_salt=n_salt,
-    ).select(
-        "__anchor", F.col(id_col).alias("__cand"), "cos", "rank"
-    )
+    if neighbors_df is not None:
+        need = {"anchor_id", "candidate_id", "cos", "rank"}
+        if not need.issubset(set(neighbors_df.columns)):
+            raise ValueError(
+                f"neighbors_df needs columns {sorted(need)}, "
+                f"got {neighbors_df.columns}"
+            )
+        neighbors = neighbors_df.select(
+            F.col("anchor_id").alias("__anchor"),
+            F.col("candidate_id").alias("__cand"),
+            "cos",
+            "rank",
+        ).filter(F.col("__anchor") != F.col("__cand"))
+    else:
+        # self-query: alias the query-side id first — brute_force_topk's
+        # exclude_self compares query id to corpus id by NAME, which is
+        # ambiguous when both sides share the column name
+        q = emb.select(F.col(id_col).alias("__anchor"), F.col(vec_col))
+        neighbors = brute_force_topk(
+            emb, q,
+            id_col=id_col, vec_col=vec_col, query_id_col="__anchor",
+            k=k_scan, exclude_self=True, n_salt=n_salt,
+        ).select(
+            "__anchor", F.col(id_col).alias("__cand"), "cos", "rank"
+        )
 
     positives = neighbors.filter(
         (F.col("cos") >= pos_min) & (F.col("rank") <= k_pos)

@@ -72,12 +72,24 @@ def not_null(col: str, max_null_fraction: float = 0.0) -> Check:
     )
 
 
+def _param_key(prefix: str, col: str, *params) -> str:
+    """Metric key carrying the metric-affecting parameters — two checks
+    on the same column with different parameters must NOT share a
+    metric (merged-dict dedup would make the first check read the
+    second's expression). md5 of the params, not hash(): stable across
+    processes."""
+    import hashlib
+
+    tag = hashlib.md5(repr(params).encode()).hexdigest()[:8]
+    return f"__{prefix}_{col}_{tag}"
+
+
 def unique(col: str, exact: bool = False, rsd: float = 0.01) -> Check:
     """Values of ``col`` are unique (ignoring NULLs). Default uses
     ``approx_count_distinct`` (same single pass, rsd-tolerant verdict);
     ``exact=True`` uses a real COUNT DISTINCT — its own shuffle, the
     one check family that costs more than the shared scan."""
-    k = f"__distinct_{col}{'_x' if exact else ''}"
+    k = _param_key("distinct", col, exact, rsd)
     kn = f"__nonnull_{col}"
     d = (
         F.countDistinct(F.col(col))
@@ -116,7 +128,7 @@ def in_range(col: str, lo=None, hi=None) -> Check:
 
 def matches(col: str, pattern: str, min_fraction: float = 1.0) -> Check:
     """At least ``min_fraction`` of NON-NULL values match ``pattern``."""
-    k = f"__match_{col}"
+    k = _param_key("match", col, pattern)
     kn = f"__nonnull_{col}"
 
     def v(m):
@@ -147,7 +159,7 @@ def mean_between(col: str, lo: float, hi: float) -> Check:
 def quantile_between(
     col: str, q: float, lo: float, hi: float, accuracy: int = 10_000
 ) -> Check:
-    k = f"__q{int(q * 100)}_{col}"
+    k = _param_key("q", col, q, accuracy)
 
     def v(m):
         qv = m[k]
@@ -163,7 +175,7 @@ def quantile_between(
 def satisfies(name: str, condition: Column, min_fraction: float = 1.0) -> Check:
     """Generic row-level predicate: at least ``min_fraction`` of ALL
     rows satisfy ``condition`` (NULL condition counts as failing)."""
-    k = f"__sat_{abs(hash(name)) % (1 << 30)}"
+    k = _param_key("sat", "", name)
 
     def v(m):
         n, hits = m["__rows"], m[k]

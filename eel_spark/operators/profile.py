@@ -50,19 +50,26 @@ def profile(
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in names:
         t = fields[c]
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        # never bare F.col(c)/df[c]: both PARSE the name, so a legal
+        # column containing a backtick breaks every string-named
+        # metric; quote the identifier with doubled backticks instead
+        safe = c.replace("`", "``")
+        ref = F.col(f"`{safe}`")
+        aggs.append(F.sum(ref.isNull().cast("long")).alias(f"__null_{c}"))
         if isinstance(t, _ORDERABLE):
             aggs.append(
-                F.approx_count_distinct(F.col(c), rsd).alias(f"__dist_{c}")
+                F.approx_count_distinct(ref, rsd).alias(f"__dist_{c}")
             )
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(F.min(ref).alias(f"__min_{c}"))
+            aggs.append(F.max(ref).alias(f"__max_{c}"))
+            # approx_top_k has no DSL function; same quoting for the
+            # one metric built via SQL text
             aggs.append(
-                F.expr(f"approx_top_k(`{c}`, {int(top_k)})").alias(f"__top_{c}")
+                F.expr(f"approx_top_k(`{safe}`, {int(top_k)})").alias(f"__top_{c}")
             )
         if isinstance(t, _NUMERIC):
-            aggs.append(F.avg(c).alias(f"__mean_{c}"))
-            aggs.append(F.stddev(c).alias(f"__std_{c}"))
+            aggs.append(F.avg(ref).alias(f"__mean_{c}"))
+            aggs.append(F.stddev(ref).alias(f"__std_{c}"))
     row = df.agg(*aggs).first().asDict()
 
     out = []

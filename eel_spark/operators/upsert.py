@@ -30,23 +30,33 @@ def upsert_parquet(
     keys: list[str] | str,
     partition_col: str | None = None,
     assert_unique_keys: bool = True,
+    prune: bool = True,
 ) -> dict:
     """Upsert ``updates`` into the parquet table at ``path`` by
     ``keys``: matched keys are REPLACED by the update row, unmatched
     keys are inserted. Returns ``{"inserted", "updated",
     "partitions_rewritten"}`` (counts cost one extra slim aggregate on
-    the batch-side join, never a history scan).
+    the batch-side join, never a history scan;
+    ``partitions_rewritten`` is -1 for a full rewrite).
 
     Preconditions: ``updates`` must be key-unique (checked by default —
     duplicate keys would make "replace" ambiguous; disable the check
     only when an upstream dedup already guarantees it) and
     schema-compatible with the existing table (``unionByName``
     rejects drift loudly rather than nulling columns silently).
+
+    PARTITION-STABILITY precondition (``prune=True``, the default):
+    the pruned merge only reads the partitions the batch touches, so a
+    key whose partition value CHANGES between the table and the batch
+    would leave the old row in its old partition — a duplicate key.
+    This holds automatically when ``partition_col`` is functionally
+    determined by the keys (or is itself a key); if your keys can move
+    between partitions, pass ``prune=False`` to merge against the FULL
+    table (every partition the table or batch touches is rewritten —
+    correct under moves, at full-scan cost, the same trade a Delta
+    MERGE makes when its ON clause can't prune).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
-    if partition_col is not None and partition_col in ks:
-        # fine: keyed AND partitioned by the same column
-        pass
     if assert_unique_keys:
         dup = (
             updates.groupBy(*ks)
@@ -75,14 +85,19 @@ def upsert_parquet(
         n = updates.count()
         return {"inserted": n, "updated": 0, "partitions_rewritten": 0}
 
-    if partition_col:
+    if partition_col and prune:
         touched = [
             r[partition_col]
             for r in updates.select(partition_col).distinct().collect()
         ]
-        existing = spark.read.parquet(path).where(
-            F.col(partition_col).isin(touched)
-        )
+        # NULL partition values need explicit handling: isin() compares
+        # NULL as NULL (never true), which would EXCLUDE the NULL
+        # partition's survivors and let the dynamic overwrite delete them
+        non_null = [t for t in touched if t is not None]
+        pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(t is None for t in touched):
+            pred = pred | F.col(partition_col).isNull()
+        existing = spark.read.parquet(path).where(pred)
     else:
         existing = spark.read.parquet(path)
 
@@ -108,7 +123,7 @@ def upsert_parquet(
     n_updates = updates.count()
     merged = survivors.select(*writer_cols).unionByName(updates)
 
-    if partition_col:
+    if partition_col and prune:
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -123,16 +138,23 @@ def upsert_parquet(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         rewritten = len(touched)
     else:
+        # full rewrite via temp swap. NOT dynamic overwrite: a dynamic
+        # write only replaces partitions PRESENT in the output, so a
+        # partition whose every row moved away (prune=False exists
+        # precisely to allow key moves) would keep its stale files
         tmp = path.rstrip("/") + "__upsert_tmp"
         ops.delete(tmp, recursive=True)
-        merged.write.mode("overwrite").parquet(tmp)
+        w = merged.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(tmp)
         ops.delete(path, recursive=True)
         if not ops.rename(tmp, path):
             raise IOError(
                 f"rename {tmp} -> {path} failed; merged data is intact "
                 "under the temp path"
             )
-        rewritten = 1
+        rewritten = -1  # full rewrite: every partition
 
     return {
         "inserted": n_updates - matched,

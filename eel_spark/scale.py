@@ -244,13 +244,19 @@ def key_skew_report(
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     counts = df.groupBy(*ks).agg(F.count(F.lit(1)).alias("__n"))
-    summary = counts.agg(
-        F.count(F.lit(1)).alias("distinct_keys"),
-        F.sum("__n").alias("rows"),
-        F.max("__n").alias("max_count"),
-        F.percentile_approx("__n", [0.5, 0.99], 10_000).alias("p"),
-    ).first()
-    top_rows = counts.orderBy(F.desc("__n"), *ks).limit(top).collect()
+    # both driver reads come off ONE materialization of the groupBy —
+    # without the persist the full scan + shuffle would run twice
+    counts.persist()
+    try:
+        summary = counts.agg(
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.sum("__n").alias("rows"),
+            F.max("__n").alias("max_count"),
+            F.percentile_approx("__n", [0.5, 0.99], 10_000).alias("p"),
+        ).first()
+        top_rows = counts.orderBy(F.desc("__n"), *ks).limit(top).collect()
+    finally:
+        counts.unpersist()
     rows, distinct = summary["rows"], summary["distinct_keys"]
     mean = rows / distinct if distinct else 0.0
     return {

@@ -76,3 +76,29 @@ def test_isolated_anchor_yields_nothing(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]  # orthogonal: no positives
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     assert mine_triplets(emb, pos_min=0.9, neg_max=0.1).count() == 0
+
+
+def test_precomputed_neighbors_backend(spark):
+    # any ANN backend can feed the miner via neighbors_df
+    emb = _clustered_corpus(spark)
+    from eel_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    q = emb.select(F.col("vec_id").alias("anchor_id"), "embedding")
+    nb = brute_force_topk(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="anchor_id", k=10, exclude_self=True,
+    ).withColumnRenamed("vec_id", "candidate_id")
+    via_nb = sorted(map(tuple, mine_triplets(
+        emb, k_pos=2, pos_min=0.9, n_neg=2, neg_max=0.5,
+        neighbors_df=nb,
+    ).collect()))
+    direct = sorted(map(tuple, mine_triplets(
+        emb, k_pos=2, pos_min=0.9, n_neg=2, neg_max=0.5, k_scan=10,
+    ).collect()))
+    assert via_nb == direct and via_nb
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="neighbors_df needs columns"):
+        mine_triplets(emb, neighbors_df=emb)

@@ -107,3 +107,21 @@ def test_single_job(table):
     assert len(merged) == 3
     ok, _ = E.validate(table, checks)
     assert ok
+
+
+def test_parameterized_checks_do_not_collide(table):
+    # two matches() on the same column with different patterns must each
+    # read their own metric (shared-name dedup previously clobbered one)
+    ok, report = E.validate(
+        table,
+        [
+            E.matches("lang", r"^[a-z]{2}$"),        # all pass
+            E.matches("lang", r"^en$", 0.5),          # only 1/5 -> fail
+            E.unique("id"),
+            E.unique("id", exact=True),
+            E.quantile_between("v", 0.5, 25, 35),     # p50=30 -> pass
+            E.quantile_between("v", 0.5, 0, 1),       # -> fail
+        ],
+    )
+    results = [r["passed"] for r in report]
+    assert results == [True, False, True, True, True, False], report

@@ -67,3 +67,11 @@ def test_profile_single_job(table, spark):
     # of the shared __rows metric across columns instead of job counts
     report = profile(table, cols=["id", "lang"])
     assert report[0]["rows"] == report[1]["rows"] == 5
+
+
+def test_profile_backtick_column_name(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["id"]).withColumnRenamed("id", "a`b")
+    report = profile(df)
+    assert report[0]["name"] == "a`b"
+    assert report[0]["min"] == 1 and report[0]["max"] == 2
+    assert {e["value"] for e in report[0]["top"]} == {1, 2}

@@ -109,3 +109,41 @@ def test_updates_derived_from_target(spark, tmp_path):
     assert stats["updated"] == 3 and stats["inserted"] == 0
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got[0] == -1.0 and got[9] == 9.0 and len(got) == 10
+
+
+def test_null_partition_survivors_kept(spark, tmp_path):
+    # NULL partition values must not be dropped by the pruned read:
+    # isin([None]) never matches NULL, which would let the dynamic
+    # overwrite delete the NULL partition's unmatched rows
+    path = str(tmp_path / "nullp")
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", "X")],
+        "k LONG, v STRING, p STRING",
+    )
+    upsert_parquet(spark, path, base, "k", partition_col="p")
+    batch = spark.createDataFrame([(1, "a2", None)], "k LONG, v STRING, p STRING")
+    stats = upsert_parquet(spark, path, batch, "k", partition_col="p")
+    assert stats["updated"] == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}  # k=2 survived the rewrite
+
+
+def test_moved_key_requires_full_merge(spark, tmp_path):
+    # a key whose partition value changes: pruned mode documents the
+    # hazard (old row remains); prune=False merges the full table and
+    # leaves exactly one row, even when the old partition empties out
+    path = str(tmp_path / "moved")
+    base = spark.createDataFrame(
+        [(1, "a", "A"), (2, "b", "B")], "k LONG, v STRING, p STRING"
+    )
+    upsert_parquet(spark, path, base, "k", partition_col="p")
+    moved = spark.createDataFrame([(1, "a2", "B")], "k LONG, v STRING, p STRING")
+
+    stats = upsert_parquet(spark, path, moved, "k", partition_col="p", prune=False)
+    assert stats["updated"] == 1 and stats["partitions_rewritten"] == -1
+    rows = [(r["k"], r["v"], r["p"]) for r in spark.read.parquet(path).collect()]
+    assert sorted(rows) == [(1, "a2", "B"), (2, "b", "B")]
+    # the vacated p=A partition is fully gone (no stale files)
+    import glob
+
+    assert not glob.glob(f"{path}/p=A/*")
