@@ -344,3 +344,125 @@ def with_distinct_estimates(df: DataFrame, distinct_cols: list[str] | tuple[str,
             f"{c}_distinct", F.hll_sketch_estimate(F.col(f"{c}_sketch"))
         ).drop(f"{c}_sketch")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch-partial rollup store: the EXACTLY-ONCE form of the continuous
+# aggregate. merge_time_rollup re-aggregates history with each batch —
+# correct, but NOT idempotent: a replayed batch double-counts. Here each
+# batch instead appends its OWN partial rows tagged __src_batch, and
+# re-applying batch N first drops N's previous rows from the touched
+# partitions — replay-idempotent by construction, no ledger, no
+# transaction. Query through read_rollup (re-merges partials) and
+# collapse history with compact_rollup when batch counts grow.
+# ---------------------------------------------------------------------------
+
+
+def append_rollup_batch(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, Column],
+    granularities: list[str] = ("hour", "day", "month"),
+    extra_keys: list[str] = (),
+    src_batch: int = 0,
+) -> None:
+    """Fold one batch's rollup partials into the store, idempotently:
+    running the same (batch, src_batch) twice leaves the store
+    byte-identical, because the touched partitions are rewritten from
+    (existing rows NOT from this batch) ∪ (this batch's partials).
+    Partition pruning bounds the read to the batch's buckets."""
+    incoming = (
+        time_rollup(batch_df, ts_col, aggs, granularities, extra_keys)
+        .withColumn("bucket_date", F.to_date("bucket_start"))
+        .withColumn("__src_batch", F.lit(int(src_batch)))
+    )
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+        have = True
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        have = False
+
+    if have:
+        touched = [
+            (r["granularity"], r["bucket_date"])
+            for r in incoming.select("granularity", "bucket_date")
+            .distinct()
+            .collect()
+        ]
+        pred = F.struct("granularity", "bucket_date").isin(
+            [F.struct(F.lit(g), F.lit(d)) for g, d in touched]
+        )
+        merged = (
+            existing.where(pred)
+            .filter(F.col("__src_batch") != int(src_batch))
+            .unionByName(incoming)
+        )
+    else:
+        merged = incoming
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("granularity", "bucket_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_rollup(
+    spark,
+    path: str,
+    merges: dict[str, Column],
+    extra_keys: list[str] = (),
+) -> DataFrame:
+    """Query view over a batch-partial rollup store: re-merges the
+    per-batch partials into final values (the same ``merges`` dict
+    merge_time_rollup uses — count→sum, sum→sum, sketch→union...)."""
+    keys = ["granularity", "bucket_start", *extra_keys]
+    return (
+        spark.read.parquet(path)
+        .groupBy(*keys)
+        .agg(*[c.alias(name) for name, c in merges.items()])
+    )
+
+
+def compact_rollup(
+    spark,
+    path: str,
+    merges: dict[str, Column],
+    extra_keys: list[str] = (),
+) -> None:
+    """Collapse per-batch partials: each (bucket, keys) keeps ONE merged
+    row tagged __src_batch = -1. Read cost of read_rollup drops back to
+    one row per bucket; exactly-once replay of PAST batches is spent
+    (their rows are gone), so compact once their replay horizon has
+    passed (e.g. after checkpoint retention). Rewrites each partition
+    in place via dynamic overwrite — compaction never vacates a
+    partition, it only shrinks rows within it."""
+    keys = ["granularity", "bucket_start", "bucket_date", *extra_keys]
+    existing = spark.read.parquet(path)
+    merged = (
+        existing.groupBy(*keys)
+        .agg(*[c.alias(name) for name, c in merges.items()])
+        .withColumn("__src_batch", F.lit(-1))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("granularity", "bucket_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

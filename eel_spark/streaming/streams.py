@@ -771,3 +771,36 @@ def validated_batch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_rollup_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str,
+    aggs: dict,
+    granularities=("hour", "day", "month"),
+    extra_keys=(),
+):
+    """Continuous aggregate maintained from a stream, EXACTLY-ONCE:
+    each micro-batch appends its rollup partials tagged with its
+    batch_id (operators/rollups.append_rollup_batch), so a replayed
+    batch first evicts its own previous rows — re-processing after any
+    crash/restart leaves the store identical, no ledger needed. Query
+    with ``read_rollup(merges)``; collapse history with
+    ``compact_rollup`` once the replay horizon has passed.
+    """
+    from eel_spark.operators.rollups import append_rollup_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_rollup_batch(
+            batch_df.sparkSession, path, batch_df, ts_col, aggs,
+            list(granularities), list(extra_keys), src_batch=batch_id,
+        )
+
+    return (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -249,3 +249,47 @@ def test_quantile_histogram_edges(spark):
     # no rows -> agg over empty input yields one row of NULL-sum arrays;
     # accept either NULL quantile or no row at all
     assert not q or q[0]["q"] is None
+
+
+def test_batch_partial_rollup_idempotent(spark, events, tmp_path):
+    """append_rollup_batch: exactly-once by construction — replaying a
+    batch evicts its own previous partials; read_rollup re-merges to
+    the one-shot answer; compact_rollup collapses without changing it."""
+    from eel_spark.operators.rollups import (
+        append_rollup_batch,
+        compact_rollup,
+        read_rollup,
+        time_rollup,
+    )
+
+    aggs = {"n": F.count(F.lit(1)), "total": F.sum("value")}
+    merges = {"n": F.sum("n"), "total": F.sum("total")}
+    path = str(tmp_path / "bp")
+    b1 = events.filter(F.col("user_id") % 2 == 0)
+    b2 = events.filter(F.col("user_id") % 2 == 1)
+
+    append_rollup_batch(spark, path, b1, "ts", aggs, ["day"], src_batch=0)
+    append_rollup_batch(spark, path, b2, "ts", aggs, ["day"], src_batch=1)
+
+    def snapshot():
+        return sorted(
+            (str(r["bucket_start"]), r["n"], round(r["total"], 6))
+            for r in read_rollup(spark, path, merges).collect()
+        )
+
+    want = sorted(
+        (str(r["bucket_start"]), r["n"], round(r["total"], 6))
+        for r in time_rollup(events, "ts", aggs, ["day"]).collect()
+    )
+    assert snapshot() == want
+
+    # replay batch 1 (same src_batch): store result identical
+    append_rollup_batch(spark, path, b2, "ts", aggs, ["day"], src_batch=1)
+    assert snapshot() == want
+
+    # compaction: same answer, one row per bucket
+    compact_rollup(spark, path, merges)
+    assert snapshot() == want
+    raw = spark.read.parquet(path)
+    assert raw.count() == raw.select("bucket_start").distinct().count()
+    assert set(r["__src_batch"] for r in raw.select("__src_batch").distinct().collect()) == {-1}

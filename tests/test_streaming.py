@@ -615,3 +615,42 @@ def test_validated_batch_sink_fail_fast(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="failed validation"):
         q.awaitTermination(120)
+
+
+def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
+    from eel_spark.operators.rollups import read_rollup, time_rollup
+    from eel_spark.streaming import EventStream, streaming_rollup_sink
+    from eel_spark.timeutils import normalize_ts
+
+    SFD = "/root/testdata/sf0.001"
+    aggs = {"n": F.count(F.lit(1)), "total": F.sum("value")}
+    merges = {"n": F.sum("n"), "total": F.sum("total")}
+    path = str(tmp_path / "roll")
+
+    events = EventStream(spark, f"{SFD}/events.parquet").stream()
+    q = streaming_rollup_sink(
+        events, path, str(tmp_path / "ck1"), "ts", aggs, ["day"]
+    )
+    q.awaitTermination(120)
+
+    def snapshot():
+        return sorted(
+            (str(r["bucket_start"]), r["n"], round(r["total"], 6))
+            for r in read_rollup(spark, path, merges).collect()
+        )
+
+    batch = normalize_ts(spark.read.parquet(f"{SFD}/events.parquet"))
+    want = sorted(
+        (str(r["bucket_start"]), r["n"], round(r["total"], 6))
+        for r in time_rollup(batch, "ts", aggs, ["day"]).collect()
+    )
+    assert snapshot() == want
+
+    # full replay with a FRESH checkpoint: every batch re-processes and
+    # must evict its own previous partials — store unchanged
+    events2 = EventStream(spark, f"{SFD}/events.parquet").stream()
+    q2 = streaming_rollup_sink(
+        events2, path, str(tmp_path / "ck2"), "ts", aggs, ["day"]
+    )
+    q2.awaitTermination(120)
+    assert snapshot() == want
