@@ -127,3 +127,14 @@ sized = train.withColumn(
 ).withColumn("n_tokens", bpe.bpe_token_count("text", merges))
 packed = packing.pack_sequences(sized, "copy_id", "n_tokens", 2048, n_shards=8)
 packing.packing_stats(packed, "n_tokens", 2048).show()
+
+# 9. publish the dataset card for the final training corpus
+import json
+
+from eel_spark.operators.datasheet import corpus_datasheet
+
+card = corpus_datasheet(
+    train, "text", group_cols=("lang",),
+    gopher_kwargs={"min_words": 10, "min_stopword_hits": 1},
+)
+print("dataset card:", json.dumps(card, default=str)[:400], "...")
