@@ -72,8 +72,8 @@ def mine_triplets(
     ``similarity.bq_topk`` / ``ivf_pq_topk``, self excluded), and no
     corpus broadcast happens here at all.
     """
-    if not (0 <= neg_max < pos_min <= 1):
-        raise ValueError("need 0 <= neg_max < pos_min <= 1")
+    if not (-1 <= neg_max < pos_min <= 1):
+        raise ValueError("need -1 <= neg_max < pos_min <= 1")
     if negatives not in ("hard", "random"):
         raise ValueError("negatives must be 'hard' or 'random'")
 

@@ -3,14 +3,14 @@ pipeline publishes with every corpus snapshot (Datasheets for
 Datasets, Gebru et al. 2021 — public practice; the numbers here are
 the quantitative section).
 
-Two jobs regardless of corpus size: ONE aggregation pass over a
-single projection computes every scalar (counts, token/char volume,
-exact-dup rate via approx-distinct content hashes, token-length
-quantiles, Gopher pass rate, PII density), and ONE slim groupBy
-yields the top composition groups (bounded by ``top_groups``, a
-TakeOrdered — never a full collect of group space). Everything
-returned is a JSON-serializable dict bounded by the report shape,
-never by data.
+Two passes over the data regardless of corpus size: ONE aggregation
+pass over a single projection computes every scalar (counts,
+token/char volume, exact-dup rate via approx-distinct content hashes,
+token-length quantiles, Gopher pass rate, PII density), and ONE slim
+groupBy (persisted, feeding both the group count and the top-K
+TakeOrdered — never a full collect of group space) yields the
+composition table. Everything returned is a JSON-serializable dict
+bounded by the report shape, never by data.
 """
 
 from __future__ import annotations
@@ -86,10 +86,16 @@ def corpus_datasheet(
         counts = proj.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("docs"), F.sum("__tok").alias("tokens")
         )
-        n_groups = counts.count()
-        top = counts.orderBy(
-            F.desc("docs"), *[F.asc(c) for c in group_cols]
-        ).limit(int(top_groups)).collect()
+        # one materialization of the composition shuffle feeds both the
+        # group count and the top-K
+        counts.persist()
+        try:
+            n_groups = counts.count()
+            top = counts.orderBy(
+                F.desc("docs"), *[F.asc(c) for c in group_cols]
+            ).limit(int(top_groups)).collect()
+        finally:
+            counts.unpersist()
         card["composition"] = {
             "group_cols": list(group_cols),
             "n_groups": n_groups,

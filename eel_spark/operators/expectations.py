@@ -175,7 +175,10 @@ def quantile_between(
 def satisfies(name: str, condition: Column, min_fraction: float = 1.0) -> Check:
     """Generic row-level predicate: at least ``min_fraction`` of ALL
     rows satisfy ``condition`` (NULL condition counts as failing)."""
-    k = _param_key("sat", "", name)
+    # the CONDITION is part of the key: two satisfies() sharing a name
+    # but differing in condition must not share a metric (str(Column)
+    # renders the expression deterministically within a session)
+    k = _param_key("sat", "", name, str(condition))
 
     def v(m):
         n, hits = m["__rows"], m[k]

@@ -93,8 +93,16 @@ def lang_id_trained(
         doc_profile.join(F.broadcast(profiles), "gram")
         .groupBy(id_col, "lang")
         .agg(
+            # clamp at 0: with profiles trained at top_k < doc_top a
+            # distant-rank match would otherwise score BELOW an
+            # unmatched gram's 0 and invert the measure (Cavnar-Trenkle
+            # caps out-of-place distance at the maximum for the same
+            # reason)
             F.sum(
-                F.lit(top_k) - F.abs(F.col("__dr") - F.col("rank"))
+                F.greatest(
+                    F.lit(0),
+                    F.lit(top_k) - F.abs(F.col("__dr") - F.col("rank")),
+                )
             ).alias("__score")
         )
     )

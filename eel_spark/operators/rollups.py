@@ -74,6 +74,47 @@ def time_rollup(
     )
 
 
+def _read_existing_rollup(spark, path: str):
+    """(df, True) for an existing store; (None, False) ONLY when the
+    path is missing (first materialization). Any other read failure
+    (transient storage error, corrupt footer, permissions) must abort —
+    treating it as "no history" would overwrite touched partitions with
+    batch-only partials, silently discarding accumulated counts."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path), True
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return None, False
+
+
+def _touched_partition_pred(incoming: DataFrame):
+    """Partition-pruning predicate for the (granularity, bucket_date)
+    pairs ``incoming`` touches. The collected list is bounded by
+    granularities × distinct dates in the batch, never by data size."""
+    touched = [
+        (r["granularity"], r["bucket_date"])
+        for r in incoming.select("granularity", "bucket_date").distinct().collect()
+    ]
+    return F.struct("granularity", "bucket_date").isin(
+        [F.struct(F.lit(g), F.lit(d)) for g, d in touched]
+    )
+
+
+def _dynamic_partition_overwrite(df: DataFrame, path: str) -> None:
+    """Dynamic partition overwrite via the PER-WRITER option — never the
+    session conf, which would race with concurrent writers on the same
+    SparkSession (parallel foreachBatch, a second operator)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("granularity", "bucket_date")
+        .parquet(path)
+    )
+
+
 def merge_time_rollup(
     spark,
     path: str,
@@ -106,48 +147,22 @@ def merge_time_rollup(
     incoming = incoming.withColumn("bucket_date", F.to_date("bucket_start"))
     keys = ["granularity", "bucket_start", "bucket_date", *extra_keys]
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        existing = spark.read.parquet(path)
-        have_existing = True
-    except AnalysisException as e:
-        # ONLY a missing path means first materialization; any other
-        # failure (transient storage error, corrupt footer, permissions)
-        # must abort — treating it as "no history" would overwrite the
-        # touched partitions with batch-only partials, silently
-        # discarding accumulated counts
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        have_existing = False
-
+    existing, have_existing = _read_existing_rollup(spark, path)
     if have_existing:
-        touched = [
-            (r["granularity"], r["bucket_date"])
-            for r in incoming.select("granularity", "bucket_date").distinct().collect()
-        ]
-        pred = F.struct("granularity", "bucket_date").isin(
-            [F.struct(F.lit(g), F.lit(d)) for g, d in touched]
-        )
-        merged = (
-            existing.where(pred)
-            .unionByName(incoming)
-            .groupBy(*keys)
-            .agg(*[c.alias(name) for name, c in merges.items()])
-        )
+        incoming.persist()
+        try:
+            pred = _touched_partition_pred(incoming)
+            merged = (
+                existing.where(pred)
+                .unionByName(incoming)
+                .groupBy(*keys)
+                .agg(*[c.alias(name) for name, c in merges.items()])
+            )
+            _dynamic_partition_overwrite(merged, path)
+        finally:
+            incoming.unpersist()
     else:
-        merged = incoming
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("granularity", "bucket_date")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _dynamic_partition_overwrite(incoming, path)
 
 
 def distinct_rollup_aggs(
@@ -379,44 +394,24 @@ def append_rollup_batch(
         .withColumn("__src_batch", F.lit(int(src_batch)))
     )
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        existing = spark.read.parquet(path)
-        have = True
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        have = False
-
+    existing, have = _read_existing_rollup(spark, path)
     if have:
-        touched = [
-            (r["granularity"], r["bucket_date"])
-            for r in incoming.select("granularity", "bucket_date")
-            .distinct()
-            .collect()
-        ]
-        pred = F.struct("granularity", "bucket_date").isin(
-            [F.struct(F.lit(g), F.lit(d)) for g, d in touched]
-        )
-        merged = (
-            existing.where(pred)
-            .filter(F.col("__src_batch") != int(src_batch))
-            .unionByName(incoming)
-        )
+        # persist: the touched-partition collect AND the write both
+        # evaluate incoming — without the pin the batch's grouping-sets
+        # aggregation runs twice per micro-batch
+        incoming.persist()
+        try:
+            pred = _touched_partition_pred(incoming)
+            merged = (
+                existing.where(pred)
+                .filter(F.col("__src_batch") != int(src_batch))
+                .unionByName(incoming)
+            )
+            _dynamic_partition_overwrite(merged, path)
+        finally:
+            incoming.unpersist()
     else:
-        merged = incoming
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("granularity", "bucket_date")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _dynamic_partition_overwrite(incoming, path)
 
 
 def read_rollup(
@@ -456,13 +451,4 @@ def compact_rollup(
         .agg(*[c.alias(name) for name, c in merges.items()])
         .withColumn("__src_batch", F.lit(-1))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("granularity", "bucket_date")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _dynamic_partition_overwrite(merged, path)

@@ -19,6 +19,8 @@ format when concurrent readers matter).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,21 +59,54 @@ def upsert_parquet(
     MERGE makes when its ON clause can't prune).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
-    if assert_unique_keys:
-        dup = (
-            updates.groupBy(*ks)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
+    # pin the batch: the checks, counts, touched-partition collect, and
+    # final write each evaluate ``updates``. An unpersisted
+    # NONDETERMINISTIC batch (a limit(), a sample) could produce
+    # DIFFERENT rows per evaluation — the write landing rows in a
+    # partition the touched-list never saw would then wipe that
+    # partition's survivors. The pin makes every evaluation see one
+    # materialized row set.
+    updates.persist()
+    try:
+        any_null = functools.reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in ks]
         )
-        if dup:
-            bad = {k: dup[0][k] for k in ks}
+        null_key = updates.where(any_null).limit(1).collect()
+        if null_key:
             raise ValueError(
-                f"updates contain duplicate key {bad}; MERGE semantics "
-                "need key-unique updates (pre-aggregate or dedup first)"
+                f"updates contain a NULL in key column(s) {ks}; equality "
+                "joins never match NULL to NULL, so a NULL-keyed row "
+                "can only duplicate, never replace — fill or drop it"
             )
+        if assert_unique_keys:
+            dup = (
+                updates.groupBy(*ks)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                bad = {k: dup[0][k] for k in ks}
+                raise ValueError(
+                    f"updates contain duplicate key {bad}; MERGE semantics "
+                    "need key-unique updates (pre-aggregate or dedup first)"
+                )
+        return _upsert_pinned(
+            spark, path, updates, ks, partition_col, prune
+        )
+    finally:
+        updates.unpersist()
 
+
+def _upsert_pinned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    ks: list[str],
+    partition_col: str | None,
+    prune: bool,
+) -> dict:
     from eel_spark.sources.hdfs import HdfsOps
 
     ops = HdfsOps(spark)
@@ -124,18 +159,14 @@ def upsert_parquet(
     merged = survivors.select(*writer_cols).unionByName(updates)
 
     if partition_col and prune:
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-writer option, never the session conf: a conf toggle
+        # races with concurrent writers on the same SparkSession
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         rewritten = len(touched)
     else:
         # full rewrite via temp swap. NOT dynamic overwrite: a dynamic

@@ -102,3 +102,10 @@ def test_precomputed_neighbors_backend(spark):
 
     with _p.raises(ValueError, match="neighbors_df needs columns"):
         mine_triplets(emb, neighbors_df=emb)
+
+
+def test_negative_neg_max_accepted(spark):
+    emb = _clustered_corpus(spark)
+    # cosine is [-1, 1]: a negative hard-negative bound is legitimate
+    t = mine_triplets(emb, k_pos=1, pos_min=0.9, n_neg=1, neg_max=-0.5)
+    assert t.count() == 0  # orthogonal clusters: nothing at cos <= -0.5

@@ -125,3 +125,14 @@ def test_parameterized_checks_do_not_collide(table):
     )
     results = [r["passed"] for r in report]
     assert results == [True, False, True, True, True, False], report
+
+
+def test_satisfies_same_name_different_condition(table):
+    ok, report = E.validate(
+        table,
+        [
+            E.satisfies("frac", F.col("v") > 0),       # all pass
+            E.satisfies("frac", F.col("v") > 100),     # 1/5 -> fail
+        ],
+    )
+    assert [r["passed"] for r in report] == [True, False], report

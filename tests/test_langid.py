@@ -71,3 +71,28 @@ def test_short_and_null_text_gets_null(spark):
            lang_id_trained(df, "text", profiles, "id").collect()}
     assert got[1] is None and got[2] is None
     assert got[3] is None  # grams exist but match no profile gram
+
+
+def test_small_profile_large_doc_top_no_inversion(spark):
+    # profiles trained shallow (top_k=10) but documents profiled deep
+    # (doc_top=40): unclamped out-of-place scores would make the CORRECT
+    # language (which matches the most grams, many at far ranks) sum
+    # most negative and lose — the clamp keeps matches >= 0
+    import random
+
+    vocab = {
+        "en": "the and of house water friend morning yellow quickly think",
+        "de": "und der das haus wasser freund morgen gelb schnell denken",
+    }
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(rng.choice(vocab[l].split()) for _ in range(60)), l)
+        for i, l in ((i, ["en", "de"][i % 2]) for i in range(200))
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    profiles = train_lang_profiles(docs, "text", "lang", n=3, top_k=10)
+    pred = lang_id_trained(docs, "text", profiles, "doc_id", doc_top=40)
+    acc = pred.agg(
+        F.avg((F.col("lang_pred") == F.col("lang")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.9, acc

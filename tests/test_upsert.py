@@ -147,3 +147,14 @@ def test_moved_key_requires_full_merge(spark, tmp_path):
     import glob
 
     assert not glob.glob(f"{path}/p=A/*")
+
+
+def test_null_merge_key_rejected(spark, tmp_path):
+    path = str(tmp_path / "nullkey")
+    base = spark.createDataFrame([(1, "a")], "k LONG, v STRING")
+    upsert_parquet(spark, path, base, "k")
+    bad = spark.createDataFrame([(None, "x")], "k LONG, v STRING")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="NULL in key"):
+        upsert_parquet(spark, path, bad, "k")
