@@ -452,3 +452,69 @@ def compact_rollup(
         .withColumn("__src_batch", F.lit(-1))
     )
     _dynamic_partition_overwrite(merged, path)
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    bucket_col: str,
+    step: str,
+    keys: list[str] | tuple[str, ...] = (),
+    fill: dict[str, str] | None = None,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Gap-fill a bucketed time series (the public
+    ``time_bucket_gapfill`` shape): emit one row for EVERY ``step``
+    bucket in the range, per key group, with missing buckets filled
+    per ``fill``: ``"null"`` (default), ``"zero"``, or ``"locf"``
+    (last observation carried forward).
+
+    ``step`` is an INTERVAL literal ("1 hour", "15 minutes").
+    ``start``/``end`` default to each key group's own min/max bucket
+    (computed in one slim aggregate); pass literals to align all
+    groups to one range.
+
+    Scale shape: the bucket spine is generated with ``sequence`` +
+    ``explode`` per key group — output volume is range/step rows per
+    group, there is no cross join against a global calendar table. The
+    spine left-joins the data on (keys, bucket): one shuffle. LOCF is
+    one ``last(ignorenulls)`` running window per key group — a sort
+    within the group's partition; groups are assumed individually
+    window-sized (a single global series IS one partition: the
+    inherent cost of a sequential fill).
+    """
+    fill = fill or {}
+    bad = [m for m in fill.values() if m not in ("null", "zero", "locf")]
+    if bad:
+        raise ValueError(f"unknown fill modes {bad}; use null/zero/locf")
+    ks = list(keys)
+    step_i = F.expr(f"INTERVAL {step}")
+
+    bounds = df.groupBy(*ks).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    lo = F.lit(start).cast("timestamp") if start is not None else F.col("__lo")
+    hi = F.lit(end).cast("timestamp") if end is not None else F.col("__hi")
+    spine = bounds.select(
+        *ks,
+        F.explode(F.sequence(lo, hi, step_i)).alias(bucket_col),
+    )
+    out = spine.join(df, on=[*ks, bucket_col], how="left")
+
+    locf_cols = [c for c, m in fill.items() if m == "locf"]
+    if locf_cols:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*ks)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in locf_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    for c, m in fill.items():
+        if m == "zero":
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0).cast(dict(out.dtypes)[c]))
+            )
+    return out

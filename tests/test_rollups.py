@@ -293,3 +293,47 @@ def test_batch_partial_rollup_idempotent(spark, events, tmp_path):
     raw = spark.read.parquet(path)
     assert raw.count() == raw.select("bucket_start").distinct().count()
     assert set(r["__src_batch"] for r in raw.select("__src_batch").distinct().collect()) == {-1}
+
+
+def test_fill_time_gaps_modes(spark):
+    from datetime import datetime
+
+    from eel_spark.operators.rollups import fill_time_gaps
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        ("a", t(0), 10.0, 1), ("a", t(2), 30.0, 3),   # gap at 01:00
+        ("b", t(1), 5.0, 7),                            # single point
+    ]
+    df = spark.createDataFrame(rows, "k STRING, bucket TIMESTAMP, v DOUBLE, n LONG")
+    out = fill_time_gaps(
+        df, "bucket", "1 hour", keys=["k"],
+        fill={"v": "locf", "n": "zero"},
+    )
+    got = {(r["k"], r["bucket"].hour): (r["v"], r["n"]) for r in out.collect()}
+    assert got[("a", 0)] == (10.0, 1)
+    assert got[("a", 1)] == (10.0, 0)   # v carried forward, n zeroed
+    assert got[("a", 2)] == (30.0, 3)
+    assert got[("b", 1)] == (5.0, 7)
+    assert len(got) == 4                 # b gets no extra buckets
+
+
+def test_fill_time_gaps_explicit_range_and_null_fill(spark):
+    from datetime import datetime
+
+    from eel_spark.operators.rollups import fill_time_gaps
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 1), 1.0)], "k STRING, bucket TIMESTAMP, v DOUBLE"
+    )
+    out = fill_time_gaps(
+        df, "bucket", "1 hour", keys=["k"],
+        start=datetime(2024, 1, 1, 0), end=datetime(2024, 1, 1, 3),
+    )
+    got = {r["bucket"].hour: r["v"] for r in out.collect()}
+    assert got == {0: None, 1: 1.0, 2: None, 3: None}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown fill modes"):
+        fill_time_gaps(df, "bucket", "1 hour", fill={"v": "interpolate"})
