@@ -230,3 +230,45 @@ class SchemaInferrer:
             else:
                 fields.append(T.StructField(h, self.default, True))
         return T.StructType(fields)
+
+
+def flatten_structs(df, sep: str = "_", max_depth: int | None = None):
+    """Recursively expand nested struct columns into flat top-level
+    columns named ``parent<sep>child<sep>...`` — the standard ingest
+    normalization for JSON-shaped data before columnar analytics
+    (nested structs defeat many pushdowns and most BI consumers).
+
+    Arrays and maps pass through unexpanded (flattening them changes
+    row multiplicity — explode is a separate, deliberate step). Leaf
+    ORDER follows a depth-first walk of the schema. Generated names
+    that collide with an existing column (or each other) raise rather
+    than silently shadowing. Pure projection: no shuffle, zero cost
+    beyond the select itself, and column pruning still reaches the
+    scan for any subset of flattened leaves.
+    """
+    from pyspark.sql import functions as F
+
+    def leaves(schema: T.StructType, path: list[str], depth: int):
+        out = []
+        for f in schema.fields:
+            p = path + [f.name]
+            if isinstance(f.dataType, T.StructType) and (
+                max_depth is None or depth < max_depth
+            ):
+                out.extend(leaves(f.dataType, p, depth + 1))
+            else:
+                ref = F.col(".".join("`%s`" % part.replace("`", "``") for part in p))
+                out.append((sep.join(p), ref))
+        return out
+
+    cols = leaves(df.schema, [], 0)
+    seen: dict[str, int] = {}
+    for name, _ in cols:
+        seen[name] = seen.get(name, 0) + 1
+    dup = sorted(n for n, k in seen.items() if k > 1)
+    if dup:
+        raise ValueError(
+            f"flattening with sep={sep!r} collides on {dup}; pick a "
+            "different separator (silent shadowing would drop data)"
+        )
+    return df.select(*[ref.alias(name) for name, ref in cols])

@@ -106,3 +106,28 @@ def test_merge_forces_nullable_for_absent_fields():
     b = T.StructType([T.StructField("y", T.LongType(), False)])
     merged = merge_schemas(a, b)
     assert merged["x"].nullable and merged["y"].nullable
+
+
+def test_flatten_structs(spark):
+    from eel_spark.schema import flatten_structs
+
+    df = spark.createDataFrame(
+        [(1, ("x", (2.5, True)), ["a", "b"])],
+        "id LONG, s STRUCT<name:STRING, inner:STRUCT<v:DOUBLE, flag:BOOLEAN>>, tags ARRAY<STRING>",
+    )
+    flat = flatten_structs(df)
+    assert flat.columns == ["id", "s_name", "s_inner_v", "s_inner_flag", "tags"]
+    r = flat.collect()[0]
+    assert (r["id"], r["s_name"], r["s_inner_v"], r["s_inner_flag"]) == (1, "x", 2.5, True)
+    assert r["tags"] == ["a", "b"]  # arrays pass through
+
+    # depth cap keeps the sub-struct whole
+    capped = flatten_structs(df, max_depth=1)
+    assert "s_inner" in capped.columns
+
+    # collision detection
+    df2 = spark.createDataFrame([((1,), 2)], "a STRUCT<b:LONG>, a_b LONG")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="collides"):
+        flatten_structs(df2)
