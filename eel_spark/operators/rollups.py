@@ -482,6 +482,13 @@ def fill_time_gaps(
     within the group's partition; groups are assumed individually
     window-sized (a single global series IS one partition: the
     inherent cost of a sequential fill).
+
+    SPARSE-KEY warning (measured, SURVEY §8): output volume is
+    Σ_groups range/step, so gap-filling HIGH-CARDINALITY sparse keys
+    (per-user series with a handful of events each) multiplies rows
+    enormously — the sf0.1 (event_type, user_id) hourly rollup
+    expands 46×. Gap-fill aggregated keys (per type, per tenant), or
+    constrain ``start``/``end``.
     """
     fill = fill or {}
     bad = [m for m in fill.values() if m not in ("null", "zero", "locf")]
