@@ -595,6 +595,31 @@ class DataStream:
         return self._wrap(self.df.mapInPandas(fn, schema))
 
     # -- observability -----------------------------------------------------
+
+    # --- round-6 fluent conveniences (beyond the reference surface) ---
+
+    def flatten_structs(self, sep: str = "_", max_depth: int | None = None) -> "DataStream":
+        """Expand nested struct columns into flat leaves (see
+        eel_spark.schema.flatten_structs — pure projection)."""
+        from eel_spark.schema import flatten_structs as _flat
+
+        return self._wrap(_flat(self.df, sep=sep, max_depth=max_depth))
+
+    def validate(self, checks, raise_on_failure: bool = False):
+        """One-pass data-quality expectations (see
+        eel_spark.operators.expectations.validate): returns
+        (all_passed, report). The fluent pre-publish gate."""
+        from eel_spark.operators.expectations import validate as _validate
+
+        return _validate(self.df, checks, raise_on_failure=raise_on_failure)
+
+    def profile(self, cols: list[str] | None = None, top_k: int = 5) -> list[dict]:
+        """One-aggregation column profile (see
+        eel_spark.operators.profile.profile)."""
+        from eel_spark.operators.profile import profile as _profile
+
+        return _profile(self.df, cols=cols, top_k=top_k)
+
     def listener(self, name: str = "eel_metrics", *metrics: Column) -> tuple["DataStream", Observation]:
         """listener (DataStream.scala:302) — the Spark-native answer is an
         Observation: metrics computed during the action, no second pass."""
@@ -728,3 +753,4 @@ def from_values(
 def from_rows(spark: SparkSession, schema: T.StructType, rows: Iterable[Any]) -> DataStream:
     """DataStream.fromRows (DataStream.scala:1064)."""
     return DataStream(spark.createDataFrame(list(rows), schema))
+

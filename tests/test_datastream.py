@@ -469,3 +469,21 @@ def test_take_drop_descending(spark):
     assert len(taken) == 7 and not taken & dropped
     assert taken | dropped == {(i % 5, i) for i in range(50)}
     assert min(taken) > max(dropped)
+
+
+def test_fluent_flatten_validate_profile(spark):
+    from eel_spark.datastream import DataStream
+    from eel_spark.operators import expectations as E
+
+    df = spark.createDataFrame(
+        [(1, ("x", 2.0)), (2, ("y", 4.0))],
+        "id LONG, s STRUCT<name:STRING, v:DOUBLE>",
+    )
+    ds = DataStream(df).flatten_structs()
+    assert ds.field_names == ["id", "s_name", "s_v"]
+
+    ok, report = ds.validate([E.not_null("id"), E.in_range("s_v", 0, 10)])
+    assert ok and len(report) == 2
+
+    prof = {r["name"]: r for r in ds.profile(cols=["s_v"])}
+    assert prof["s_v"]["min"] == 2.0 and prof["s_v"]["max"] == 4.0
