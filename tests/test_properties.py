@@ -196,3 +196,118 @@ def test_waterfill_zero_weight_gets_nothing(counts, total):
     nonzero_capacity = sum(n for _, n in counts[1:])
     if total <= nonzero_capacity:
         assert alloc[counts[0][0]] == 0
+
+
+# -- round-6 continuation ops -------------------------------------------------
+
+
+@given(st.lists(st.text(st.sampled_from("abcd"), min_size=1, max_size=8),
+                min_size=1, max_size=30),
+       st.integers(0, 50))
+def test_bpe_encode_always_reconstructs(words, num_merges):
+    """Pure-python BPE property: for ANY trained merge table, encoding
+    any word (seen or unseen) concatenates exactly back to word+EOW —
+    merges only ever glue adjacent symbols, never drop or reorder."""
+    from collections import Counter
+
+    from eel_spark.operators.bpe import EOW, _encode_word, _learn_merges
+
+    freqs = dict(Counter(words))
+    merges = _learn_merges(freqs, num_merges=num_merges, min_frequency=1)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    cache: dict = {}
+    for w in words + ["unseen", "zzz"]:
+        toks = _encode_word(w, ranks, cache)
+        assert "".join(toks) == w + EOW
+
+
+_url_part = st.text(st.sampled_from("abc123"), min_size=1, max_size=6)
+
+
+@_SPARK_SETTINGS
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["http", "https", "HTTP"]),
+        st.booleans(),            # www prefix
+        _url_part,                # host label
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(_url_part, min_size=0, max_size=3),   # path segments
+        st.lists(st.tuples(st.sampled_from(["a", "b", "utm_x", "gclid"]),
+                           _url_part), min_size=0, max_size=4),
+    ),
+    min_size=1, max_size=12,
+))
+def test_canonical_url_idempotent(spark, parts):
+    """canonical(canonical(u)) == canonical(u): re-canonicalizing any
+    canonical form is a fixpoint (sorted params stay sorted, stripped
+    parts stay stripped)."""
+    from eel_spark.functions.text import canonical_url
+
+    urls = []
+    for scheme, www, host, port, segs, params in parts:
+        q = "&".join(f"{k}={v}" for k, v in params)
+        urls.append(
+            f"{scheme}://{'www.' if www else ''}{host}.com{port}/"
+            + "/".join(segs) + (f"?{q}" if q else "")
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "u STRING")
+    once = df.select(canonical_url("u").alias("c"))
+    twice = once.select(canonical_url("c").alias("c2"), "c").collect()
+    for r in twice:
+        assert r["c2"] == r["c"], (r["c"], r["c2"])
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.floats(min_value=0.002, max_value=1e5,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40),
+       st.sampled_from([0.5, 0.9, 0.99]))
+def test_ddsketch_quantile_relative_bound(spark, values, q):
+    """The DDSketch guarantee as a property: for values inside the
+    bucket coverage range, the histogram quantile is within alpha
+    relative error of the exact rank-ceil(q*n) order statistic."""
+    import math
+
+    from eel_spark.operators.rollups import (
+        quantile_from_histogram,
+        quantile_rollup_aggs,
+    )
+
+    ALPHA, MINV, NB = 0.05, 1e-3, 512  # 512 buckets cover past 1e5
+    aggs, _ = quantile_rollup_aggs(["v"], ALPHA, MINV, NB)
+    df = spark.createDataFrame([(v,) for v in values], "v DOUBLE")
+    est = df.agg(aggs["v_qhist"].alias("h")).select(
+        quantile_from_histogram("h", q, ALPHA, MINV).alias("q")
+    ).collect()[0]["q"]
+    want = sorted(values)[max(1, math.ceil(q * len(values))) - 1]
+    assert abs(est - want) <= ALPHA * want + 1e-12, (est, want)
+
+
+@_SPARK_SETTINGS
+@given(st.lists(st.text(st.sampled_from("abx"), min_size=0, max_size=9),
+                min_size=1, max_size=12),
+       st.integers(0, 2))
+def test_fuzzy_join_equals_bruteforce_property(spark, strings, d):
+    """Blocking never loses a pair: fuzzy_join over a tiny-alphabet
+    corpus (dense near-misses, short/long boundary cases) equals the
+    exhaustive cross-product oracle at every distance."""
+    from eel_spark.operators.joins import fuzzy_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id LONG, s STRING")
+    got = {
+        (r["id"], r["id_r"])
+        for r in fuzzy_join(df, df, "s", "s", "id", "id",
+                            max_distance=d).collect()
+    }
+    want = {(i, j) for i, a in rows for j, b in rows if lev(a, b) <= d}
+    assert got == want
