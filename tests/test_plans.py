@@ -399,3 +399,72 @@ def test_semantic_pairs_plan_bounded_join(spark):
     for line in p.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
+
+
+# --- round-6 continuation ops ------------------------------------------------
+
+
+def test_fuzzy_join_no_nested_loop(spark):
+    """The whole point of blocking: the plan must never contain the
+    BroadcastNestedLoopJoin a bare levenshtein<=d join produces."""
+    from eel_spark.operators.joins import fuzzy_join
+
+    df = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey", "s_name")
+    other = df.select(
+        (df.s_suppkey + 10000).alias("t_key"), df.s_name.alias("t_name")
+    )
+    plan = plan_str(
+        fuzzy_join(df, other, "s_name", "t_name", "s_suppkey", "t_key", 2)
+    )
+    assert "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_slim_shuffle(spark):
+    """The winner-election exchange must carry (hash, id, pos) triples
+    only — paragraph TEXT never shuffles with them."""
+    from eel_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_str(dedup_paragraphs(docs, "text", "doc_id"))
+    # every hashpartitioning exchange key set is h/doc_id/pos —
+    # no exchange partitions on a text-bearing key
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys, keys
+    assert "BatchEvalPython" not in plan
+
+
+def test_gopher_scan_no_exchange(spark):
+    """The quality-rule bundle is a pure per-row projection: zero
+    exchanges, zero Python."""
+    from eel_spark.functions.text import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_str(docs.select(gopher_quality_flags("text").alias("f")))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_profile_single_aggregate(spark):
+    """profile() metrics all ride one partial+final aggregate pair —
+    N columns must not mean N aggregation subtrees."""
+    from eel_spark.operators.profile import profile  # noqa: F401 - shape only
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # rebuild the agg frame the way profile() does, without collecting
+    aggs = [
+        F.count(F.lit(1)).alias("__rows"),
+        F.min("l_quantity").alias("a"), F.max("l_quantity").alias("b"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("c"),
+        F.expr("approx_top_k(`l_returnflag`, 3)").alias("d"),
+    ]
+    # simple mode: formatted repeats node names in the detail section,
+    # which would double-count the one Exchange
+    plan = plan_str(df.agg(*aggs), "simple")
+    # one partial + one final aggregate pair — crucially a single Exchange
+    assert plan.count("Exchange") == 1
