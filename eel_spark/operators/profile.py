@@ -46,7 +46,14 @@ def profile(
     missing = [c for c in names if c not in fields]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    row = df.agg(*build_profile_aggs(names, fields, top_k, rsd)).first().asDict()
+    return _report_from_row(row, names, fields)
 
+
+def build_profile_aggs(names, fields, top_k: int = 5, rsd: float = 0.05):
+    """The full metric list as aggregate Columns — exposed so callers
+    (and the plan test) can assert the one-aggregate property on
+    ``df.agg(*build_profile_aggs(...))`` directly."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in names:
         t = fields[c]
@@ -70,8 +77,10 @@ def profile(
         if isinstance(t, _NUMERIC):
             aggs.append(F.avg(ref).alias(f"__mean_{c}"))
             aggs.append(F.stddev(ref).alias(f"__std_{c}"))
-    row = df.agg(*aggs).first().asDict()
+    return aggs
 
+
+def _report_from_row(row: dict, names, fields) -> list[dict]:
     out = []
     rows = row["__rows"]
     for c in names:

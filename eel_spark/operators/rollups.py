@@ -472,7 +472,12 @@ def fill_time_gaps(
     ``step`` is an INTERVAL literal ("1 hour", "15 minutes").
     ``start``/``end`` default to each key group's own min/max bucket
     (computed in one slim aggregate); pass literals to align all
-    groups to one range.
+    groups to one range. The spine is ALWAYS phase-anchored on each
+    group's own first bucket: explicit bounds extend the grid backward/
+    forward by whole steps and clip it — a bound off the group's grid
+    can therefore never orphan observed rows into all-null spine
+    buckets, and a group lying entirely outside [start, end] yields no
+    rows (never an error).
 
     Scale shape: the bucket spine is generated with ``sequence`` +
     ``explode`` per key group — output volume is range/step rows per
@@ -495,17 +500,43 @@ def fill_time_gaps(
     if bad:
         raise ValueError(f"unknown fill modes {bad}; use null/zero/locf")
     ks = list(keys)
+    bad_cols = [c for c in fill if c not in df.columns or c in (*ks, bucket_col)]
+    if bad_cols:
+        raise ValueError(
+            f"fill refers to {bad_cols}, which are missing from the frame "
+            f"or are key/bucket columns; fillable: "
+            f"{[c for c in df.columns if c not in (*ks, bucket_col)]}"
+        )
     step_i = F.expr(f"INTERVAL {step}")
+    neg_step_i = F.expr(f"INTERVAL {step} * -1")
 
     bounds = df.groupBy(*ks).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
-    lo = F.lit(start).cast("timestamp") if start is not None else F.col("__lo")
-    hi = F.lit(end).cast("timestamp") if end is not None else F.col("__hi")
-    spine = bounds.select(
-        *ks,
-        F.explode(F.sequence(lo, hi, step_i)).alias(bucket_col),
-    )
+    glo, ghi = F.col("__lo"), F.col("__hi")
+    # forward grid from the group's own first bucket (phase anchor);
+    # extended past __hi when an explicit later end is given
+    fwd_hi = F.greatest(ghi, F.lit(end).cast("timestamp")) if end is not None else ghi
+    spine_arr = F.sequence(glo, fwd_hi, step_i)
+    if start is not None:
+        # backward extension on the same grid, then clip below start;
+        # guarded so a start after the group's grid never produces an
+        # lo > hi sequence (it just extends by nothing)
+        s = F.lit(start).cast("timestamp")
+        back = F.when(
+            s < glo,
+            F.filter(
+                F.sequence(glo, s, neg_step_i),
+                lambda x: (x >= s) & (x != glo),
+            ),
+        ).otherwise(F.array().cast("array<timestamp>"))
+        spine_arr = F.concat(back, spine_arr)
+        spine_arr = F.filter(spine_arr, lambda x: x >= s)
+    if end is not None:
+        spine_arr = F.filter(
+            spine_arr, lambda x: x <= F.lit(end).cast("timestamp")
+        )
+    spine = bounds.select(*ks, F.explode(spine_arr).alias(bucket_col))
     out = spine.join(df, on=[*ks, bucket_col], how="left")
 
     locf_cols = [c for c, m in fill.items() if m == "locf"]

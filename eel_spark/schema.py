@@ -252,9 +252,12 @@ def flatten_structs(df, sep: str = "_", max_depth: int | None = None):
         out = []
         for f in schema.fields:
             p = path + [f.name]
-            if isinstance(f.dataType, T.StructType) and (
-                max_depth is None or depth < max_depth
-            ):
+            expandable = (
+                isinstance(f.dataType, T.StructType)
+                and len(f.dataType.fields) > 0  # empty struct: pass whole,
+                and (max_depth is None or depth < max_depth)  # never vanish
+            )
+            if expandable:
                 out.extend(leaves(f.dataType, p, depth + 1))
             else:
                 ref = F.col(".".join("`%s`" % part.replace("`", "``") for part in p))
@@ -262,13 +265,18 @@ def flatten_structs(df, sep: str = "_", max_depth: int | None = None):
         return out
 
     cols = leaves(df.schema, [], 0)
+    # casefolded collision check: Spark resolves names
+    # case-insensitively by default, so 'A_b' vs 'a_b' would pass a
+    # case-sensitive check yet be AMBIGUOUS_REFERENCE downstream
     seen: dict[str, int] = {}
     for name, _ in cols:
-        seen[name] = seen.get(name, 0) + 1
+        key = name.casefold()
+        seen[key] = seen.get(key, 0) + 1
     dup = sorted(n for n, k in seen.items() if k > 1)
     if dup:
         raise ValueError(
-            f"flattening with sep={sep!r} collides on {dup}; pick a "
-            "different separator (silent shadowing would drop data)"
+            f"flattening with sep={sep!r} collides on {dup} "
+            "(case-insensitive, matching Spark's default resolution); "
+            "pick a different separator (silent shadowing would drop data)"
         )
     return df.select(*[ref.alias(name) for name, ref in cols])

@@ -450,19 +450,14 @@ def test_gopher_scan_no_exchange(spark):
 
 def test_profile_single_aggregate(spark):
     """profile() metrics all ride one partial+final aggregate pair —
-    N columns must not mean N aggregation subtrees."""
-    from eel_spark.operators.profile import profile  # noqa: F401 - shape only
-
-    from pyspark.sql import functions as F
+    N columns must not mean N aggregation subtrees. Asserted on the
+    REAL metric list (build_profile_aggs is exactly what profile()
+    collects)."""
+    from eel_spark.operators.profile import build_profile_aggs
 
     df = spark.read.parquet(f"{SF}/lineitem.parquet")
-    # rebuild the agg frame the way profile() does, without collecting
-    aggs = [
-        F.count(F.lit(1)).alias("__rows"),
-        F.min("l_quantity").alias("a"), F.max("l_quantity").alias("b"),
-        F.approx_count_distinct("l_orderkey", 0.05).alias("c"),
-        F.expr("approx_top_k(`l_returnflag`, 3)").alias("d"),
-    ]
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = build_profile_aggs(df.columns, fields)
     # simple mode: formatted repeats node names in the detail section,
     # which would double-count the one Exchange
     plan = plan_str(df.agg(*aggs), "simple")

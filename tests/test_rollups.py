@@ -337,3 +337,55 @@ def test_fill_time_gaps_explicit_range_and_null_fill(spark):
 
     with _p.raises(ValueError, match="unknown fill modes"):
         fill_time_gaps(df, "bucket", "1 hour", fill={"v": "interpolate"})
+
+
+def test_fill_time_gaps_misaligned_and_out_of_range_bounds(spark):
+    """Explicit bounds off the group's bucket grid must never orphan
+    observed rows (spine stays phase-anchored on the group's first
+    bucket), and a group entirely outside [start, end] clips to zero
+    rows instead of crashing."""
+    from datetime import datetime
+
+    from eel_spark.operators.rollups import fill_time_gaps
+
+    t = lambda h, mi=0: datetime(2024, 1, 1, h, mi)
+    df = spark.createDataFrame(
+        [("a", t(0), 1.0), ("a", t(1), 2.0), ("a", t(5), 3.0), ("b", t(1), 9.0)],
+        "k STRING, bucket TIMESTAMP, v DOUBLE",
+    )
+    # bounds at :30 — off the hourly grid; data must still be matched
+    out = fill_time_gaps(
+        df, "bucket", "1 hour", keys=["k"],
+        start=t(0, 30), end=t(5, 30),
+    ).filter("k = 'a'")
+    got = {r["bucket"].strftime("%H:%M"): r["v"] for r in out.collect()}
+    assert got == {"01:00": 2.0, "02:00": None, "03:00": None,
+                   "04:00": None, "05:00": 3.0}
+
+    # start after a group's entire series: that group clips, no crash
+    late = fill_time_gaps(
+        df, "bucket", "1 hour", keys=["k"], start=t(3),
+    )
+    assert late.filter("k = 'b'").count() == 0
+    assert sorted(r["bucket"].hour for r in late.filter("k = 'a'").collect()) == [3, 4, 5]
+
+    # backward extension reaches earlier grid points
+    early = fill_time_gaps(df, "bucket", "1 hour", keys=["k"], start=t(0)) \
+        .filter("k = 'b'")
+    assert sorted(r["bucket"].hour for r in early.collect()) == [0, 1]
+
+
+def test_fill_time_gaps_bad_fill_column(spark):
+    from datetime import datetime
+
+    from eel_spark.operators.rollups import fill_time_gaps
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)], "k STRING, bucket TIMESTAMP, v DOUBLE"
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="fill refers to"):
+        fill_time_gaps(df, "bucket", "1 hour", keys=["k"], fill={"vv": "zero"})
+    with _p.raises(ValueError, match="fill refers to"):
+        fill_time_gaps(df, "bucket", "1 hour", keys=["k"], fill={"bucket": "zero"})

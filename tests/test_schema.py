@@ -131,3 +131,25 @@ def test_flatten_structs(spark):
 
     with _p.raises(ValueError, match="collides"):
         flatten_structs(df2)
+
+
+def test_flatten_structs_case_insensitive_collision_and_empty_struct(spark):
+    from eel_spark.schema import flatten_structs
+
+    import pytest as _p
+
+    # 'A'.b flattens to A_b which collides case-insensitively with a_b
+    df = spark.createDataFrame([((1,), 2)], "A STRUCT<b:LONG>, a_b LONG")
+    with _p.raises(ValueError, match="case-insensitive"):
+        flatten_structs(df)
+
+    # empty struct column passes through whole instead of vanishing
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StructType([])),
+        ])
+    )
+    assert flatten_structs(empty).columns == ["id", "s"]
