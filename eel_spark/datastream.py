@@ -598,6 +598,60 @@ class DataStream:
 
     # --- round-6 fluent conveniences (beyond the reference surface) ---
 
+    def melt(
+        self,
+        ids: Sequence[str],
+        values: Sequence[str] | None = None,
+        variable_name: str = "variable",
+        value_name: str = "value",
+    ) -> "DataStream":
+        """Wide→long unpivot (native ``DataFrame.unpivot`` — a
+        zero-shuffle Expand, the inverse of pivot). ``values`` defaults
+        to every non-id column; mixed value types must be cast
+        compatibly by the caller (Spark rejects incompatible unpivot
+        columns loudly)."""
+        vals = (
+            list(values)
+            if values is not None
+            else [c for c in self.df.columns if c not in set(ids)]
+        )
+        return self._wrap(
+            self.df.unpivot(list(ids), vals, variable_name, value_name)
+        )
+
+    def expect_schema(
+        self, expected: T.StructType | str, allow_extra: bool = False
+    ) -> "DataStream":
+        """Schema contract gate: assert this stream's schema contains
+        exactly (or at least, with ``allow_extra``) the expected fields
+        with the expected types — the ingest-boundary check that turns
+        silent upstream drift into a loud error BEFORE any compute.
+        Nullability is not compared (Spark's inference of it is
+        unstable across sources). Returns self for chaining.
+        """
+        want = (
+            T._parse_datatype_string(expected)
+            if isinstance(expected, str)
+            else expected
+        )
+        have = {f.name: f.dataType for f in self.df.schema.fields}
+        problems = []
+        for f in want.fields:
+            if f.name not in have:
+                problems.append(f"missing column {f.name!r} ({f.dataType.simpleString()})")
+            elif have[f.name] != f.dataType:
+                problems.append(
+                    f"column {f.name!r} is {have[f.name].simpleString()}, "
+                    f"expected {f.dataType.simpleString()}"
+                )
+        if not allow_extra:
+            extra = set(have) - {f.name for f in want.fields}
+            if extra:
+                problems.append(f"unexpected columns {sorted(extra)}")
+        if problems:
+            raise ValueError("schema contract violated: " + "; ".join(problems))
+        return self
+
     def flatten_structs(self, sep: str = "_", max_depth: int | None = None) -> "DataStream":
         """Expand nested struct columns into flat leaves (see
         eel_spark.schema.flatten_structs — pure projection)."""

@@ -487,3 +487,39 @@ def test_fluent_flatten_validate_profile(spark):
 
     prof = {r["name"]: r for r in ds.profile(cols=["s_v"])}
     assert prof["s_v"]["min"] == 2.0 and prof["s_v"]["max"] == 4.0
+
+
+def test_melt_wide_to_long(spark):
+    from eel_spark.datastream import DataStream
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 30.0, 40.0)], "id LONG, q1 DOUBLE, q2 DOUBLE"
+    )
+    long = DataStream(df).melt(["id"]).df
+    assert long.columns == ["id", "variable", "value"]
+    got = sorted((r["id"], r["variable"], r["value"]) for r in long.collect())
+    assert got == [(1, "q1", 10.0), (1, "q2", 20.0), (2, "q1", 30.0), (2, "q2", 40.0)]
+    # explicit value subset + names
+    sub = DataStream(df).melt(["id"], ["q2"], "metric", "amt").df
+    assert sub.columns == ["id", "metric", "amt"] and sub.count() == 2
+
+
+def test_expect_schema_contract(spark):
+    import pytest as _p
+
+    from eel_spark.datastream import DataStream
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "id LONG, name STRING, v DOUBLE")
+    ds = DataStream(df)
+    # exact pass, chainable
+    assert ds.expect_schema("id LONG, name STRING, v DOUBLE").count() == 1
+    # extra column tolerated only when allowed
+    assert ds.expect_schema("id LONG, name STRING", allow_extra=True) is ds
+    with _p.raises(ValueError, match="unexpected columns"):
+        ds.expect_schema("id LONG, name STRING")
+    with _p.raises(ValueError, match="missing column"):
+        ds.expect_schema("id LONG, missing STRING, v DOUBLE", allow_extra=True)
+    with _p.raises(ValueError, match="is string, expected bigint"):
+        DataStream(
+            spark.createDataFrame([("1",)], "id STRING")
+        ).expect_schema("id LONG")
