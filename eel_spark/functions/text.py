@@ -418,8 +418,12 @@ def gopher_quality_flags(
 ) -> Column:
     """Struct of named per-rule booleans (true = rule satisfied) for the
     Gopher/MassiveText heuristic filter. NULL/empty documents fail the
-    word-count rule and PASS the vacuous line/ratio rules — combine with
-    :func:`gopher_keep` (an AND) for the filter decision.
+    two count-threshold rules (``word_count_ok``, ``stopword_ok`` — an
+    empty doc genuinely has too few words/stopwords) and PASS the
+    vacuous line/ratio rules (a ratio over zero words or zero lines
+    violates nothing), so rule-level pass-rate reporting stays honest on
+    NULL-heavy sources — combine with :func:`gopher_keep` (an AND) for
+    the filter decision, which NULL docs always fail via word count.
 
     Project this struct through ONE select and read fields out of it —
     the token/line arrays feeding several rules are shared
@@ -481,8 +485,23 @@ def gopher_quality_flags(
             top_bigram_fraction(t) <= max_top_bigram_fraction, F.lit(True)
         ),
     }
+    # count-threshold rules genuinely fail on NULL/empty docs; the
+    # ratio/line rules are vacuously satisfied (NULL text, like a
+    # 0-line doc, violates no ratio) — without this branch every flag
+    # would coalesce NULL→False and per-rule pass-rate reports would
+    # charge NULL docs with nine failures instead of two
+    count_rules = {"word_count_ok", "stopword_ok"}
     return F.struct(
-        *[F.coalesce(c, F.lit(False)).alias(name) for name, c in flags.items()]
+        *[
+            (
+                F.coalesce(c, F.lit(False))
+                if name in count_rules
+                else F.when(t.isNull(), F.lit(True)).otherwise(
+                    F.coalesce(c, F.lit(False))
+                )
+            ).alias(name)
+            for name, c in flags.items()
+        ]
     )
 
 

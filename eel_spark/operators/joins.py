@@ -117,63 +117,22 @@ def range_join(
     return pts.join(ivs, "__bin").filter((p >= l) & (p <= h)).drop("__bin")
 
 
-def fuzzy_join(
-    left: DataFrame,
-    right: DataFrame,
-    left_col: str,
-    right_col: str,
-    left_id: str,
-    right_id: str,
-    max_distance: int = 2,
-    q: int = 3,
-    max_bucket_size: int = 10_000,
+def _fuzzy_slim(df, col, idc, side):
+    return df.select(
+        F.col(idc).alias(f"__id_{side}"),
+        F.col(col).alias(f"__s_{side}"),
+        F.length(col).alias(f"__len_{side}"),
+    ).filter(F.col(col).isNotNull())
+
+
+def _fuzzy_candidates(
+    l: DataFrame, r: DataFrame, d: int, q: int, max_bucket_size: int
 ) -> DataFrame:
-    """Edit-distance join (record linkage): pairs whose strings are
-    within ``max_distance`` Levenshtein edits. Spark plans a bare
-    ``levenshtein(a,b) <= d`` join as a BroadcastNestedLoopJoin —
-    O(n·m) edit-distance evaluations; this is the standard two-phase
-    shape instead: cheap equi-join BLOCKING bounds the candidate set,
-    exact JVM ``levenshtein`` (with early-exit threshold) verifies it.
-
-    Blocking:
-
-    - every string with len ≥ q emits its distinct q-grams; the count
-      filter guarantees recall for pairs whose LONGER string has
-      len ≥ q·(d+1): distance ≤ d strings share
-      ≥ max_len − q + 1 − q·d ≥ 1 q-grams. Pairs must also satisfy
-      |len_a − len_b| ≤ d (checked in the join condition).
-    - pairs where BOTH strings are short (len < q·(d+1), where the
-      q-gram bound is vacuous) block on length bands instead: shorts
-      join shorts with |len_a − len_b| ≤ d via an exploded band key.
-      (A short×long boundary pair is covered by the q-gram bound; a
-      sub-q string can only be within d of a ≥ q·(d+1) string when
-      q = 1, in which case it has grams too.)
-
-    Scale levers, same philosophy as the LSH ops: blocking keys whose
-    total bucket population exceeds ``max_bucket_size`` are DROPPED
-    before the join (a q-gram shared by 100k strings is
-    low-information and would dominate Σ|bucket|²; a pair whose ONLY
-    shared q-gram is capped is lost — raise the cap or lower q if that
-    matters). All shuffles carry (key, id, len) triples; strings are
-    joined back only for the bounded verify. NULL strings never match.
-
-    Output: (left_id, right_id [suffixed ``_r`` on name collision],
-    left_col, right_col [suffixed likewise], distance).
-    """
-    if max_distance < 0 or q < 1:
-        raise ValueError("need max_distance >= 0 and q >= 1")
-    d = int(max_distance)
+    """Blocking stage of :func:`fuzzy_join`, factored out so the
+    candidate count itself is testable: q-gram keys for long strings,
+    PassJoin segments for shorts, length bands for tiny strings — every
+    key family capped at ``max_bucket_size`` total population."""
     short_bound = q * (d + 1)
-
-    def _slim(df, col, idc, side):
-        return df.select(
-            F.col(idc).alias(f"__id_{side}"),
-            F.col(col).alias(f"__s_{side}"),
-            F.length(col).alias(f"__len_{side}"),
-        ).filter(F.col(col).isNotNull())
-
-    l = _slim(left, left_col, left_id, "l")
-    r = _slim(right, right_col, right_id, "r")
 
     def _gram_keys(df, side):
         s, ln = F.col(f"__s_{side}"), F.col(f"__len_{side}")
@@ -210,19 +169,190 @@ def fuzzy_join(
         .distinct()
     )
 
-    # short path: band key = every length the partner may have
-    sl = l.filter(F.col("__len_l") < short_bound).select(
+    # short path: PassJoin segment blocking. Right shorts with
+    # len ≥ d+1 split into d+1 segments (shorter segments first:
+    # n_seg−rem of length k, then rem of length k+1); left shorts probe
+    # every substring of each candidate (len_r, segment_idx)'s length.
+    # A segment longer than the left string can never be its preserved
+    # segment (a preserved segment IS a substring), so emitting nothing
+    # for it is recall-safe.
+    n_seg = d + 1
+
+    def _seg_len(l2, i):
+        k2 = F.floor(l2 / n_seg).cast("int")
+        rem2 = (l2 % n_seg).cast("int")
+        return (k2 + F.when(i >= F.lit(n_seg) - rem2, 1).otherwise(0)).cast("int")
+
+    def _guarded_seq(lo, hi):
+        return F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    s_r, ln_r = F.col("__s_r"), F.col("__len_r")
+    k_r = F.floor(ln_r / n_seg).cast("int")
+    rem_r = (ln_r % n_seg).cast("int")
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(d)),
+        lambda i: F.struct(
+            ln_r.alias("l2"),
+            i.cast("int").alias("i"),
+            s_r.substr(
+                (i * k_r + F.greatest(F.lit(0), i - (F.lit(n_seg) - rem_r)) + 1
+                 ).cast("int"),
+                _seg_len(ln_r, i),
+            ).alias("seg"),
+        ),
+    )
+    si = (
+        r.filter((ln_r >= n_seg) & (ln_r < short_bound))
+        .select("__id_r", F.explode(seg_structs).alias("__k"))
+        .select(
+            "__id_r",
+            F.col("__k.l2").alias("__l2"),
+            F.col("__k.i").alias("__i"),
+            F.col("__k.seg").alias("__seg"),
+        )
+    )
+    s_l, ln_l = F.col("__s_l"), F.col("__len_l")
+    probe_structs = F.array_distinct(
+        F.flatten(
+            F.flatten(
+                F.transform(
+                    _guarded_seq(
+                        F.greatest(ln_l - d, F.lit(n_seg)),
+                        F.least(ln_l + d, F.lit(short_bound - 1)),
+                    ),
+                    lambda l2: F.transform(
+                        F.sequence(F.lit(0), F.lit(d)),
+                        lambda i: F.transform(
+                            _guarded_seq(F.lit(1), ln_l - _seg_len(l2, i) + 1),
+                            lambda p: F.struct(
+                                l2.cast("int").alias("l2"),
+                                i.cast("int").alias("i"),
+                                s_l.substr(p, _seg_len(l2, i)).alias("seg"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
+    )
+    pl = (
+        l.filter(ln_l < short_bound)
+        .select("__id_l", F.explode(probe_structs).alias("__k"))
+        .select(
+            "__id_l",
+            F.col("__k.l2").alias("__l2"),
+            F.col("__k.i").alias("__i"),
+            F.col("__k.seg").alias("__seg"),
+        )
+    )
+    seg_keys = ["__l2", "__i", "__seg"]
+    seg_over = (
+        pl.select(*seg_keys).unionAll(si.select(*seg_keys))
+        .groupBy(*seg_keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*seg_keys)
+    )
+    cand_seg = (
+        pl.join(seg_over, seg_keys, "left_anti")
+        .join(si.join(seg_over, seg_keys, "left_anti"), seg_keys)
+        .select("__id_l", "__id_r")
+        .distinct()
+    )
+
+    # tiny right strings (len ≤ d: segments would be empty) keep the
+    # length-band join — the key space is ≤ d+1 values, so it too gets
+    # the population cap; a flooded tiny band is dropped (documented
+    # recall trade, same as a flooded gram)
+    tl = l.filter(ln_l < short_bound).select(
         "__id_l", F.col("__len_l").alias("__band")
     )
-    sr = r.filter(F.col("__len_r") < short_bound).select(
+    tr = r.filter(ln_r < n_seg).select(
         "__id_r",
-        F.explode(
-            F.sequence(F.col("__len_r") - d, F.col("__len_r") + d)
-        ).alias("__band"),
+        F.explode(F.sequence(ln_r - d, ln_r + d)).alias("__band"),
     )
-    cand_short = sl.join(sr, "__band").select("__id_l", "__id_r").distinct()
+    band_over = (
+        tl.select("__band").unionAll(tr.select("__band"))
+        .groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("__band")
+    )
+    cand_tiny = (
+        tl.join(band_over, "__band", "left_anti")
+        .join(tr.join(band_over, "__band", "left_anti"), "__band")
+        .select("__id_l", "__id_r")
+        .distinct()
+    )
 
-    cands = cand_long.unionAll(cand_short).distinct()
+    return cand_long.unionAll(cand_seg).unionAll(cand_tiny).distinct()
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 2,
+    q: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Edit-distance join (record linkage): pairs whose strings are
+    within ``max_distance`` Levenshtein edits. Spark plans a bare
+    ``levenshtein(a,b) <= d`` join as a BroadcastNestedLoopJoin —
+    O(n·m) edit-distance evaluations; this is the standard two-phase
+    shape instead: cheap equi-join BLOCKING bounds the candidate set,
+    exact JVM ``levenshtein`` (with early-exit threshold) verifies it.
+
+    Blocking:
+
+    - every string with len ≥ q emits its distinct q-grams; the count
+      filter guarantees recall for pairs whose LONGER string has
+      len ≥ q·(d+1): distance ≤ d strings share
+      ≥ max_len − q + 1 − q·d ≥ 1 q-grams. Pairs must also satisfy
+      |len_a − len_b| ≤ d (checked in the join condition).
+    - pairs where BOTH strings are short (len < q·(d+1), where the
+      q-gram bound is vacuous) block on PassJoin-style segments
+      instead (Li/Deng/Feng, ICDE'11 — public technique): the right
+      string is partitioned into d+1 contiguous segments; if
+      edit(s, r) ≤ d then ≤ d edit ops touch ≤ d segments, so some
+      segment survives verbatim as a substring of the left string
+      (pigeonhole). The right side indexes (segment_idx, segment,
+      len_r); the left side probes every substring of the matching
+      segment length for each candidate len_r in [len_l−d, len_l+d].
+      Keys are CONTENT-based, so a million same-length short strings
+      (names, SKUs — the classic record-linkage workload) spread
+      across the key space instead of collapsing into one length
+      band. Right strings shorter than d+1 (segments would be empty)
+      fall back to the length-band join — a key space of ≤ d+1 values,
+      but only tiny strings live there. (A short×long boundary pair is
+      covered by the q-gram bound; a sub-q string can only be within d
+      of a ≥ q·(d+1) string when q = 1, in which case it has grams
+      too.)
+
+    Scale levers, same philosophy as the LSH ops: EVERY blocking key —
+    q-gram, segment, and tiny length band alike — whose total bucket
+    population exceeds ``max_bucket_size`` is DROPPED before the join
+    (a key shared by 100k strings is low-information and would
+    dominate Σ|bucket|²; a pair whose ONLY shared key is capped is
+    lost — raise the cap or lower q if that matters). All shuffles
+    carry (key, id, len) triples; strings are joined back only for the
+    bounded verify. NULL strings never match.
+
+    Output: (left_id, right_id [suffixed ``_r`` on name collision],
+    left_col, right_col [suffixed likewise], distance).
+    """
+    if max_distance < 0 or q < 1:
+        raise ValueError("need max_distance >= 0 and q >= 1")
+    d = int(max_distance)
+
+    l = _fuzzy_slim(left, left_col, left_id, "l")
+    r = _fuzzy_slim(right, right_col, right_id, "r")
+    cands = _fuzzy_candidates(l, r, d, q, max_bucket_size)
     verified = (
         cands.join(l.select("__id_l", "__s_l"), "__id_l")
         .join(r.select("__id_r", "__s_r"), "__id_r")

@@ -93,14 +93,35 @@ def _read_existing_rollup(spark, path: str):
 def _touched_partition_pred(incoming: DataFrame):
     """Partition-pruning predicate for the (granularity, bucket_date)
     pairs ``incoming`` touches. The collected list is bounded by
-    granularities × distinct dates in the batch, never by data size."""
+    granularities × distinct dates in the batch, never by data size.
+
+    NULL bucket_date pairs (time_rollup emits NULL-timestamp rows as a
+    NULL bucket) can NOT ride the struct-isin list: ``F.lit(None)``
+    inside a struct literal is typed VOID and the IN predicate fails
+    analysis (DATATYPE_MISMATCH); and even with a typed NULL, NULL
+    never equals NULL under isin — the NULL-bucket partition's history
+    would be skipped on read and then destroyed by the dynamic
+    overwrite. Mirror upsert's guard: isin over the non-null pairs,
+    OR'd with an explicit isNull branch per granularity that has a
+    NULL-date bucket in the batch."""
     touched = [
         (r["granularity"], r["bucket_date"])
         for r in incoming.select("granularity", "bucket_date").distinct().collect()
     ]
-    return F.struct("granularity", "bucket_date").isin(
-        [F.struct(F.lit(g), F.lit(d)) for g, d in touched]
+    non_null = [(g, d) for g, d in touched if d is not None]
+    null_grans = sorted({g for g, d in touched if d is None})
+    pred = (
+        F.struct("granularity", "bucket_date").isin(
+            [F.struct(F.lit(g), F.lit(d)) for g, d in non_null]
+        )
+        if non_null
+        else F.lit(False)
     )
+    for g in null_grans:
+        pred = pred | (
+            (F.col("granularity") == F.lit(g)) & F.col("bucket_date").isNull()
+        )
+    return pred
 
 
 def _dynamic_partition_overwrite(df: DataFrame, path: str) -> None:
@@ -506,6 +527,25 @@ def fill_time_gaps(
             f"fill refers to {bad_cols}, which are missing from the frame "
             f"or are key/bucket columns; fillable: "
             f"{[c for c in df.columns if c not in (*ks, bucket_col)]}"
+        )
+    # 'zero' on a non-numeric column would silently coerce: '0' into a
+    # string series, 1970-01-01 into a timestamp — reject at entry
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    }
+    dtypes = dict(df.dtypes)
+    bad_zero = [
+        c
+        for c, m in fill.items()
+        if m == "zero"
+        and dtypes[c] not in numeric
+        and not dtypes[c].startswith("decimal")
+    ]
+    if bad_zero:
+        raise ValueError(
+            f"fill mode 'zero' requires numeric columns; "
+            f"{[(c, dtypes[c]) for c in bad_zero]} are not numeric — "
+            f"use 'null' or 'locf' for non-numeric series"
         )
     step_i = F.expr(f"INTERVAL {step}")
     neg_step_i = F.expr(f"INTERVAL {step} * -1")

@@ -40,6 +40,15 @@ from eel_spark.operators.similarity import _assign_cells, train_centroids
 from eel_spark.scale import ensure_parallelism
 
 
+def _default_n_cells(vectors_df: DataFrame) -> int:
+    """Paper-guided default: ~0.1% of |corpus| cells (floor 64) — one
+    cheap count job. Cells then average ~1000 vectors, keeping the
+    within-cell Σ|cell|² kernel bounded as the corpus grows instead of
+    letting a fixed cell count degrade quadratically."""
+    n = vectors_df.count()
+    return max(64, int(n * 0.001))
+
+
 def _assigned(
     vectors_df: DataFrame,
     id_col: str,
@@ -82,9 +91,9 @@ def semantic_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
-    n_cells: int = 64,
+    n_cells: int | None = None,
     threshold: float = 0.9,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None = 10_000,
     train_sample_mod: int = 8,
     iterations: int = 2,
 ) -> DataFrame:
@@ -97,7 +106,12 @@ def semantic_duplicate_pairs(
     Cluster-boundary caveat (inherent to SemDeDup, documented in the
     paper): a duplicate pair split across two cells is NOT examined —
     recall is traded for the Σ|cell|² bound. More cells = faster + lower
-    recall; the knob is ``n_cells``.
+    recall; the knob is ``n_cells`` (default: derived from a corpus
+    count at ~0.1%·|corpus|, floor 64 — the paper's guidance), and
+    ``max_cell_size`` defaults FINITE (10k) so an embedding collapse —
+    one degenerate cell holding the corpus — is dropped from the pair
+    kernel instead of detonating |cell|²; pass ``max_cell_size=None``
+    only when you have verified the cell-size distribution.
 
     The assignment table is pinned (it feeds both join sides); call
     ``eel_spark.caching.release_pins()`` when done to free the cache.
@@ -106,7 +120,7 @@ def semantic_duplicate_pairs(
         centroids = train_centroids(
             vectors_df,
             vec_col=vec_col,
-            n_cells=n_cells,
+            n_cells=n_cells if n_cells is not None else _default_n_cells(vectors_df),
             iterations=iterations,
             sample_mod=train_sample_mod,
             id_col=id_col,
@@ -145,9 +159,9 @@ def semantic_dedup(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
-    n_cells: int = 64,
+    n_cells: int | None = None,
     threshold: float = 0.9,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None = 10_000,
     train_sample_mod: int = 8,
     keep: str = "farthest",
 ) -> DataFrame:
@@ -171,7 +185,7 @@ def semantic_dedup(
         centroids = train_centroids(
             vectors_df,
             vec_col=vec_col,
-            n_cells=n_cells,
+            n_cells=n_cells if n_cells is not None else _default_n_cells(vectors_df),
             iterations=2,
             sample_mod=train_sample_mod,
             id_col=vec_id_col,

@@ -34,6 +34,12 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
+#: key-space sub-buckets per band in the incremental-dedup banded history
+#: layout — partition dirs per batch are bounded by bands × _N_KP, and a
+#: micro-batch's history read prunes to the (band, kp) buckets its own
+#: fingerprints hash into
+_N_KP = 16
+
 
 def file_stream(
     spark: SparkSession,
@@ -310,9 +316,11 @@ def incremental_near_dedup_sink(
     Contrast with ``streaming_dedup``: that one bounds state via the
     watermark (a dup arriving after the horizon re-emits); here state is
     the survivor PARQUET TABLE — storage, not the state store — so it
-    scales like any other table (bucket it by band key via
-    scale.write_bucketed when the survivor set itself is huge) and a
-    near-dup of a document admitted weeks ago is still suppressed.
+    scales like any other table, and a near-dup of a document admitted
+    weeks ago is still suppressed. The history match reads a banded
+    side-table partitioned by key-space bucket, so each micro-batch
+    scans only the buckets its own fingerprints hash into, not the full
+    accumulated history (see ``_incremental_dedup_sink``).
     Exactly-once: a replayed batch overwrites its own partition, and the
     history match EXCLUDES the current batch_id's partition so a replay
     never matches the failed attempt's own rows (which would empty the
@@ -424,12 +432,29 @@ def _incremental_dedup_sink(
     sinks: fingerprint → intra-batch band-join/verify/component-survivor →
     anti-join vs accumulated survivors → idempotent batch_id-partition
     append. ``fp_fn(batch) → (id, fp)``, ``band_fn(fp_df, ident) →
-    (ident, fp, band, key)``, ``ham_fn(a, b) → Column``."""
+    (ident, fp, band, key)``, ``ham_fn(a, b) → Column``.
+
+    History layout (the per-batch scan-cost lever): alongside the
+    user-facing survivor table (one row per admitted id, partitioned by
+    ``batch_id``), the sink maintains a BANDED side-table at
+    ``survivor_path + "__bands"`` — pre-exploded (id, fp, key) rows
+    partitioned by ``(batch_id, band, kp)`` with ``kp = pmod(key,
+    _N_KP)``. The per-batch history match collects the batch's distinct
+    (band, kp) pairs (bounded by bands × _N_KP, never by data size) and
+    pushes them as a partition predicate, so each micro-batch reads back
+    only the key-space buckets its own fingerprints could possibly match
+    (two fingerprints within the hamming bound share an identical band
+    key → identical (band, kp)) instead of the full O(history) table.
+    Pre-banding also kills the old per-batch re-explosion of the whole
+    history. Both tables are written with dynamic partition overwrite on
+    the batch's own partitions, so checkpoint replay stays exactly-once.
+    """
     from pyspark.errors import AnalysisException
 
     from eel_spark.operators.dedup import survivors_from_pairs
 
     spark = stream_df.sparkSession
+    bands_path = survivor_path + "__bands"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from eel_spark.caching import pins_mark, release_pins_since
@@ -441,6 +466,7 @@ def _incremental_dedup_sink(
         # executor storage without evicting concurrent queries' caches
         __mark = pins_mark()
         fp = fp_fn(batch_df).persist()
+        surv_pinned = None
         try:
             b = band_fn(fp, id_col)
             left = b.select(
@@ -467,24 +493,53 @@ def _incremental_dedup_sink(
             # the history table — restart with a higher max_iterations
             # (or switch this call to star) rather than absorbing
             # corrupted state forever
-            surv = survivors_from_pairs(fp, pairs, id_col, algorithm="propagation")
+            surv = surv_pinned = survivors_from_pairs(
+                fp, pairs, id_col, algorithm="propagation"
+            ).persist()
+            sb = band_fn(surv, id_col).withColumn(
+                "kp", F.pmod(F.col("key"), F.lit(_N_KP)).cast("int")
+            )
             try:
-                hist = spark.read.parquet(survivor_path).filter(
-                    # replay safety: never match against this batch's own
-                    # (possibly partial) earlier write
-                    F.col("batch_id") != batch_id
-                )
-            except AnalysisException:
+                hist = spark.read.parquet(bands_path)
+            except AnalysisException as e:
+                # ONLY "no history yet" may fall through: a missing path
+                # (first batch ever) or an empty table (every prior batch
+                # wrote zero survivors → no parquet footers to infer a
+                # schema from). Anything else — schema drift, corrupt
+                # store, permissions — must fail the batch loudly:
+                # swallowing it would skip the history anti-join and
+                # permanently admit near-duplicates of past survivors.
+                if not any(
+                    tag in str(e)
+                    for tag in (
+                        "PATH_NOT_FOUND",
+                        "Path does not exist",
+                        "UNABLE_TO_INFER_SCHEMA",
+                    )
+                ):
+                    raise
                 hist = None
             if hist is not None:
-                hb = band_fn(hist.select(F.col(id_col).alias("__hid"), "fp"), "__hid")
+                # partition-pruning predicate over the banded layout:
+                # the batch's distinct (band, kp) pairs, bounded by
+                # bands × _N_KP — never by batch or history size
+                probe = sb.select("band", "kp").distinct().collect()
+                part_pred = F.lit(False)
+                for r in probe:
+                    part_pred = part_pred | (
+                        (F.col("band") == r["band"]) & (F.col("kp") == r["kp"])
+                    )
+                hb = hist.filter(
+                    # replay safety: never match against this batch's own
+                    # (possibly partial) earlier write
+                    (F.col("batch_id") != batch_id) & part_pred
+                )
                 hits = (
-                    band_fn(surv, id_col)
-                    .join(
+                    sb.join(
                         hb.select(
-                            "band", "key", F.col("fp").alias("__hfp")
+                            "band", "kp", "key", F.col("fp").alias("__hfp")
                         ),
-                        ["band", "key"],
+                        ["band", "kp", "key"],
                     )
                     .filter(ham_fn(F.col("fp"), F.col("__hfp")) <= max_hamming)
                     .select(id_col)
@@ -498,8 +553,21 @@ def _incremental_dedup_sink(
                 .partitionBy("batch_id")
                 .parquet(survivor_path)
             )
+            (
+                band_fn(surv, id_col)
+                .withColumn("kp", F.pmod(F.col("key"), F.lit(_N_KP)).cast("int"))
+                .withColumn("batch_id", F.lit(batch_id))
+                # one task per (band, kp) → one file per partition dir
+                .repartition("band", "kp")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "band", "kp")
+                .parquet(bands_path)
+            )
         finally:
-            fp.unpersist()
+            for df in (fp, surv_pinned):
+                if df is not None:
+                    df.unpersist()
             release_pins_since(__mark)
 
     return (

@@ -129,6 +129,40 @@ def test_fuzzy_join_distance_column_and_names(spark):
     assert r["s"] == "colour" and r["t"] == "color"
 
 
+def test_fuzzy_join_short_strings_bounded_candidates(spark):
+    """The record-linkage workload: a large corpus of SAME-LENGTH short
+    strings (SKU/name-like, below the q-gram bound). A pure length-band
+    blocking would put every string in ONE band → n² candidates; the
+    PassJoin segment blocking must keep the candidate count orders of
+    magnitude below n², and flooded segment keys must be capped."""
+    import random
+
+    from eel_spark.operators.joins import _fuzzy_candidates, _fuzzy_slim
+
+    rng = random.Random(7)
+    n = 20_000
+    rows = [
+        (i, "".join(rng.choice("abcdefghijklmnop") for _ in range(6)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, s STRING")
+    l = _fuzzy_slim(df, "s", "id", "l")
+    r = _fuzzy_slim(df, "s", "id", "r")
+    # d=1, q=3 → short_bound=6, all strings take the segment path
+    cands = _fuzzy_candidates(l, r, d=1, q=3, max_bucket_size=10_000)
+    n_cand = cands.count()
+    assert n_cand < n * n // 100, f"{n_cand} candidates ≈ quadratic"
+
+    # flood: every string identical → every segment key over-cap → all
+    # dropped under a tiny cap (the documented recall trade)
+    same = spark.createDataFrame(
+        [(i, "aaaaaa") for i in range(5000)], "id LONG, s STRING"
+    )
+    sl = _fuzzy_slim(same, "s", "id", "l")
+    sr = _fuzzy_slim(same, "s", "id", "r")
+    assert _fuzzy_candidates(sl, sr, d=1, q=3, max_bucket_size=100).count() == 0
+
+
 def test_fuzzy_join_flooded_gram_cap(spark):
     from eel_spark.operators.joins import fuzzy_join
 

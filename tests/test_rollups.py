@@ -109,6 +109,79 @@ def test_merge_time_rollup_incremental_equals_full(spark, events, tmp_path):
     assert all(__import__("os").path.exists(f) for f in untouched_survivors)
 
 
+def test_merge_time_rollup_null_timestamp_bucket(spark, events, tmp_path):
+    """NULL-timestamp rows roll up into a NULL bucket; the incremental
+    merge must (a) not crash building the touched-partition predicate
+    (a naive struct(lit(None)) literal is VOID-typed and fails analysis)
+    and (b) read the NULL-bucket partition's history back before the
+    dynamic overwrite — otherwise the second batch's overwrite silently
+    drops the first batch's NULL-bucket counts."""
+    from eel_spark.operators.rollups import merge_time_rollup, time_rollup
+
+    # every batch carries some NULL-ts rows (the poison-pill shape the
+    # streaming sink replays)
+    nulled = events.withColumn(
+        "ts", F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("ts"))
+    )
+    path = str(tmp_path / "rollup_null")
+    aggs = {"n": F.count(F.lit(1))}
+    merges = {"n": F.sum("n")}
+
+    split = F.col("user_id") % 2 == 0
+    merge_time_rollup(spark, path, nulled.filter(~split), "ts", aggs, merges, ["day"])
+    merge_time_rollup(spark, path, nulled.filter(split), "ts", aggs, merges, ["day"])
+
+    got = sorted(
+        (str(r["bucket_start"]), r["n"])
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (str(r["bucket_start"]), r["n"])
+        for r in time_rollup(nulled, "ts", aggs, ["day"]).collect()
+    )
+    assert got == want
+    # the NULL bucket is really present and merged across both batches
+    null_n = (
+        spark.read.parquet(path).filter(F.col("bucket_start").isNull()).first()["n"]
+    )
+    assert null_n == nulled.filter(F.col("ts").isNull()).count() > 0
+
+
+def test_append_rollup_batch_null_timestamp_bucket(spark, events, tmp_path):
+    """Same NULL-bucket hazard through the streaming-sink path:
+    append_rollup_batch replays must stay idempotent with NULL-ts rows
+    in every batch."""
+    from eel_spark.operators.rollups import (
+        append_rollup_batch,
+        read_rollup,
+        time_rollup,
+    )
+
+    nulled = events.withColumn(
+        "ts", F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("ts"))
+    )
+    aggs = {"n": F.count(F.lit(1))}
+    merges = {"n": F.sum("n")}
+    path = str(tmp_path / "bp_null")
+    b1 = nulled.filter(F.col("user_id") % 2 == 0)
+    b2 = nulled.filter(F.col("user_id") % 2 == 1)
+
+    append_rollup_batch(spark, path, b1, "ts", aggs, ["day"], src_batch=0)
+    append_rollup_batch(spark, path, b2, "ts", aggs, ["day"], src_batch=1)
+    # checkpoint replay of batch 1 — must not crash, must not double-count
+    append_rollup_batch(spark, path, b2, "ts", aggs, ["day"], src_batch=1)
+
+    got = sorted(
+        (str(r["bucket_start"]), r["n"])
+        for r in read_rollup(spark, path, merges).collect()
+    )
+    want = sorted(
+        (str(r["bucket_start"]), r["n"])
+        for r in time_rollup(nulled, "ts", aggs, ["day"]).collect()
+    )
+    assert got == want
+
+
 def test_distinct_sketch_rollup_incremental(spark, events, tmp_path):
     """Mergeable HLL sketches let the continuous aggregate maintain
     distinct counts incrementally — countDistinct itself is not
@@ -389,3 +462,24 @@ def test_fill_time_gaps_bad_fill_column(spark):
         fill_time_gaps(df, "bucket", "1 hour", keys=["k"], fill={"vv": "zero"})
     with _p.raises(ValueError, match="fill refers to"):
         fill_time_gaps(df, "bucket", "1 hour", keys=["k"], fill={"bucket": "zero"})
+
+
+def test_fill_time_gaps_zero_requires_numeric(spark):
+    """'zero' on a string/timestamp column would coerce to '0' /
+    1970-01-01 — silent nonsense in gap rows; rejected at entry."""
+    from datetime import datetime
+
+    from eel_spark.operators.rollups import fill_time_gaps
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0, "lbl", datetime(2024, 1, 1))],
+        "k STRING, bucket TIMESTAMP, v DOUBLE, s STRING, t TIMESTAMP",
+    )
+    for col in ("s", "t"):
+        with pytest.raises(ValueError, match="requires numeric"):
+            fill_time_gaps(df, "bucket", "1 hour", keys=["k"], fill={col: "zero"})
+    # numeric 'zero' and non-numeric 'locf'/'null' still accepted
+    out = fill_time_gaps(
+        df, "bucket", "1 hour", keys=["k"], fill={"v": "zero", "s": "locf"}
+    )
+    assert out.count() == 1

@@ -147,6 +147,22 @@ def test_keep_farthest_elects_most_atypical(spark, corpus):
     assert ({0, 1, 2} - {trio_winner}) & kept == set()
 
 
+def test_flooded_corpus_safe_under_defaults(spark):
+    """The 100-TB first-run hazard: an embedding collapse (every vector
+    identical) lands the whole corpus in ONE cell. Under DEFAULT
+    arguments the finite max_cell_size must drop that cell — the call
+    completes with zero pairs instead of detonating |corpus|² — and
+    n_cells derives from the corpus count (never the old fixed 64)."""
+    n = 12_000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(8)]).alias("embedding"),
+    )
+    pairs = semdedup.semantic_duplicate_pairs(vecs, threshold=0.5)
+    assert pairs.count() == 0
+    assert semdedup._default_n_cells(vecs) == max(64, int(n * 0.001))
+
+
 def test_max_cell_size_caps_flooded_cell(spark, corpus):
     """A cell over the cap contributes NO pairs (flood protection);
     other cells still dedup normally."""

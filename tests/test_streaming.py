@@ -465,6 +465,66 @@ def test_incremental_near_dedup_across_waves_and_replay(spark, tmp_path):
     assert len(replayed) == 5
 
 
+def test_incremental_dedup_history_read_prunes(spark, tmp_path):
+    """The scale property of the incremental sinks: after many batches
+    accumulate, the per-batch history match must NOT scan the full
+    survivor history — the banded side-table is partitioned by
+    (batch_id, band, kp) and a probe for one key-space bucket must read
+    only that bucket's files (partition pruning visible in
+    inputFiles())."""
+    from eel_spark.streaming import incremental_near_dedup_sink
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    schema = "doc_id long, text string"
+    in_dir = tmp_path / "pr_in"
+    in_dir.mkdir()
+    surv_path = str(tmp_path / "pr_surv")
+    ckpt = str(tmp_path / "pr_ckpt")
+
+    # 12 waves × 3 unique docs — every wave lands as its own micro-batch
+    for w in range(12):
+        rows = [(w * 10 + j, doc(w * 10 + j)) for j in range(3)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"w{w}")
+        )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = incremental_near_dedup_sink(docs, surv_path, ckpt, max_hamming=7, bands=8)
+    q.awaitTermination(300)
+
+    assert spark.read.parquet(surv_path).count() == 36  # all unique → all admitted
+
+    bands_path = surv_path + "__bands"
+    hist = spark.read.parquet(bands_path)
+    all_files = hist.inputFiles()
+    assert len(all_files) >= 12  # ≥1 file per accumulated batch
+
+    # probe exactly the way the sink does: one (band, kp) bucket. The
+    # predicate must classify as a PARTITION filter (pruned at listing
+    # time, zero data filters) and the files actually read must all come
+    # from that one bucket's directories — a strict subset of history.
+    r = hist.select("band", "kp").first()
+    probed = hist.filter(
+        (F.col("band") == r["band"]) & (F.col("kp") == r["kp"])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert f"(band#" in plan and f"(kp#" in plan  # both keys pushed
+    read_files = {
+        row["f"]
+        for row in probed.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert 0 < len(read_files) < len(all_files)
+    assert all(f"band={r['band']}/kp={r['kp']}" in f for f in read_files)
+
+
 def test_incremental_embedding_dedup_across_waves(spark, tmp_path):
     """Embedding twin of the incremental near-dedup sink: wave 2 drops a
     sign-identical variant of a wave-1 vector (tiny jitter that flips no

@@ -366,6 +366,17 @@ def test_gopher_null_and_empty(spark):
     ]
 
 
+def test_gopher_null_doc_per_rule_semantics(spark):
+    """NULL docs fail exactly the two count-threshold rules and pass the
+    vacuous ratio/line rules — rule-level pass-rate reporting must not
+    charge a NULL doc with nine failures."""
+    r = _gopher_rows(spark, [None])[0]["f"].asDict()
+    assert r["word_count_ok"] is False and r["stopword_ok"] is False
+    for rule, ok in r.items():
+        if rule not in ("word_count_ok", "stopword_ok"):
+            assert ok is True, (rule, r)
+
+
 def test_gopher_thresholds_are_tunable(spark):
     # relaxing min_words rescues the short doc
     doc = "the dog and the cat have fun with that plan of the day"
