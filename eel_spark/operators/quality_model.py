@@ -214,7 +214,10 @@ def score_perplexity(
     ).filter(F.length("tok") > 0)
     ln2 = 0.6931471805599453
     scored = (
-        toks.join(vocab, "tok", "left")
+        # the vocab is small BY CONSTRUCTION (min_count cut: a few MB at
+        # web scale) — broadcast explicitly so the token rows never
+        # shuffle for this join, independent of AQE's estimate
+        toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("__pid")
         .agg(
             (-F.avg(F.coalesce(F.col("logp"), F.lit(float(oov_logp)))) / ln2).alias(

@@ -350,6 +350,44 @@ def quantile_from_histogram(
     )
 
 
+def quantile_bucket_from_histogram(hist: Column | str, q: float) -> Column:
+    """The BUCKET INDEX holding the q-quantile's rank (NULL for empty
+    histograms) instead of the midpoint value estimate. Bucket index is
+    monotone in value, so this equals ``ddsketch_bucket`` of the exact
+    nearest-rank quantile — an integer any exact engine can recompute
+    bit-identically (the midpoint estimate involves ``pow``, whose last
+    ulp differs across libm implementations; the index does not), which
+    is what the DuckDB correctness gate compares."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("need 0 < q <= 1")
+    h = F.col(hist) if isinstance(hist, str) else hist
+    h = F.transform(h, lambda x: F.coalesce(x, F.lit(0).cast("long")))
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    rank = F.greatest(F.ceil(F.lit(float(q)) * total), F.lit(1)).cast("long")
+    entries = F.zip_with(
+        h,
+        F.sequence(F.lit(1), F.size(h)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    found = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("idx")
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["c"]).alias("cum"),
+            F.when(
+                (acc["idx"] < 0) & (acc["cum"] + e["c"] >= rank), e["i"] - 1
+            )
+            .otherwise(acc["idx"])
+            .alias("idx"),
+        ),
+    )["idx"]
+    return F.when(total == 0, F.lit(None).cast("int")).otherwise(
+        found.cast("int")
+    )
+
+
 def with_quantile_estimates(
     df: DataFrame,
     value_cols: list[str] | tuple[str, ...],

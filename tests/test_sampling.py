@@ -241,6 +241,37 @@ def test_hash_split_partition(spark):
         hash_split(df, {"a": 0.9, "b": 0.2}, ["doc_id"])
 
 
+def test_hash_split_md5_mode_cross_engine(spark):
+    """md5 mode must reproduce bit-for-bit in any engine: recompute the
+    assignment with python hashlib and compare row-for-row; fractions
+    summing to 1 must cover the whole hex space (the snapped top bound
+    sorts above 'fffff'), and unknown hash names are rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from eel_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(3000)], "doc_id: long"
+    )
+    out = hash_split(
+        df, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"],
+        seed=7, hash="md5",
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    denom = 1 << 20
+    b_train = format(int(0.8 * denom), "05x")
+    b_valid = format(int(0.9 * denom), "05x")
+    for i in range(3000):
+        h = hashlib.md5(f"7\x1f{i}".encode()).hexdigest()[:5]
+        want = "train" if h < b_train else ("valid" if h < b_valid else "test")
+        assert got[i] == want, (i, h, got[i], want)
+    assert set(got.values()) == {"train", "valid", "test"}
+    with _pytest.raises(ValueError, match="unknown hash"):
+        hash_split(df, {"a": 1.0}, ["doc_id"], hash="sha1")
+
+
 def test_replicate_by_weight_null_group_and_exact_boundary(spark):
     from eel_spark.operators.sampling import replicate_by_weight
 

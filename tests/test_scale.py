@@ -136,6 +136,39 @@ def test_key_skew_report_multi_key_uniform(spark):
     assert set(rep["top_keys"][0]["key"]) == {"a", "b"}
 
 
+def test_write_sized_files_sink_path_honors_target(spark, tmp_path):
+    """The corpus-prep sink path (examples/corpus_prep.py step 10): a
+    prepared corpus routed through write_sized_files must land with the
+    returned file count AND per-file bytes bounded relative to the
+    target — the writer's promise is size-targeted shards, not just 'a'
+    repartition."""
+    import glob
+    import os
+
+    from eel_spark.operators import dedup
+    from eel_spark.scale import write_sized_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prepared = dedup.dedup_exact(docs, "text", "doc_id")
+
+    out = str(tmp_path / "train")
+    target_mb = 0.02  # tiny target so the sf0.001 corpus needs >1 file
+    n = write_sized_files(prepared, out, target_mb=target_mb, compression_ratio=1.0)
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == n > 1
+    sizes = [os.path.getsize(f) for f in files]
+    # round-robin balancing: no shard more than ~3x the target's on-disk
+    # bytes (compression_ratio=1 → estimate bytes ≈ target bytes), none
+    # degenerate-empty
+    assert max(sizes) <= 3 * target_mb * 1024 * 1024, sizes
+    assert min(sizes) > 0
+    # content intact through the sink
+    assert (
+        sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        == sorted(r["doc_id"] for r in prepared.collect())
+    )
+
+
 def test_write_sized_files(spark, tmp_path):
     import glob
 

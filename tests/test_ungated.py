@@ -1,0 +1,31 @@
+"""Rotated-out driver queries stay oracle-verified here: the 50-slot
+driver registry moved these slots to round-6 operator families, but each
+rotated query remains implemented and must keep matching its DuckDB
+oracle (same harness as test_tpch.py, sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from eel_spark.queries import UNGATED_ORACLE, UNGATED_QUERIES
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+ROTATED = {
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "ops_pivot_event_counts",
+}
+
+
+def test_rotation_inventory():
+    # every rotated query is still registered (ungated) with its oracle
+    assert set(UNGATED_QUERIES) == ROTATED
+    assert set(UNGATED_ORACLE) == ROTATED
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED))
+def test_ungated_query_matches_oracle(spark, oracle, name):
+    df = UNGATED_QUERIES[name](spark, SF_DIR)
+    assert_df_matches_oracle(df, oracle, UNGATED_ORACLE[name])
