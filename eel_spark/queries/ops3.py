@@ -58,15 +58,21 @@ def ops_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataStream:
     sequence+explode per group (no calendar cross join); LOCF is one
     running last(ignorenulls) window per group."""
     from eel_spark.operators.rollups import fill_time_gaps, time_rollup
+    from eel_spark.queries.registry import pin
 
     ev = table(spark, sf_dir, "events").df
-    rolled = time_rollup(
-        ev,
-        "ts",
-        {"n": F.count(F.lit(1)), "v_cents": F.sum(cents("value"))},
-        granularities=["hour"],
-        extra_keys=["event_type"],
-    ).select("event_type", "bucket_start", "n", "v_cents")
+    # the rollup feeds BOTH gapfill branches (the per-group bounds
+    # aggregate and the spine's left join) — pinned, the corpus scans
+    # once; unpinned, each branch re-derives the full rollup lineage
+    rolled = pin(
+        time_rollup(
+            ev,
+            "ts",
+            {"n": F.count(F.lit(1)), "v_cents": F.sum(cents("value"))},
+            granularities=["hour"],
+            extra_keys=["event_type"],
+        ).select("event_type", "bucket_start", "n", "v_cents")
+    )
     filled = fill_time_gaps(
         rolled,
         "bucket_start",

@@ -841,6 +841,56 @@ def validated_batch_sink(
     )
 
 
+def compact_dedup_history(spark: SparkSession, survivor_path: str) -> None:
+    """Collapse the incremental-dedup sinks' per-batch history into one
+    ``batch_id=-1`` generation — the directory-listing lever: after a
+    year of crawl waves the banded side-table holds one partition tree
+    per batch, and although each micro-batch's READ prunes to its own
+    (band, kp) buckets, the file LISTING still walks O(batches)
+    directories. Compaction rewrites both tables (survivors + banded
+    side-table) with their content unchanged, preserving the (band, kp)
+    layout so per-batch pruning keeps working.
+
+    Run it OFFLINE (no active query on this store) once the checkpoint
+    replay horizon has passed — same contract as
+    ``rollups.compact_rollup``: a replay of a pre-compaction batch finds
+    its own rows already in the ``-1`` generation, so the history match
+    suppresses them and the store stays correct, but its exactly-once
+    eviction is spent.
+
+    The rewrite lands in sibling ``…__compact_tmp`` directories first,
+    then swaps via delete+rename (overwriting a path while reading it is
+    a data-loss hazard). Like upsert's unpartitioned path, the swap is
+    two renames, not a transaction — a crash between them leaves the
+    ``__compact_tmp`` dirs intact for manual completion, and the
+    original is only deleted after its replacement finished writing.
+    """
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    bands_path = survivor_path + "__bands"
+    for path, build in (
+        (
+            survivor_path,
+            lambda df: df.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id"),
+        ),
+        (
+            bands_path,
+            lambda df: df.withColumn("batch_id", F.lit(-1))
+            .repartition("band", "kp")
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "band", "kp"),
+        ),
+    ):
+        tmp = path + "__compact_tmp"
+        src = spark.read.parquet(path).drop("batch_id")
+        build(src).parquet(tmp)
+        ops.delete(path, recursive=True)
+        ops.rename(tmp, path)
+
+
 def streaming_rollup_sink(
     df: DataFrame,
     path: str,

@@ -468,3 +468,34 @@ def test_profile_single_aggregate(spark):
     plan = plan_str(df.agg(*aggs), "simple")
     # one partial + one final aggregate pair — crucially a single Exchange
     assert plan.count("Exchange") == 1
+
+
+def test_gapfill_query_scans_corpus_once(spark):
+    """ops_gapfill_hourly: the rollup feeds both gapfill branches (the
+    bounds aggregate and the spine join) — the pin must make both read
+    the cached rollup, not re-derive the corpus lineage twice."""
+    df = QUERIES["ops_gapfill_hourly"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan[:500]
+
+
+def test_quantile_rollup_query_single_pass(spark):
+    """rollup_quantile_daily: 128 conditional bucket sums + count ride
+    ONE scan and ONE aggregate pair (map-side partials) — never a
+    per-bucket subtree; the quantile readback is a projection fold."""
+    df = QUERIES["rollup_quantile_daily"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Aggregate") == 1
+    assert opt.count("Relation") == 1  # one corpus scan
+    assert "Python" not in plan_str(df)
+
+
+def test_fuzzy_join_query_bnlj_free(spark):
+    """fuzzy_join_customer_names: the gated record-linkage query must
+    never plan the O(n*m) BroadcastNestedLoopJoin a bare
+    levenshtein-filter join would produce."""
+    df = QUERIES["fuzzy_join_customer_names"](spark, SF)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

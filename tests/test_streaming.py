@@ -525,6 +525,73 @@ def test_incremental_dedup_history_read_prunes(spark, tmp_path):
     assert all(f"band={r['band']}/kp={r['kp']}" in f for f in read_files)
 
 
+def test_compact_dedup_history(spark, tmp_path):
+    """Compaction collapses the per-batch history into one batch_id=-1
+    generation with content unchanged and the (band, kp) layout
+    preserved, and cross-wave suppression still works afterwards: a
+    post-compaction wave containing a near-dup of an old survivor must
+    still be dropped."""
+    import glob as _glob
+
+    from eel_spark.streaming import (
+        compact_dedup_history,
+        incremental_near_dedup_sink,
+    )
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    def perturb(text):
+        toks = text.split()
+        toks[7] = "zzz"
+        return " ".join(toks)
+
+    schema = "doc_id long, text string"
+    in_dir = tmp_path / "cp_in"
+    in_dir.mkdir()
+    surv_path = str(tmp_path / "cp_surv")
+
+    for w in range(4):
+        rows = [(w * 10 + j, doc(w * 10 + j)) for j in range(3)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"w{w}")
+        )
+
+    def run(ck):
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = incremental_near_dedup_sink(
+            docs, surv_path, str(tmp_path / ck), max_hamming=7, bands=8
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    before = {r["doc_id"] for r in spark.read.parquet(surv_path).collect()}
+    assert len(before) == 12
+
+    compact_dedup_history(spark, surv_path)
+    after = spark.read.parquet(surv_path)
+    assert {r["doc_id"] for r in after.collect()} == before
+    assert [r["batch_id"] for r in after.select("batch_id").distinct().collect()] == [-1]
+    bands = spark.read.parquet(surv_path + "__bands")
+    assert [r["batch_id"] for r in bands.select("batch_id").distinct().collect()] == [-1]
+    # layout preserved: (band, kp) partition dirs under the single generation
+    assert _glob.glob(f"{surv_path}__bands/batch_id=-1/band=*/kp=*/part-*")
+    assert not _glob.glob(f"{surv_path}__bands__compact_tmp")
+
+    # wave 5 after compaction: near-dup of wave-1 survivor 1 dropped,
+    # fresh doc admitted
+    spark.createDataFrame(
+        [(100, perturb(doc(1))), (101, doc(101))], schema
+    ).coalesce(1).write.parquet(str(in_dir / "w5"))
+    run("ck1")  # same checkpoint: only the new file processes
+    final = {r["doc_id"] for r in spark.read.parquet(surv_path).collect()}
+    assert final == before | {101}
+
+
 def test_incremental_embedding_dedup_across_waves(spark, tmp_path):
     """Embedding twin of the incremental near-dedup sink: wave 2 drops a
     sign-identical variant of a wave-1 vector (tiny jitter that flips no
@@ -675,6 +742,59 @@ def test_validated_batch_sink_fail_fast(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="failed validation"):
         q.awaitTermination(120)
+
+
+def test_streaming_rollup_sink_null_timestamp_batches(spark, tmp_path):
+    """The former poison pill: a micro-batch with NULL-timestamp rows
+    (a NULL bucket in the rollup) used to crash the touched-partition
+    predicate on every checkpoint replay, wedging the stream forever.
+    Two batches each carrying NULL-ts rows must fold into a store that
+    matches the batch rollup, NULL bucket included."""
+    from datetime import datetime
+
+    from eel_spark.operators.rollups import read_rollup, time_rollup
+    from eel_spark.streaming import streaming_rollup_sink
+
+    schema = "event_id long, ts timestamp, value double"
+    rows = [
+        (i, None if i % 3 == 0 else datetime(2024, 1, 1 + i % 2, 12), float(i))
+        for i in range(40)
+    ]
+    in_dir = tmp_path / "nts_in"
+    in_dir.mkdir()
+    # two files → two micro-batches; both contain NULL-ts rows, so the
+    # second batch must read the NULL-bucket partition's history back
+    spark.createDataFrame(rows[:20], schema).coalesce(1).write.parquet(
+        str(in_dir / "b0")
+    )
+    spark.createDataFrame(rows[20:], schema).coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+
+    aggs = {"n": F.count(F.lit(1)), "total": F.sum("value")}
+    merges = {"n": F.sum("n"), "total": F.sum("total")}
+    path = str(tmp_path / "nts_roll")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = streaming_rollup_sink(
+        stream, path, str(tmp_path / "nts_ck"), "ts", aggs, ["day"]
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (str(r["bucket_start"]), r["n"], round(r["total"], 6))
+        for r in read_rollup(spark, path, merges).collect()
+    )
+    batch = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (str(r["bucket_start"]), r["n"], round(r["total"], 6))
+        for r in time_rollup(batch, "ts", aggs, ["day"]).collect()
+    )
+    assert got == want
+    assert any(b == "None" for b, _, _ in got)  # the NULL bucket is real
 
 
 def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
