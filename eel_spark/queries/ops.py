@@ -103,7 +103,7 @@ WHERE (l_orderkey * 31 + l_linenumber) % 10 <> 0
 """
 
 
-@query("ops_sample_mod", _OPS_SAMPLE_SQL)
+@query("ops_sample_mod", _OPS_SAMPLE_SQL, gated=False)
 def ops_sample_mod(spark: SparkSession, sf_dir: str) -> DataStream:
     """sample(k) semantics (keep all but every k-th row) with a
     deterministic key — cluster-size-independent, unlike the reference's

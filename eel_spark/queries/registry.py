@@ -15,10 +15,12 @@ ORACLE: dict = {}
 # Rotated OUT of the 50-slot driver gate (round 7) but still fully
 # implemented and oracle-checked by pytest (tests/test_ungated.py runs
 # each against its DuckDB oracle): the driver registry is capped at 50,
-# and these slots moved to round-6 operator families that previously
-# had zero CORRECTNESS coverage. Shape-wise each remains covered by a
-# gated sibling (q4 for q12, q19/q6 for q14, q3/q18 for q10, q2/q11
-# for q17, ops_sessionize for the pivot query).
+# and these slots moved to operator families that previously had zero
+# CORRECTNESS coverage. Shape-wise each remains covered by a gated
+# sibling (q4 for q12, q19 for q14/q6, q3/q18 for q10, q2/q11 for q17,
+# ops_sessionize for the pivot query, sampling_hash_split for the
+# hash-mod sample). Rotated-out headline queries stay benched: bench.py
+# resolves names from QUERIES ∪ UNGATED_QUERIES.
 UNGATED_QUERIES: dict = {}
 UNGATED_ORACLE: dict = {}
 

@@ -276,7 +276,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@query("q6_forecast_revenue", _Q6_SQL)
+@query("q6_forecast_revenue", _Q6_SQL, gated=False)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataStream:
     """All three predicates push to the parquet scan (min/max row-group
     skipping at scale); global agg is a two-stage partial/final."""

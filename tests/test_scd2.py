@@ -1,0 +1,205 @@
+"""SCD2 dimension versioning: rebuild-from-changes semantics, the
+incremental merge's equivalence to a full rebuild, its partition
+pruning, and its rejection paths."""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_spark.operators.scd2 import (
+    read_scd2_asof,
+    read_scd2_current,
+    scd2_from_changes,
+    scd2_merge,
+)
+
+SCHEMA = "k long, seg string, score long, d date, seq long"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _versions(df):
+    return sorted(
+        (
+            (
+                r["k"],
+                r["seg"],
+                r["score"],
+                str(r["valid_from"]),
+                str(r["valid_to"]),
+                r["is_current"],
+            )
+            for r in df.collect()
+        ),
+        key=lambda t: tuple(map(str, t)),
+    )
+
+
+BASE_LOG = [
+    # key 1: three observations, middle one a no-change duplicate
+    (1, "A", 10, date(2024, 1, 1), 1),
+    (1, "A", 10, date(2024, 1, 5), 2),
+    (1, "B", 10, date(2024, 2, 1), 3),
+    # key 2: one observation
+    (2, "A", 7, date(2024, 1, 3), 4),
+    # key 3: change on score only
+    (3, "C", 1, date(2024, 1, 2), 5),
+    (3, "C", 2, date(2024, 1, 9), 6),
+]
+
+
+def test_from_changes_collapses_and_splices(spark):
+    out = scd2_from_changes(
+        _log(spark, BASE_LOG), "k", ["seg", "score"], "d", ["seq"]
+    )
+    assert _versions(out) == [
+        (1, "A", 10, "2024-01-01", "2024-02-01", False),
+        (1, "B", 10, "2024-02-01", "None", True),
+        (2, "A", 7, "2024-01-03", "None", True),
+        (3, "C", 1, "2024-01-02", "2024-01-09", False),
+        (3, "C", 2, "2024-01-09", "None", True),
+    ]
+
+
+def test_from_changes_single_exchange(spark):
+    out = scd2_from_changes(
+        _log(spark, BASE_LOG), "k", ["seg", "score"], "d", ["seq"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lag (change detect) and lead (validity) share one hash exchange
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_from_changes_null_attrs_null_safe(spark):
+    rows = [
+        (1, None, 5, date(2024, 1, 1), 1),
+        (1, None, 5, date(2024, 1, 2), 2),  # no change: NULL == NULL
+        (1, "A", None, date(2024, 1, 3), 3),  # both attrs change
+    ]
+    out = scd2_from_changes(_log(spark, rows), "k", ["seg", "score"], "d", ["seq"])
+    assert _versions(out) == [
+        (1, "A", None, "2024-01-03", "None", True),
+        (1, None, 5, "2024-01-01", "2024-01-03", False),
+    ]
+
+
+def test_merge_equals_full_rebuild(spark, tmp_path):
+    """Three sequential merges ≡ one rebuild of the concatenated log —
+    including continuation squashing across the batch boundary."""
+    path = str(tmp_path / "dim")
+    batches = [
+        BASE_LOG,
+        [
+            # key 1 continuation (B,10 again) then a real change
+            (1, "B", 10, date(2024, 3, 1), 7),
+            (1, "B", 99, date(2024, 3, 5), 8),
+            # key 4 appears
+            (4, "D", 0, date(2024, 3, 2), 9),
+        ],
+        [
+            # key 2 pure continuation — must be a no-op
+            (2, "A", 7, date(2024, 4, 1), 10),
+            # key 3 changes twice within the batch
+            (3, "D", 2, date(2024, 4, 2), 11),
+            (3, "E", 2, date(2024, 4, 9), 12),
+        ],
+    ]
+    stats = []
+    for b in batches:
+        stats.append(
+            scd2_merge(
+                spark, path, _log(spark, b), "k", ["seg", "score"], "d",
+                ["seq"], n_buckets=4,
+            )
+        )
+    rebuilt = scd2_from_changes(
+        _log(spark, [r for b in batches for r in b]),
+        "k", ["seg", "score"], "d", ["seq"],
+    )
+    merged = spark.read.parquet(path).drop("scd_current", "scd_bucket")
+    assert _versions(merged) == _versions(rebuilt)
+    assert stats[1] == {
+        "new_keys": 1, "changed": 1, "unchanged": 0, "closed": 1,
+        "buckets_rewritten": len(
+            {r["b"] for r in _log(spark, batches[1]).select(
+                F.pmod(F.xxhash64("k"), F.lit(4)).alias("b")).distinct().collect()}
+        ),
+    }
+    assert stats[2]["unchanged"] == 1 and stats[2]["changed"] == 1
+    # reads
+    cur = read_scd2_current(spark, path)
+    assert {r["k"]: (r["seg"], r["score"]) for r in cur.collect()} == {
+        1: ("B", 99), 2: ("A", 7), 3: ("E", 2), 4: ("D", 0),
+    }
+    asof = read_scd2_asof(spark, path, date(2024, 2, 15))
+    assert {r["k"]: r["seg"] for r in asof.collect()} == {1: "B", 2: "A", 3: "C"}
+
+
+def test_merge_prunes_untouched_buckets_and_history(spark, tmp_path):
+    """A batch touching one key leaves every other bucket's current
+    files AND all closed-history files byte-untouched."""
+    path = str(tmp_path / "dim")
+    scd2_merge(
+        spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"], "d",
+        ["seq"], n_buckets=8,
+    )
+    k1_bucket = spark.createDataFrame([(1,)], "k long").select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/scd_current=*/scd_bucket=*/*.parquet")
+        if f"scd_bucket={k1_bucket}/" not in f or "scd_current=0" in f
+    }
+    assert untouched
+    scd2_merge(
+        spark, path,
+        _log(spark, [(1, "Z", 0, date(2024, 6, 1), 99)]),
+        "k", ["seg", "score"], "d", ["seq"], n_buckets=8,
+    )
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/scd_current=*/scd_bucket=*/*.parquet")
+        if f in untouched
+    }
+    # closed-history partitions gain files (append) but never lose or
+    # rewrite existing ones; untouched current buckets are identical
+    assert after == untouched
+    assert read_scd2_current(spark, path).where("k = 1").collect()[0]["seg"] == "Z"
+
+
+def test_merge_rejects_out_of_order(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    scd2_merge(
+        spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"], "d",
+        ["seq"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_merge(
+            spark, path,
+            _log(spark, [(1, "Q", 1, date(2024, 1, 15), 50)]),
+            "k", ["seg", "score"], "d", ["seq"], n_buckets=4,
+        )
+
+
+def test_merge_rejects_null_key_or_ts(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_merge(
+            spark, path,
+            _log(spark, [(None, "A", 1, date(2024, 1, 1), 1)]),
+            "k", ["seg", "score"], "d", ["seq"],
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_merge(
+            spark, path,
+            _log(spark, [(1, "A", 1, None, 1)]),
+            "k", ["seg", "score"], "d", ["seq"],
+        )

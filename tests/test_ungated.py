@@ -16,6 +16,11 @@ ROTATED = {
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "ops_pivot_event_counts",
+    # round-7 second rotation: slots freed for scd2_order_priority and
+    # topk_frequent_tokens (q6's filter-agg shape is covered by q1/q19;
+    # the hash-mod sample by sampling_hash_split's md5 buckets)
+    "q6_forecast_revenue",
+    "ops_sample_mod",
 }
 
 
