@@ -46,6 +46,12 @@ from pyspark.sql import functions as F
 CURRENT_COL = "scd_current"  # partition: 1 = open version, 0 = closed
 BUCKET_COL = "scd_bucket"  # partition: hash(key) % n_buckets
 
+# streaming exactly-once bookkeeping, both under the table root; the
+# leading underscore keeps them invisible to Spark's file index, so
+# plain reads of the table never see them
+STREAM_CLOSED_DIR = "_stream_closed"  # per-batch closed-row store
+STREAM_MARKER_DIR = "_stream_applied"  # batch_id=N commit markers
+
 
 def _keylist(keys: str | Sequence[str]) -> list[str]:
     return [keys] if isinstance(keys, str) else list(keys)
