@@ -40,10 +40,10 @@ WITH base AS (
 SELECT event_type,
        CAST(EPOCH(b) AS BIGINT) AS bucket_start,
        n,
-       LAST_VALUE(v_cents IGNORE NULLS) OVER (
+       CAST(LAST_VALUE(v_cents IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY b
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS v_cents
+       ) AS BIGINT) AS v_cents
 FROM joined
 """
 
@@ -211,7 +211,7 @@ SELECT CASE WHEN h < '{_B_TRAIN}' THEN 'train'
             WHEN h < '{_B_VAL}' THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM b GROUP BY 1
 """
 

@@ -37,18 +37,47 @@ def _norm(v):
     return v
 
 
+_DUCK_INT_OK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_DUCK_FLOAT_OK = {"FLOAT", "DOUBLE"}
+
+
+def _oracle_type_compatible(spark_type: str, duck_type: str) -> bool:
+    """The driver hashes TYPED values, so a DuckDB HUGEINT (int128 from an
+    uncast SUM) or surprise DECIMAL hash-mismatches a Spark BIGINT even when
+    every value is identical. Reject those here so pytest catches the drift
+    the value-string compare below is blind to (round-7 lesson)."""
+    duck = duck_type.upper()
+    if "HUGEINT" in duck:
+        return False
+    if spark_type in ("bigint", "int", "smallint", "tinyint"):
+        return duck in _DUCK_INT_OK
+    if spark_type in ("double", "float"):
+        return duck in _DUCK_FLOAT_OK
+    if spark_type.startswith("decimal"):
+        return duck.startswith("DECIMAL")
+    return not duck.startswith("DECIMAL")
+
+
 def assert_df_matches_oracle(df, con, sql, sort=True):
     """Mimic the driver's compare: row count, column-name-sorted values,
-    order-insensitive."""
+    order-insensitive; plus a type-family gate (see _oracle_type_compatible)."""
     cols = sorted(df.columns)
     spark_rows = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
 
-    res = con.execute(sql)
-    names = [d[0] for d in res.description]
+    rel = con.sql(sql)
+    names = list(rel.columns)
+    duck_types = {n: str(t) for n, t in zip(names, rel.types)}
     idx = [names.index(c) for c in sorted(names)]
-    duck_rows = [tuple(_norm(row[i]) for i in idx) for row in res.fetchall()]
+    duck_rows = [tuple(_norm(row[i]) for i in idx) for row in rel.fetchall()]
 
     assert sorted(names) == cols, f"columns differ: {sorted(names)} vs {cols}"
+    spark_types = dict(df.dtypes)
+    for c in cols:
+        assert _oracle_type_compatible(spark_types[c], duck_types[c]), (
+            f"oracle type drift on {c!r}: spark {spark_types[c]} vs "
+            f"duckdb {duck_types[c]} — cast the oracle column (§6: HUGEINT "
+            f"from uncast SUM hash-mismatches in the driver's typed compare)"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )
