@@ -363,6 +363,34 @@ def simhash_near_duplicates(
     ).select(
         F.col(id_col), hashes.simhash64_from_hashes(F.col("__th")).alias("fp")
     )
+    return simhash_pairs_from_fingerprints(
+        fp, id_col, max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size, _checked=True,
+    )
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    _checked: bool = False,
+) -> DataFrame:
+    """Near-dup pairs from PRE-COMPUTED 64-bit fingerprints in column
+    ``fp``: band equi-join → exact hamming verify — the LSH core of
+    :func:`simhash_near_duplicates`, exposed for callers that sketch
+    outside this module (external fingerprint pipelines, the oracle-
+    verified registry query, the streaming sinks' band functions).
+    Within the pigeonhole bound (``max_hamming ≤ bands - 1``) the
+    result is EXACTLY the hamming-≤-``max_hamming`` pair set of the
+    brute-force cross product (modulo ``max_bucket_size`` capping)."""
+    if not _checked and max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"bands-1={bands - 1}; use bands >= {max_hamming + 1} "
+            "(a divisor of 64) or lower max_hamming"
+        )
     banded = fp.select(
         id_col, "fp", F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b")
     ).select(id_col, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))

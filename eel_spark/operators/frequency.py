@@ -29,7 +29,8 @@ count ≤ Σ_p trim_p. If the k-th exact candidate count exceeds that
 bound (or nothing was ever trimmed), the result is PROVABLY the exact
 top-k; otherwise the capacity was too small for the key distribution
 and the call raises (``require_exact=False`` returns the best-effort
-list instead — with the bound attached so callers can reason). Zipfian
+list instead, with the bound attached as a ``max_missed`` column so
+callers can reason about what an absent key could hold). Zipfian
 key distributions (tokens, URLs, user-ids) certify easily; a uniform
 distribution with more distinct keys than ``capacity`` is the honest
 failure case — no algorithm answers it without the full shuffle.
@@ -103,9 +104,26 @@ def exact_topk_frequent(
     caller can size a retry.
 
     NULL key values count as their own key (SQL GROUP BY semantics).
+    Float/double key columns are rejected: Arrow hands both Spark NULL
+    and Spark NaN to pandas as NaN, so a NaN-heavy key would be
+    mis-tracked as the NULL candidate in pass 1 yet excluded from the
+    NULL-safe recount in pass 2 — the certificate could then "certify"
+    a top-k missing a dominant NaN key. Cast to a discrete type first.
+
+    With ``require_exact=False`` the result additionally carries a
+    constant ``max_missed`` column = the non-candidate bound (0 when the
+    result is certified exact).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     proj = df.select(*ks)
+    for f in proj.schema.fields:
+        if f.dataType.simpleString() in ("float", "double"):
+            raise TypeError(
+                f"key column {f.name!r} is {f.dataType.simpleString()}; "
+                "floating-point keys cannot be counted exactly here (Arrow "
+                "conflates NULL and NaN across the Python boundary) — cast "
+                "to string/int/decimal first"
+            )
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in proj.schema.fields
     )
@@ -147,6 +165,12 @@ def exact_topk_frequent(
                 "fall back to the full groupBy shuffle"
             )
         spark = df.sparkSession
-        return spark.createDataFrame(rows, schema=topk.schema)
+        out = spark.createDataFrame(rows, schema=topk.schema)
+        if not require_exact:
+            # best-effort mode: attach what an absent key could hold
+            out = out.withColumn(
+                "max_missed", F.lit(0 if certified else bound).cast("long")
+            )
+        return out
     finally:
         summary.unpersist()

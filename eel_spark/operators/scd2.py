@@ -26,13 +26,20 @@ rewritten. Per-batch cost is O(current rows in touched buckets), not
 O(history) — after years of changes the closed partitions are cold
 storage.
 
-Crash contract (same as upsert's unpartitioned path): the merge appends
-newly-closed rows BEFORE dynamically overwriting the current
-partitions. A crash between the two writes leaves a key with both a
-closed row and its still-open predecessor (an overlap a re-run of the
-same batch repairs, since merge decisions derive from current rows
-only); the append-first order means history is never lost. Use a
-transactional table format when concurrent readers matter.
+Crash contract: the merge appends newly-closed rows BEFORE dynamically
+overwriting the current partitions, so history is never lost, and the
+whole merge is IDEMPOTENT under re-run of the same batch. Each batch is
+fingerprinted (content hash of its collapsed version rows); an
+``_scd_inflight/<fp>`` marker is written before the first data write
+and promoted to ``_scd_applied/<fp>`` after the last. A re-run that
+finds the applied marker is a redelivery and no-ops; one that finds the
+inflight marker is crash recovery — it first drops the batch version
+rows already present in the touched buckets' history and anti-joins the
+rows it would re-append, so nothing is duplicated whichever write the
+crash interrupted. Only this recovery path ever reads closed
+partitions; the normal path stays O(current rows in touched buckets).
+Single writer per table assumed — use a transactional table format when
+concurrent writers or readers matter.
 """
 
 from __future__ import annotations
@@ -46,11 +53,11 @@ from pyspark.sql import functions as F
 CURRENT_COL = "scd_current"  # partition: 1 = open version, 0 = closed
 BUCKET_COL = "scd_bucket"  # partition: hash(key) % n_buckets
 
-# streaming exactly-once bookkeeping, both under the table root; the
-# leading underscore keeps them invisible to Spark's file index, so
-# plain reads of the table never see them
-STREAM_CLOSED_DIR = "_stream_closed"  # per-batch closed-row store
-STREAM_MARKER_DIR = "_stream_applied"  # batch_id=N commit markers
+# per-batch merge bookkeeping, both under the table root; the leading
+# underscore keeps them invisible to Spark's file index, so plain reads
+# of the table never see them
+INFLIGHT_DIR = "_scd_inflight"  # batch fingerprint, written pre-merge
+APPLIED_DIR = "_scd_applied"  # batch fingerprint, written post-merge
 
 
 def _keylist(keys: str | Sequence[str]) -> list[str]:
@@ -72,6 +79,7 @@ def scd2_from_changes(
     ts_col: str,
     order_cols: Sequence[str] = (),
     extra_cols: Sequence[str] = (),
+    validate: bool = True,
 ) -> DataFrame:
     """Collapse a change log into SCD2 version rows.
 
@@ -91,13 +99,23 @@ def scd2_from_changes(
 
     Plan: ONE hash exchange on the key; the lag (change detection) and
     the lead (validity splice) share its sort order.
+
+    NULL discipline: NULL keys and NULL ``ts_col`` are rejected up front
+    (``validate=True``, one bounded lookup job) — a NULL timestamp has
+    no position in a validity chain and would corrupt its neighbours'
+    ``[valid_from, valid_to)`` splice. Callers that already validated
+    (e.g. :func:`scd2_merge`) pass ``validate=False``.
     """
     ks = _keylist(keys)
     attrs = list(attr_cols)
+    if validate:
+        _validate_batch(df, ks, ts_col)
     order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(*ks).orderBy(*order)
 
-    is_change = F.lag(F.col(ts_col)).over(w).isNull() | _any_attr_changed(
+    # lag of a constant is a NULL-proof first-row marker (lag(ts) would
+    # misfire on the row AFTER a NULL timestamp if validation is skipped)
+    is_change = F.lag(F.lit(1)).over(w).isNull() | _any_attr_changed(
         attrs, w
     )
     changes = df.withColumn("__chg", is_change).where(F.col("__chg"))
@@ -160,8 +178,12 @@ def scd2_merge(
     (rebuild with :func:`scd2_from_changes` instead).
 
     Returns ``{"new_keys", "changed", "unchanged", "closed",
-    "buckets_rewritten"}``. See the module docstring for layout, cost,
-    and crash contract.
+    "buckets_rewritten", "replayed"}``. ``replayed`` is True when the
+    batch's fingerprint was already applied (at-least-once redelivery —
+    the call no-ops) or an inflight marker showed a prior crashed
+    attempt (the call repairs; counts then describe the REMAINING work,
+    not the original batch). See the module docstring for layout, cost,
+    and the crash contract.
     """
     from eel_spark.sources.hdfs import HdfsOps
 
@@ -171,22 +193,51 @@ def scd2_merge(
     out_cols = [*ks, *attrs, "valid_from", "valid_to", "is_current"]
 
     _validate_batch(batch, ks, ts_col)
-    chains = scd2_from_changes(batch, ks, attrs, ts_col, order_cols).persist()
+    rn = F.row_number().over(
+        Window.partitionBy(*ks).orderBy(F.col("valid_from"))
+    )
+    chains = (
+        scd2_from_changes(batch, ks, attrs, ts_col, order_cols, validate=False)
+        .withColumn("__rn", rn)
+        .persist()
+    )
     try:
-        if not ops.exists(path):
+        fp = _batch_fingerprint(chains, out_cols)
+        applied = f"{path}/{APPLIED_DIR}/{fp}"
+        inflight = f"{path}/{INFLIGHT_DIR}/{fp}"
+        if ops.exists(applied):
+            return {
+                "new_keys": 0, "changed": 0, "unchanged": 0, "closed": 0,
+                "buckets_rewritten": 0, "replayed": True,
+            }
+        replay = ops.exists(inflight)
+
+        # markers live under the table root, so "table initialized" is
+        # the existence of the current-rows partition dir, not of path
+        if not ops.exists(f"{path}/{CURRENT_COL}=1"):
             n = chains.count()  # materializes the pin
             new_keys = chains.select(*ks).distinct().count()
-            _write_generation(chains, ks, path, n_buckets, first=True)
+            ops.mkdirs(inflight)
+            # dynamic overwrite (not a root truncate): replaces only the
+            # partitions in the data, never the marker dirs — so a crash
+            # before the applied marker replays through the repair path
+            _write_generation(
+                chains.select(*out_cols), ks, path, n_buckets, dynamic=True
+            )
+            ops.mkdirs(applied)
+            ops.delete(inflight, recursive=True)
             return {
                 "new_keys": new_keys,
                 "changed": 0,
                 "unchanged": 0,
                 "closed": n - new_keys,
                 "buckets_rewritten": -1,
+                "replayed": replay,
             }
 
+        ops.mkdirs(inflight)
         touched = [
-            r["__b"]
+            int(r["__b"])
             for r in chains.select(
                 _bucket(ks, n_buckets).alias("__b")
             )
@@ -197,19 +248,46 @@ def scd2_merge(
             spark.read.parquet(path)
             .where(
                 (F.col(CURRENT_COL) == 1)
-                & F.col(BUCKET_COL).isin([int(t) for t in touched])
+                & F.col(BUCKET_COL).isin(touched)
             )
             .drop(CURRENT_COL, BUCKET_COL)
             .persist()
         )
-        try:
-            return _merge_pinned(
-                spark, path, chains, cur, ks, attrs, out_cols, touched, n_buckets
+        # crash recovery ONLY: the touched buckets' full history (open +
+        # closed) — the normal path never lists a closed partition
+        hist = None
+        if replay:
+            hist = (
+                spark.read.parquet(path)
+                .where(F.col(BUCKET_COL).isin(touched))
+                .drop(BUCKET_COL)
             )
+        try:
+            stats = _merge_pinned(
+                spark, path, chains, cur, ks, attrs, out_cols, touched,
+                n_buckets, hist=hist,
+            )
+            ops.mkdirs(applied)
+            ops.delete(inflight, recursive=True)
+            stats["replayed"] = replay
+            return stats
         finally:
             cur.unpersist()
     finally:
         chains.unpersist()
+
+
+def _batch_fingerprint(chains: DataFrame, cols: list[str]) -> str:
+    """Deterministic content hash of a collapsed batch: row count plus
+    an order-independent XOR of per-row xxhash64 (version rows are
+    unique per (key, valid_from), so XOR cannot self-cancel)."""
+    row = (
+        chains.select(F.xxhash64(*[F.col(c) for c in cols]).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)").alias("x"))
+        .collect()[0]
+    )
+    x = row["x"] or 0
+    return f"{row['n']}_{x & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
 def _merge_pinned(
@@ -222,14 +300,37 @@ def _merge_pinned(
     out_cols: list[str],
     touched: list,
     n_buckets: int,
+    hist: DataFrame | None = None,
 ) -> dict:
-    from eel_spark.sources.hdfs import HdfsOps
+    # ---- crash recovery: drop version rows the crashed attempt already
+    # materialized, so the remainder merges cleanly against whatever
+    # state the crash left (hist is None on the normal path) -----------
+    if hist is not None:
+        c, h = chains.alias("c"), hist.alias("h")
+        keq = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"c.{k}") == F.col(f"h.{k}") for k in ks],
+        )
+        aeq = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"c.{a}").eqNullSafe(F.col(f"h.{a}")) for a in attrs],
+        )
+        # already written as a version row (same start, same attrs), or a
+        # LEADING batch row squashed as a continuation of an earlier
+        # version whose interval covers it
+        exact = F.col("c.valid_from") == F.col("h.valid_from")
+        squashed = (
+            (F.col("c.__rn") == 1)
+            & (F.col("h.valid_from") < F.col("c.valid_from"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("h.valid_to") > F.col("c.valid_from"))
+            )
+        )
+        chains = c.join(h, keq & aeq & (exact | squashed), "left_anti")
 
     # ---- classify batch keys against their current row -------------------
-    first = F.row_number().over(
-        Window.partitionBy(*ks).orderBy(F.col("valid_from"))
-    )
-    b = chains.withColumn("__rn", first)
+    b = chains  # __rn precomputed on the UNFILTERED batch (scd2_merge)
     cur_k = cur.select(
         *ks,
         *[F.col(a).alias(f"__cur_{a}") for a in attrs],
@@ -269,9 +370,6 @@ def _merge_pinned(
         .agg(
             F.min(F.when(keep, F.col("valid_from"))).alias("__close_at"),
             F.max(F.when(is_known, 1).otherwise(0)).alias("__known"),
-            F.max(
-                F.when((F.col("__rn") == 1) & ~same_as_cur, 1).otherwise(0)
-            ).alias("__lead_change"),
         )
         .persist()
     )
@@ -297,7 +395,6 @@ def _merge_pinned(
         new_versions = kept.select(*out_cols)
         new_closed = new_versions.where(~F.col("is_current"))
         new_current = new_versions.where(F.col("is_current"))
-        n_closed_total = closed_cur.count() + new_closed.count()
 
         # surviving current rows in the touched buckets: keys the batch
         # didn't change (including unknown-to-batch keys sharing a bucket)
@@ -305,10 +402,20 @@ def _merge_pinned(
 
         # ---- write: append closed history FIRST (never lost), then
         # dynamically overwrite only the touched current buckets --------
-        _write_generation(
-            closed_cur.unionByName(new_closed), ks, path, n_buckets,
-            append=True,
-        )
+        to_append = closed_cur.unionByName(new_closed)
+        if hist is not None:
+            # crash recovery: never re-append a closed row the crashed
+            # attempt already landed — (key, valid_from) identifies it
+            # (match ONLY closed rows: an open row shares its
+            # valid_from with the closing row we're about to write)
+            already = hist.where(F.col(CURRENT_COL) == 0).select(
+                *ks, "valid_from"
+            )
+            to_append = to_append.join(
+                already, on=[*ks, "valid_from"], how="left_anti"
+            )
+        n_closed_total = to_append.count()
+        _write_generation(to_append, ks, path, n_buckets, append=True)
         _write_generation(
             survivors.select(*out_cols).unionByName(new_current),
             ks, path, n_buckets, dynamic=True,
@@ -329,7 +436,6 @@ def _write_generation(
     ks: list[str],
     path: str,
     n_buckets: int,
-    first: bool = False,
     append: bool = False,
     dynamic: bool = False,
 ) -> None:
@@ -347,7 +453,7 @@ def _write_generation(
             .parquet(path)
         )
     else:
-        w.mode("overwrite" if first else "errorifexists").parquet(path)
+        w.mode("errorifexists").parquet(path)
 
 
 def read_scd2_current(spark: SparkSession, path: str) -> DataFrame:

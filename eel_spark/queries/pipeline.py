@@ -397,25 +397,85 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("dedup_simhash_pairs")
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
-    """SimHash hamming-band near-dup pairs (operators/dedup.py).
+# Deterministic 60-bit fingerprints both engines can derive from doc_id
+# alone: three 20-bit lanes, each an LCG step + one xor-shift mix. Every
+# intermediate stays far below 2^63 (doc_id ≤ ~1e8), so ANSI engines
+# never overflow, and %, >>, xor agree across engines on positives.
+_SH_LANES = ((2654435761, 101), (2246822519, 202), (3266489917, 303))
 
-    bands=8 → 8-bit chunks: the pigeonhole bound guarantees recall for
-    hamming ≤ 7, matching max_hamming=7 (the r1 pairing max_hamming=8 /
-    bands=4 only guaranteed hamming ≤ 3). Self-verifying: 20 planted
-    near-dup docs (at most 2 perturbed tokens each, so the fingerprint
-    shift is bounded for ANY document length — an every-Nth scheme broke
-    on sf0.1's longer docs) must be recovered at ≥ 0.9 recall or the
-    query returns zero rows."""
-    docs = table(spark, sf_dir, "documents").df
-    corpus = planted_near_dup_documents(docs, n_planted=20, every=16, max_changes=2)
-    pairs = dedup.simhash_near_duplicates(
-        corpus, "text", "doc_id", max_hamming=7, bands=8, max_bucket_size=500
+_SIMHASH_SQL = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {', '.join(f'(doc_id*{p}+{q}) % 1099511627776 AS h{i}'
+                    for i, (p, q) in enumerate(_SH_LANES))}
+  FROM documents
+), fp0 AS (
+  SELECT doc_id,
+         (xor(h0, h0 >> 13) % 1048576)
+       + (xor(h1, h1 >> 13) % 1048576) * 1048576
+       + (xor(h2, h2 >> 13) % 1048576) * 1099511627776 AS fp
+  FROM h
+), corpus AS (
+  SELECT doc_id, fp FROM fp0
+  UNION ALL
+  SELECT doc_id + 10000000,
+         xor(fp, (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INTEGER))
+               | (CAST(1 AS BIGINT) << CAST((doc_id*7+1) % 60 AS INTEGER))
+               | (CAST(1 AS BIGINT) << CAST((doc_id*13+2) % 60 AS INTEGER)))
+  FROM fp0 WHERE doc_id % 16 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 7
+"""
+
+
+def _deterministic_fingerprints(docs):
+    """(doc_id, fp) with planted near-twins: every 16th doc gets a copy
+    whose fingerprint differs in ≤ 3 bit positions (hamming ≤ 3)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    lanes = []
+    for i, (p, q) in enumerate(_SH_LANES):
+        h = (F.col("doc_id") * F.lit(p) + F.lit(q)) % F.lit(1 << 40)
+        m = h.bitwiseXOR(F.shiftright(h, 13)) % F.lit(1 << 20)
+        lanes.append(m * F.lit(1 << (20 * i)))
+    base = ids.select("doc_id", (lanes[0] + lanes[1] + lanes[2]).alias("fp"))
+    mask = F.expr(
+        "shiftleft(1L, cast(doc_id % 60 as int)) "
+        "| shiftleft(1L, cast((doc_id*7+1) % 60 as int)) "
+        "| shiftleft(1L, cast((doc_id*13+2) % 60 as int))"
     )
-    return _gate_on_planted_recall(
-        pairs, n_planted=20, min_recall=0.9,
-        planted_pair=_planted_doc_pair(20), orig_col="id_b",
+    twins = base.where(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.col("fp").bitwiseXOR(mask).alias("fp"),
+    )
+    return base.unionByName(twins)
+
+
+@query("dedup_simhash_pairs", _SIMHASH_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
+    """SimHash hamming-band near-dup pairs
+    (operators/dedup.simhash_pairs_from_fingerprints — the band-join +
+    exact-hamming-verify LSH core shared with simhash_near_duplicates
+    and the incremental streaming sinks).
+
+    bands=8 → 8-bit chunks: the pigeonhole bound guarantees EVERY pair
+    within hamming 7 shares a band, so within that bound the banded
+    join returns exactly the brute-force cross-product answer — which
+    is what the DuckDB oracle computes (xor + bit_count over all pairs)
+    from the same deterministic fingerprints (twins planted ≤ 3 bit
+    flips apart). One hash-mismatch ⇒ a recall OR precision hole in
+    the banding. The text fingerprinting path (token_hashes →
+    simhash64) keeps its planted-recall coverage in tests/test_dedup.py;
+    this slot verifies the LSH machinery itself, exactly."""
+    docs = table(spark, sf_dir, "documents").df
+    fp = _deterministic_fingerprints(docs)
+    pairs = dedup.simhash_pairs_from_fingerprints(
+        fp, "doc_id", max_hamming=7, bands=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 

@@ -418,6 +418,46 @@ def incremental_embedding_dedup_sink(
     )
 
 
+def _backfill_bands_from_survivors(
+    spark: SparkSession, survivor_path: str, bands_path: str, band_fn, id_col
+):
+    """Upgrade a pre-banded-layout dedup store: derive the ``__bands``
+    side-table from the survivor table, preserving each survivor's
+    original batch_id (the replay-safety filter keys on it). Returns the
+    freshly-readable bands table, or None when there is genuinely no
+    history. Crash-safe: the backfill lands in a ``__backfill_tmp``
+    sibling and is renamed into place only once fully written, so a
+    killed backfill re-runs from scratch instead of leaving a partial
+    side-table that would silently admit near-duplicates."""
+    from pyspark.errors import AnalysisException
+
+    from eel_spark.sources.hdfs import HdfsOps
+
+    try:
+        old = spark.read.parquet(survivor_path)
+    except AnalysisException:
+        return None  # no survivors: a genuinely fresh store
+    if not old.take(1):
+        return None
+    banded = (
+        band_fn(old.drop("batch_id"), id_col)
+        .withColumn("kp", F.pmod(F.col("key"), F.lit(_N_KP)).cast("int"))
+        .join(old.select(id_col, "batch_id"), id_col)
+        .repartition("band", "kp")
+    )
+    tmp = bands_path + "__backfill_tmp"
+    (
+        banded.write.mode("overwrite")
+        .partitionBy("batch_id", "band", "kp")
+        .parquet(tmp)
+    )
+    ops = HdfsOps(spark)
+    if ops.exists(bands_path):
+        ops.delete(bands_path, recursive=True)
+    ops.rename(tmp, bands_path)
+    return spark.read.parquet(bands_path)
+
+
 def _incremental_dedup_sink(
     stream_df: DataFrame,
     survivor_path: str,
@@ -448,6 +488,12 @@ def _incremental_dedup_sink(
     Pre-banding also kills the old per-batch re-explosion of the whole
     history. Both tables are written with dynamic partition overwrite on
     the batch's own partitions, so checkpoint replay stays exactly-once.
+
+    Migration: a store created before the banded layout (survivor table
+    populated, ``__bands`` side-table absent) is detected on first use
+    and the side-table is backfilled from the survivor table in one
+    pass — silently skipping the history anti-join would re-admit
+    near-duplicates of every pre-upgrade survivor.
     """
     from pyspark.errors import AnalysisException
 
@@ -518,7 +564,13 @@ def _incremental_dedup_sink(
                     )
                 ):
                     raise
-                hist = None
+                # "no bands table" is only "no history" when there are
+                # no survivors either — a populated survivor table with
+                # no side-table is a pre-banded-layout store that must
+                # be backfilled before the anti-join can be trusted
+                hist = _backfill_bands_from_survivors(
+                    spark, survivor_path, bands_path, band_fn, id_col
+                )
             if hist is not None:
                 # partition-pruning predicate over the banded layout:
                 # the batch's distinct (band, kp) pairs, bounded by

@@ -58,11 +58,27 @@ def test_uniform_distribution_fails_honestly(spark):
     df = spark.createDataFrame(rows, "key string").repartition(8)
     with pytest.raises(ValueError, match="cannot certify"):
         exact_topk_frequent(df, "key", k=10, capacity=64)
-    # best-effort mode still answers
+    # best-effort mode still answers, with the uncertainty attached
     out = exact_topk_frequent(
         df, "key", k=10, capacity=64, require_exact=False
     ).collect()
     assert len(out) == 10
+    assert all(r["max_missed"] > 0 for r in out)  # NOT certified
+
+
+def test_best_effort_attaches_zero_bound_when_certified(spark):
+    rows = [(f"u{i:03d}",) for i in range(50)] * 3
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    out = exact_topk_frequent(
+        df, "key", k=5, capacity=256, require_exact=False
+    ).collect()
+    assert all(r["max_missed"] == 0 for r in out)
+
+
+def test_rejects_float_keys(spark):
+    df = spark.createDataFrame([(1.5,), (float("nan"),)], "key double")
+    with pytest.raises(TypeError, match="floating-point"):
+        exact_topk_frequent(df, "key", k=1)
 
 
 def test_exact_when_capacity_exceeds_distinct(spark):

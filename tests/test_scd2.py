@@ -131,6 +131,7 @@ def test_merge_equals_full_rebuild(spark, tmp_path):
             {r["b"] for r in _log(spark, batches[1]).select(
                 F.pmod(F.xxhash64("k"), F.lit(4)).alias("b")).distinct().collect()}
         ),
+        "replayed": False,
     }
     assert stats[2]["unchanged"] == 1 and stats[2]["changed"] == 1
     # reads
@@ -203,3 +204,163 @@ def test_merge_rejects_null_key_or_ts(spark, tmp_path):
             _log(spark, [(1, "A", 1, None, 1)]),
             "k", ["seg", "score"], "d", ["seq"],
         )
+
+
+def test_from_changes_rejects_null_key_or_ts(spark):
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_from_changes(
+            _log(spark, [(1, "A", 1, None, 1)]), "k", ["seg", "score"], "d",
+            ["seq"],
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_from_changes(
+            _log(spark, [(None, "A", 1, date(2024, 1, 1), 1)]),
+            "k", ["seg", "score"], "d", ["seq"],
+        )
+
+
+NEXT_BATCH = [
+    (1, "B", 99, date(2024, 3, 1), 7),   # change after BASE_LOG's (1,B,10)
+    (1, "B", 77, date(2024, 3, 5), 8),   # second change, same key
+    (2, "A", 7, date(2024, 3, 2), 9),    # pure continuation
+    (5, "E", 5, date(2024, 3, 3), 10),   # new key
+]
+
+
+def _table_versions(spark, path):
+    return _versions(
+        spark.read.parquet(path).drop("scd_current", "scd_bucket")
+    )
+
+
+def _clean_end_state(spark, tmp_path):
+    """Reference end state: both batches merged with no crash."""
+    ref = str(tmp_path / "ref")
+    for b in (BASE_LOG, NEXT_BATCH):
+        scd2_merge(spark, ref, _log(spark, b), "k", ["seg", "score"], "d",
+                   ["seq"], n_buckets=4)
+    return _table_versions(spark, ref)
+
+
+def test_merge_redelivery_noops(spark, tmp_path):
+    """Re-running an already-applied batch (at-least-once redelivery)
+    returns replayed=True zeros and leaves the table byte-identical."""
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    before = _table_versions(spark, path)
+    files = sorted(glob.glob(f"{path}/scd_current=*/scd_bucket=*/*.parquet"))
+    stats = scd2_merge(spark, path, _log(spark, BASE_LOG), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats == {
+        "new_keys": 0, "changed": 0, "unchanged": 0, "closed": 0,
+        "buckets_rewritten": 0, "replayed": True,
+    }
+    assert _table_versions(spark, path) == before
+    assert sorted(
+        glob.glob(f"{path}/scd_current=*/scd_bucket=*/*.parquet")
+    ) == files
+
+
+@pytest.mark.parametrize("crash_on_call", [1, 2])
+def test_merge_repairs_crash_between_writes(spark, tmp_path, monkeypatch,
+                                            crash_on_call):
+    """Kill the merge at each of its two data writes (1 = before the
+    closed append lands, 2 = after the append but before the current
+    overwrite); a re-run of the same batch must converge to the clean
+    two-merge end state with no duplicated closed rows."""
+    import eel_spark.operators.scd2 as scd2mod
+
+    expected = _clean_end_state(spark, tmp_path)
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+
+    real_write = scd2mod._write_generation
+    calls = {"n": 0}
+
+    def crashing(df, ks, p, nb, **kw):
+        calls["n"] += 1
+        if calls["n"] == crash_on_call:
+            if crash_on_call == 2:  # land the append, then die
+                real_write(df, ks, p, nb, **kw)
+            raise RuntimeError("simulated crash")
+        return real_write(df, ks, p, nb, **kw)
+
+    monkeypatch.setattr(scd2mod, "_write_generation", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                   ["seg", "score"], "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(scd2mod, "_write_generation", real_write)
+
+    stats = scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is True
+    assert _table_versions(spark, path) == expected
+    # and a FURTHER redelivery after the repair is a pure no-op
+    again = scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert again["replayed"] is True and again["closed"] == 0
+    assert _table_versions(spark, path) == expected
+
+
+def test_merge_repairs_crash_after_both_writes(spark, tmp_path, monkeypatch):
+    """Crash after the current overwrite but before the applied marker:
+    the re-run walks the repair path against fully-updated state and
+    must change nothing."""
+    import eel_spark.operators.scd2 as scd2mod
+    from eel_spark.sources.hdfs import HdfsOps
+
+    expected = _clean_end_state(spark, tmp_path)
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+
+    ops = HdfsOps(spark)
+    real_mkdirs = ops.__class__.mkdirs
+
+    def crashing_mkdirs(self, p):
+        if scd2mod.APPLIED_DIR in p:
+            raise RuntimeError("simulated crash")
+        return real_mkdirs(self, p)
+
+    monkeypatch.setattr(ops.__class__, "mkdirs", crashing_mkdirs)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                   ["seg", "score"], "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(ops.__class__, "mkdirs", real_mkdirs)
+
+    assert _table_versions(spark, path) == expected  # data all landed
+    stats = scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is True and stats["closed"] == 0
+    assert _table_versions(spark, path) == expected
+
+
+def test_merge_repairs_crash_on_first_generation(spark, tmp_path, monkeypatch):
+    """Crash before the FIRST generation's applied marker: the re-run
+    must not raise out-of-order against the fully-written state."""
+    import eel_spark.operators.scd2 as scd2mod
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    ops = HdfsOps(spark)
+    real_mkdirs = ops.__class__.mkdirs
+
+    def crashing_mkdirs(self, p):
+        if scd2mod.APPLIED_DIR in p:
+            raise RuntimeError("simulated crash")
+        return real_mkdirs(self, p)
+
+    monkeypatch.setattr(ops.__class__, "mkdirs", crashing_mkdirs)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+                   "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(ops.__class__, "mkdirs", real_mkdirs)
+
+    stats = scd2_merge(spark, path, _log(spark, BASE_LOG), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is True
+    rebuilt = scd2_from_changes(_log(spark, BASE_LOG), "k", ["seg", "score"],
+                                "d", ["seq"])
+    assert _table_versions(spark, path) == _versions(rebuilt)

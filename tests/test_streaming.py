@@ -834,3 +834,65 @@ def test_streaming_rollup_sink_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert snapshot() == want
+
+
+def test_incremental_dedup_backfills_pre_banded_store(spark, tmp_path):
+    """Upgrade path: a store written before the banded side-table
+    existed (survivors present, __bands absent) must be backfilled on
+    first use — near-dups of pre-upgrade survivors stay suppressed
+    instead of being silently re-admitted."""
+    import shutil
+
+    from eel_spark.streaming import incremental_near_dedup_sink
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    def perturb(text):
+        toks = text.split()
+        toks[7] = "zzz"
+        return " ".join(toks)
+
+    schema = "doc_id long, text string"
+    in_dir = tmp_path / "mig_in"
+    in_dir.mkdir()
+    surv_path = str(tmp_path / "mig_survivors")
+    ckpt = str(tmp_path / "mig_ckpt")
+
+    def add_wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = incremental_near_dedup_sink(
+            docs, surv_path, ckpt, max_hamming=7, bands=8
+        )
+        q.awaitTermination(120)
+
+    add_wave("w1", [(1, doc(1)), (2, doc(2)), (3, doc(3))])
+    run_once()
+    # simulate a pre-banded-layout store: survivors only, no side-table
+    shutil.rmtree(surv_path + "__bands")
+
+    add_wave("w2", [
+        (5, perturb(doc(1))),  # near-dup of a PRE-UPGRADE survivor
+        (6, doc(2)),           # verbatim copy of a pre-upgrade survivor
+        (7, doc(7)),           # fresh — must be admitted
+    ])
+    run_once()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    } == {1, 2, 3, 7}
+    # the side-table was rebuilt: pre-upgrade ids banded under their
+    # original batch partitions, plus the new wave's rows
+    bands = spark.read.parquet(surv_path + "__bands")
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {
+        1, 2, 3, 7,
+    }
+    assert bands.where("batch_id = 0").count() > 0  # backfilled generation
