@@ -16,7 +16,9 @@ from eel_spark.queries.tables import table
 
 # -- SCD2 rebuild from a change log (operators/scd2.scd2_from_changes) ------
 
-_SCD2_SQL = """
+_SCD2_ASOF_DATE = "1995-06-17"
+
+_SCD2_SQL = f"""
 WITH obs AS (
   SELECT o_custkey, o_orderpriority,
          CAST(o_orderdate AS DATE) AS d, o_orderkey,
@@ -28,36 +30,62 @@ WITH obs AS (
 ), changes AS (
   SELECT o_custkey, o_orderpriority, d, o_orderkey
   FROM obs WHERE prev IS NULL OR prev <> o_orderpriority
+), versions AS (
+  SELECT o_custkey, o_orderpriority,
+         d AS valid_from,
+         LEAD(d) OVER w AS valid_to,
+         LEAD(d) OVER w IS NULL AS is_current
+  FROM changes
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
 )
-SELECT o_custkey, o_orderpriority,
-       d AS valid_from,
-       LEAD(d) OVER w AS valid_to,
-       LEAD(d) OVER w IS NULL AS is_current
-FROM changes
-WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+SELECT o_custkey, o_orderpriority, valid_from, valid_to, is_current
+FROM versions
+WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
+  AND (valid_to IS NULL OR valid_to > DATE '{_SCD2_ASOF_DATE}')
 """
 
 
 @query("scd2_order_priority", _SCD2_SQL)
 def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 dimension rebuild: each customer's order-priority history as
-    version rows — consecutive orders with the same priority collapse,
-    a change closes the open version (``valid_to`` = the next version's
-    ``valid_from``) and opens a new one. ``o_orderkey`` is the
-    deterministic tiebreaker for same-day changes (SURVEY §6: ordering
-    that affects values must be total). Plan: ONE hash exchange on the
-    key — change-detect lag and validity lead share it
-    (plan-asserted in tests/test_scd2.py)."""
-    from eel_spark.operators.scd2 import scd2_from_changes
+    """SCD2 write + temporal READ, end-to-end: each customer's
+    order-priority change log is merged into a bucketed SCD2 table
+    (``scd2_merge`` — collapse, splice, partitioned layout, batch
+    fingerprint/markers), then ``read_scd2_asof`` reconstructs the
+    dimension state as of {asof} from the written files. The oracle
+    derives the same as-of state straight from the change log with an
+    interval predicate, so one hash-mismatch anywhere in the
+    collapse → write → as-of read chain fails the row. ``o_orderkey``
+    is the deterministic tiebreaker for same-day changes (SURVEY §6).
+    The full version-chain equality and the current-read partition
+    pruning stay asserted in tests/test_scd2.py."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import date
+
+    from eel_spark.operators.scd2 import read_scd2_asof, scd2_merge
 
     obs = (
         table(spark, sf_dir, "orders")
         .projection("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
         .df.withColumn("d", F.col("o_orderdate").cast("date"))
     )
-    return scd2_from_changes(
-        obs, "o_custkey", ["o_orderpriority"], "d", ["o_orderkey"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"eel_scd2_gate_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    scd2_merge(
+        spark, path, obs, "o_custkey", ["o_orderpriority"], "d",
+        ["o_orderkey"], n_buckets=16,
     )
+    t = date.fromisoformat(_SCD2_ASOF_DATE)
+    return read_scd2_asof(spark, path, t).select(
+        "o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
+    )
+
+
+scd2_order_priority.__doc__ = scd2_order_priority.__doc__.format(
+    asof=_SCD2_ASOF_DATE
+)
 
 
 # -- certified-exact heavy hitters (operators/frequency.py) -----------------

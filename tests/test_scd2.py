@@ -364,3 +364,20 @@ def test_merge_repairs_crash_on_first_generation(spark, tmp_path, monkeypatch):
     rebuilt = scd2_from_changes(_log(spark, BASE_LOG), "k", ["seg", "score"],
                                 "d", ["seq"])
     assert _table_versions(spark, path) == _versions(rebuilt)
+
+
+def test_current_read_prunes_closed_partitions(spark, tmp_path):
+    """read_scd2_current must push scd_current=1 into the partition
+    filters — closed-history files never enter the scan at any history
+    depth — while read_scd2_asof scans both (validity is not a
+    partition axis)."""
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    plan = (
+        read_scd2_current(spark, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "scd_current" in plan, plan
+    # the scan's partition filter pins the open partition
+    assert "scd_current#" in plan.split("PartitionFilters")[1][:200], plan

@@ -896,3 +896,212 @@ def test_incremental_dedup_backfills_pre_banded_store(spark, tmp_path):
         1, 2, 3, 7,
     }
     assert bands.where("batch_id = 0").count() > 0  # backfilled generation
+
+
+def test_compact_dedup_history_at_depth_with_replay(spark, tmp_path, monkeypatch):
+    """Compaction at realistic history depth (25 accumulated batches),
+    interleaved with a checkpoint replay, plus the documented
+    non-atomic delete/rename window:
+
+    1. 25 micro-batches accumulate (each wave: one fresh doc + one
+       near-dup of the PREVIOUS wave's survivor — so cross-batch
+       history suppression is load-bearing in every batch).
+    2. A pre-compaction batch is replayed (commit marker dropped) AFTER
+       compaction: its rows already sit in the -1 generation, so the
+       replay must not lose survivors or re-admit its near-dup.
+    3. A crash between compaction's delete and rename leaves the
+       __compact_tmp sibling intact for manual completion, and the
+       completed swap restores the store byte-for-byte.
+    """
+    import glob as _glob
+    import os
+
+    from eel_spark.sources.hdfs import HdfsOps
+    from eel_spark.streaming import (
+        compact_dedup_history,
+        incremental_near_dedup_sink,
+    )
+
+    N = 25
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    def perturb(text):
+        toks = text.split()
+        toks[7] = "zzz"
+        return " ".join(toks)
+
+    schema = "doc_id long, text string"
+    in_dir = tmp_path / "dp_in"
+    in_dir.mkdir()
+    surv_path = str(tmp_path / "dp_surv")
+    ckpt = str(tmp_path / "dp_ck")
+
+    # wave 0: one fresh doc; wave i>0: fresh doc i + near-dup of doc i-1
+    for w in range(N):
+        rows = [(w, doc(w))]
+        if w:
+            rows.append((1000 + w, perturb(doc(w - 1))))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"w{w:02d}")
+        )
+
+    def run():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = incremental_near_dedup_sink(
+            docs, surv_path, ckpt, max_hamming=7, bands=8
+        )
+        q.awaitTermination(600)
+
+    run()
+    expected = set(range(N))
+    assert {
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    } == expected
+    # history really is 25 generations deep before compaction
+    gens = _glob.glob(f"{surv_path}__bands/batch_id=*")
+    assert len([g for g in gens if "batch_id=-" not in g]) == N
+
+    compact_dedup_history(spark, surv_path)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    } == expected
+    # listing cost collapsed: ONE generation in both tables
+    assert _glob.glob(f"{surv_path}/batch_id=*") == [f"{surv_path}/batch_id=-1"]
+    assert _glob.glob(f"{surv_path}__bands/batch_id=*") == [
+        f"{surv_path}__bands/batch_id=-1"
+    ]
+
+    # replay of the LAST pre-compaction batch against the compacted
+    # store: the -1 generation already holds its rows; suppression of
+    # its near-dup must come from history (batch_id=-1 != replayed id)
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    } == expected
+
+    # crash in the delete/rename window of a SECOND compaction
+    before_rows = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(surv_path).collect()
+    )
+    real_rename = HdfsOps.rename
+    def crashing_rename(self, src, dst):
+        raise RuntimeError("simulated crash mid-swap")
+    monkeypatch.setattr(HdfsOps, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        compact_dedup_history(spark, surv_path)
+    monkeypatch.setattr(HdfsOps, "rename", real_rename)
+    # original deleted, tmp intact — complete the swap manually as the
+    # docstring instructs and verify nothing was lost
+    tmp = surv_path + "__compact_tmp"
+    assert os.path.exists(tmp) and not os.path.exists(surv_path)
+    HdfsOps(spark).rename(tmp, surv_path)
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(surv_path).collect()
+    ) == before_rows
+
+
+def test_kafka_option_contract_without_broker(spark, monkeypatch):
+    """Jar-free smoke of all four Kafka wrappers: capture the reader/
+    writer builder calls and assert the EXACT option surface each
+    wrapper assembles (the part of the integration that is ours), while
+    the load/save/start still fails and surfaces the honest dependency
+    gate with the real error chained. No broker execution is faked —
+    this is the contract test the sandbox allows, per the design note
+    in sources/kafka.py."""
+    from pyspark.sql import SparkSession
+
+    from eel_spark.datastream import DataStream
+    from eel_spark.sources.kafka import KafkaSink, KafkaSource
+    from eel_spark.streaming import kafka_stream, kafka_stream_sink
+
+    class Rec:
+        def __init__(self):
+            self.fmt, self.opts, self.called = None, {}, None
+        def format(self, f):
+            self.fmt = f
+            return self
+        def option(self, k, v):
+            self.opts[k] = str(v)
+            return self
+        def load(self):
+            self.called = "load"
+            raise OSError("no broker (smoke)")
+        def save(self):
+            self.called = "save"
+            raise OSError("no broker (smoke)")
+        def start(self):
+            self.called = "start"
+            raise OSError("no broker (smoke)")
+
+    # streaming source
+    rec = Rec()
+    monkeypatch.setattr(SparkSession, "readStream", property(lambda s: rec))
+    with pytest.raises(RuntimeError, match="spark-sql-kafka") as ei:
+        kafka_stream(spark, "b1:9092,b2:9092", "events",
+                     starting_offsets="earliest")
+    assert isinstance(ei.value.__cause__, OSError)
+    assert (rec.fmt, rec.called) == ("kafka", "load")
+    assert rec.opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+    }
+
+    # streaming sink (patch the CONCRETE class: pyspark 4's classic
+    # DataFrame shadows the pyspark.sql.DataFrame base properties)
+    rec = Rec()
+    sdf = spark.createDataFrame([("k", "v")], "key string, value string")
+    monkeypatch.setattr(type(sdf), "writeStream", property(lambda s: rec))
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream_sink(sdf, "b:9092", "out_topic", "/tmp/ck_smoke")
+    assert (rec.fmt, rec.called) == ("kafka", "start")
+    assert rec.opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out_topic",
+        "checkpointLocation": "/tmp/ck_smoke",
+    }
+
+    # batch source
+    rec = Rec()
+    monkeypatch.setattr(SparkSession, "read", property(lambda s: rec))
+    with pytest.raises(RuntimeError, match="broker"):
+        KafkaSource("b:9092", "t", starting_offsets="latest").to_datastream(
+            spark
+        )
+    assert (rec.fmt, rec.called) == ("kafka", "load")
+    assert rec.opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+    }
+    monkeypatch.undo()
+
+    # batch sink: the serialized (key, value) frame reaches the writer
+    # with the topic/bootstrap options (serialization itself is covered
+    # in test_sources.test_kafka_frame_serialization)
+    rec = Rec()
+    ds = DataStream(spark.createDataFrame([(1, "a")], "id long, t string"))
+    monkeypatch.setattr(type(ds.df), "write", property(lambda s: rec))
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        KafkaSink("b:9092", "sink_topic", key_col="id").write(ds)
+    assert (rec.fmt, rec.called) == ("kafka", "save")
+    assert rec.opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "sink_topic",
+    }

@@ -34,3 +34,31 @@ def test_rotation_inventory():
 def test_ungated_query_matches_oracle(spark, oracle, name):
     df = UNGATED_QUERIES[name](spark, SF_DIR)
     assert_df_matches_oracle(df, oracle, UNGATED_ORACLE[name])
+
+
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def oracle_sf01():
+    import duckdb
+
+    from tests.conftest import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED))
+def test_ungated_query_matches_oracle_sf01(spark, oracle_sf01, name):
+    """Second-SF discipline (the round-4 lesson: SF-tuned constants hide
+    at a single scale factor) — the ungated tier must hold at the
+    driver's own sf0.01, not just the fast sf0.001 tier."""
+    df = UNGATED_QUERIES[name](spark, SF01_DIR)
+    assert_df_matches_oracle(df, oracle_sf01, UNGATED_ORACLE[name])
