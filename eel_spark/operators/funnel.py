@@ -1,0 +1,184 @@
+"""Ordered-event analytics: funnel conversion and cohort retention —
+the two event-log questions every product/ops warehouse asks next to
+its rollups ("how many users made it through view → click → purchase?",
+"how many of January's new users were still active in week 3?"). The
+reference has no event-sequence operators (its pipelines stop at
+groupBy aggregation); these are Spark-first additions in the same
+family as ``operators/rollups`` and ``sessionize``.
+
+Scale shape
+-----------
+``funnel_times`` is ONE hash exchange on the user key: every step's
+"earliest qualifying event so far" is a cumulative conditional min over
+the same (user) partitioning and (ts) ordering, so Catalyst plans k
+chained window steps on a single Exchange + Sort (plan-asserted in
+tests). The final per-user reduce rides the same partitioning — no
+second shuffle of the event log. At 100 TB the cost is the one
+user-key shuffle of a (user, ts, step-flags) projection, never k
+passes over the log.
+
+``retention_cohorts`` is the same single-exchange discipline: the
+cohort (first-seen period) is an unordered whole-partition window min
+on the user partitioning, then the distinct (cohort, offset, user)
+projection aggregates with map-side partials.
+
+Funnel semantics (the standard first-touch definition): step 1 anchors
+at the user's EARLIEST step-1 event; each later step anchors at the
+earliest qualifying event strictly after the previous step's anchor
+(and, when ``within`` is set, no later than step-1's anchor +
+``within``). Greedy earliest-first maximizes reachability for the
+unwindowed case; with a window it is the conventional first-touch
+funnel, not a maximal-matching one.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Mapping[str, Column],
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user step-completion times for an ordered funnel.
+
+    ``steps`` maps step name → boolean Column matching that step's
+    events (insertion order defines the funnel order). Returns one row
+    per user: ``user_col`` + one timestamp column per step (NULL = the
+    user never completed that step in order). ``within`` (an INTERVAL
+    string like ``'7 days'``) bounds the whole funnel relative to the
+    step-1 anchor.
+    """
+    names = list(steps)
+    if len(names) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ts = F.col(ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for i, name in enumerate(names):
+        cond = steps[name]
+        if i > 0:
+            cond = cond & (ts > F.col(f"__t_{names[i - 1]}"))
+            if within is not None:
+                cond = cond & (
+                    ts <= F.col(f"__t_{names[0]}") + F.expr(f"INTERVAL {within}")
+                )
+        # cumulative conditional min: NULL until the step first completes
+        # (in order), the anchor time from then on — same partitioning
+        # and ordering every round, so ONE Exchange+Sort serves all steps
+        out = out.withColumn(f"__t_{name}", F.min(F.when(cond, ts)).over(w))
+    aggs = [F.min(f"__t_{n}").alias(n) for n in names]
+    return out.groupBy(user_col).agg(*aggs)
+
+
+def funnel_report(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Mapping[str, Column],
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel summary: one row per step — ``step`` (1-based position),
+    ``step_name``, ``users`` reaching it in order, and ``conversion``
+    from step 1 (rounded to 4 places; 0-user funnels report 0.0)."""
+    names = list(steps)
+    times = funnel_times(df, user_col, ts_col, steps, within)
+    counts = times.agg(
+        *[F.count(n).alias(n) for n in names]  # count ignores NULLs
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(n).alias("step_name"),
+                F.col(n).alias("users"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    exploded = counts.select(F.explode(pairs).alias("s")).select(
+        "s.step", "s.step_name", "s.users"
+    )
+    first = F.first("users").over(
+        Window.orderBy("step").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return exploded.withColumn(
+        "conversion",
+        F.when(first == 0, F.lit(0.0)).otherwise(
+            F.round(F.col("users") / first, 4)
+        ),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    granularity: str = "week",
+    cohort_filter: Column | None = None,
+) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    period, counted in each later period they were active.
+
+    Returns ``cohort`` (DATE of the user's first period),
+    ``period_offset`` (0 = the cohort period itself) and ``users``
+    (distinct active users of that cohort in that period).
+    ``granularity``: any ``date_trunc`` unit (``day``/``week``/
+    ``month``).
+
+    ``cohort_filter`` anchors the cohort on a specific event kind (the
+    product convention: cohort by first SIGNUP, count any later
+    activity): the cohort is the user's first period among rows
+    matching the filter; users with no matching row are excluded, and
+    activity before the anchor period does not count (no negative
+    offsets).
+    """
+    period = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    w = Window.partitionBy("__u")  # whole-partition frame, no sort
+    flag = F.lit(True) if cohort_filter is None else cohort_filter
+    with_cohort = (
+        # the filter must evaluate in this projection, while the source
+        # columns it references still exist
+        df.select(
+            F.col(user_col).alias("__u"),
+            period.alias("__p"),
+            flag.alias("__f"),
+        )
+        .withColumn(
+            "__cohort", F.min(F.when(F.col("__f"), F.col("__p"))).over(w)
+        )
+        .where(
+            F.col("__cohort").isNotNull()
+            & (F.col("__p") >= F.col("__cohort"))
+        )
+    )
+    if granularity == "week":
+        offset = F.datediff(F.col("__p"), F.col("__cohort")) / 7
+    elif granularity == "day":
+        offset = F.datediff(F.col("__p"), F.col("__cohort"))
+    elif granularity == "month":
+        offset = F.months_between(F.col("__p"), F.col("__cohort"))
+    else:
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    return (
+        with_cohort.select(
+            F.col("__cohort").alias("cohort"),
+            offset.cast("long").alias("period_offset"),
+            "__u",
+        )
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

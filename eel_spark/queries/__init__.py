@@ -7,7 +7,7 @@ correctness gate runs both sides at sf=0.01.
 from __future__ import annotations
 
 # importing the modules registers their queries
-from eel_spark.queries import ops, ops2, ops3, ops4, pipeline, tpch, tpch2  # noqa: F401
+from eel_spark.queries import ops, ops2, ops3, ops4, ops5, pipeline, tpch, tpch2  # noqa: F401
 from eel_spark.queries.registry import (
     ORACLE,
     QUERIES,

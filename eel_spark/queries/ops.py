@@ -275,7 +275,9 @@ SELECT event_id, user_id, value FROM (
 """
 
 
-@query("ops_ordered_slices", _OPS_SLICES_SQL)
+# rotated to the ungated tier in round 8 (slot moved to the funnel/
+# retention/CDC families); oracle stays green in tests/test_ungated.py
+@query("ops_ordered_slices", _OPS_SLICES_SQL, gated=False)
 def ops_ordered_slices(spark: SparkSession, sf_dir: str) -> DataStream:
     """take_while then drop(n) composed over one explicit total order
     (SURVEY.md §3 — Spark has no implicit row order): windowed

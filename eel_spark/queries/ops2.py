@@ -203,7 +203,9 @@ GROUP BY event_type
 """
 
 
-@query("ops_minmax_by", _MINMAX_SQL)
+# rotated to the ungated tier in round 8 (slot moved to the funnel/
+# retention/CDC families); oracle stays green in tests/test_ungated.py
+@query("ops_minmax_by", _MINMAX_SQL, gated=False)
 def ops_minmax_by(spark: SparkSession, sf_dir: str) -> DataStream:
     """min_by/max_by single-pass argmin/argmax (the distributed answer to
     the reference's driver-side minBy/maxBy) with a unique composite key
@@ -303,7 +305,8 @@ CROSS JOIN region r
 """
 
 
-@query("ops_zip_cartesian", _ZIP_CARTESIAN_SQL)
+# rotated to the ungated tier in round 8 (see above)
+@query("ops_zip_cartesian", _ZIP_CARTESIAN_SQL, gated=False)
 def ops_zip_cartesian(spark: SparkSession, sf_dir: str) -> DataStream:
     """concat (DataStream.scala:380) — positional zip of two streams over
     explicit per-side orders (SURVEY.md §3: no implicit row order in a

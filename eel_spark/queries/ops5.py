@@ -1,0 +1,165 @@
+"""Round-8 gated queries: CORRECTNESS coverage for the round-8 operator
+families — funnel conversion and cohort retention (operators/funnel.py)
+and snapshot CDC diff (operators/cdc.py). Oracle conventions per
+SURVEY.md §6: integer-cents money, no raw TIMESTAMP output (DATE and
+counts only), identical aliases both sides, round(x, 4) for ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eel_spark.queries.registry import query
+from eel_spark.queries.tables import cents, sql_cents, table
+
+# -- funnel conversion (operators/funnel.funnel_report) ---------------------
+
+_FUNNEL_WITHIN_DAYS = 7
+
+_FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+    AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+    AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
+  GROUP BY 1
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM t1) AS c1,
+         (SELECT COUNT(*) FROM t2) AS c2,
+         (SELECT COUNT(*) FROM t3) AS c3
+)
+SELECT step, step_name, users,
+       CASE WHEN first_users = 0 THEN 0.0
+            ELSE ROUND(users / CAST(first_users AS DOUBLE), 4) END AS conversion
+FROM (
+  SELECT 1 AS step, 'view' AS step_name, c1 AS users, c1 AS first_users FROM counts
+  UNION ALL
+  SELECT 2, 'click', c2, c1 FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', c3, c1 FROM counts
+)
+"""
+
+
+@query("funnel_view_purchase", _FUNNEL_SQL)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel over the event log: view → click → purchase,
+    each step strictly after the previous step's anchor and the whole
+    chain within 7 days of the first view
+    (operators/funnel.funnel_report). The Spark side computes every
+    step as a cumulative conditional window min on ONE user-key
+    exchange (plan-asserted: the event log shuffles once, however many
+    steps); the oracle rebuilds each anchor with explicit
+    min-after-previous joins. Outputs step counts + conversion from
+    step 1."""
+    from eel_spark.operators.funnel import funnel_report
+
+    ev = table(spark, sf_dir, "events").df
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    return funnel_report(
+        ev, "user_id", "ts", steps, within=f"{_FUNNEL_WITHIN_DAYS} days"
+    )
+
+
+# -- cohort retention (operators/funnel.retention_cohorts) ------------------
+
+_RETENTION_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS per, event_type
+  FROM events
+), c AS (
+  SELECT user_id, MIN(per) AS cohort FROM p
+  WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT c.cohort,
+       CAST(p.per - c.cohort AS BIGINT) AS period_offset,
+       COUNT(DISTINCT p.user_id) AS users
+FROM p JOIN c ON p.user_id = c.user_id AND p.per >= c.cohort
+GROUP BY 1, 2
+"""
+
+
+@query("retention_signup_cohorts", _RETENTION_SQL)
+def retention_signup_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention triangle over the event log
+    (operators/funnel.retention_cohorts): users bucketed by FIRST
+    SIGNUP day (cohort_filter anchoring — the product convention),
+    distinct-counted in every later day they were active on any event.
+    One user-key exchange assigns cohorts (whole-partition window min,
+    no sort), then the (cohort, offset, user) distinct aggregates with
+    map-side partials. Output periods are DATEs (§6: no raw
+    timestamps)."""
+    from eel_spark.operators.funnel import retention_cohorts
+
+    ev = table(spark, sf_dir, "events").df
+    return retention_cohorts(
+        ev, "user_id", "ts", "day",
+        cohort_filter=F.col("event_type") == "signup",
+    )
+
+
+# -- snapshot CDC diff (operators/cdc.snapshot_diff) ------------------------
+
+_CDC_SQL = f"""
+WITH old_s AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         {sql_cents('o_totalprice')} AS v
+  FROM orders WHERE o_orderkey % 5 <> 0
+), new_s AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         {sql_cents('o_totalprice')}
+           + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS v
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'insert'
+            WHEN n.k IS NULL THEN 'delete'
+            WHEN o.pr IS DISTINCT FROM n.pr
+              OR o.v IS DISTINCT FROM n.v THEN 'update'
+            ELSE 'unchanged' END AS change_type
+FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL
+   OR o.pr IS DISTINCT FROM n.pr OR o.v IS DISTINCT FROM n.v
+"""
+
+
+@query("cdc_order_snapshots", _CDC_SQL)
+def cdc_order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC diff (operators/cdc.snapshot_diff): two
+    deterministic order-table snapshots — the "old" one missing every
+    5th key, the "new" one missing every 7th and with every 11th key's
+    price bumped — are diffed into insert/delete/update rows. The
+    Spark side joins (key, xxhash64 digest) projections, never full
+    rows; the oracle classifies via a FULL OUTER JOIN with NULL-safe
+    value compares. Money compares in integer cents (§6)."""
+    from eel_spark.operators.cdc import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders").df
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents("o_totalprice").alias("v"),
+    )
+    old_s = base.where(F.col("o_orderkey") % 5 != 0)
+    new_s = base.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "v",
+        F.col("v")
+        + F.when(F.col("o_orderkey") % 11 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+    return snapshot_diff(old_s, new_s, "o_orderkey")

@@ -943,6 +943,53 @@ def compact_dedup_history(spark: SparkSession, survivor_path: str) -> None:
         ops.rename(tmp, path)
 
 
+def streaming_scd2_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys,
+    attr_cols,
+    ts_col: str,
+    order_cols=(),
+    n_buckets: int = 64,
+):
+    """Maintain an SCD2 dimension table FROM a change-log stream: each
+    micro-batch of observations folds into the table at ``path`` via
+    ``operators/scd2.scd2_merge`` (collapse → splice onto current rows →
+    bucket-pruned write).
+
+    Exactly-once WITHOUT a ledger: the merge fingerprints the batch's
+    collapsed version rows — a checkpoint replay re-derives the same
+    fingerprint, so an already-applied batch no-ops on its marker and a
+    crashed attempt repairs through the merge's recovery path (see the
+    scd2 module's crash contract). Per-batch cost stays O(current rows
+    in touched buckets); closed history is never read outside crash
+    recovery.
+
+    Ordering contract: scd2_merge only extends history FORWARD — an
+    observation at or before a key's current ``valid_from`` fails the
+    batch loudly. Feed this sink from an event-time-ordered source (or
+    sort within the micro-batch via ``order_cols``); for late
+    retroactive corrections rebuild offline with ``scd2_from_changes``.
+    """
+    from eel_spark.operators.scd2 import scd2_merge
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_merge(
+            batch_df.sparkSession, path, batch_df, keys, attr_cols,
+            ts_col, order_cols, n_buckets=n_buckets,
+        )
+
+    return (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_rollup_sink(
     df: DataFrame,
     path: str,

