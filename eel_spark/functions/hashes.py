@@ -78,6 +78,24 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def row_digest(cols: list[str]) -> Column:
+    """NULL-anchored 64-bit row digest over ``cols``.
+
+    Plain ``xxhash64(c1, c2, …)`` SKIPS NULL inputs (a NULL child leaves
+    the hash accumulator untouched), so ``('x', NULL)`` and
+    ``(NULL, 'x')`` collide DETERMINISTICALLY — a value shifting between
+    nullable columns would be invisible to any digest built that way.
+    Interleaving each column with its ``isNull`` flag anchors every
+    position: the flag is never NULL, so the hashed input sequence
+    differs whenever any (nullness, value) pair differs. Remaining
+    collision risk is the generic 2^-64, not a structural class."""
+    parts: list[Column] = []
+    for c in cols:
+        parts.append(F.col(c).isNull().cast("tinyint"))
+        parts.append(F.col(c))
+    return F.xxhash64(*parts)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two shingle arrays (arrays pre-distinct)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -10,7 +10,12 @@ Scale shape: ONE co-partitioned full outer join on the key projection —
 both sides shuffle once on the same key, compare columns are hashed
 into a single 64-bit digest BEFORE the join so the join carries
 (keys, hash) + requested payload columns, not the full row width.
-AQE handles skewed keys; no window functions, no driver collects.
+Duplicate-key validation is IN-PLAN (a count over the same per-side
+aggregation that builds the digest, raising via ``raise_error`` at
+execution time), so the key-uniqueness contract costs zero extra jobs
+and zero extra shuffles — the validating aggregate's hash partitioning
+is exactly the partitioning the join needs. AQE handles skewed keys;
+no window functions, no driver collects.
 """
 
 from __future__ import annotations
@@ -18,8 +23,46 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from eel_spark.functions.hashes import row_digest
+
+
+def _resolve_cols(
+    old: DataFrame,
+    new: DataFrame,
+    ks: list[str],
+    compare_cols: Sequence[str] | None,
+) -> list[str]:
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in ks]
+    cmp_cols = list(compare_cols)
+    if not cmp_cols:
+        raise ValueError(
+            "no columns to compare (compare_cols empty — the snapshots "
+            "share only key columns)"
+        )
+    return cmp_cols
+
+
+def _dup_key_guard(ks: list[str], side: str, value: Column) -> Column:
+    """In-plan uniqueness check: grouped on ``ks`` with ``__n`` counted,
+    raise at execution time when a key repeats, else pass ``value``
+    through. Embedded in the value expression so Catalyst cannot prune
+    it away."""
+    msg = F.concat(
+        F.lit(f"{side} snapshot has duplicate key ("),
+        F.concat_ws(
+            ", ", *[F.col(k).cast("string") for k in ks]
+        ),
+        F.lit(
+            "); snapshot diff requires unique keys per snapshot — "
+            "dedup first"
+        ),
+    )
+    return F.when(F.col("__n") > 1, F.raise_error(msg)).otherwise(value)
 
 
 def snapshot_diff(
@@ -35,39 +78,24 @@ def snapshot_diff(
     ``{'insert', 'delete', 'update'}`` (plus ``'unchanged'`` when
     ``include_unchanged``). ``compare_cols`` defaults to every shared
     non-key column; values compare NULL-safely (NULL == NULL is
-    unchanged). Keys must be unique per snapshot — duplicate keys make
-    "the" old/new row ill-defined, so they are rejected via a count
-    aggregate, not assumed away.
+    unchanged, and a value MOVING between nullable columns is an update
+    — the digest anchors NULLs, see
+    :func:`eel_spark.functions.hashes.row_digest`). Keys must be unique
+    per snapshot — duplicate keys make "the" old/new row ill-defined,
+    so they raise at execution time (``SparkRuntimeException`` from the
+    in-plan guard, not an eager driver job).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
-    if compare_cols is None:
-        shared = [c for c in old.columns if c in set(new.columns)]
-        compare_cols = [c for c in shared if c not in ks]
-    cmp_cols = list(compare_cols)
-    if not cmp_cols:
-        raise ValueError("no columns to compare (compare_cols empty)")
+    cmp_cols = _resolve_cols(old, new, ks, compare_cols)
 
     def digest(df: DataFrame, side: str) -> DataFrame:
-        # one 64-bit digest of the compared values; NULLs are hashed
-        # distinctly from any real value by xxhash64's type-aware nulls
-        return df.select(
-            *ks, F.xxhash64(*[F.col(c) for c in cmp_cols]).alias(f"__h_{side}")
+        h = f"__h_{side}"
+        return (
+            df.select(*ks, row_digest(cmp_cols).alias(h))
+            .groupBy(*ks)
+            .agg(F.count(F.lit(1)).alias("__n"), F.max(h).alias(h))
+            .select(*ks, _dup_key_guard(ks, side, F.col(h)).alias(h))
         )
-
-    for df, side in ((old, "old"), (new, "new")):
-        dup = (
-            df.groupBy(*ks)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"{side} snapshot has duplicate key "
-                f"{ {k: dup[0][k] for k in ks} }; snapshot_diff requires "
-                "unique keys per snapshot — dedup first"
-            )
 
     o = digest(old, "old")
     n = digest(new, "new")
@@ -93,23 +121,31 @@ def snapshot_diff_rows(
     """Row-level diff: like :func:`snapshot_diff` but carrying each
     compared column twice (``<col>_old`` / ``<col>_new``) so downstream
     consumers can build a change feed without re-joining the snapshots.
-    Inserts have NULL ``*_old`` values, deletes NULL ``*_new``."""
+    Inserts have NULL ``*_old`` values, deletes NULL ``*_new``. Same
+    contracts as :func:`snapshot_diff`: at least one compare column
+    (``ValueError`` otherwise) and unique keys per snapshot (in-plan
+    ``raise_error`` at execution time)."""
     ks = [keys] if isinstance(keys, str) else list(keys)
-    if compare_cols is None:
-        shared = [c for c in old.columns if c in set(new.columns)]
-        compare_cols = [c for c in shared if c not in ks]
-    cmp_cols = list(compare_cols)
+    cmp_cols = _resolve_cols(old, new, ks, compare_cols)
 
-    o = old.select(
-        *ks,
-        F.lit(True).alias("__in_old"),
-        *[F.col(c).alias(f"{c}_old") for c in cmp_cols],
-    )
-    n = new.select(
-        *ks,
-        F.lit(True).alias("__in_new"),
-        *[F.col(c).alias(f"{c}_new") for c in cmp_cols],
-    )
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        marker = f"__in_{tag}"
+        # first() works for any column type (max would reject maps); with
+        # unique keys there is exactly one row, so it is deterministic —
+        # and a second row raises the guard before the value can matter
+        aliased = [F.first(F.col(c)).alias(f"{c}_{tag}") for c in cmp_cols]
+        return (
+            df.groupBy(*ks)
+            .agg(F.count(F.lit(1)).alias("__n"), *aliased)
+            .select(
+                *ks,
+                _dup_key_guard(ks, tag, F.lit(True)).alias(marker),
+                *[f"{c}_{tag}" for c in cmp_cols],
+            )
+        )
+
+    o = side(old, "old")
+    n = side(new, "new")
     joined = o.join(n, on=ks, how="full_outer")
     same = functools.reduce(
         lambda a, b: a & b,

@@ -29,17 +29,26 @@ storage.
 Crash contract: the merge appends newly-closed rows BEFORE dynamically
 overwriting the current partitions, so history is never lost, and the
 whole merge is IDEMPOTENT under re-run of the same batch. Each batch is
-fingerprinted (content hash of its collapsed version rows); an
-``_scd_inflight/<fp>`` marker is written before the first data write
-and promoted to ``_scd_applied/<fp>`` after the last. A re-run that
-finds the applied marker is a redelivery and no-ops; one that finds the
-inflight marker is crash recovery — it first drops the batch version
-rows already present in the touched buckets' history and anti-joins the
-rows it would re-append, so nothing is duplicated whichever write the
-crash interrupted. Only this recovery path ever reads closed
-partitions; the normal path stays O(current rows in touched buckets).
-Single writer per table assumed — use a transactional table format when
-concurrent writers or readers matter.
+fingerprinted (content hash — NULL-anchored, see
+:func:`eel_spark.functions.hashes.row_digest` — of its collapsed
+version rows); an ``_scd_inflight/<fp>`` marker is written AFTER all
+validation, immediately before the first data write, and promoted to
+``_scd_applied/<fp>`` after the last — so a batch rejected by the
+out-of-order check leaves no marker and its retry runs fresh rather
+than through recovery. A re-run that finds the applied marker is a
+redelivery and no-ops; one that finds the inflight marker is crash
+recovery — it first drops the batch version rows already present in
+the touched buckets' history and anti-joins the rows it would
+re-append on full version-row identity (keys + attrs + valid_from +
+valid_to), so nothing is duplicated or lost whichever write the crash
+interrupted. Only this recovery path ever reads closed partitions; the
+normal path stays O(current rows in touched buckets). The first-ever
+write uses a separate ``<fp>__init`` marker: replaying a torn init
+redoes the (idempotent) init overwrite instead of misreading the
+half-written table as an initialized one. Single writer per table and
+in-order batch retry (a failed batch is retried before the next is
+attempted, as a streaming checkpoint guarantees) assumed — use a
+transactional table format when concurrent writers or readers matter.
 """
 
 from __future__ import annotations
@@ -49,6 +58,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from eel_spark.functions.hashes import row_digest
 
 CURRENT_COL = "scd_current"  # partition: 1 = open version, 0 = closed
 BUCKET_COL = "scd_bucket"  # partition: hash(key) % n_buckets
@@ -193,8 +204,14 @@ def scd2_merge(
     out_cols = [*ks, *attrs, "valid_from", "valid_to", "is_current"]
 
     _validate_batch(batch, ks, ts_col)
+    # valid_to breaks valid_from ties deterministically: when two batch
+    # changes share a timestamp (tiebroken upstream by order_cols), the
+    # earlier version is the zero-duration one (valid_to == valid_from),
+    # so (valid_from, valid_to NULLS LAST) reproduces the chain order
     rn = F.row_number().over(
-        Window.partitionBy(*ks).orderBy(F.col("valid_from"))
+        Window.partitionBy(*ks).orderBy(
+            F.col("valid_from"), F.col("valid_to").asc_nulls_last()
+        )
     )
     chains = (
         scd2_from_changes(batch, ks, attrs, ts_col, order_cols, validate=False)
@@ -205,37 +222,43 @@ def scd2_merge(
         fp = _batch_fingerprint(chains, out_cols)
         applied = f"{path}/{APPLIED_DIR}/{fp}"
         inflight = f"{path}/{INFLIGHT_DIR}/{fp}"
+        # init gets its own marker: a torn init (dynamic overwrite crash
+        # landing scd_current=1 partitions but not scd_current=0) leaves
+        # a table that LOOKS initialized; replaying it through the merge
+        # path would fail the out-of-order check forever, while redoing
+        # the init overwrite is idempotent (same batch → same partitions)
+        inflight_init = f"{inflight}__init"
         if ops.exists(applied):
             return {
                 "new_keys": 0, "changed": 0, "unchanged": 0, "closed": 0,
                 "buckets_rewritten": 0, "replayed": True,
             }
         replay = ops.exists(inflight)
+        replay_init = ops.exists(inflight_init)
 
         # markers live under the table root, so "table initialized" is
         # the existence of the current-rows partition dir, not of path
-        if not ops.exists(f"{path}/{CURRENT_COL}=1"):
+        if replay_init or not ops.exists(f"{path}/{CURRENT_COL}=1"):
             n = chains.count()  # materializes the pin
             new_keys = chains.select(*ks).distinct().count()
-            ops.mkdirs(inflight)
+            ops.mkdirs(inflight_init)
             # dynamic overwrite (not a root truncate): replaces only the
             # partitions in the data, never the marker dirs — so a crash
-            # before the applied marker replays through the repair path
+            # before the applied marker replays through this same branch
             _write_generation(
                 chains.select(*out_cols), ks, path, n_buckets, dynamic=True
             )
             ops.mkdirs(applied)
-            ops.delete(inflight, recursive=True)
+            ops.delete(inflight_init, recursive=True)
             return {
                 "new_keys": new_keys,
                 "changed": 0,
                 "unchanged": 0,
                 "closed": n - new_keys,
                 "buckets_rewritten": -1,
-                "replayed": replay,
+                "replayed": replay_init,
             }
 
-        ops.mkdirs(inflight)
         touched = [
             int(r["__b"])
             for r in chains.select(
@@ -266,6 +289,7 @@ def scd2_merge(
             stats = _merge_pinned(
                 spark, path, chains, cur, ks, attrs, out_cols, touched,
                 n_buckets, hist=hist,
+                mark_inflight=lambda: ops.mkdirs(inflight),
             )
             ops.mkdirs(applied)
             ops.delete(inflight, recursive=True)
@@ -279,10 +303,16 @@ def scd2_merge(
 
 def _batch_fingerprint(chains: DataFrame, cols: list[str]) -> str:
     """Deterministic content hash of a collapsed batch: row count plus
-    an order-independent XOR of per-row xxhash64 (version rows are
-    unique per (key, valid_from), so XOR cannot self-cancel)."""
+    an order-independent XOR of per-row NULL-anchored digests
+    (:func:`eel_spark.functions.hashes.row_digest` — plain xxhash64
+    skips NULL children, so two different batches whose rows differ only
+    by a value shifting between nullable attr columns would fingerprint
+    identically and the second would silently no-op as a "redelivery").
+    Upgrade note: anchoring changed the fingerprint values, so applied
+    markers written by the pre-anchored scheme do not match — drain
+    at-least-once redeliveries before upgrading a live store."""
     row = (
-        chains.select(F.xxhash64(*[F.col(c) for c in cols]).alias("__h"))
+        chains.select(row_digest(cols).alias("__h"))
         .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)").alias("x"))
         .collect()[0]
     )
@@ -301,6 +331,7 @@ def _merge_pinned(
     touched: list,
     n_buckets: int,
     hist: DataFrame | None = None,
+    mark_inflight=None,
 ) -> dict:
     # ---- crash recovery: drop version rows the crashed attempt already
     # materialized, so the remainder merges cleanly against whatever
@@ -405,16 +436,41 @@ def _merge_pinned(
         to_append = closed_cur.unionByName(new_closed)
         if hist is not None:
             # crash recovery: never re-append a closed row the crashed
-            # attempt already landed — (key, valid_from) identifies it
-            # (match ONLY closed rows: an open row shares its
-            # valid_from with the closing row we're about to write)
+            # attempt already landed. Identity is the FULL version row
+            # (keys, valid_from, valid_to, attrs) — (key, valid_from)
+            # alone is not unique when a batch holds two same-timestamp
+            # changes (the earlier one is zero-duration, valid_to ==
+            # valid_from) and matching on it could drop a version that
+            # was never written. Match ONLY closed rows: an open row
+            # shares its valid_from with the closing row we're about to
+            # write. Degenerate corner: two FULLY identical version rows
+            # (≥3 changes in one timestamp tick with recurring attrs)
+            # collapse to one copy on replay — harmless, they are
+            # indistinguishable and zero-duration rows never satisfy an
+            # as-of predicate.
             already = hist.where(F.col(CURRENT_COL) == 0).select(
-                *ks, "valid_from"
+                *ks, *attrs, "valid_from", "valid_to"
             )
-            to_append = to_append.join(
-                already, on=[*ks, "valid_from"], how="left_anti"
+            t, a = to_append.alias("t"), already.alias("a")
+            ident = functools.reduce(
+                lambda x, y: x & y,
+                [F.col(f"t.{k}") == F.col(f"a.{k}") for k in ks]
+                + [
+                    F.col(f"t.{c}").eqNullSafe(F.col(f"a.{c}"))
+                    for c in attrs
+                ]
+                + [
+                    F.col("t.valid_from") == F.col("a.valid_from"),
+                    F.col("t.valid_to") == F.col("a.valid_to"),
+                ],
             )
+            to_append = t.join(a, ident, "left_anti")
         n_closed_total = to_append.count()
+        # first write of the merge: everything above is read-only, so a
+        # batch rejected by the out-of-order check leaves no marker and
+        # its retry runs fresh instead of taking the recovery path
+        if mark_inflight is not None:
+            mark_inflight()
         _write_generation(to_append, ks, path, n_buckets, append=True)
         _write_generation(
             survivors.select(*out_cols).unionByName(new_current),

@@ -40,6 +40,15 @@ EVENT_SCHEMA = T.StructType(
 #: fingerprints hash into
 _N_KP = 16
 
+# AnalysisException fragments that mean "this table simply has no data
+# yet" — a missing path or a table with zero parquet footers. Anything
+# else (schema drift, corruption, permissions) must propagate.
+_NO_HISTORY_TAGS = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "UNABLE_TO_INFER_SCHEMA",
+)
+
 
 def file_stream(
     spark: SparkSession,
@@ -435,7 +444,14 @@ def _backfill_bands_from_survivors(
 
     try:
         old = spark.read.parquet(survivor_path)
-    except AnalysisException:
+    except AnalysisException as e:
+        # same whitelist as the caller's bands-table read: ONLY a
+        # missing/empty survivor table means "genuinely fresh store" —
+        # a corrupt or schema-drifted one must fail loudly, or the
+        # caller would skip the history anti-join and permanently
+        # re-admit near-duplicates of every past survivor
+        if not any(tag in str(e) for tag in _NO_HISTORY_TAGS):
+            raise
         return None  # no survivors: a genuinely fresh store
     if not old.take(1):
         return None
@@ -555,14 +571,7 @@ def _incremental_dedup_sink(
                 # store, permissions — must fail the batch loudly:
                 # swallowing it would skip the history anti-join and
                 # permanently admit near-duplicates of past survivors.
-                if not any(
-                    tag in str(e)
-                    for tag in (
-                        "PATH_NOT_FOUND",
-                        "Path does not exist",
-                        "UNABLE_TO_INFER_SCHEMA",
-                    )
-                ):
+                if not any(tag in str(e) for tag in _NO_HISTORY_TAGS):
                     raise
                 # "no bands table" is only "no history" when there are
                 # no survivors either — a populated survivor table with

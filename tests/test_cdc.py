@@ -60,10 +60,41 @@ def test_snapshot_diff_subset_columns(spark, snaps):
 
 
 def test_snapshot_diff_rejects_duplicate_keys(spark):
+    """The uniqueness guard is IN-PLAN (raise_error inside the digest
+    aggregate), so it fires at execution time with zero extra jobs —
+    not as an eager driver-side count."""
     old = spark.createDataFrame([(1, "A", 1), (1, "A", 2)], SCHEMA)
     new = spark.createDataFrame([(1, "A", 1)], SCHEMA)
-    with pytest.raises(ValueError, match="duplicate key"):
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(old, new, "k").collect()
+
+
+def test_snapshot_diff_rows_rejects_duplicate_keys(spark):
+    old = spark.createDataFrame([(1, "A", 1)], SCHEMA)
+    new = spark.createDataFrame([(1, "A", 1), (1, "B", 2)], SCHEMA)
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff_rows(old, new, "k").collect()
+
+
+def test_snapshot_diff_null_shift_is_update(spark):
+    """A value MOVING between nullable columns must classify as update:
+    plain xxhash64 skips NULL children, so ('x', NULL) and (NULL, 'x')
+    digest identically unless NULLs are anchored (row_digest)."""
+    old = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
+    new = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+    got = snapshot_diff(old, new, "k").collect()
+    assert [(r["k"], r["change_type"]) for r in got] == [(1, "update")]
+
+
+def test_snapshot_diff_no_shared_columns_raises(spark):
+    """Key-only snapshots have nothing to compare — both variants must
+    reject that clearly instead of reducing over an empty iterable."""
+    old = spark.createDataFrame([(1,)], "k long")
+    new = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="no columns to compare"):
         snapshot_diff(old, new, "k")
+    with pytest.raises(ValueError, match="no columns to compare"):
+        snapshot_diff_rows(old, new, "k")
 
 
 def test_snapshot_diff_rows_payload(spark, snaps):

@@ -381,3 +381,119 @@ def test_current_read_prunes_closed_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "scd_current" in plan, plan
     # the scan's partition filter pins the open partition
     assert "scd_current#" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_rejected_batch_leaves_no_marker(spark, tmp_path):
+    """The inflight marker is written only after validation passes: an
+    out-of-order batch that raises must leave NO marker, so its retry
+    (or the next batch) runs the normal path, not crash recovery."""
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_merge(
+            spark, path,
+            _log(spark, [(1, "Q", 1, date(2024, 1, 15), 50)]),
+            "k", ["seg", "score"], "d", ["seq"], n_buckets=4,
+        )
+    assert glob.glob(f"{path}/_scd_inflight/*") == []
+    stats = scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is False
+
+
+def test_fingerprint_distinguishes_null_shift(spark):
+    """Two batches whose rows differ only by a value moving between
+    nullable attr columns must fingerprint differently — plain xxhash64
+    skips NULL children, so an unanchored digest would classify the
+    second batch as a redelivery and silently drop the change."""
+    from eel_spark.operators.scd2 import _batch_fingerprint
+
+    cols = ["k", "a", "b", "valid_from", "valid_to", "is_current"]
+    sch = ("k long, a string, b string, valid_from date, "
+           "valid_to date, is_current boolean")
+    c1 = spark.createDataFrame(
+        [(1, "x", None, date(2024, 1, 1), None, True)], sch)
+    c2 = spark.createDataFrame(
+        [(1, None, "x", date(2024, 1, 1), None, True)], sch)
+    assert _batch_fingerprint(c1, cols) != _batch_fingerprint(c2, cols)
+
+
+def test_merge_repairs_crash_with_same_ts_changes(spark, tmp_path,
+                                                  monkeypatch):
+    """Crash recovery with two same-timestamp changes on one key (the
+    earlier version is zero-duration): the re-append anti-join keys on
+    full version-row identity, so the second version must survive the
+    replay instead of being dropped as 'already written'."""
+    import eel_spark.operators.scd2 as scd2mod
+
+    tie_batch = [
+        (1, "P", 1, date(2024, 6, 1), 50),
+        (1, "Q", 2, date(2024, 6, 1), 51),
+    ]
+    # clean end state on a scratch table
+    ref = str(tmp_path / "ref")
+    for b in (BASE_LOG, tie_batch):
+        scd2_merge(spark, ref, _log(spark, b), "k", ["seg", "score"], "d",
+                   ["seq"], n_buckets=4)
+    expected = _table_versions(spark, ref)
+
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    real_write = scd2mod._write_generation
+    calls = {"n": 0}
+
+    def crashing(df, ks, p, nb, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # land the append, die before the overwrite
+            real_write(df, ks, p, nb, **kw)
+            raise RuntimeError("simulated crash")
+        return real_write(df, ks, p, nb, **kw)
+
+    monkeypatch.setattr(scd2mod, "_write_generation", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, tie_batch), "k",
+                   ["seg", "score"], "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(scd2mod, "_write_generation", real_write)
+
+    stats = scd2_merge(spark, path, _log(spark, tie_batch), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is True
+    assert _table_versions(spark, path) == expected
+
+
+def test_torn_init_replays_cleanly(spark, tmp_path, monkeypatch):
+    """A torn init (scd_current=1 partitions committed, scd_current=0
+    lost) must not strand the table: the __init marker routes the replay
+    back through the idempotent init overwrite instead of the merge
+    path's out-of-order rejection."""
+    import shutil
+
+    import eel_spark.operators.scd2 as scd2mod
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    ops = HdfsOps(spark)
+    real_mkdirs = ops.__class__.mkdirs
+
+    def crashing_mkdirs(self, p):
+        if scd2mod.APPLIED_DIR in p:
+            raise RuntimeError("simulated crash")
+        return real_mkdirs(self, p)
+
+    monkeypatch.setattr(ops.__class__, "mkdirs", crashing_mkdirs)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+                   "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(ops.__class__, "mkdirs", real_mkdirs)
+    # simulate the torn overwrite: open partitions landed, closed lost
+    shutil.rmtree(f"{path}/scd_current=0")
+    assert glob.glob(f"{path}/_scd_inflight/*__init")
+
+    stats = scd2_merge(spark, path, _log(spark, BASE_LOG), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is True
+    rebuilt = scd2_from_changes(_log(spark, BASE_LOG), "k", ["seg", "score"],
+                                "d", ["seq"])
+    assert _table_versions(spark, path) == _versions(rebuilt)

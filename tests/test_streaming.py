@@ -1177,3 +1177,35 @@ def test_streaming_scd2_sink_matches_rebuild_and_replays(spark, tmp_path):
         os.remove(crc)
     run()
     assert table_state() == expected
+
+
+def test_backfill_guard_propagates_non_missing_errors(spark, tmp_path,
+                                                      monkeypatch):
+    """_backfill_bands_from_survivors may treat ONLY a missing/empty
+    survivor table as 'fresh store': any other AnalysisException (schema
+    drift, corruption, permissions) must propagate, or the caller would
+    skip the history anti-join and permanently re-admit near-duplicates
+    of every past survivor."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from eel_spark.streaming.streams import _backfill_bands_from_survivors
+
+    surv = str(tmp_path / "bf_surv")
+
+    def raising(self, p, **kw):
+        raise AnalysisException("[WEIRD_FAILURE] something else broke")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", raising)
+    import pytest as _pytest
+    with _pytest.raises(AnalysisException, match="WEIRD_FAILURE"):
+        _backfill_bands_from_survivors(spark, surv, surv + "__bands",
+                                       band_fn=None, id_col="doc_id")
+
+    def missing(self, p, **kw):
+        raise AnalysisException("[PATH_NOT_FOUND] no such path")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", missing)
+    assert _backfill_bands_from_survivors(
+        spark, surv, surv + "__bands", band_fn=None, id_col="doc_id"
+    ) is None
