@@ -522,6 +522,86 @@ def read_scd2_current(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def scd2_enrich(
+    facts: DataFrame,
+    spark: SparkSession,
+    path: str,
+    keys: str | Sequence[str],
+    ts_col: str,
+    attrs: Sequence[str] | None = None,
+    how: str = "left",
+    include_validity: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Point-in-time enrichment: attach to every fact row the dimension
+    version that was valid at THAT ROW's ``ts_col`` — the feature-store
+    "point-in-time join" that keeps training data leakage-free (a fact
+    must never see attribute values from its future). Contrast
+    :func:`read_scd2_asof`, which reconstructs the whole dimension at
+    ONE fixed timestamp.
+
+    Semantics: the matching version satisfies ``valid_from <= ts <
+    valid_to`` (open version: ``valid_to IS NULL``); per key the
+    intervals are disjoint, so at most one version matches and the
+    output has exactly one row per fact row (``how='left'``, unknown
+    keys and pre-history facts get NULL attrs) or only the matched
+    facts (``how='inner'``).
+
+    Scale shape: ONE equi-join on the dimension key with the interval
+    predicate as a residual join condition — the equality component
+    keeps it a hash/sort-merge join (never the BroadcastNestedLoopJoin
+    a bare range predicate would plan), per-key version counts are
+    small so the residual scan is bounded, and AQE broadcasts the
+    version table when it is small. With ``n_buckets`` (the table's
+    bucket modulus) the dimension read prunes to the ``scd_bucket``
+    partitions the FACT keys hash into — worth it when facts touch a
+    selective key slice; the bucket set costs one slim
+    distinct-projection shuffle of the facts, bounded by n_buckets.
+
+    ``attrs`` defaults to every dimension column except keys/validity;
+    collisions with fact column names are rejected (rename first).
+    """
+    ks = _keylist(keys)
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    dim = spark.read.parquet(path)
+    if n_buckets is not None:
+        fact_buckets = [
+            int(r["__b"])
+            for r in facts.select(
+                _bucket(ks, n_buckets).alias("__b")
+            ).distinct().collect()
+        ]
+        dim = dim.where(F.col(BUCKET_COL).isin(fact_buckets))
+    dim = dim.drop(CURRENT_COL, BUCKET_COL)
+    meta = {"valid_from", "valid_to", "is_current", *ks}
+    if attrs is None:
+        attrs = [c for c in dim.columns if c not in meta]
+    attrs = list(attrs)
+    carried = attrs + (["valid_from", "valid_to"] if include_validity else [])
+    clash = [c for c in carried if c in facts.columns]
+    if clash:
+        raise ValueError(
+            f"dimension column(s) {clash} collide with fact columns — "
+            "rename on one side before enriching"
+        )
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"f.{k}") == F.col(f"d.{k}") for k in ks]
+        + [
+            F.col(f"f.{ts_col}") >= F.col("d.valid_from"),
+            F.col("d.valid_to").isNull()
+            | (F.col(f"f.{ts_col}") < F.col("d.valid_to")),
+        ],
+    )
+    joined = f.join(d, cond, how)
+    return joined.select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}") for c in carried],
+    )
+
+
 def read_scd2_asof(spark: SparkSession, path: str, ts) -> DataFrame:
     """Dimension state as of ``ts``: the version row (per key) whose
     ``[valid_from, valid_to)`` interval contains it. Scans both open and

@@ -163,3 +163,84 @@ def cdc_order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("o_orderkey") % 11 == 0, F.lit(100)).otherwise(F.lit(0)),
     )
     return snapshot_diff(old_s, new_s, "o_orderkey")
+
+
+# -- SCD2 point-in-time enrichment (operators/scd2.scd2_enrich) -------------
+
+_ENRICH_LOOKBACK_DAYS = 45
+
+_ENRICH_SQL = f"""
+WITH obs AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(o_orderdate AS DATE) AS d, o_orderkey,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         ) AS prev
+  FROM orders
+), changes AS (
+  SELECT o_custkey, o_orderpriority, d, o_orderkey
+  FROM obs WHERE prev IS NULL OR prev <> o_orderpriority
+), versions AS (
+  SELECT o_custkey, o_orderpriority,
+         d AS valid_from,
+         LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS valid_to
+  FROM changes
+), facts AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - INTERVAL {_ENRICH_LOOKBACK_DAYS} DAY AS DATE) AS lookback_date
+  FROM orders
+)
+SELECT f.o_orderkey, f.o_custkey, f.lookback_date,
+       v.o_orderpriority AS prio_45d_ago
+FROM facts f
+LEFT JOIN versions v
+  ON v.o_custkey = f.o_custkey
+ AND v.valid_from <= f.lookback_date
+ AND (v.valid_to IS NULL OR v.valid_to > f.lookback_date)
+"""
+
+
+@query("scd2_enrich_orders", _ENRICH_SQL)
+def scd2_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (``scd2_enrich``): every order is
+    enriched with the priority version its customer held 45 days BEFORE
+    the order date — the leakage-free feature-store lookup (a fact may
+    only see dimension state from its own past). The dimension is the
+    customers' order-priority SCD2 table built by ``scd2_merge`` (same
+    change log as ``scd2_order_priority``); orders within 45 days of
+    their customer's first observation have no history yet and must
+    surface NULL — the oracle reproduces collapse + interval-join in
+    DuckDB, so version splicing, the bucketed table write, AND the
+    per-row as-of join are all hash-compared. Exactly one output row
+    per order (disjoint validity intervals; row-count match asserts no
+    fan-out)."""
+    import os
+    import shutil
+    import tempfile
+
+    from eel_spark.operators.scd2 import scd2_enrich, scd2_merge
+
+    orders = table(spark, sf_dir, "orders").df
+    obs = orders.select(
+        "o_custkey", "o_orderpriority", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"eel_scd2_enrich_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    scd2_merge(
+        spark, path, obs, "o_custkey", ["o_orderpriority"], "d",
+        ["o_orderkey"], n_buckets=16,
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey",
+        F.date_sub(F.col("o_orderdate").cast("date"),
+                   _ENRICH_LOOKBACK_DAYS).alias("lookback_date"),
+    )
+    return scd2_enrich(
+        facts, spark, path, "o_custkey", "lookback_date",
+        attrs=["o_orderpriority"],
+    ).withColumnRenamed("o_orderpriority", "prio_45d_ago")

@@ -511,7 +511,7 @@ ORDER BY s_suppkey
 """
 
 
-@query("q20_promo_part_suppliers", _Q20_SQL)
+@query("q20_promo_part_suppliers", _Q20_SQL, gated=False)
 def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataStream:
     """Suppliers who moved > 500 units of PROMO parts in a year (Q20
     shape: IN-subquery over a filtered aggregate → left-semi join).

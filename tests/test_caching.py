@@ -25,8 +25,11 @@ def test_gated_lsh_query_runs_hold_o1_storage(spark):
     spark.catalog.clearCache()
     base = _n_cached_rdds(spark)
     sizes = []
+    # dedup_minhash_pairs pins its pair set (recall-gate + output
+    # branches); the simhash slot no longer pins since it moved to
+    # deterministic oracle fingerprints
     for _ in range(2):
-        QUERIES["dedup_simhash_pairs"](spark, SF).collect()
+        QUERIES["dedup_minhash_pairs"](spark, SF).collect()
         sizes.append(_n_cached_rdds(spark))
     # run 2 must not stack its pins on top of run 1's
     assert sizes[1] <= sizes[0], sizes

@@ -497,3 +497,77 @@ def test_torn_init_replays_cleanly(spark, tmp_path, monkeypatch):
     rebuilt = scd2_from_changes(_log(spark, BASE_LOG), "k", ["seg", "score"],
                                 "d", ["seq"])
     assert _table_versions(spark, path) == _versions(rebuilt)
+
+
+def _enrich_fixture(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    facts = spark.createDataFrame(
+        [
+            (1, date(2023, 12, 1), "pre-history"),
+            (1, date(2024, 1, 1), "at first valid_from (inclusive)"),
+            (1, date(2024, 1, 31), "inside v1"),
+            (1, date(2024, 2, 1), "at valid_to (exclusive -> v2)"),
+            (1, date(2024, 6, 1), "open version"),
+            (3, date(2024, 1, 5), "k3 v1"),
+            (99, date(2024, 1, 5), "unknown key"),
+        ],
+        "k long, ts date, label string",
+    )
+    return path, facts
+
+
+def test_enrich_point_in_time_semantics(spark, tmp_path):
+    """Each fact row gets the version valid at ITS OWN timestamp:
+    valid_from inclusive, valid_to exclusive, NULLs before history and
+    for unknown keys, the open version after the last change."""
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path, facts = _enrich_fixture(spark, tmp_path)
+    out = scd2_enrich(facts, spark, path, "k", "ts")
+    got = {r["label"]: r["seg"] for r in out.collect()}
+    assert got == {
+        "pre-history": None,
+        "at first valid_from (inclusive)": "A",
+        "inside v1": "A",
+        "at valid_to (exclusive -> v2)": "B",
+        "open version": "B",
+        "k3 v1": "C",
+        "unknown key": None,
+    }
+    assert out.count() == facts.count()  # left: exactly one row per fact
+    inner = scd2_enrich(facts, spark, path, "k", "ts", how="inner")
+    assert inner.count() == 5  # pre-history + unknown key drop
+
+
+def test_enrich_validity_columns_and_collisions(spark, tmp_path):
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path, facts = _enrich_fixture(spark, tmp_path)
+    out = scd2_enrich(facts, spark, path, "k", "ts",
+                      include_validity=True)
+    row = {r["label"]: r for r in out.collect()}["at valid_to (exclusive -> v2)"]
+    assert str(row["valid_from"]) == "2024-02-01" and row["valid_to"] is None
+    with pytest.raises(ValueError, match="collide"):
+        scd2_enrich(facts.withColumnRenamed("label", "seg"),
+                    spark, path, "k", "ts")
+    with pytest.raises(ValueError, match="how must be"):
+        scd2_enrich(facts, spark, path, "k", "ts", how="full")
+
+
+def test_enrich_plan_no_bnlj_and_bucket_pruning(spark, tmp_path):
+    """The interval predicate must ride the key equi-join as a residual
+    (hash/SMJ, never BroadcastNestedLoopJoin), and n_buckets prunes the
+    dimension read to the fact keys' scd_bucket partitions."""
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path, facts = _enrich_fixture(spark, tmp_path)
+    k1_facts = facts.where("k = 1")
+    out = scd2_enrich(k1_facts, spark, path, "k", "ts", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "scd_bucket" in plan.split("PartitionFilters")[1][:250], plan
+    # pruned enrich returns the same rows as unpruned for this slice
+    full = scd2_enrich(k1_facts, spark, path, "k", "ts")
+    assert sorted(map(str, out.collect())) == sorted(map(str, full.collect()))

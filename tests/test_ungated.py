@@ -28,6 +28,9 @@ ROTATED = {
     "ops_zip_cartesian",
     "ops_minmax_by",
     "ops_ordered_slices",
+    # round-8 fourth rotation: slot freed for scd2_enrich_orders (q20's
+    # semi-join/scalar-threshold shape stays covered by q2/q11/q16/q21)
+    "q20_promo_part_suppliers",
 }
 
 
