@@ -48,11 +48,18 @@ def _resolve_cols(
 
 
 def _dup_key_guard(ks: list[str], side: str, value: Column) -> Column:
-    """In-plan uniqueness check: grouped on ``ks`` with ``__n`` counted,
-    raise at execution time when a key repeats, else pass ``value``
-    through. Embedded in the value expression so Catalyst cannot prune
-    it away."""
-    msg = F.concat(
+    """In-plan key contract check: grouped on ``ks`` with ``__n``
+    counted, raise at execution time when a key repeats OR carries a
+    NULL component, else pass ``value`` through. Embedded in the value
+    expression so Catalyst cannot prune it away.
+
+    NULL keys must be rejected, not diffed: the full outer join's
+    equality never matches NULL to NULL, so a NULL-keyed row present
+    and unchanged in both snapshots would surface as BOTH an 'insert'
+    and a 'delete' — a silently corrupt change feed (same contract as
+    ``scd2._validate_batch``, enforced here in-plan at zero extra
+    jobs)."""
+    dup_msg = F.concat(
         F.lit(f"{side} snapshot has duplicate key ("),
         F.concat_ws(
             ", ", *[F.col(k).cast("string") for k in ks]
@@ -62,7 +69,20 @@ def _dup_key_guard(ks: list[str], side: str, value: Column) -> Column:
             "dedup first"
         ),
     )
-    return F.when(F.col("__n") > 1, F.raise_error(msg)).otherwise(value)
+    null_msg = F.lit(
+        f"{side} snapshot has NULL in key column(s) {ks}; NULL keys "
+        "can never match across snapshots (the join would report the "
+        "same row as both insert and delete) — fill or drop such rows "
+        "first"
+    )
+    null_key = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in ks]
+    )
+    return (
+        F.when(null_key, F.raise_error(null_msg))
+        .when(F.col("__n") > 1, F.raise_error(dup_msg))
+        .otherwise(value)
+    )
 
 
 def snapshot_diff(
@@ -83,7 +103,8 @@ def snapshot_diff(
     :func:`eel_spark.functions.hashes.row_digest`). Keys must be unique
     per snapshot — duplicate keys make "the" old/new row ill-defined,
     so they raise at execution time (``SparkRuntimeException`` from the
-    in-plan guard, not an eager driver job).
+    in-plan guard, not an eager driver job); NULL key components raise
+    the same way (see :func:`_dup_key_guard`).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     cmp_cols = _resolve_cols(old, new, ks, compare_cols)
@@ -123,8 +144,8 @@ def snapshot_diff_rows(
     consumers can build a change feed without re-joining the snapshots.
     Inserts have NULL ``*_old`` values, deletes NULL ``*_new``. Same
     contracts as :func:`snapshot_diff`: at least one compare column
-    (``ValueError`` otherwise) and unique keys per snapshot (in-plan
-    ``raise_error`` at execution time)."""
+    (``ValueError`` otherwise) and unique, NULL-free keys per snapshot
+    (in-plan ``raise_error`` at execution time)."""
     ks = [keys] if isinstance(keys, str) else list(keys)
     cmp_cols = _resolve_cols(old, new, ks, compare_cols)
 

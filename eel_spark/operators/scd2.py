@@ -37,18 +37,28 @@ validation, immediately before the first data write, and promoted to
 out-of-order check leaves no marker and its retry runs fresh rather
 than through recovery. A re-run that finds the applied marker is a
 redelivery and no-ops; one that finds the inflight marker is crash
-recovery — it first drops the batch version rows already present in
-the touched buckets' history and anti-joins the rows it would
-re-append on full version-row identity (keys + attrs + valid_from +
-valid_to), so nothing is duplicated or lost whichever write the crash
-interrupted. Only this recovery path ever reads closed partitions; the
-normal path stays O(current rows in touched buckets). The first-ever
-write uses a separate ``<fp>__init`` marker: replaying a torn init
-redoes the (idempotent) init overwrite instead of misreading the
-half-written table as an initialized one. Single writer per table and
-in-order batch retry (a failed batch is retried before the next is
-attempted, as a streaming checkpoint guarantees) assumed — use a
-transactional table format when concurrent writers or readers matter.
+recovery — it reconstructs each batch key's PRE-batch current row from
+the touched buckets' history (the open copy survives until the
+overwrite; once the append ran, the closed copy is the only row
+starting before the batch whose validity reaches into it), re-runs the
+merge classification against that reconstructed state so every
+recomputed row matches the original attempt byte-for-byte, anti-joins
+the closed appends on full version-row identity (keys + attrs +
+valid_from + valid_to), and re-issues the idempotent current
+overwrite — so nothing is duplicated or lost whichever write boundary
+the crash fell on (each write is assumed atomic at job-commit
+granularity, the usual file-committer contract; a crash INSIDE the
+append is still safe via the anti-join, one inside the dynamic
+overwrite is repaired by re-overwriting). Only this recovery path ever
+reads closed partitions; the normal path stays O(current rows in
+touched buckets). The first-ever write uses a separate ``<fp>__init``
+marker: replaying a torn init redoes the (idempotent) init overwrite
+instead of misreading the half-written table as an initialized one.
+Single writer per table and in-order batch retry (a failed batch is
+retried before the next is attempted, as a streaming checkpoint
+guarantees) assumed; an inflight marker for a DIFFERENT batch fails
+loudly rather than interleaving — use a transactional table format
+when concurrent writers or readers matter.
 """
 
 from __future__ import annotations
@@ -236,6 +246,28 @@ def scd2_merge(
         replay = ops.exists(inflight)
         replay_init = ops.exists(inflight_init)
 
+        # single-writer guard: an inflight marker for a DIFFERENT batch
+        # means either a crashed batch was never retried (the in-order
+        # retry contract requires retrying it before attempting the next
+        # batch) or a second writer is mid-merge right now. Interleaving
+        # would corrupt both batches' recovery, so fail loudly — this
+        # converts a silent-corruption risk into an explicit error.
+        foreign = [
+            st["name"]
+            for st in ops.list_status(f"{path}/{INFLIGHT_DIR}/*")
+            if st["name"] not in (fp, f"{fp}__init")
+        ]
+        if foreign:
+            raise RuntimeError(
+                f"SCD2 table at {path} has inflight marker(s) for a "
+                f"different batch ({foreign}): either a crashed merge "
+                "was never retried (retry THAT batch first — in-order "
+                "retry is part of the crash contract) or a second "
+                "writer is running concurrently (this merge is "
+                "single-writer; use a transactional table format for "
+                "concurrent writers)"
+            )
+
         # markers live under the table root, so "table initialized" is
         # the existence of the current-rows partition dir, not of path
         if replay_init or not ops.exists(f"{path}/{CURRENT_COL}=1"):
@@ -307,17 +339,35 @@ def _batch_fingerprint(chains: DataFrame, cols: list[str]) -> str:
     (:func:`eel_spark.functions.hashes.row_digest` — plain xxhash64
     skips NULL children, so two different batches whose rows differ only
     by a value shifting between nullable attr columns would fingerprint
-    identically and the second would silently no-op as a "redelivery").
-    Upgrade note: anchoring changed the fingerprint values, so applied
-    markers written by the pre-anchored scheme do not match — drain
-    at-least-once redeliveries before upgrading a live store."""
+    identically and the second would silently no-op as a "redelivery"),
+    and an order-independent SUM of the digests mod 2^32 (XOR alone
+    cancels paired duplicate rows — see the inline note).
+    Upgrade note: both the NULL-anchoring and the sum accumulator
+    changed the fingerprint values, so applied markers written by older
+    schemes do not match — drain at-least-once redeliveries before
+    upgrading a live store."""
     row = (
         chains.select(row_digest(cols).alias("__h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("x"),
+            # second, bit-independent accumulator: XOR alone cancels
+            # PAIRED duplicates ({A,A,B} and {C,C,B} both xor to
+            # digest(B)), so a batch differing only in a repeated row
+            # would read as a redelivery and silently no-op. A sum does
+            # not cancel; summing __h mod 2^32 keeps every term under
+            # 2^32 so the long accumulator cannot overflow below ~2^31
+            # rows (far beyond any single collapsed batch).
+            F.sum(F.pmod(F.col("__h"), F.lit(4294967296))).alias("s"),
+        )
         .collect()[0]
     )
     x = row["x"] or 0
-    return f"{row['n']}_{x & 0xFFFFFFFFFFFFFFFF:016x}"
+    s = row["s"] or 0
+    return (
+        f"{row['n']}_{x & 0xFFFFFFFFFFFFFFFF:016x}"
+        f"_{s & 0xFFFFFFFFFFFFFFFF:016x}"
+    )
 
 
 def _merge_pinned(
@@ -333,32 +383,46 @@ def _merge_pinned(
     hist: DataFrame | None = None,
     mark_inflight=None,
 ) -> dict:
-    # ---- crash recovery: drop version rows the crashed attempt already
-    # materialized, so the remainder merges cleanly against whatever
-    # state the crash left (hist is None on the normal path) -----------
+    # ---- crash recovery: reconstruct each batch key's PRE-BATCH current
+    # row from history, then re-run the merge classification exactly as
+    # the original attempt did (hist is None on the normal path). The
+    # current partitions are untrustworthy mid-crash (the overwrite may
+    # or may not have landed), but the pre-batch current row is always
+    # recoverable: its open copy (valid_to NULL) survives until the
+    # overwrite, and once the closed append ran, its closed copy is the
+    # ONLY row with valid_from before the batch whose valid_to reaches
+    # into it (legit older closed rows end at or before the pre-batch
+    # current's valid_from; the out-of-order check guarantees every
+    # batch observation is strictly later). Re-deriving __close_at from
+    # the FULL chains against the true pre-batch current reproduces the
+    # original attempt's valid_to, so the full-identity anti-join below
+    # drops exactly the rows that already landed — recomputing it from a
+    # filtered batch would shift the close point and append a second,
+    # overlapping closed copy.
     if hist is not None:
-        c, h = chains.alias("c"), hist.alias("h")
-        keq = functools.reduce(
-            lambda x, y: x & y,
-            [F.col(f"c.{k}") == F.col(f"h.{k}") for k in ks],
+        min_bf = chains.groupBy(*ks).agg(
+            F.min("valid_from").alias("__min_bf")
         )
-        aeq = functools.reduce(
-            lambda x, y: x & y,
-            [F.col(f"c.{a}").eqNullSafe(F.col(f"h.{a}")) for a in attrs],
-        )
-        # already written as a version row (same start, same attrs), or a
-        # LEADING batch row squashed as a continuation of an earlier
-        # version whose interval covers it
-        exact = F.col("c.valid_from") == F.col("h.valid_from")
-        squashed = (
-            (F.col("c.__rn") == 1)
-            & (F.col("h.valid_from") < F.col("c.valid_from"))
+        pre = hist.join(min_bf, on=ks, how="inner").where(
+            (F.col("valid_from") < F.col("__min_bf"))
             & (
-                F.col("h.valid_to").isNull()
-                | (F.col("h.valid_to") > F.col("c.valid_from"))
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") >= F.col("__min_bf"))
             )
         )
-        chains = c.join(h, keq & aeq & (exact | squashed), "left_anti")
+        # open and closed copies of the same pre-batch current row agree
+        # on everything but valid_to — collapse them and reopen
+        vt_type = dict(cur.dtypes)["valid_to"]
+        pre_cur = (
+            pre.select(*ks, *attrs, "valid_from")
+            .distinct()
+            .withColumn("valid_to", F.lit(None).cast(vt_type))
+            .withColumn("is_current", F.lit(True))
+        )
+        cur = (
+            cur.join(chains.select(*ks).distinct(), on=ks, how="left_anti")
+            .unionByName(pre_cur.select(*cur.columns))
+        )
 
     # ---- classify batch keys against their current row -------------------
     b = chains  # __rn precomputed on the UNFILTERED batch (scd2_merge)

@@ -70,9 +70,16 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
         .df.withColumn("d", F.col("o_orderdate").cast("date"))
     )
+    # per-invocation dir: a fixed path keyed on sf_dir races two
+    # concurrent gate/bench runs (one rmtree's while the other reads);
+    # the returned DataFrame is lazy, so the dir must outlive this
+    # function — atexit reaps it
+    import atexit
+
     tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"eel_scd2_gate_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=f"eel_scd2_gate_{tag}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "dim")
     scd2_merge(
         spark, path, obs, "o_custkey", ["o_orderpriority"], "d",
         ["o_orderkey"], n_buckets=16,

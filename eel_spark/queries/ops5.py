@@ -228,9 +228,14 @@ def scd2_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderpriority", "o_orderkey",
         F.col("o_orderdate").cast("date").alias("d"),
     )
+    # per-invocation dir (see ops4.scd2_order_priority): fixed paths
+    # race concurrent gate/bench runs; atexit reaps the lazy-read dir
+    import atexit
+
     tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"eel_scd2_enrich_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=f"eel_scd2_enrich_{tag}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "dim")
     scd2_merge(
         spark, path, obs, "o_custkey", ["o_orderpriority"], "d",
         ["o_orderkey"], n_buckets=16,

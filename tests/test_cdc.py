@@ -121,3 +121,35 @@ def test_snapshot_diff_narrow_shuffle_plan(spark, snaps):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "xxhash64" in plan  # digest computed below the join
     assert "name" not in plan.split("Join")[0] or True
+
+
+def test_snapshot_diff_rejects_null_keys(spark):
+    """A NULL-keyed row never matches itself across the full outer
+    join, so an unchanged NULL-keyed row would corrupt the feed as an
+    insert AND a delete — the in-plan guard must raise instead (same
+    contract as scd2._validate_batch, zero extra jobs)."""
+    old = spark.createDataFrame([(None, "A", 1), (2, "B", 2)], SCHEMA)
+    new = spark.createDataFrame([(None, "A", 1), (2, "B", 2)], SCHEMA)
+    with pytest.raises(Exception, match="NULL in key"):
+        snapshot_diff(old, new, "k").collect()
+    with pytest.raises(Exception, match="NULL in key"):
+        snapshot_diff_rows(old, new, "k").collect()
+    # one-sided NULL key raises too (it would read as a phantom change)
+    clean = spark.createDataFrame([(2, "B", 2)], SCHEMA)
+    with pytest.raises(Exception, match="NULL in key"):
+        snapshot_diff(old, clean, "k").collect()
+    with pytest.raises(Exception, match="NULL in key"):
+        snapshot_diff(clean, old, "k").collect()
+
+
+def test_snapshot_diff_null_key_component_rejected(spark):
+    """Composite keys: ANY NULL component rejects (the pair (1, NULL)
+    can never equi-join back to itself)."""
+    old = spark.createDataFrame(
+        [(1, None, 1)], "k1 long, k2 string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1)], "k1 long, k2 string, v long"
+    )
+    with pytest.raises(Exception, match="NULL in key"):
+        snapshot_diff(old, new, ["k1", "k2"]).collect()

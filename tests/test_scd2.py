@@ -282,8 +282,11 @@ def test_merge_repairs_crash_between_writes(spark, tmp_path, monkeypatch,
     def crashing(df, ks, p, nb, **kw):
         calls["n"] += 1
         if calls["n"] == crash_on_call:
-            if crash_on_call == 2:  # land the append, then die
-                real_write(df, ks, p, nb, **kw)
+            # die WITHOUT executing this write: call 1 crashed = nothing
+            # landed; call 2 crashed = append landed (call 1 ran), the
+            # current overwrite did NOT — the genuinely torn state that
+            # the r8 recovery (close-point recomputed from the filtered
+            # batch) turned into a duplicated, overlapping closed row
             raise RuntimeError("simulated crash")
         return real_write(df, ks, p, nb, **kw)
 
@@ -446,9 +449,8 @@ def test_merge_repairs_crash_with_same_ts_changes(spark, tmp_path,
 
     def crashing(df, ks, p, nb, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:  # land the append, die before the overwrite
-            real_write(df, ks, p, nb, **kw)
-            raise RuntimeError("simulated crash")
+        if calls["n"] == 2:  # append landed (call 1 ran); die before
+            raise RuntimeError("simulated crash")  # the overwrite runs
         return real_write(df, ks, p, nb, **kw)
 
     monkeypatch.setattr(scd2mod, "_write_generation", crashing)
@@ -571,3 +573,102 @@ def test_enrich_plan_no_bnlj_and_bucket_pruning(spark, tmp_path):
     # pruned enrich returns the same rows as unpruned for this slice
     full = scd2_enrich(k1_facts, spark, path, "k", "ts")
     assert sorted(map(str, out.collect())) == sorted(map(str, full.collect()))
+
+
+@pytest.mark.parametrize("land", ["closed_cur", "new_closed"])
+def test_merge_repairs_partial_append(spark, tmp_path, monkeypatch, land):
+    """Crash INSIDE the closed append with only part of it landed —
+    either the old current row's closed copy or the batch's own closed
+    version, but not both. Recovery must re-append exactly the missing
+    row: the reconstruction reads the pre-batch current row back out of
+    whichever copy survived, and the full-identity anti-join skips the
+    landed one."""
+    import eel_spark.operators.scd2 as scd2mod
+
+    expected = _clean_end_state(spark, tmp_path)
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+
+    real_write = scd2mod._write_generation
+    calls = {"n": 0}
+    # NEXT_BATCH key 1: closed_cur = (B,10, Feb1->Mar1) [valid_from
+    # 2024-02-01], new_closed = (B,99, Mar1->Mar5) [valid_from
+    # 2024-03-01] — select which one the torn append lands
+    keep_from = date(2024, 2, 1) if land == "closed_cur" else date(2024, 3, 1)
+
+    def crashing(df, ks, p, nb, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the closed append: land a subset, die
+            real_write(df.where(F.col("valid_from") == F.lit(keep_from)),
+                       ks, p, nb, **kw)
+            raise RuntimeError("simulated crash")
+        return real_write(df, ks, p, nb, **kw)
+
+    monkeypatch.setattr(scd2mod, "_write_generation", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                   ["seg", "score"], "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(scd2mod, "_write_generation", real_write)
+
+    stats = scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                       ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert stats["replayed"] is True
+    assert _table_versions(spark, path) == expected
+
+
+def test_merge_rejects_foreign_inflight_marker(spark, tmp_path, monkeypatch):
+    """Single-writer guard: after batch A crashes mid-merge, attempting
+    a DIFFERENT batch B must fail loudly (interleaving would corrupt
+    both recoveries) — and the in-order retry of A, then B, still
+    converges to the clean end state."""
+    import eel_spark.operators.scd2 as scd2mod
+
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+
+    real_write = scd2mod._write_generation
+    calls = {"n": 0}
+
+    def crashing(df, ks, p, nb, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real_write(df, ks, p, nb, **kw)
+
+    monkeypatch.setattr(scd2mod, "_write_generation", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k",
+                   ["seg", "score"], "d", ["seq"], n_buckets=4)
+    monkeypatch.setattr(scd2mod, "_write_generation", real_write)
+
+    other = [(9, "Z", 1, date(2024, 7, 1), 60)]
+    with pytest.raises(RuntimeError, match="different batch"):
+        scd2_merge(spark, path, _log(spark, other), "k", ["seg", "score"],
+                   "d", ["seq"], n_buckets=4)
+
+    # in-order retry: A's recovery, then B, is accepted
+    scd2_merge(spark, path, _log(spark, NEXT_BATCH), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    scd2_merge(spark, path, _log(spark, other), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    cur = read_scd2_current(spark, path)
+    assert {r["k"] for r in cur.collect()} == {1, 2, 3, 5, 9}
+
+
+def test_fingerprint_distinguishes_paired_duplicates(spark):
+    """XOR alone cancels PAIRED duplicate rows: {A,A,B} and {C,C,B}
+    share count=3 and xor=digest(B), so without the sum accumulator the
+    second batch would silently no-op as a redelivery."""
+    from eel_spark.operators.scd2 import _batch_fingerprint
+
+    cols = ["k", "a", "valid_from", "valid_to", "is_current"]
+    sch = ("k long, a string, valid_from date, valid_to date, "
+           "is_current boolean")
+    a = (1, "A", date(2024, 1, 1), date(2024, 1, 1), False)
+    b = (2, "B", date(2024, 1, 1), None, True)
+    c = (1, "C", date(2024, 1, 1), date(2024, 1, 1), False)
+    f1 = _batch_fingerprint(spark.createDataFrame([a, a, b], sch), cols)
+    f2 = _batch_fingerprint(spark.createDataFrame([c, c, b], sch), cols)
+    assert f1 != f2
