@@ -34,6 +34,11 @@ HEADLINE = [
     "ops_window_frames",
     # LLM-pipeline: dedup families, text scoring, ANN, end-to-end prep
     "dedup_exact_survivors",
+    # dedup_minhash_realtext carries the full-weight natural-text
+    # signature workload the pre-r9 dedup_minhash_pairs slot measured
+    # (the gated slot now runs the lighter deterministic-corpus oracle);
+    # both stay benched so the LSH cost trend remains comparable.
+    "dedup_minhash_realtext",
     "dedup_minhash_pairs",
     "text_quality_metrics",
     "ann_brute_force_topk",

@@ -234,12 +234,18 @@ GROUP BY event_type
 """
 
 
-@query("ops_percentiles", _PCT_SQL)
+@query("ops_percentiles", _PCT_SQL, gated=False)
 def ops_percentiles(spark: SparkSession, sf_dir: str) -> DataStream:
     """Exact interpolated percentiles per group (Spark ``percentile`` ≡
     DuckDB ``quantile_cont``). At 100 TB the drop-in is
     ``approx_percentile`` (t-digest, mergeable, no global sort) — exact
-    here because the oracle demands determinism."""
+    here because the oracle demands determinism.
+
+    Rotated to the ungated tier in round 9 (slot freed for
+    funnel_convert_latency): the exact-percentile shape stays covered by
+    rollup_quantile_daily (order-statistic oracle) + ops_window_frames,
+    and this query remains DuckDB-oracled at two SFs by
+    tests/test_ungated.py."""
     ev = table(spark, sf_dir, "events").df
     out = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),

@@ -249,14 +249,17 @@ _Q_GAMMA = (1.0 + _Q_ALPHA) / (1.0 - _Q_ALPHA)
 _Q_LG = math.log(_Q_GAMMA)
 
 
-def _sql_dd_bucket(v: str) -> str:
+def _sql_dd_bucket(v: str, minv: float = _Q_MINV, lg: float = _Q_LG,
+                   n_buckets: int = 128) -> str:
     """DuckDB twin of ddsketch_bucket (same python-inlined log(gamma)
     literal the Spark side uses, so both engines divide by the identical
-    double)."""
+    double). Parameterized so other sketch-oracled queries (ops5's
+    funnel latency) share the one mirror implementation."""
+    top = int(n_buckets) - 1
     return (
-        f"CASE WHEN {v} IS NULL OR CAST({v} AS DOUBLE) < {_Q_MINV!r} THEN 0 "
-        f"ELSE CAST(LEAST(GREATEST(CEIL(LN(CAST({v} AS DOUBLE) / {_Q_MINV!r})"
-        f" / {_Q_LG!r}) + 1, 1), 127) AS INT) END"
+        f"CASE WHEN {v} IS NULL OR CAST({v} AS DOUBLE) < {minv!r} THEN 0 "
+        f"ELSE CAST(LEAST(GREATEST(CEIL(LN(CAST({v} AS DOUBLE) / {minv!r})"
+        f" / {lg!r}) + 1, 1), {top}) AS INT) END"
     )
 
 

@@ -77,6 +77,133 @@ def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- funnel time-to-convert percentiles (funnel_times ∘ DDSketch) -----------
+#
+# The product-analytics follow-on to funnel_view_purchase: "how LONG do
+# converters take?" — per-step conversion-latency p50/p95 in one pass
+# over the per-user times table, using the mergeable DDSketch histogram
+# (operators/rollups.quantile_rollup_aggs). Latency compares in INTEGER
+# MICROSECONDS (epoch_us diffs are exact in both engines, and exact in
+# a double far below 2^53), and the oracle compares the BUCKET INDEX of
+# the exact nearest-rank order statistic — the same libm-drift-immune
+# integer identity rollup_quantile_daily uses.
+
+_LAT_MINV = 6e7  # 60 s in µs: sub-minute conversions collapse to bucket 0
+
+
+def _lat_sql() -> str:
+    from eel_spark.queries.ops3 import _Q_LG, _sql_dd_bucket
+
+    bucket = _sql_dd_bucket("lat_us", minv=_LAT_MINV, lg=_Q_LG)
+    return f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+    AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+    AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
+  GROUP BY 1
+), lat AS (
+  SELECT 1 AS step, 'click' AS step_name,
+         epoch_us(t2.t) - epoch_us(t1.t) AS lat_us
+  FROM t2 JOIN t1 USING (user_id)
+  UNION ALL
+  SELECT 2, 'purchase', epoch_us(t3.t) - epoch_us(t1.t)
+  FROM t3 JOIN t1 USING (user_id)
+), r AS (
+  SELECT step, step_name, lat_us,
+         ROW_NUMBER() OVER (PARTITION BY step ORDER BY lat_us) AS rn,
+         COUNT(*) OVER (PARTITION BY step) AS n
+  FROM lat
+)
+SELECT step, step_name, MAX(n) AS n,
+  MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+           THEN {bucket} END) AS p50_bucket,
+  MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+           THEN {bucket} END) AS p95_bucket
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("funnel_convert_latency", _lat_sql())
+def funnel_convert_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step time-to-convert percentiles for the view→click→purchase
+    funnel: view→click and view→purchase latencies of every converting
+    user, folded into the mergeable DDSketch log-bucket histogram, read
+    back as p50/p95 BUCKET INDICES (operators/funnel.funnel_times +
+    operators/rollups.quantile_rollup_aggs — two gated components
+    composed, VERDICT r8 #4). One user-key exchange computes all step
+    anchors (the funnel_times single-exchange plan), then a 2-group
+    aggregate with map-side partials builds both histograms; the oracle
+    recomputes each step's exact nearest-rank order statistic and maps
+    it through the identical bucket formula — bucket index is monotone
+    in value, so sketch bucket ≡ exact-quantile bucket, an integer
+    identity immune to cross-libm pow/exp drift. Latencies are integer
+    epoch-microsecond diffs (exact in both engines); sub-minute
+    conversions land in bucket 0 by the ``_LAT_MINV`` floor, identically
+    on both sides."""
+    from eel_spark.operators.funnel import funnel_times
+    from eel_spark.operators.rollups import (
+        quantile_bucket_from_histogram,
+        quantile_rollup_aggs,
+    )
+    from eel_spark.queries.ops3 import _Q_ALPHA
+
+    ev = table(spark, sf_dir, "events").df
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    times = funnel_times(
+        ev, "user_id", "ts", steps, within=f"{_FUNNEL_WITHIN_DAYS} days"
+    )
+    lat = (
+        times.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("step"),
+                        F.lit("click").alias("step_name"),
+                        (F.unix_micros("click") - F.unix_micros("view"))
+                        .alias("lat_us"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("step"),
+                        F.lit("purchase").alias("step_name"),
+                        (F.unix_micros("purchase") - F.unix_micros("view"))
+                        .alias("lat_us"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.col("lat_us").isNotNull())
+    )
+    aggs, _ = quantile_rollup_aggs(
+        ["lat_us"], alpha=_Q_ALPHA, min_value=_LAT_MINV, n_buckets=128
+    )
+    rolled = lat.groupBy("step", "step_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        aggs["lat_us_qhist"].alias("lat_us_qhist"),
+    )
+    return rolled.select(
+        "step", "step_name", "n",
+        quantile_bucket_from_histogram("lat_us_qhist", 0.5).alias("p50_bucket"),
+        quantile_bucket_from_histogram("lat_us_qhist", 0.95).alias("p95_bucket"),
+    )
+
+
 # -- cohort retention (operators/funnel.retention_cohorts) ------------------
 
 _RETENTION_SQL = """

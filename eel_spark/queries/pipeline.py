@@ -373,17 +373,20 @@ def _gate_on_planted_recall(
     )
 
 
-@query("dedup_minhash_pairs")
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
-    """MinHash-LSH candidate pairs with exact-Jaccard verification
-    (bounded bucket joins; operators/dedup.py).
-
-    ``max_bucket_size=500`` caps the Σ|bucket|² band-join blowup on
-    dup-heavy corpora (members of over-cap buckets are near-certain exact
-    duplicates — dedup_exact, run first in the documented pipeline order,
-    already handles them at linear cost). Self-verifying: 20 planted
-    near-dup docs (token-perturbed copies, 3-shingle Jaccard ≈ 0.67) must
-    be recovered at ≥ 0.9 recall or the query returns zero rows."""
+@query("dedup_minhash_realtext", gated=False)
+def dedup_minhash_realtext(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH over the REAL document text with planted near-dups —
+    the recall-gated companion of the oracled ``dedup_minhash_pairs``
+    slot below (which verifies the same machinery exactly on a
+    deterministic corpus). This variant keeps the full-weight signature
+    workload benchable (bench.py HEADLINE) and the planted-recall
+    property covered on natural text, where shingle sets are NOT
+    construction-known: 20 token-perturbed copies (3-shingle Jaccard ≈
+    0.67) must be recovered at ≥ 0.9 recall or the query returns zero
+    rows. ``max_bucket_size=500`` caps the Σ|bucket|² band-join blowup
+    on dup-heavy corpora (members of over-cap buckets are near-certain
+    exact duplicates — dedup_exact, run first in the documented pipeline
+    order, already handles them at linear cost)."""
     docs = table(spark, sf_dir, "documents").df
     corpus = planted_near_dup_documents(docs, n_planted=20, every=16)
     pairs = dedup.minhash_near_duplicates(
@@ -394,6 +397,152 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
     return _gate_on_planted_recall(
         pairs, n_planted=20, min_recall=0.9,
         planted_pair=_planted_doc_pair(20), orig_col="id_b",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_pairs — the r8 simhash factoring pattern applied to the
+# full MinHash pipeline: a corpus BOTH engines can derive from doc_id
+# alone makes the exact-Jaccard-verified pair set brute-force-oraclable
+# in DuckDB, converting the r7/r8 rows-only slot to a real
+# rows+schema+hash gate.
+# ---------------------------------------------------------------------------
+
+_MH_TOKENS = 24      # per-doc tokens → 22 distinct 3-shingles
+_MH_NEAR_TAIL = 1    # family A (doc_id%16==0): last token swapped → J = 21/23
+_MH_FAR_TAIL = 5     # family B (doc_id%16==8): last 5 swapped → J = 17/27
+_MH_THRESHOLD = 0.8  # separates A (0.913) from B (0.630) with wide margin
+
+
+def deterministic_token_corpus(docs):
+    """(doc_id, text) corpus derived from doc_id ALONE — both engines
+    reconstruct it bit-identically from the documents table, so the
+    near-dup answer set is known by construction and immune to testdata
+    regenerations (only the doc_id set matters, never the text).
+
+    Doc ``d``'s tokens are ``w{d}x{j}`` (j = 0..23): token sets are
+    DISJOINT across docs (the mapping (d, j) → token is injective — 'x'
+    never appears in the digits), so every cross-doc pair has Jaccard
+    exactly 0 except the planted families: every 16th doc gets a copy
+    (id = -d-1, collision-proof: real ids are non-negative) with its
+    last ``_MH_NEAR_TAIL`` token(s) swapped — 3-shingle Jaccard 21/23 ≈
+    0.913, above threshold — and every (16k+8)-th doc a copy with the
+    last ``_MH_FAR_TAIL`` swapped — Jaccard 17/27 ≈ 0.630, BELOW
+    threshold: those become LSH candidates (band-match probability
+    ≈ 0.999) that the exact-Jaccard verify must reject, so the oracle
+    checks the reject path as well as recall."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    d_str = F.col("doc_id").cast("string")
+
+    def tok(j):
+        return F.concat(F.lit("w"), d_str, F.lit("x"), j.cast("string"))
+
+    def swapped(j):
+        return F.concat(F.lit("w"), d_str, F.lit("z"), j.cast("string"))
+
+    js = F.sequence(F.lit(0), F.lit(_MH_TOKENS - 1))
+    base = ids.select(
+        "doc_id", F.array_join(F.transform(js, tok), " ").alias("text")
+    )
+
+    def copies(residue: int, n_tail: int):
+        cut = _MH_TOKENS - n_tail
+        # text FIRST: Spark resolves select-list references laterally, so
+        # putting the (-doc_id-1).alias("doc_id") before the text
+        # expression would silently rebuild the text from the COPY id
+        return ids.filter(F.col("doc_id") % 16 == residue).select(
+            F.array_join(
+                F.transform(
+                    js, lambda j: F.when(j >= cut, swapped(j)).otherwise(tok(j))
+                ),
+                " ",
+            ).alias("text"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
+        ).select("doc_id", "text")
+
+    return base.unionByName(copies(0, _MH_NEAR_TAIL)).unionByName(
+        copies(8, _MH_FAR_TAIL)
+    )
+
+
+def _sql_corpus_arm(residue: int | None, n_tail: int) -> str:
+    """One corpus arm of the DuckDB twin of deterministic_token_corpus."""
+    tok = "'w' || doc_id || 'x' || j"
+    if n_tail == 0:
+        return (
+            "SELECT doc_id, array_to_string(list_transform("
+            f"range(0, {_MH_TOKENS}), j -> {tok}), ' ') AS text FROM ids"
+        )
+    cut = _MH_TOKENS - n_tail
+    return (
+        "SELECT -doc_id - 1, array_to_string(list_transform("
+        f"range(0, {_MH_TOKENS}), j -> CASE WHEN j >= {cut} "
+        f"THEN 'w' || doc_id || 'z' || j ELSE {tok} END), ' ') "
+        f"FROM ids WHERE doc_id % 16 = {residue}"
+    )
+
+
+_MINHASH_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+corpus AS (
+  {_sql_corpus_arm(None, 0)}
+  UNION ALL
+  {_sql_corpus_arm(0, _MH_NEAR_TAIL)}
+  UNION ALL
+  {_sql_corpus_arm(8, _MH_FAR_TAIL)}
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+           j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS s
+    FROM tok
+  ) GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.i / CAST(sa.n + sb.n - i.i AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {_MH_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_pairs", _MINHASH_SQL)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH near-dup pairs, DuckDB-oracled EXACTLY (the r8
+    simhash pattern applied to the whole minhash pipeline): the corpus
+    is a pure function of doc_id (``deterministic_token_corpus``), so
+    the oracle brute-forces exact 3-shingle Jaccard via an
+    inverted-index join and keeps pairs ≥ threshold, while Spark runs
+    the REAL operator end to end — tokenize → shingle →
+    64-hash signature → 16-band LSH → capped bucket join → shingle
+    rejoin → exact-Jaccard verify (operators/dedup.py:198).
+
+    Exactness: precision is structural (the verify filter IS exact
+    Jaccard, identical to the oracle's), and recall is deterministic —
+    above-threshold pairs sit at J ≈ 0.913 where the per-pair
+    probability of missing all 16 bands is ≈ 6e-9 under the fixed
+    xxhash64 seeds, verified pair-for-pair at sf0.001/0.01/0.1. The
+    below-threshold planted family (J ≈ 0.630) band-matches with
+    p ≈ 0.999 and must be REJECTED by the verify stage, so both LSH
+    error directions are oracle-checked. The natural-text workload
+    (shingle sets not construction-known) keeps its planted-recall gate
+    in ``dedup_minhash_realtext`` + tests/test_dedup.py."""
+    docs = table(spark, sf_dir, "documents").df
+    corpus = deterministic_token_corpus(docs)
+    pairs = dedup.minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=_MH_THRESHOLD,
+        num_hashes=64, bands=16, max_bucket_size=500,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -479,42 +628,73 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("ann_ivf_topk")
-def ann_ivf_topk(spark: SparkSession, sf_dir: str):
-    """IVF ANN: centroid bucketing + n_probe cells per query — the
-    sublinear alternative to brute force (operators/similarity.py).
+# IVF exact-mode oracle: with every cell probed, IVF ≡ brute force, so
+# the expected answer is plain exact cosine top-k (self included: the
+# query vectors come from the corpus and exclude_self is off).
+_IVF_SQL = """
+WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+     pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CASE WHEN sqrt(list_aggregate(list_transform(q.v, x -> x*x), 'sum')) > 0
+               AND sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum')) > 0
+              THEN list_aggregate(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), 'sum')
+                   / sqrt(list_aggregate(list_transform(q.v, x -> x*x), 'sum'))
+                   / sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum'))
+              ELSE 0.0 END AS cos
+  FROM d q, d c
+  WHERE q.vec_id < 5
+)
+SELECT query_id, vec_id, ROUND(cos, 4) AS cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+) WHERE rank <= 10
+"""
 
-    Self-verifying: the exact brute-force top-10 is computed in the same
-    query (5 queries × corpus — cheap next to the gate's value) and each
-    row carries its query's recall@10 against it; mean recall < 0.75
-    empties the result. Measured 0.86 at sf0.01 / 0.96 at sf0.001 with
-    16 cells, n_probe=6 (scanning ~3/8 of the corpus per query)."""
+
+@query("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF ANN oracled by EXACTNESS, not recall (the r8→r9 upgrade):
+    when the probe set covers every cell, IVF ≡ brute force — the same
+    candidate set reaches the same two-phase salted rank with the same
+    (cos DESC, vec_id) tie-break — so the probe-all configuration is
+    hash-comparable against a DuckDB exact-cosine top-10. The output IS
+    the probe-all IVF result (centroid training → cell assignment →
+    probe ranking → per-cell candidate join → salted top-k all
+    oracle-checked end to end, operators/similarity.py:197).
+
+    The APPROXIMATE configuration keeps its recall gate in-query: the
+    production n_probe=6 run is recall-checked against the exact rows
+    (measured 0.86 at sf0.01 / 0.96 at sf0.001; pytest keeps floors on
+    clustered embeddings) and mean recall < 0.75 EMPTIES the output, so
+    an approximate-path regression turns the driver row red (row-count
+    mismatch) instead of passing silently."""
     emb = table(spark, sf_dir, "embeddings").df
     # sample_mod=4: centroid training scans ~1/4 of the corpus — seeds and
-    # means only need a representative sample, never the full table (the
-    # full-corpus default was the last unsampled training scan in a gated
-    # query; recall gate below re-verified at sf0.001/0.01/0.1 after the
-    # change)
-    cents = similarity.train_centroids(emb, n_cells=16, iterations=2, sample_mod=4)
+    # means only need a representative sample, never the full table
+    # cents feeds BOTH ivf runs — pin (persist + registry-tracked
+    # release) so the two training iterations run once
+    cents = pin(
+        similarity.train_centroids(emb, n_cells=16, iterations=2, sample_mod=4)
+    )
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # ivf feeds the per-query recall aggregate AND the output join — pin
-    # (persist + registry-tracked release) so centroid training + probing
-    # run once, not per branch
-    ivf = pin(similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6))
-    bf = similarity.brute_force_topk(emb, queries, k=10).select(
-        "query_id", "vec_id"
-    )
+    # probe-all: n_probe = n_cells ⇒ every corpus vector is a candidate
+    # for every query ⇒ exact. Feeds the output AND the recall reference.
+    exact = pin(similarity.ivf_topk(emb, queries, cents, k=10, n_probe=16))
+    approx = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6)
     hits = (
-        ivf.join(bf, ["query_id", "vec_id"], "left_semi")
+        approx.join(exact.select("query_id", "vec_id"),
+                    ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
     )
     # anchor on the QUERY SET, not on queries that happened to get hits:
-    # a query whose IVF top-10 shares nothing with brute force (or that
-    # returned no rows) must drag the mean down as recall 0, or the gate
-    # silently averages only the healthy queries
+    # a query whose approximate top-10 shares nothing with the exact rows
+    # (or that returned none) must drag the mean down as recall 0, or the
+    # gate silently averages only the healthy queries
     per_q = (
         queries.select("query_id").distinct()
         .join(hits, "query_id", "left")
@@ -522,12 +702,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     )
     gate = per_q.agg(F.avg("recall_at_10").alias("__mean_recall"))
     return (
-        ivf.join(F.broadcast(per_q), "query_id", "left")
-        .na.fill({"recall_at_10": 0.0})
-        .crossJoin(F.broadcast(gate))
+        exact.crossJoin(F.broadcast(gate))
         .filter(F.col("__mean_recall") >= 0.75)
-        .select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank",
-                "recall_at_10")
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
     )
 
 

@@ -25,9 +25,9 @@ def test_gated_lsh_query_runs_hold_o1_storage(spark):
     spark.catalog.clearCache()
     base = _n_cached_rdds(spark)
     sizes = []
-    # dedup_minhash_pairs pins its pair set (recall-gate + output
-    # branches); the simhash slot no longer pins since it moved to
-    # deterministic oracle fingerprints
+    # dedup_minhash_pairs pins its shingle/signature tables (band join +
+    # rejoin branches inside minhash_near_duplicates); the simhash slot
+    # no longer pins since it moved to deterministic oracle fingerprints
     for _ in range(2):
         QUERIES["dedup_minhash_pairs"](spark, SF).collect()
         sizes.append(_n_cached_rdds(spark))

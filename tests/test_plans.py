@@ -509,3 +509,27 @@ def test_fuzzy_join_query_bnlj_free(spark):
     plan = plan_str(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_latency_exchange_budget(spark):
+    """funnel_convert_latency composes funnel_times with the DDSketch
+    group aggregate: the event log must shuffle ONCE on the user key
+    (all step windows + the per-user reduce share it), and the only
+    other exchange is the 2-group histogram aggregate over the tiny
+    per-user-step rows — with map-side partial aggregation, so the
+    exploded rows never travel unreduced."""
+    df = QUERIES["funnel_convert_latency"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "partial_count" in plan  # map-side combine before the group exchange
+
+
+def test_minhash_deterministic_corpus_plan_bounded(spark):
+    """The oracled minhash slot keeps the LSH scale invariants: bucket
+    cap enforced by aggregate + anti-join (never a window over the band
+    table) and a JVM-only plan."""
+    plan = plan_str(QUERIES["dedup_minhash_pairs"](spark, SF), "extended")
+    assert "LeftAnti" in plan  # bucket cap path present
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan

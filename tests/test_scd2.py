@@ -558,6 +558,52 @@ def test_enrich_validity_columns_and_collisions(spark, tmp_path):
         scd2_enrich(facts, spark, path, "k", "ts", how="full")
 
 
+def test_enrich_binned_equals_plain(spark, tmp_path):
+    """bin_days switches the enrich join to (key, time-bin) equality
+    with the interval residual — same rows as the plain join on every
+    edge the fixture plants (pre-history NULL, inclusive valid_from,
+    exclusive valid_to, open version, unknown key), for bin widths
+    finer and coarser than the version durations."""
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path, facts = _enrich_fixture(spark, tmp_path)
+    plain = sorted(
+        map(str, scd2_enrich(facts, spark, path, "k", "ts").collect())
+    )
+    for w in (7, 30, 365):
+        binned = scd2_enrich(facts, spark, path, "k", "ts", bin_days=w)
+        assert sorted(map(str, binned.collect())) == plain, f"bin_days={w}"
+        assert "__scd_bin" not in binned.columns
+    inner = scd2_enrich(facts, spark, path, "k", "ts", how="inner",
+                        bin_days=30)
+    assert inner.count() == 5
+    with pytest.raises(ValueError, match="bin_days"):
+        scd2_enrich(facts, spark, path, "k", "ts", bin_days=0)
+
+
+def test_enrich_binned_zero_duration_and_empty_facts(spark, tmp_path):
+    """Zero-duration versions (valid_from == valid_to, the ≥2-changes-
+    per-tick corner) must never match in either mode, and an all-NULL
+    ts fact set must not break the max-bin probe."""
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path = str(tmp_path / "dim")
+    log = _log(spark, BASE_LOG + [(1, "Z", 10, date(2024, 2, 1), 9)])
+    scd2_merge(spark, path, log, "k", ["seg", "score"], "d", ["seq"],
+               n_buckets=4)
+    facts = spark.createDataFrame(
+        [(1, date(2024, 2, 1), "tick")], "k long, ts date, label string"
+    )
+    for kw in ({}, {"bin_days": 30}):
+        got = scd2_enrich(facts, spark, path, "k", "ts", **kw).collect()
+        assert len(got) == 1 and got[0]["seg"] == "Z", got
+    null_facts = spark.createDataFrame(
+        [(1, None, "null-ts")], "k long, ts date, label string"
+    )
+    got = scd2_enrich(null_facts, spark, path, "k", "ts", bin_days=30).collect()
+    assert len(got) == 1 and got[0]["seg"] is None
+
+
 def test_enrich_plan_no_bnlj_and_bucket_pruning(spark, tmp_path):
     """The interval predicate must ride the key equi-join as a residual
     (hash/SMJ, never BroadcastNestedLoopJoin), and n_buckets prunes the
