@@ -741,29 +741,113 @@ def planted_near_dup_embeddings(emb, n_planted: int = 20, alpha: float = 0.35):
     return emb.select("vec_id", "embedding").unionByName(planted)
 
 
-@query("dedup_embedding_pairs")
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
-    """Embedding-cosine near-dup pairs: banded random-hyperplane LSH
-    (OR-of-ANDs, ≈0.99 recall at cosine 0.95) then exact cosine verify
-    within buckets (operators/dedup.py). Runs over the corpus plus 20
-    planted near-dup vectors (known-answer pairs — the raw table has no
-    natural near-dups). Rows-only: LSH recall < 1 by construction, so no
-    exact-SQL twin; planted-pair recall is asserted in tests/test_dedup.py."""
-    emb = table(spark, sf_dir, "embeddings").df
-    corpus = planted_near_dup_embeddings(emb, n_planted=20)
-    pairs = dedup.embedding_near_duplicates(
-        corpus, "embedding", "vec_id", threshold=0.9,
-        bands=8, bits_per_band=8, max_bucket_size=200,
-    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
-    # planted ids are negative (-vec_id - 1, see planted_near_dup_
-    # embeddings), so a planted pair is (id_a = -v-1, id_b = v) under the
-    # id_a < id_b ordering; recall < 0.9 empties the result
-    return _gate_on_planted_recall(
-        pairs, n_planted=20, min_recall=0.9,
-        planted_pair=(F.col("id_a") == -F.col("id_b") - 1)
-        & (F.col("id_b") >= 0) & (F.col("id_b") < 20),
-        orig_col="id_b",
+# ---------------------------------------------------------------------------
+# dedup_embedding_pairs — the deterministic-corpus oracle pattern once
+# more (r9): an LCG perturbation BOTH engines compute bit-identically
+# replaces the xxhash one (which only Spark can evaluate), making the
+# verified pair set brute-force-oraclable in DuckDB.
+# ---------------------------------------------------------------------------
+
+_EMB_PLANTED = 20
+_EMB_ALPHA = 0.125   # power of two: α·h and 1+α·h stay EXACT doubles
+_EMB_THRESHOLD = 0.8  # planted ≈ 0.9974, max natural ≤ 0.601 (sf0.1)
+_EMB_LCG = (2654435761, 40503, 12345)
+
+
+def lcg_planted_embeddings(emb, n_planted: int = _EMB_PLANTED,
+                           alpha: float = _EMB_ALPHA):
+    """Corpus ∪ perturbed copies of the first ``n_planted`` vectors,
+    with every arithmetic step chosen so BOTH engines produce the SAME
+    IEEE-754 doubles: h(i,j) = ((i·a + j·b + c) mod 2^20)/2^19 − 1 is an
+    exact double (integer < 2^20 over a power of two), α is a power of
+    two so 1 + α·h is exact, and the single rounding in x·(1+α·h) is
+    IEEE-deterministic — so the DuckDB oracle reconstructs the corpus
+    bit-for-bit from the parquet floats. Copies sit at cosine
+    ≈ 1/√(1+α²/3) ≈ 0.9974 of their originals (copy id = −vec_id−1,
+    collision-proof: real ids are non-negative); every other pair is
+    ≤ 0.601 at every SF (measured), so the threshold separates them
+    with no boundary cases. All vectors are cast to double up front —
+    the union must not round the copies back to float32."""
+    a, b, c = _EMB_LCG
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    h = lambda i: (
+        (F.col("vec_id") * F.lit(a) + i.cast("long") * F.lit(b) + F.lit(c))
+        % F.lit(1 << 20)
+    ).cast("double") / F.lit(float(1 << 19)) - F.lit(1.0)
+    # perturbed vector FIRST in the select list: the copy-id alias reuses
+    # the name vec_id, and Spark resolves later select-list references
+    # laterally (the minhash-corpus lesson)
+    copies = base.filter(F.col("vec_id") < n_planted).select(
+        F.transform(
+            "v", lambda x, i: x * (F.lit(1.0) + F.lit(alpha) * h(i))
+        ).alias("v"),
+        (-F.col("vec_id") - 1).alias("vec_id"),
+    ).select("vec_id", "v")
+    return base.unionByName(copies)
+
+
+_EMB_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), copies AS (
+  SELECT -vec_id - 1 AS cid,
+         list_transform(list_zip(v, range(0, len(v))), p ->
+           p[1] * (1.0 + {_EMB_ALPHA} *
+             (CAST((vec_id * {_EMB_LCG[0]} + p[2] * {_EMB_LCG[1]}
+                    + {_EMB_LCG[2]}) % 1048576 AS DOUBLE) / 524288.0 - 1.0)))
+           AS cv
+  FROM base WHERE vec_id < {_EMB_PLANTED}
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT cid, cv FROM copies
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM corpus
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN a.nrm > 0 AND b.nrm > 0
+              THEN list_aggregate(
+                     list_transform(list_zip(a.v, b.v), q -> q[1]*q[2]),
+                     'sum') / a.nrm / b.nrm
+              ELSE 0.0 END AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= {_EMB_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_pairs", _EMB_SQL)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-dup pairs, DuckDB-oracled EXACTLY (was
+    rows-only through r8): banded random-hyperplane LSH (OR-of-ANDs
+    candidate generation) then exact cosine verify within buckets
+    (operators/dedup.py:414), over the corpus plus 20 engine-neutral
+    planted copies (``lcg_planted_embeddings``). The oracle brute-forces
+    exact cosine over all pairs and keeps those ≥ threshold.
+
+    Exactness: precision is structural (the verify stage IS the oracle's
+    cosine-threshold filter, on bit-identical doubles), and recall is
+    deterministic under the fixed hyperplane hashes — planted pairs sit
+    at cosine ≈ 0.9974 where the per-pair probability of missing all 16
+    bands is ≈ 4e-13 (per-bit sign agreement 0.977), verified
+    pair-for-pair at 3 SFs; no natural pair comes within 0.2 of the
+    threshold (max 0.601 at sf0.1), and candidate pairs below it — the
+    ~2^-8-per-band random collisions — must be REJECTED by the verify
+    stage, so both LSH error directions are oracle-checked. The
+    xxhash-planted variant keeps its recall coverage in
+    tests/test_dedup.py."""
+    emb = table(spark, sf_dir, "embeddings").df
+    corpus = lcg_planted_embeddings(emb)
+    return dedup.embedding_near_duplicates(
+        corpus, "v", "vec_id", threshold=_EMB_THRESHOLD,
+        bands=16, bits_per_band=8, max_bucket_size=200,
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
 @query("multimodal_features")

@@ -533,3 +533,12 @@ def test_minhash_deterministic_corpus_plan_bounded(spark):
     assert "LeftAnti" in plan  # bucket cap path present
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_embedding_pairs_plan_bounded_and_jvm_only(spark):
+    """The oracled embedding-LSH slot keeps the same scale invariants as
+    minhash: bucket cap via aggregate + anti-join, JVM-only plan."""
+    plan = plan_str(QUERIES["dedup_embedding_pairs"](spark, SF), "extended")
+    assert "LeftAnti" in plan  # bucket cap path present
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
