@@ -624,21 +624,25 @@ def scd2_enrich(
     distinct-projection shuffle of the facts, bounded by n_buckets.
 
     DEEP version chains: the residual scan is O(versions-per-key) PER
-    FACT ROW — measured 2.6 s → 4.8 s going from 2 000 to 10 000
-    versions/key on a 1.6 M-fact join (local[32]), i.e. linear in
-    chain depth. ``bin_days`` switches to the interval-binned join
+    FACT ROW — measured 6.5 s at 10 000
+    versions/key on a 1.6 M-fact join (local[32]) vs 1.4 s binned,
+    linear in chain depth. ``bin_days`` switches to the interval-binned join
     (the same bin trick as ``operators/joins.range_join``): each
-    version row is exploded to the ``bin_days``-wide time bins its
-    validity overlaps, facts join on (key, bin) equality plus the same
-    residual, so per-fact residual work drops to versions-per-bin —
-    the same 10 000-version join runs 0.83 s (5.8×), flat in chain
+    closed version row is exploded to the ``bin_days``-wide time bins
+    its validity overlaps, facts join on (key, bin) equality plus the
+    same residual, so per-fact residual work drops to versions-per-bin
+    — the same 10 000-version join runs 1.4 s (4.7×), flat in chain
     depth. Exact: bins only ever ADD join-key constraints the residual
-    re-checks, a version appears once per bin, and a fact has exactly
-    one bin, so no match is lost or duplicated. Cost: the dimension
-    side grows by ~(version duration / bin_days) rows per version
-    (open versions explode to the max FACT bin — one extra bounded
-    agg over the facts computes it), so pick ``bin_days`` around the
-    typical version lifetime; leave None for shallow dimensions.
+    re-checks, a closed version appears once per bin, and a fact has
+    exactly one bin, so no match is lost or duplicated. OPEN versions
+    (typically one long-lived row per key — the common dimension
+    shape) are NOT exploded: they take a separate plain key equi-join
+    with the ``ts >= valid_from`` residual, merged by coalesce (a fact
+    matches at most one version across both arms, so no fan-out).
+    Cost: the closed side grows by ~(version duration / bin_days) rows
+    per version and the facts shuffle twice (once per arm), so pick
+    ``bin_days`` around the typical version lifetime; leave None for
+    shallow dimensions.
 
     ``attrs`` defaults to every dimension column except keys/validity;
     collisions with fact column names are rejected (rename first).
@@ -668,7 +672,6 @@ def scd2_enrich(
             "rename on one side before enriching"
         )
     fact_cols = list(facts.columns)
-    equi_cols = list(ks)
     if bin_days is not None:
         if bin_days <= 0:
             raise ValueError(f"bin_days must be positive, got {bin_days}")
@@ -680,25 +683,60 @@ def scd2_enrich(
         def to_bin(c):
             return F.floor(F.datediff(c, anchor) / bin_days)
 
-        # open versions must cover every fact bin at or after their
-        # valid_from: one bounded agg over the facts finds the upper
-        # bin (driver scalar, same class as the n_buckets collect).
-        # datediff truncates to DATE, so bin bounds only ever WIDEN the
-        # candidate set vs the exact interval — the residual predicate
-        # below re-checks it; a version never misses a matching fact.
-        row = facts.agg(F.max(to_bin(F.col(ts_col))).alias("b")).first()
-        max_bin = row["b"] if row["b"] is not None else 0
+        # Only CLOSED versions bin-explode (bounded: duration/bin_days
+        # rows each). Open versions — typically one long-lived row per
+        # key, which exploded-to-every-fact-bin would multiply by the
+        # fact time span — take a plain key equi-join with the
+        # ts >= valid_from residual instead. datediff truncates to
+        # DATE, so bin bounds only ever WIDEN the candidate set vs the
+        # exact interval — the residual predicates re-check it; a
+        # version never misses a matching fact. A fact matches at most
+        # one version across BOTH arms (disjoint validity intervals,
+        # and the open version starts at/after every closed valid_to),
+        # so the two left joins cannot fan out and at most one arm's
+        # carried columns are non-NULL — coalesce merges them.
         lo = to_bin(F.col("valid_from"))
-        hi = F.coalesce(to_bin(F.col("valid_to")), F.lit(int(max_bin)))
-        dim = dim.withColumn(
-            binc, F.explode(F.sequence(lo, F.greatest(hi, lo)))
+        closed = dim.where(F.col("valid_to").isNotNull()).withColumn(
+            binc,
+            F.explode(
+                F.sequence(lo, F.greatest(to_bin(F.col("valid_to")), lo))
+            ),
         )
-        facts = facts.withColumn(binc, to_bin(F.col(ts_col)))
-        equi_cols = equi_cols + [binc]
+        open_v = dim.where(F.col("valid_to").isNull())
+        f = facts.withColumn(binc, to_bin(F.col(ts_col))).alias("f")
+        cond_c = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"f.{k}") == F.col(f"c.{k}") for k in ks]
+            + [
+                F.col(f"f.{binc}") == F.col(f"c.{binc}"),
+                F.col(f"f.{ts_col}") >= F.col("c.valid_from"),
+                F.col(f"f.{ts_col}") < F.col("c.valid_to"),
+            ],
+        )
+        cond_o = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"f.{k}") == F.col(f"o.{k}") for k in ks]
+            + [F.col(f"f.{ts_col}") >= F.col("o.valid_from")],
+        )
+        joined = f.join(closed.alias("c"), cond_c, "left").join(
+            open_v.alias("o"), cond_o, "left"
+        )
+        if how == "inner":
+            joined = joined.filter(
+                F.col("c.valid_from").isNotNull()
+                | F.col("o.valid_from").isNotNull()
+            )
+        return joined.select(
+            *[F.col(f"f.{c}") for c in fact_cols],
+            *[
+                F.coalesce(F.col(f"c.{c}"), F.col(f"o.{c}")).alias(c)
+                for c in carried
+            ],
+        )
     f, d = facts.alias("f"), dim.alias("d")
     cond = functools.reduce(
         lambda x, y: x & y,
-        [F.col(f"f.{k}") == F.col(f"d.{k}") for k in equi_cols]
+        [F.col(f"f.{k}") == F.col(f"d.{k}") for k in ks]
         + [
             F.col(f"f.{ts_col}") >= F.col("d.valid_from"),
             F.col("d.valid_to").isNull()

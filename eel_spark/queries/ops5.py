@@ -17,8 +17,11 @@ from eel_spark.queries.tables import cents, sql_cents, table
 
 _FUNNEL_WITHIN_DAYS = 7
 
-_FUNNEL_SQL = f"""
-WITH t1 AS (
+# ONE SQL statement of the view→click→purchase first-touch anchors —
+# shared by the conversion oracle (_FUNNEL_SQL) and the latency oracle
+# (_lat_sql below) so the two gated slots can never encode diverging
+# funnel semantics (the Spark side shares funnel_times the same way).
+_FUNNEL_ANCHOR_CTES = f"""t1 AS (
   SELECT user_id, MIN(ts) AS t FROM events
   WHERE event_type = 'view' GROUP BY 1
 ), t2 AS (
@@ -35,7 +38,10 @@ WITH t1 AS (
   WHERE e.event_type = 'purchase' AND e.ts > t2.t
     AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
   GROUP BY 1
-), counts AS (
+)"""
+
+_FUNNEL_SQL = f"""
+WITH {_FUNNEL_ANCHOR_CTES}, counts AS (
   SELECT (SELECT COUNT(*) FROM t1) AS c1,
          (SELECT COUNT(*) FROM t2) AS c2,
          (SELECT COUNT(*) FROM t3) AS c3
@@ -96,24 +102,7 @@ def _lat_sql() -> str:
 
     bucket = _sql_dd_bucket("lat_us", minv=_LAT_MINV, lg=_Q_LG)
     return f"""
-WITH t1 AS (
-  SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = 'view' GROUP BY 1
-), t2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e JOIN t1 ON e.user_id = t1.user_id
-  WHERE e.event_type = 'click' AND e.ts > t1.t
-    AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
-  GROUP BY 1
-), t3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e
-  JOIN t1 ON e.user_id = t1.user_id
-  JOIN t2 ON e.user_id = t2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > t2.t
-    AND e.ts <= t1.t + INTERVAL {_FUNNEL_WITHIN_DAYS} DAY
-  GROUP BY 1
-), lat AS (
+WITH {_FUNNEL_ANCHOR_CTES}, lat AS (
   SELECT 1 AS step, 'click' AS step_name,
          epoch_us(t2.t) - epoch_us(t1.t) AS lat_us
   FROM t2 JOIN t1 USING (user_id)

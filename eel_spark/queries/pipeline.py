@@ -258,7 +258,14 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataStream:
 # last ulp, SURVEY.md §6)
 # ---------------------------------------------------------------------------
 
-_ANN_SQL = """
+def _ann_topk_sql(exclude_self: bool) -> str:
+    """Exact cosine top-10 for query vectors vec_id < 5 — the ONE SQL
+    twin of the brute-force/probe-all ranking convention (fold order,
+    zero-norm CASE, division order, (cos DESC, vec_id) tie-break);
+    parameterized so the self-inclusive IVF oracle and the
+    self-excluding brute-force oracle cannot drift apart."""
+    self_pred = " AND c.vec_id <> q.vec_id" if exclude_self else ""
+    return f"""
 WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
      pairs AS (
@@ -270,7 +277,7 @@ WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    / sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum'))
               ELSE 0.0 END AS cos
   FROM d q, d c
-  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5{self_pred}
 )
 SELECT query_id, vec_id, ROUND(cos, 4) AS cos, rank FROM (
   SELECT query_id, vec_id, cos,
@@ -278,6 +285,9 @@ SELECT query_id, vec_id, ROUND(cos, 4) AS cos, rank FROM (
   FROM pairs
 ) WHERE rank <= 10
 """
+
+
+_ANN_SQL = _ann_topk_sql(exclude_self=True)
 
 
 @query("ann_brute_force_topk", _ANN_SQL)
@@ -428,9 +438,11 @@ def deterministic_token_corpus(docs):
     last ``_MH_NEAR_TAIL`` token(s) swapped — 3-shingle Jaccard 21/23 ≈
     0.913, above threshold — and every (16k+8)-th doc a copy with the
     last ``_MH_FAR_TAIL`` swapped — Jaccard 17/27 ≈ 0.630, BELOW
-    threshold: those become LSH candidates (band-match probability
-    ≈ 0.999) that the exact-Jaccard verify must reject, so the oracle
-    checks the reject path as well as recall."""
+    threshold: most become LSH candidates (band-match probability
+    1-(1-0.63⁴)¹⁶ ≈ 0.94) that the exact-Jaccard verify must reject;
+    the ~6% that never share a band are absent from BOTH engines'
+    outputs (sub-threshold either way), so the oracle stays exact while
+    checking the reject path on the candidates that do surface."""
     ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     d_str = F.col("doc_id").cast("string")
 
@@ -531,8 +543,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str):
     probability of missing all 16 bands is ≈ 6e-9 under the fixed
     xxhash64 seeds, verified pair-for-pair at sf0.001/0.01/0.1. The
     below-threshold planted family (J ≈ 0.630) band-matches with
-    p ≈ 0.999 and must be REJECTED by the verify stage, so both LSH
-    error directions are oracle-checked. The natural-text workload
+    p ≈ 0.94 and must be REJECTED by the verify stage (non-candidates
+    are sub-threshold and absent from both outputs), so both LSH error
+    directions are oracle-checked. The natural-text workload
     (shingle sets not construction-known) keeps its planted-recall gate
     in ``dedup_minhash_realtext`` + tests/test_dedup.py."""
     docs = table(spark, sf_dir, "documents").df
@@ -631,26 +644,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
 # IVF exact-mode oracle: with every cell probed, IVF ≡ brute force, so
 # the expected answer is plain exact cosine top-k (self included: the
 # query vectors come from the corpus and exclude_self is off).
-_IVF_SQL = """
-WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-     pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id,
-         CASE WHEN sqrt(list_aggregate(list_transform(q.v, x -> x*x), 'sum')) > 0
-               AND sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum')) > 0
-              THEN list_aggregate(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), 'sum')
-                   / sqrt(list_aggregate(list_transform(q.v, x -> x*x), 'sum'))
-                   / sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum'))
-              ELSE 0.0 END AS cos
-  FROM d q, d c
-  WHERE q.vec_id < 5
-)
-SELECT query_id, vec_id, ROUND(cos, 4) AS cos, rank FROM (
-  SELECT query_id, vec_id, cos,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM pairs
-) WHERE rank <= 10
-"""
+_IVF_SQL = _ann_topk_sql(exclude_self=False)
+
+# the probe-all exactness contract requires n_probe == n_cells; one
+# constant feeds both kwargs so a retune cannot silently skew them
+_IVF_CELLS = 16
 
 
 @query("ann_ivf_topk", _IVF_SQL)
@@ -676,14 +674,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     # cents feeds BOTH ivf runs — pin (persist + registry-tracked
     # release) so the two training iterations run once
     cents = pin(
-        similarity.train_centroids(emb, n_cells=16, iterations=2, sample_mod=4)
+        similarity.train_centroids(
+            emb, n_cells=_IVF_CELLS, iterations=2, sample_mod=4
+        )
     )
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # probe-all: n_probe = n_cells ⇒ every corpus vector is a candidate
     # for every query ⇒ exact. Feeds the output AND the recall reference.
-    exact = pin(similarity.ivf_topk(emb, queries, cents, k=10, n_probe=16))
+    exact = pin(
+        similarity.ivf_topk(emb, queries, cents, k=10, n_probe=_IVF_CELLS)
+    )
     approx = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6)
     hits = (
         approx.join(exact.select("query_id", "vec_id"),

@@ -581,6 +581,55 @@ def test_enrich_binned_equals_plain(spark, tmp_path):
         scd2_enrich(facts, spark, path, "k", "ts", bin_days=0)
 
 
+def test_enrich_binned_equals_plain_timestamp_facts(spark, tmp_path):
+    """TIMESTAMP facts with time-of-day components — where to_bin's
+    datediff DATE-truncation subtlety lives (a 23:59 fact vs a next-
+    midnight valid_to must land in compatible bins). The dimension is
+    built from a timestamp change log so valid_from/valid_to carry
+    intra-day times too."""
+    from datetime import datetime
+
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path = str(tmp_path / "dim")
+    log = spark.createDataFrame(
+        [
+            (1, "A", 1, datetime(2024, 1, 1, 12, 0), 1),
+            (1, "B", 1, datetime(2024, 1, 8, 0, 0), 2),   # bin boundary
+            (1, "C", 1, datetime(2024, 2, 1, 23, 59), 3),
+        ],
+        "k long, seg string, score int, d timestamp, seq int",
+    )
+    scd2_merge(spark, path, log, "k", ["seg", "score"], "d", ["seq"],
+               n_buckets=4)
+    facts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 7, 23, 59), "last-min before boundary"),
+            (1, datetime(2024, 1, 8, 0, 0), "exactly at valid_to"),
+            (1, datetime(2024, 2, 1, 23, 58), "minute before change"),
+            (1, datetime(2024, 2, 1, 23, 59), "at open valid_from"),
+            (1, datetime(2023, 12, 31, 23, 59), "pre-history"),
+        ],
+        "k long, ts timestamp, label string",
+    )
+    plain = sorted(
+        map(str, scd2_enrich(facts, spark, path, "k", "ts").collect())
+    )
+    for w in (1, 7, 30):
+        binned = scd2_enrich(facts, spark, path, "k", "ts", bin_days=w)
+        assert sorted(map(str, binned.collect())) == plain, f"bin_days={w}"
+    got = {r["label"]: r["seg"]
+           for r in scd2_enrich(facts, spark, path, "k", "ts",
+                                bin_days=7).collect()}
+    assert got == {
+        "last-min before boundary": "A",
+        "exactly at valid_to": "B",
+        "minute before change": "B",
+        "at open valid_from": "C",
+        "pre-history": None,
+    }
+
+
 def test_enrich_binned_zero_duration_and_empty_facts(spark, tmp_path):
     """Zero-duration versions (valid_from == valid_to, the ≥2-changes-
     per-tick corner) must never match in either mode, and an all-NULL
