@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import glob
 import os
-from datetime import date
+from datetime import date, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -628,6 +628,46 @@ def test_enrich_binned_equals_plain_timestamp_facts(spark, tmp_path):
         "at open valid_from": "C",
         "pre-history": None,
     }
+
+
+def test_enrich_binned_equals_plain_randomized(spark, tmp_path):
+    """Seeded randomized chains: 40 keys x up to 8 versions at random
+    day offsets (same-day collisions included via the seq tiebreaker),
+    200 facts at random offsets around the history span plus NULL-ts
+    and unknown-key rows — binned must equal plain for a width finer
+    and coarser than typical version durations, in both join modes."""
+    import random
+
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    rng = random.Random(1009)
+    log = []
+    seq = 0
+    for k in range(40):
+        for _ in range(rng.randint(1, 8)):
+            seq += 1
+            log.append((
+                k,
+                rng.choice("ABCDE"),
+                rng.randint(0, 3),
+                date(2024, 1, 1) + timedelta(days=rng.randint(0, 120)),
+                seq,
+            ))
+    path = str(tmp_path / "dim")
+    scd2_merge(spark, path, _log(spark, log), "k", ["seg", "score"], "d",
+               ["seq"], n_buckets=4)
+    facts = [(rng.randint(-2, 45),
+              date(2024, 1, 1) + timedelta(days=rng.randint(-10, 140)),
+              f"f{i}") for i in range(200)]
+    facts.append((1, None, "null-ts"))
+    fdf = spark.createDataFrame(facts, "k long, ts date, label string")
+    for how in ("left", "inner"):
+        plain = sorted(map(str, scd2_enrich(
+            fdf, spark, path, "k", "ts", how=how).collect()))
+        for w in (3, 60):
+            binned = scd2_enrich(fdf, spark, path, "k", "ts", how=how,
+                                 bin_days=w)
+            assert sorted(map(str, binned.collect())) == plain, (how, w)
 
 
 def test_enrich_binned_zero_duration_and_empty_facts(spark, tmp_path):
