@@ -15,7 +15,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize(
-    "script", ["corpus_prep.py", "tpch_analytics.py", "table_management.py"]
+    "script",
+    [
+        "corpus_prep.py",
+        "tpch_analytics.py",
+        "table_management.py",
+        "product_analytics.py",
+    ],
 )
 def test_example_runs(script):
     proc = subprocess.run(
