@@ -193,6 +193,163 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def _funnel_fold(anchors: list, within_us: int | None, ts: int, s: int) -> None:
+    """Advance first-touch anchors with ONE event (epoch-µs, step index),
+    applied in global event-time order. Mirrors the batch operator's
+    cumulative-conditional-min semantics (operators/funnel.funnel_times):
+    step 0 anchors at its earliest event; step s anchors at the earliest
+    qualifying event STRICTLY after step s-1's anchor and (with a
+    horizon) no later than step 0's anchor + within."""
+    if s == 0:
+        if anchors[0] is None:
+            anchors[0] = ts
+        return
+    if anchors[s] is not None or anchors[s - 1] is None or ts <= anchors[s - 1]:
+        return
+    if within_us is not None and ts > anchors[0] + within_us:
+        return
+    anchors[s] = ts
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming first-touch funnel — per-user step-anchor maintenance
+    with event-time finalization (the streaming twin of
+    ``operators/funnel.funnel_times``).
+
+    Why stateful-custom and not a windowed agg: a late-but-in-watermark
+    early event can REWRITE the whole downstream anchor chain (a late
+    'view' at t-5 moves step 1 earlier, which may re-qualify a 'click'
+    that previously failed the strictly-after condition), so running
+    anchors alone are not a sufficient statistic. The kernel therefore
+    BUFFERS events newer than the event-time watermark and folds them
+    into the anchor state only once the watermark passes them — at that
+    point their global order is final (nothing older can still arrive),
+    so folding in sorted order reproduces the batch semantics exactly.
+    Events at or before the already-folded frontier are ignored
+    deterministically (the documented watermark-late contract, enforced
+    in the kernel rather than left to the source's best-effort drop).
+
+    State per user = k anchor epochs + the bounded not-yet-final event
+    buffer (everything ≤ watermark folds away each trigger, so the
+    buffer holds at most the watermark-delay window of that user's
+    step events — the same bound every watermarked stateful op carries).
+    An event-time timeout re-invokes idle keys when the watermark
+    advances so anchors finalize without requiring new per-key traffic.
+    State is dropped (with a ``final=true`` emission) once the funnel
+    completes or the ``within`` horizon expires behind the watermark;
+    without ``within``, an incomplete funnel stays live indefinitely —
+    set a horizon in production. Output (update mode): one row per
+    touched user per trigger with the current anchor timestamps,
+    ``final``, and ``folded_until_us`` (take the max-``folded_until_us``
+    row per user for the latest state).
+    """
+    names = list(steps)
+    if len(names) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    k = len(names)
+    within_us = None
+    if within is not None:
+        within_us = int(pd.Timedelta(within).value // 1_000)
+
+    arr = F.array(
+        *[F.when(c, F.lit(i)) for i, c in enumerate(steps.values())]
+    )
+    ev = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("__step"),
+        )
+    )
+    out_schema = T.StructType(
+        [events.schema[user_col]]
+        + [T.StructField(n, T.TimestampType()) for n in names]
+        + [
+            T.StructField("final", T.BooleanType()),
+            T.StructField("folded_until_us", T.LongType()),
+        ]
+    )
+    state_schema = (
+        "anchors ARRAY<BIGINT>, buf_ts ARRAY<BIGINT>, "
+        "buf_step ARRAY<INT>, folded BIGINT"
+    )
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        anchors: list = [None] * k
+        buf: list = []
+        folded = -(1 << 62)
+        if state.exists:
+            st_anchors, st_ts, st_step, folded = state.get
+            anchors = [None if a is None else int(a) for a in st_anchors]
+            buf = [(int(t), int(s)) for t, s in zip(st_ts, st_step)]
+            folded = int(folded)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1_000
+        for pdf in batches:  # empty on a timeout invocation
+            ts = pdf[ts_col]
+            if getattr(ts.dtype, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            for t, s in zip(ts_us.tolist(), pdf["__step"].tolist()):
+                if t > folded:  # deterministic too-late ignore
+                    buf.append((int(t), int(s)))
+        buf.sort()
+        keep = []
+        for t, s in buf:
+            if t <= wm_us:
+                _funnel_fold(anchors, within_us, t, s)
+            else:
+                keep.append((t, s))
+        buf = keep
+        folded = max(folded, wm_us)
+        complete = all(a is not None for a in anchors)
+        expired = (
+            within_us is not None
+            and anchors[0] is not None
+            and wm_us > anchors[0] + within_us
+        )
+        final = complete or expired
+        row = {user_col: key[0], "final": final, "folded_until_us": folded}
+        for i, n in enumerate(names):
+            row[n] = (
+                pd.Timestamp(anchors[i], unit="us")
+                if anchors[i] is not None
+                else pd.NaT
+            )
+        out = pd.DataFrame([row])
+        for n in names:
+            out[n] = pd.to_datetime(out[n])
+        if final:
+            state.remove()
+        else:
+            state.update(
+                (
+                    anchors,
+                    [t for t, _ in buf],
+                    [s for _, s in buf],
+                    folded,
+                )
+            )
+            state.setTimeoutTimestamp(wm_ms + 1)
+        yield out
+
+    return ev.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -1209,3 +1209,91 @@ def test_backfill_guard_propagates_non_missing_errors(spark, tmp_path,
     assert _backfill_bands_from_survivors(
         spark, surv, surv + "__bands", band_fn=None, id_col="doc_id"
     ) is None
+
+
+# -- streaming funnel (event-time finalized first-touch anchors) -------------
+
+
+def _write_wave(path: str, rows: list[tuple]) -> None:
+    """One parquet FILE per wave (pyarrow, tz-aware µs timestamps) so
+    maxFilesPerTrigger=1 gives one micro-batch per wave."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True).astype("datetime64[us, UTC]")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_streaming_funnel_out_of_order_equals_batch(spark, tmp_path):
+    """Waves arrive with cross-wave disorder (all within the 30-day
+    watermark delay): the streaming anchors, once the watermark passes
+    the real events (two flush waves advance it), must equal the batch
+    funnel_times on the union — including the user whose late early
+    'view' REWRITES the downstream anchor chain, the key case running
+    anchors alone cannot handle."""
+    from eel_spark.operators.funnel import funnel_times
+    from eel_spark.streaming import streaming_funnel
+
+    d = lambda day, h=0: f"2024-01-{day:02d} {h:02d}:00:00"
+    waves = [
+        # wave 1: user 1 clicks before its view arrives (view comes in
+        # wave 2, EARLIER in event time); user 2 starts normally
+        [(1, d(10), "click"), (1, d(12), "purchase"), (2, d(5), "view")],
+        # wave 2: the late early view for user 1 (rewrites its chain),
+        # user 2 progresses, user 3 completes in-order in one wave
+        [(1, d(8), "view"), (2, d(6), "click"),
+         (3, d(3), "view"), (3, d(4), "click"), (3, d(5), "purchase")],
+        # wave 3: user 2 purchases OUTSIDE the 7-day horizon (no anchor);
+        # user 4 never converts past view
+        [(2, d(20), "purchase"), (4, d(9), "view")],
+        # flush waves: advance the watermark past every real event
+        [(-999, "2024-03-15", "view")],
+        [(-999, "2024-05-15", "view")],
+    ]
+    src = tmp_path / "waves"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        _write_wave(str(src / f"wave{i}.parquet"), rows)
+
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_funnel(stream, steps, within="7 days", watermark="30 days")
+    _run_available_now(out, tmp_path, "sfunnel", output_mode="update")
+    rows = spark.sql(
+        "SELECT * FROM sfunnel ORDER BY folded_until_us"
+    ).collect()
+    latest = {r["user_id"]: r for r in rows}  # last write wins per user
+
+    batch_events = spark.createDataFrame(
+        [r for w in waves[:3] for r in w],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    expected = {
+        r["user_id"]: r
+        for r in funnel_times(
+            batch_events, "user_id", "ts", steps, within="7 days"
+        ).collect()
+    }
+    for u, exp in expected.items():
+        got = latest[u]
+        for step in ("view", "click", "purchase"):
+            assert got[step] == exp[step], (u, step, got[step], exp[step])
+    # user 1: the late early view re-qualified the click after it
+    assert latest[1]["view"] is not None and latest[1]["click"] is not None
+    # finalization: completed funnels and expired horizons drop state
+    assert latest[1]["final"] and latest[3]["final"]
+    assert latest[2]["final"] and latest[2]["purchase"] is None  # horizon
+    # user 4 never converted, but its 7-day horizon is behind the final
+    # watermark, so the non-conversion is FINAL (state dropped) too
+    assert latest[4]["final"] and latest[4]["click"] is None
