@@ -1,0 +1,159 @@
+"""Text retrieval scoring — Okapi BM25 over a document corpus.
+
+A training-data pipeline uses relevance scoring for query-anchored
+quality filtering (keep documents relevant to a topic mix), retrieval-
+eval set construction, and search-corpus dedup triage. The reference
+has no retrieval operator (its text handling stops at schema-typed
+rows); this is a Spark-first addition in the same family as the
+quality-scoring kernels in ``functions/text.py``.
+
+Robertson & Walker's BM25 (public; the TREC formulation):
+
+    score(d, q) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1) /
+                              (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t) = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Scale shape: the corpus is scanned ONCE; each document's token array is
+intersected with the (tiny, broadcast-literal) query-term set BEFORE the
+explode, so the exploded relation holds only matching (doc, term) rows —
+never the full token stream. Document length comes from the same
+projection; ``avgdl``/``N`` are one 1-row aggregate; ``df`` aggregates
+over the slim matched rows. Everything is map-side-combinable groupBys
+over narrow rows — no UDFs, no window over the corpus.
+
+Determinism note (SURVEY §6): per-term score components involve ``ln``,
+whose last ulp differs across libm implementations, so cross-engine
+comparisons gate on the INTEGER sufficient statistics (tf, dl, df, N)
+— from which any engine recomputes scores — while the float formula
+itself is verified in pytest against an independent Python reference.
+The per-document sum folds components in SORTED order
+(``array_sort`` + ``aggregate``) so the score is deterministic across
+partitionings and retries — float addition is not associative, and an
+unordered SUM over a shuffled relation is not reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eel_spark.functions.text import normalized_text, tokens
+
+
+def bm25_term_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+) -> DataFrame:
+    """Integer sufficient statistics of BM25 for ``query_terms``:
+    one row per (document, matched query term) with ``tf`` (term
+    frequency in the doc), ``dl`` (doc token length), ``df`` (number of
+    corpus docs containing the term), and ``n_docs`` (corpus size).
+    Exact integers — the cross-engine-comparable form from which any
+    engine recomputes scores bit-for-bit up to its own libm.
+
+    Terms are matched on the same normalization the quality kernels use
+    (lowercase, whitespace-collapsed); duplicate query terms collapse.
+    """
+    terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    toks = tokens(normalized_text(text_col))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        # keep only matching tokens BEFORE exploding: the exploded
+        # relation is bounded by matches, not by corpus token volume
+        F.filter("__toks", lambda t: F.array_contains(qarr, t)).alias("__m"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    matched = (
+        base.where(F.size("__m") > 0)
+        .select(id_col, "dl", F.explode("__m").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, "term", "tf", "dl", "df", "n_docs", "sum_dl")
+    )
+
+
+def _bm25_component(k1: float, b: float) -> Column:
+    """Per-(doc, term) BM25 contribution from the stat columns."""
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    return idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score per document matching ≥1 query term: (id, score,
+    n_terms). The per-document sum folds the per-term components in
+    sorted order (array_sort + aggregate) so the score is reproducible
+    across partitionings, retries, and cluster sizes."""
+    stats = bm25_term_stats(df, text_col, id_col, query_terms)
+    comp = stats.select(
+        id_col, _bm25_component(k1, b).alias("__c")
+    )
+    return (
+        comp.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__c")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25, deterministic (score DESC, id ASC)
+    tie-break, ranked with the same two-phase salted top-k the ANN
+    operators use — no single-reducer global sort."""
+    from eel_spark.operators.similarity import _topk_per_query
+
+    scored = bm25_scores(df, text_col, id_col, query_terms, k1, b)
+    # _topk_per_query partitions by a query id; BM25 has one query —
+    # a constant key keeps phase-1 salting as the parallelism source
+    scored = scored.withColumn("__q", F.lit(0))
+    out = _topk_per_query(scored, "__q", id_col, k, value_col="score")
+    return out.drop("__q")

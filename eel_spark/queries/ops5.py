@@ -365,3 +365,56 @@ def scd2_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts, spark, path, "o_custkey", "lookback_date",
         attrs=["o_orderpriority"],
     ).withColumnRenamed("o_orderpriority", "prio_45d_ago")
+
+
+# -- BM25 retrieval scoring (operators/retrieval.py) — UNGATED tier ---------
+#
+# Registered with gated=False: the 50-slot driver registry is full, and
+# the ungated tier's pytest harness oracles it at two SFs exactly like a
+# driver row. Comparison is on the INTEGER sufficient statistics
+# (tf, dl, df, N, Σdl) per SURVEY §6's no-cross-libm rule — idf's ln()
+# is the one transcendental, so the float formula is verified separately
+# in tests/test_retrieval.py against an independent Python reference.
+
+_BM25_TERMS = ("merge", "scan", "window")
+
+_BM25_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM t
+), totals AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base
+), m AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM base
+), tfs AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM m
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY 1, 2, 3
+), dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1)
+SELECT tfs.doc_id, tfs.term, tfs.tf, CAST(tfs.dl AS BIGINT) AS dl,
+       dfs.df, totals.n_docs, totals.sum_dl
+FROM tfs JOIN dfs USING (term) CROSS JOIN totals
+"""
+
+
+@query("text_bm25_stats", _BM25_SQL, gated=False)
+def text_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 integer sufficient statistics for a fixed query over the
+    documents table (operators/retrieval.bm25_term_stats): one row per
+    (matching document, query term) with exact tf/dl/df/N/Σdl — the
+    engine-neutral form of the scoring inputs (§6: idf's ln() must not
+    reach a cross-engine compare). One corpus scan; tokens intersect
+    the broadcast-literal term set BEFORE exploding, so the exploded
+    relation is bounded by matches, not token volume."""
+    from eel_spark.operators.retrieval import bm25_term_stats
+
+    docs = table(spark, sf_dir, "documents").df
+    stats = bm25_term_stats(docs, "text", "doc_id", list(_BM25_TERMS))
+    return stats.select(
+        "doc_id", "term", "tf", F.col("dl").cast("long").alias("dl"),
+        "df", "n_docs", "sum_dl",
+    )

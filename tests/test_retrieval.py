@@ -1,0 +1,112 @@
+"""BM25 retrieval scoring (operators/retrieval.py): the integer
+sufficient statistics are DuckDB-oracled in tests/test_ungated.py
+(text_bm25_stats); here the ln()-bearing score formula is verified
+against an independent Python reference, plus determinism and the
+top-k ranking contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from eel_spark.operators.retrieval import bm25_scores, bm25_term_stats, bm25_topk
+
+DOCS = [
+    (0, "spark merge sort merge join"),
+    (1, "window scan window window table"),
+    (2, "the quick brown fox"),
+    (3, "merge"),
+    (4, ""),
+]
+TERMS = ["merge", "window", "absent-term"]
+K1, B = 1.2, 0.75
+
+
+def _py_bm25(rows):
+    """Independent reference implementation over raw (id, text) rows."""
+    toks = {i: t.lower().split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    terms = sorted({t.strip().lower() for t in TERMS if t.strip()})
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out = {}
+    for i, v in toks.items():
+        comps = []
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            comps.append(
+                idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(v) / avgdl))
+            )
+        if comps:
+            out[i] = sum(sorted(comps))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_stats_integers(spark, docs):
+    rows = bm25_term_stats(docs, "text", "doc_id", TERMS).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["dl"], r["df"]) for r in rows}
+    # absent-term matches nothing; doc 2/4 match nothing
+    assert got == {
+        (0, "merge"): (2, 5, 2),
+        (3, "merge"): (1, 1, 2),
+        (1, "window"): (3, 5, 1),
+    }
+    n_docs = {r["n_docs"] for r in rows}
+    sum_dl = {r["sum_dl"] for r in rows}
+    assert n_docs == {5} and sum_dl == {15}
+
+
+def test_bm25_scores_match_python_reference(spark, docs):
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(
+        docs, "text", "doc_id", TERMS, k1=K1, b=B).collect()}
+    exp = _py_bm25(DOCS)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12), i
+
+
+def test_bm25_deterministic_across_partitionings(spark, docs):
+    a = {r["doc_id"]: r["score"] for r in bm25_scores(
+        docs.repartition(1), "text", "doc_id", TERMS).collect()}
+    b = {r["doc_id"]: r["score"] for r in bm25_scores(
+        docs.repartition(7, "doc_id"), "text", "doc_id", TERMS).collect()}
+    assert a == b  # bit-identical: sorted-order component fold
+
+
+def test_bm25_topk_rank_and_tiebreak(spark, docs):
+    rows = bm25_topk(docs, "text", "doc_id", TERMS, k=2).collect()
+    ranked = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    exp = sorted(_py_bm25(DOCS).items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert ranked == [(i + 1, d) for i, (d, _) in enumerate(exp)]
+
+
+def test_bm25_rejects_empty_terms(spark, docs):
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_term_stats(docs, "text", "doc_id", ["  ", ""])
+
+
+def test_bm25_corpus_scan_is_bounded_and_jvm_only(spark):
+    """Plan contract: the exploded relation is the FILTERED token
+    array (match-bounded), and the whole plan is Python-free."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bm25_term_stats(docs, "text", "doc_id", ["merge", "scan"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    # generate (explode) must consume the filtered-match column, never a
+    # raw full-token split
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen and all("__m" in ln for ln in gen), gen
