@@ -34,7 +34,6 @@ unordered SUM over a shuffled relation is not reproducible.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame

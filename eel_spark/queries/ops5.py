@@ -381,8 +381,9 @@ _BM25_TERMS = ("merge", "scan", "window")
 _BM25_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-           AS toks
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           tk -> tk <> '') AS toks
   FROM documents
 ), base AS (
   SELECT doc_id, len(toks) AS dl, toks FROM t

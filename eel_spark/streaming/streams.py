@@ -242,17 +242,34 @@ def streaming_funnel(
     step events — the same bound every watermarked stateful op carries).
     An event-time timeout re-invokes idle keys when the watermark
     advances so anchors finalize without requiring new per-key traffic.
-    State is dropped (with a ``final=true`` emission) once the funnel
-    completes or the ``within`` horizon expires behind the watermark;
-    without ``within``, an incomplete funnel stays live indefinitely —
-    set a horizon in production. Output (update mode): one row per
-    touched user per trigger with the current anchor timestamps,
-    ``final``, and ``folded_until_us`` (take the max-``folded_until_us``
-    row per user for the latest state).
+    Once the funnel completes or the ``within`` horizon expires behind
+    the watermark, the key emits its ``final=true`` row ONCE and the
+    state collapses to a small done-tombstone (anchors only, empty
+    buffer, no timeout) — kept so post-final traffic for the user
+    (ongoing events, beyond-watermark redeliveries) is ignored instead
+    of resurrecting a fresh funnel that would supersede the completed
+    one under the latest-row consumer contract; batch ``funnel_times``
+    likewise computes ONE funnel per user over all history. Tombstone
+    size is a fixed few dozen bytes per finalized user — the same
+    O(users) floor any keyed dimension carries; evict offline if the
+    user universe is unbounded. Without ``within``, an incomplete
+    funnel stays live indefinitely — set a horizon in production.
+    Output (update mode): a row is emitted only when the key is first
+    seen, an anchor changes, or finality is reached — idle
+    watermark-advance timeouts stay silent — with the current anchor
+    timestamps, ``final``, and ``folded_until_us`` (take the
+    max-``folded_until_us`` row per user for the latest state).
     """
     names = list(steps)
     if len(names) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    reserved = {user_col, "final", "folded_until_us"}
+    clash = [n for n in names if n in reserved]
+    if clash:
+        raise ValueError(
+            f"step name(s) {clash} collide with the output columns "
+            f"({sorted(reserved)}) — rename the steps"
+        )
     k = len(names)
     within_us = None
     if within is not None:
@@ -279,18 +296,24 @@ def streaming_funnel(
     )
     state_schema = (
         "anchors ARRAY<BIGINT>, buf_ts ARRAY<BIGINT>, "
-        "buf_step ARRAY<INT>, folded BIGINT"
+        "buf_step ARRAY<INT>, folded BIGINT, done BOOLEAN"
     )
 
     def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
         anchors: list = [None] * k
         buf: list = []
         folded = -(1 << 62)
+        fresh = not state.exists
         if state.exists:
-            st_anchors, st_ts, st_step, folded = state.get
+            st_anchors, st_ts, st_step, folded, done = state.get
+            if done:  # finalized: ignore post-final traffic, stay silent
+                for _ in batches:
+                    pass
+                return
             anchors = [None if a is None else int(a) for a in st_anchors]
             buf = [(int(t), int(s)) for t, s in zip(st_ts, st_step)]
             folded = int(folded)
+        before = list(anchors)
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1_000
         for pdf in batches:  # empty on a timeout invocation
@@ -317,6 +340,18 @@ def streaming_funnel(
             and wm_us > anchors[0] + within_us
         )
         final = complete or expired
+        if final:
+            # done-tombstone: anchors kept, buffer dropped, no timeout —
+            # the key never emits or folds again
+            state.update((anchors, [], [], folded, True))
+        else:
+            state.update(
+                (anchors, [t for t, _ in buf], [s for _, s in buf],
+                 folded, False)
+            )
+            state.setTimeoutTimestamp(wm_ms + 1)
+        if not (fresh or final or anchors != before):
+            return  # idle watermark tick: nothing changed, stay silent
         row = {user_col: key[0], "final": final, "folded_until_us": folded}
         for i, n in enumerate(names):
             row[n] = (
@@ -327,18 +362,6 @@ def streaming_funnel(
         out = pd.DataFrame([row])
         for n in names:
             out[n] = pd.to_datetime(out[n])
-        if final:
-            state.remove()
-        else:
-            state.update(
-                (
-                    anchors,
-                    [t for t, _ in buf],
-                    [s for _, s in buf],
-                    folded,
-                )
-            )
-            state.setTimeoutTimestamp(wm_ms + 1)
         yield out
 
     return ev.groupBy(user_col).applyInPandasWithState(

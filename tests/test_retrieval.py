@@ -110,3 +110,60 @@ def test_bm25_corpus_scan_is_bounded_and_jvm_only(spark):
     # raw full-token split
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gen and all("__m" in ln for ln in gen), gen
+
+
+def test_bm25_oracle_handles_empty_docs(spark, oracle):
+    """The DuckDB twin must tokenize empty/whitespace-only documents to
+    dl=0 exactly like tokens() does (string_split('', ' ') returns ['']
+    — the empty token has to be filtered or Σdl diverges on every row
+    the first time a regeneration ships an empty document)."""
+    import duckdb
+
+    from eel_spark.queries import UNGATED_ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'merge scan merge'), (1, ''), (2, '   '), (3, 'window')) "
+        "AS t(doc_id, text)"
+    )
+    rows = con.sql(UNGATED_ORACLE["text_bm25_stats"]).fetchall()
+    got = {(r[0], r[1]): (r[2], r[3], r[4], r[5], r[6]) for r in rows}
+    # n_docs=4, sum_dl = 3 + 0 + 0 + 1 = 4
+    assert got == {
+        (0, "merge"): (2, 3, 1, 4, 4),
+        (0, "scan"): (1, 3, 1, 4, 4),
+        (3, "window"): (1, 1, 1, 4, 4),
+    }
+    con.close()
+
+    sdf = bm25_term_stats(
+        spark.createDataFrame(
+            [(0, "merge scan merge"), (1, ""), (2, "   "), (3, "window")],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id", ["merge", "scan", "window"],
+    )
+    s_got = {(r["doc_id"], r["term"]):
+             (r["tf"], r["dl"], r["df"], r["n_docs"], r["sum_dl"])
+             for r in sdf.collect()}
+    assert s_got == got
+
+
+def test_bm25_stats_oracle_sf01_full(spark):
+    """Third-SF oracle sweep (the ungated harness covers sf0.001 and
+    sf0.01; this backs the 3-SF claim for the BM25 stats)."""
+    import duckdb
+
+    from eel_spark.queries import UNGATED_ORACLE, UNGATED_QUERIES
+    from tests.conftest import TABLES, assert_df_matches_oracle
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = UNGATED_QUERIES["text_bm25_stats"](spark, sf)
+    assert_df_matches_oracle(df, con, UNGATED_ORACLE["text_bm25_stats"])
+    con.close()

@@ -1252,6 +1252,10 @@ def test_streaming_funnel_out_of_order_equals_batch(spark, tmp_path):
         # flush waves: advance the watermark past every real event
         [(-999, "2024-03-15", "view")],
         [(-999, "2024-05-15", "view")],
+        # post-final traffic: user 3 finalized long ago — a fresh view
+        # must NOT resurrect its funnel (done-tombstone contract)
+        [(3, "2024-05-10", "view"), (-999, "2024-07-15", "view")],
+        [(-999, "2024-09-15", "view")],
     ]
     src = tmp_path / "waves"
     src.mkdir()
@@ -1297,3 +1301,28 @@ def test_streaming_funnel_out_of_order_equals_batch(spark, tmp_path):
     # user 4 never converted, but its 7-day horizon is behind the final
     # watermark, so the non-conversion is FINAL (state dropped) too
     assert latest[4]["final"] and latest[4]["click"] is None
+    # post-final traffic (user 3's fresh 2024-05-10 view) must not
+    # resurrect the funnel: the final row stays the user's LAST emission
+    assert latest[3]["final"] and latest[3]["view"] == expected[3]["view"]
+    # emit-on-change: the idle flush ticks must not spam unchanged rows —
+    # each real user emits at most once per state change (≤ k+1 rows)
+    from collections import Counter
+
+    per_user = Counter(r["user_id"] for r in rows)
+    for u in (1, 2, 3, 4):
+        assert per_user[u] <= 4, (u, per_user[u])
+
+
+def test_streaming_funnel_rejects_reserved_step_names(spark, tmp_path):
+    from eel_spark.streaming import streaming_funnel
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="collide"):
+        streaming_funnel(
+            stream, {"view": F.lit(True), "final": F.lit(True)}
+        )
+    with pytest.raises(ValueError, match="2 steps"):
+        streaming_funnel(stream, {"view": F.lit(True)})
