@@ -144,12 +144,25 @@ def encode_y4m(frames, fps: tuple[int, int] = (4, 1)) -> bytes:
     arr = np.ascontiguousarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise ValueError(f"need (n, h, w, 3) frames, got shape {arr.shape}")
-    n, h, w, _ = arr.shape
+    # planar: full Y plane, then Cb, then Cr
+    planes = np.stack([_rgb_to_ycbcr(f).transpose(2, 0, 1) for f in arr])
+    return encode_y4m_planes(planes, fps=fps)
+
+
+def encode_y4m_planes(planes, fps: tuple[int, int] = (4, 1)) -> bytes:
+    """Encode an (n, 3, h, w) uint8 YCbCr plane stack directly as C444
+    y4m — the RGB-free sibling of ``encode_y4m`` for payloads born in
+    YCbCr (or for planting engine-neutral plane values that must survive
+    the container round-trip bit-exactly, with no BT.601 rounding)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(planes, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[1] != 3:
+        raise ValueError(f"need (n, 3, h, w) planes, got shape {arr.shape}")
+    n, _, h, w = arr.shape
     out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode("ascii")]
     for k in range(n):
-        ycc = _rgb_to_ycbcr(arr[k])
-        # planar: full Y plane, then Cb, then Cr
-        out.append(b"FRAME\n" + ycc.transpose(2, 0, 1).tobytes())
+        out.append(b"FRAME\n" + arr[k].tobytes())
     return b"".join(out)
 
 
@@ -206,10 +219,11 @@ def parse_y4m(payload: bytes) -> dict:
     }
 
 
-def y4m_frame(payload: bytes, k: int):
-    """Decode frame ``k`` of a C444 y4m stream to (h, w, 3) uint8 RGB —
-    indexes straight into the plane bytes, so extracting one frame never
-    materializes the others."""
+def y4m_frame_planes(payload: bytes, k: int):
+    """Raw (3, h, w) uint8 YCbCr planes of frame ``k`` of a C444 y4m
+    stream — the container-level decode (indexes straight into the plane
+    bytes, so extracting one frame never materializes the others).
+    ``y4m_frame`` layers the BT.601 RGB conversion on top."""
     import numpy as np
 
     info = parse_y4m(payload)
@@ -221,7 +235,12 @@ def y4m_frame(payload: bytes, k: int):
         raise ValueError(f"y4m frame {k} has parameters or is misaligned")
     off += len(b"FRAME\n")
     planes = np.frombuffer(payload[off : off + 3 * w * h], dtype=np.uint8)
-    return _ycbcr_to_rgb(planes.reshape(3, h, w).transpose(1, 2, 0))
+    return planes.reshape(3, h, w)
+
+
+def y4m_frame(payload: bytes, k: int):
+    """Decode frame ``k`` of a C444 y4m stream to (h, w, 3) uint8 RGB."""
+    return _ycbcr_to_rgb(y4m_frame_planes(payload, k).transpose(1, 2, 0))
 
 
 def decode_y4m(payload: bytes):
@@ -282,6 +301,139 @@ def synth_media(spark, n: int = 64) -> DataFrame:
               else ("pcm_s16le" if media_type == "audio" else "y4m")))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_media_lcg(spark, n: int = 64) -> DataFrame:
+    """Engine-neutral synthetic media table: every payload byte/sample is
+    a pure function of (media_id, coordinate) in integer modular
+    arithmetic, so an external oracle (DuckDB) can reproduce the decoded
+    statistics from ``generate_series`` arithmetic WITHOUT decoding —
+    while the Spark side still exercises the REAL codecs
+    (``decode_ppm`` / ``decode_pcm_s16le`` / ``parse_y4m`` +
+    ``y4m_frame_planes``). The r8/r9 deterministic-corpus pattern
+    (see queries/pipeline.py) applied to binary payloads.
+
+    Per modality (w = 64 + i%32, h = 48 + i%16):
+    - image (i ≡ 0 mod 3): P6, channel values at (x, y) =
+      ((x·3 + i) % 256, (y·5 + 2i) % 256, (x + y + 7i) % 256);
+    - audio (i ≡ 1 mod 3): 256 + (i%5)·64 PCM s16le samples,
+      s_k = ((i·1000003 + k·40503 + 12345)·2654435761) % 65536 − 32768;
+    - video (i ≡ 2 mod 3): C444 y4m at 1 fps with i%7 + 1 frames of
+      quarter-resolution (w//4 × h//4) YCbCr planes planted DIRECTLY
+      (``encode_y4m_planes`` — no lossy BT.601 round-trip), plane p of
+      frame k at (x, y) = (x·3 + y·5 + 17p + 13k + i) % 256.
+    """
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        media_type = ["image", "audio", "video"][i % 3]
+        w, h = 64 + i % 32, 48 + i % 16
+        if media_type == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(xx * 3 + i) % 256, (yy * 5 + 2 * i) % 256,
+                 (xx + yy + 7 * i) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            payload, codec = encode_ppm(px), "ppm"
+        elif media_type == "audio":
+            ns = 256 + (i % 5) * 64
+            samples = [
+                ((i * 1000003 + k * 40503 + 12345) * 2654435761) % 65536 - 32768
+                for k in range(ns)
+            ]
+            payload, codec = np.array(samples, dtype="<i2").tobytes(), "pcm_s16le"
+        else:
+            nf, vw, vh = i % 7 + 1, w // 4, h // 4
+            yy, xx = np.mgrid[0:vh, 0:vw]
+            planes = np.stack(
+                [
+                    np.stack(
+                        [(xx * 3 + yy * 5 + 17 * p + 13 * k + i) % 256
+                         for p in range(3)],
+                        axis=0,
+                    )
+                    for k in range(nf)
+                ]
+            ).astype(np.uint8)
+            payload, codec = encode_y4m_planes(planes, fps=(1, 1)), "y4m"
+        rows.append(
+            (i, payload, media_type, (w, h, 1000 * (i % 7), codec))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+PAYLOAD_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_units", T.LongType(), True),
+        T.StructField("unit_sum", T.LongType(), True),
+        T.StructField("unit_sq_sum", T.LongType(), True),
+    ]
+)
+
+
+def payload_integer_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Exact integer statistics of every payload's decoded units — ONE
+    Arrow-batched mapInPandas over all three modalities (no union, no
+    shuffle), dispatching on media_type:
+
+    - image: ``decode_ppm`` → raster bytes (units = w·h·3 channel values);
+    - audio: PCM s16le samples (units = int16 sample values, sum may be
+      negative);
+    - video: ``parse_y4m`` + ``y4m_frame_planes`` on frames sampled at
+      t = 0..duration_ms step ``every_ms`` (a 0-duration video samples
+      frame 0 once); units = raw YCbCr plane bytes of the sampled frames
+      — container-level, so no float conversion touches the values.
+
+    Returns (media_id, media_type, n_bytes, n_units, unit_sum,
+    unit_sq_sum), all integers — the hash-exact form the DuckDB oracle
+    reproduces arithmetically for ``synth_media_lcg`` corpora. Undecodable
+    payloads fail loudly (ValueError), never silently drop."""
+    import numpy as np
+
+    def stats(payload, media_type, meta):
+        if media_type == "image":
+            px = decode_ppm(payload).astype(np.int64)
+            return len(payload), px.size, int(px.sum()), int((px * px).sum())
+        if media_type == "audio":
+            s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+            return len(payload), s.size, int(s.sum()), int((s * s).sum())
+        info = parse_y4m(payload)
+        dur = 0 if meta is None or meta["duration_ms"] is None else meta["duration_ms"]
+        n = tot = sq = 0
+        for ts in range(0, int(dur) + 1, every_ms):
+            idx = min(
+                info["n_frames"] - 1,
+                ts * info["fps_num"] // (1000 * info["fps_den"]),
+            )
+            planes = y4m_frame_planes(payload, idx).astype(np.int64)
+            n += planes.size
+            tot += int(planes.sum())
+            sq += int((planes * planes).sum())
+        return len(payload), n, tot, sq
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                stats(p, mt, m)
+                for p, mt, m in zip(pdf["payload"], pdf["media_type"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [o[0] for o in out],
+                    "n_units": [o[1] for o in out],
+                    "unit_sum": [o[2] for o in out],
+                    "unit_sq_sum": [o[3] for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, PAYLOAD_STATS_SCHEMA)
 
 
 def _image_features(payload: bytes, fake: bool) -> list[float]:

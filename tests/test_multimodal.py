@@ -203,3 +203,119 @@ def test_sample_video_frames_real_y4m(media, spark):
     # and the fake double still honors the explode contract
     fake_frames = mm.sample_video_frames(mp4_ish, every_ms=1000, fake=True)
     assert fake_frames.count() == sum(d // 1000 + 1 for d in vids.values())
+
+
+# ---------------------------------------------------------------------------
+# engine-neutral corpus + integer stats (the r10 oracle path)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_y4m_planes_round_trip():
+    planes = np.arange(2 * 3 * 4 * 5, dtype=np.uint8).reshape(2, 3, 4, 5)
+    payload = mm.encode_y4m_planes(planes, fps=(1, 1))
+    info = mm.parse_y4m(payload)
+    assert (info["n_frames"], info["fps_num"], info["fps_den"]) == (2, 1, 1)
+    assert (info["width"], info["height"]) == (5, 4)
+    for k in range(2):
+        assert (mm.y4m_frame_planes(payload, k) == planes[k]).all()
+    # encode_y4m (RGB path) now shares the plane writer: same container
+    rgb = np.arange(1 * 4 * 5 * 3, dtype=np.uint8).reshape(1, 4, 5, 3)
+    assert mm.parse_y4m(mm.encode_y4m(rgb))["n_frames"] == 1
+
+
+def test_synth_media_lcg_payloads_match_formulas(spark):
+    """Every payload byte/sample is the documented pure function of
+    (media_id, coordinate) — spot-checked after a REAL decode."""
+    rows = {r["media_id"]: r for r in mm.synth_media_lcg(spark, n=12).collect()}
+    for i in (0, 3, 9):  # images
+        px = mm.decode_ppm(bytes(rows[i]["payload"]))
+        h, w = px.shape[:2]
+        assert (w, h) == (64 + i % 32, 48 + i % 16)
+        assert px[2, 5, 0] == (5 * 3 + i) % 256
+        assert px[2, 5, 1] == (2 * 5 + 2 * i) % 256
+        assert px[2, 5, 2] == (5 + 2 + 7 * i) % 256
+    for i in (1, 4, 10):  # audio
+        s = np.frombuffer(bytes(rows[i]["payload"]), dtype="<i2")
+        ns = 256 + (i % 5) * 64
+        assert len(s) == ns
+        for k in (0, 7, ns - 1):
+            assert s[k] == ((i * 1000003 + k * 40503 + 12345) * 2654435761) % 65536 - 32768
+    for i in (2, 5, 11):  # video: planted YCbCr planes survive bit-exactly
+        payload = bytes(rows[i]["payload"])
+        assert mm.parse_y4m(payload)["n_frames"] == i % 7 + 1
+        k = i % 7  # last frame
+        planes = mm.y4m_frame_planes(payload, k)
+        assert planes.shape == (3, (48 + i % 16) // 4, (64 + i % 32) // 4)
+        assert planes[1, 2, 3] == (3 * 3 + 2 * 5 + 17 * 1 + 13 * k + i) % 256
+
+
+def test_payload_integer_stats_matches_pure_python(spark):
+    """The mapInPandas kernel's integer stats equal a from-scratch Python
+    recomputation of the planted formulas for ALL ids — the same numbers
+    the DuckDB oracle derives arithmetically."""
+    n = 16
+    out = {
+        r["media_id"]: r
+        for r in mm.payload_integer_stats(
+            mm.synth_media_lcg(spark, n=n), every_ms=1000
+        ).collect()
+    }
+    assert len(out) == n
+    for i in range(n):
+        w, h = 64 + i % 32, 48 + i % 16
+        if i % 3 == 0:
+            units = [
+                c
+                for x in range(w)
+                for y in range(h)
+                for c in ((x * 3 + i) % 256, (y * 5 + 2 * i) % 256,
+                          (x + y + 7 * i) % 256)
+            ]
+            n_bytes = 13 + w * h * 3
+        elif i % 3 == 1:
+            ns = 256 + (i % 5) * 64
+            units = [
+                ((i * 1000003 + k * 40503 + 12345) * 2654435761) % 65536 - 32768
+                for k in range(ns)
+            ]
+            n_bytes = 2 * ns
+        else:
+            nf, vw, vh = i % 7 + 1, w // 4, h // 4
+            units = [
+                (x * 3 + y * 5 + 17 * p + 13 * k + i) % 256
+                for k in range(nf)
+                for p in range(3)
+                for y in range(vh)
+                for x in range(vw)
+            ]
+            n_bytes = 36 + nf * (6 + 3 * vw * vh)
+        r = out[i]
+        assert r["n_bytes"] == n_bytes, i
+        assert r["n_units"] == len(units), i
+        assert r["unit_sum"] == sum(units), i
+        assert r["unit_sq_sum"] == sum(u * u for u in units), i
+
+
+def test_multimodal_features_matches_oracle(spark, oracle):
+    from eel_spark.queries import ORACLE, QUERIES
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        QUERIES["multimodal_features"](spark, SF_DIR),
+        oracle,
+        ORACLE["multimodal_features"],
+    )
+
+
+def test_multimodal_selfcheck_chain(spark):
+    """The pre-r10 self-verifying composite (float statistics + the lossy
+    y4m → RGB → P6 → image-kernel chain) stays green: 22 images + 21
+    audio + 18 videos (duration-0 videos sample no frames there)."""
+    from eel_spark.queries.pipeline import multimodal_selfcheck
+
+    df = multimodal_selfcheck(spark, "/root/testdata/sf0.001")
+    counts = {
+        r["media_type"]: r["n"]
+        for r in df.groupBy("media_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"image": 22, "audio": 21, "video": 18}

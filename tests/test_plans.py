@@ -542,3 +542,12 @@ def test_embedding_pairs_plan_bounded_and_jvm_only(spark):
     assert "LeftAnti" in plan  # bucket cap path present
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_multimodal_features_plan_local_single_python_stage(spark):
+    """The oracled multimodal slot is one local scan → ONE Arrow python
+    stage: no exchange, no union of per-modality subplans (the kernel
+    dispatches on media_type inside the batch)."""
+    plan = plan_str(QUERIES["multimodal_features"](spark, SF), "simple")
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
