@@ -218,6 +218,7 @@ def streaming_funnel(
     ts_col: str = "ts",
     within: str | None = None,
     watermark: str = "10 minutes",
+    final_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming first-touch funnel — per-user step-anchor maintenance
     with event-time finalization (the streaming twin of
@@ -250,10 +251,19 @@ def streaming_funnel(
     of resurrecting a fresh funnel that would supersede the completed
     one under the latest-row consumer contract; batch ``funnel_times``
     likewise computes ONE funnel per user over all history. Tombstone
-    size is a fixed few dozen bytes per finalized user — the same
-    O(users) floor any keyed dimension carries; evict offline if the
-    user universe is unbounded. Without ``within``, an incomplete
-    funnel stays live indefinitely — set a horizon in production.
+    size is a fixed few dozen bytes per finalized user — O(total users
+    ever) if kept forever, so ``final_ttl`` bounds the state lifecycle:
+    the tombstone is evicted once the watermark passes
+    finality + final_ttl (an event-time timeout re-arms on any
+    post-final traffic, so eviction needs no per-key traffic). The
+    trade-off is explicit: after eviction, post-final traffic or a
+    beyond-watermark redelivery for that user starts a FRESH funnel
+    whose rows supersede the completed one under the latest-row
+    contract — set ``final_ttl`` only when consumers anchor on
+    ``final=true`` rows or per-user traffic ends within the TTL; leave
+    it None (default) for the keep-forever tombstone when the user
+    universe is bounded. Without ``within``, an incomplete funnel stays
+    live indefinitely — set a horizon in production.
     Output (update mode): a row is emitted only when the key is first
     seen, an anchor changes, or finality is reached — idle
     watermark-advance timeouts stay silent — with the current anchor
@@ -274,6 +284,9 @@ def streaming_funnel(
     within_us = None
     if within is not None:
         within_us = int(pd.Timedelta(within).value // 1_000)
+    ttl_us = None
+    if final_ttl is not None:
+        ttl_us = int(pd.Timedelta(final_ttl).value // 1_000)
 
     arr = F.array(
         *[F.when(c, F.lit(i)) for i, c in enumerate(steps.values())]
@@ -304,18 +317,27 @@ def streaming_funnel(
         buf: list = []
         folded = -(1 << 62)
         fresh = not state.exists
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1_000
         if state.exists:
             st_anchors, st_ts, st_step, folded, done = state.get
             if done:  # finalized: ignore post-final traffic, stay silent
                 for _ in batches:
                     pass
+                if ttl_us is not None:
+                    # `folded` froze at the finality watermark, so the
+                    # eviction point is derivable without a schema field
+                    expiry_us = int(folded) + ttl_us
+                    if wm_us >= expiry_us:
+                        state.remove()  # tombstone TTL elapsed: evict
+                    else:
+                        # re-arm (traffic invocations clear the timeout)
+                        state.setTimeoutTimestamp(expiry_us // 1_000 + 1)
                 return
             anchors = [None if a is None else int(a) for a in st_anchors]
             buf = [(int(t), int(s)) for t, s in zip(st_ts, st_step)]
             folded = int(folded)
         before = list(anchors)
-        wm_ms = state.getCurrentWatermarkMs()
-        wm_us = wm_ms * 1_000
         for pdf in batches:  # empty on a timeout invocation
             ts = pdf[ts_col]
             if getattr(ts.dtype, "tz", None) is not None:
@@ -341,9 +363,12 @@ def streaming_funnel(
         )
         final = complete or expired
         if final:
-            # done-tombstone: anchors kept, buffer dropped, no timeout —
-            # the key never emits or folds again
+            # done-tombstone: anchors kept, buffer dropped — the key
+            # never emits or folds again; with final_ttl the timeout
+            # stays armed so the tombstone self-evicts at expiry
             state.update((anchors, [], [], folded, True))
+            if ttl_us is not None:
+                state.setTimeoutTimestamp((folded + ttl_us) // 1_000 + 1)
         else:
             state.update(
                 (anchors, [t for t, _ in buf], [s for _, s in buf],

@@ -1326,3 +1326,82 @@ def test_streaming_funnel_rejects_reserved_step_names(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="2 steps"):
         streaming_funnel(stream, {"view": F.lit(True)})
+
+
+def test_streaming_funnel_final_ttl_bounds_state(spark, tmp_path):
+    """Tombstone lifecycle at depth: 30 users finalize, then the
+    watermark advances far past finality + final_ttl over several flush
+    triggers. With final_ttl the done-tombstones self-evict via the
+    re-armed event-time timeout, so terminal state holds only the
+    trailing flush keys; without it the tombstones are immortal
+    (O(total users ever) floor). Correctness is unchanged: every user's
+    final anchors match the batch funnel_times twin in both runs."""
+    from eel_spark.operators.funnel import funnel_times
+    from eel_spark.streaming import streaming_funnel
+
+    users = list(range(1, 31))
+    wave1 = [
+        (u, f"2024-01-0{d} 00:00:00", step)
+        for u in users
+        for d, step in ((1, "view"), (2, "click"), (3, "purchase"))
+    ]
+    # one UNIQUE flush user per wave: each anchors a view, never
+    # converts, finalizes via the `within` horizon, then ttl-evicts
+    waves = [
+        wave1,
+        [(-901, "2024-01-20", "view")],
+        [(-902, "2024-02-20", "view")],
+        [(-903, "2024-03-20", "view")],
+        [(-904, "2024-04-20", "view")],
+        [(-905, "2024-05-20", "view")],
+    ]
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    expected = {
+        r["user_id"]: r
+        for r in funnel_times(
+            spark.createDataFrame(
+                wave1, "user_id long, ts string, event_type string"
+            ).select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+            ),
+            "user_id", "ts", steps, within="7 days",
+        ).collect()
+    }
+
+    def run(name: str, ttl: str | None) -> tuple[dict, int]:
+        src = tmp_path / f"waves_{name}"
+        src.mkdir()
+        for i, rows in enumerate(waves):
+            _write_wave(str(src / f"wave{i}.parquet"), rows)
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = streaming_funnel(
+            stream, steps, within="7 days", watermark="1 day", final_ttl=ttl
+        )
+        q = _run_available_now(out, tmp_path, name, output_mode="update")
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        latest = {}
+        for r in spark.sql(f"SELECT * FROM {name} ORDER BY folded_until_us").collect():
+            latest[r["user_id"]] = r
+        return latest, state_rows
+
+    latest_ttl, state_ttl = run("sfunnel_ttl", "5 days")
+    latest_raw, state_raw = run("sfunnel_nottl", None)
+    for got in (latest_ttl, latest_raw):
+        for u in users:
+            assert got[u]["final"], u
+            for step in ("view", "click", "purchase"):
+                assert got[u][step] == expected[u][step], (u, step)
+    # immortal tombstones: every finalized key still holds state
+    assert state_raw >= len(users), state_raw
+    # ttl eviction: only the trailing flush keys (not yet past
+    # finality + ttl at the last watermark) may remain
+    assert state_ttl <= 3, state_ttl
+    assert state_raw - state_ttl >= len(users) - 3
