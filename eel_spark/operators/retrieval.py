@@ -57,27 +57,40 @@ def bm25_term_stats(
 
     Terms are matched on the same normalization the quality kernels use
     (lowercase, whitespace-collapsed); duplicate query terms collapse.
+    NULL-text documents count toward ``n_docs`` with ``dl = 0`` — the
+    same treatment as empty strings (tokens coalesce to an empty array),
+    so ``avgdl`` is never silently deflated by NULL rows.
     """
     terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    toks = tokens(normalized_text(text_col))
-    qarr = F.array(*[F.lit(t) for t in terms])
-    base = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-    ).select(
-        id_col,
-        F.size("__toks").alias("dl"),
-        # keep only matching tokens BEFORE exploding: the exploded
-        # relation is bounded by matches, not by corpus token volume
-        F.filter("__toks", lambda t: F.array_contains(qarr, t)).alias("__m"),
+    toks = F.coalesce(
+        tokens(normalized_text(text_col)), F.array().cast("array<string>")
     )
+    qarr = F.array(*[F.lit(t) for t in terms])
+    from eel_spark.caching import pin
+
+    base = pin(
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+        ).select(
+            id_col,
+            F.size("__toks").alias("dl"),
+            # keep only matching tokens BEFORE exploding: the exploded
+            # relation is bounded by matches, not by corpus token volume
+            F.filter("__toks", lambda t: F.array_contains(qarr, t)).alias("__m"),
+        )
+    )
+    # base is read by THREE branches (totals, tf rows, df counts);
+    # pinning it scans + tokenizes the corpus text ONCE and leaves the
+    # branches reading the slim (id, dl, matched-terms) cache — without
+    # the pin each branch re-runs the regex tokenize over the full text
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
-    matched = (
+    matched = pin(
         base.where(F.size("__m") > 0)
         .select(id_col, "dl", F.explode("__m").alias("term"))
         .groupBy(id_col, "term", "dl")
@@ -156,3 +169,89 @@ def bm25_topk(
     scored = scored.withColumn("__q", F.lit(0))
     out = _topk_per_query(scored, "__q", id_col, k, value_col="score")
     return out.drop("__q")
+
+
+def _normalize_queries(queries: dict) -> dict:
+    qmap = {}
+    for qid, terms in queries.items():
+        tset = sorted({t.strip().lower() for t in terms if t and t.strip()})
+        if not tset:
+            raise ValueError(f"query {qid!r} has no usable terms")
+        qmap[str(qid)] = tset
+    if not qmap:
+        raise ValueError("queries must contain at least one entry")
+    return qmap
+
+
+def bm25_term_stats_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict,
+) -> DataFrame:
+    """Multi-query BM25 sufficient statistics: ``queries`` maps
+    query_id → term sequence; output is one row per (query_id, document,
+    matched term) with the same exact integers as ``bm25_term_stats``.
+
+    ONE corpus scan for ALL queries: the corpus's token arrays are
+    intersected with the UNION of every query's terms before the
+    explode, and the per-term corpus statistics (tf, df) — which do not
+    depend on which query asked — are computed once, then fanned out to
+    query grain by a broadcast join against the tiny (query_id, term)
+    table. The retrieval-eval construction shape: scoring q queries
+    costs one corpus pass + a |matches|×|queries-per-term| slim join,
+    not q corpus passes."""
+    qmap = _normalize_queries(queries)
+    union_terms = sorted({t for ts in qmap.values() for t in ts})
+    stats = bm25_term_stats(df, text_col, id_col, union_terms)
+    pairs = [(qid, t) for qid, ts in sorted(qmap.items()) for t in ts]
+    qdf = df.sparkSession.createDataFrame(pairs, "query_id string, term string")
+    return stats.join(F.broadcast(qdf), "term").select(
+        "query_id", id_col, "term", "tf", "dl", "df", "n_docs", "sum_dl"
+    )
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score per (query_id, document) for every document matching
+    ≥1 of that query's terms — same sorted-fold determinism as
+    ``bm25_scores``, so a (query_id, doc) score here is bit-identical to
+    the single-query score (identical component multiset)."""
+    stats = bm25_term_stats_multi(df, text_col, id_col, queries)
+    comp = stats.select(
+        "query_id", id_col, _bm25_component(k1, b).alias("__c")
+    )
+    return comp.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__c")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by BM25 over one corpus scan:
+    (query_id, id, score, rank), deterministic (score DESC, id ASC)
+    tie-break. ``_topk_per_query`` partitions phase 1 by
+    (query_id, salt) — q queries × n_salt tasks of |matches|/n_salt rows
+    each — so per-query ranking never single-reduces the corpus."""
+    from eel_spark.operators.similarity import _topk_per_query
+
+    scored = bm25_scores_multi(df, text_col, id_col, queries, k1, b)
+    return _topk_per_query(scored, "query_id", id_col, k, value_col="score")

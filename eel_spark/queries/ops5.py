@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eel_spark.queries.registry import query
-from eel_spark.queries.tables import cents, sql_cents, table
+from eel_spark.queries.tables import cents, sql_cents, table, table_via_avro
 
 # -- funnel conversion (operators/funnel.funnel_report) ---------------------
 
@@ -381,9 +381,9 @@ _BM25_TERMS = ("merge", "scan", "window")
 _BM25_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(
+         coalesce(list_filter(
            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-           tk -> tk <> '') AS toks
+           tk -> tk <> ''), []) AS toks
   FROM documents
 ), base AS (
   SELECT doc_id, len(toks) AS dl, toks FROM t
@@ -418,4 +418,71 @@ def text_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "doc_id", "term", "tf", F.col("dl").cast("long").alias("dl"),
         "df", "n_docs", "sum_dl",
+    )
+
+
+# -- multi-query BM25 (operators/retrieval.py) — GATED (r10 rotation) -------
+#
+# Took ops_explode_tokens' driver slot (its tokenize+explode shape stays
+# gated via text_token_stats; its 2-SF oracle moved to the ungated tier)
+# so the retrieval family flips a driver CORRECTNESS row. Reads the
+# documents table through the Avro container layer, inheriting the
+# rotated slot's third-format end-to-end duty (parquet everywhere, ORC
+# via ops_project_derive, Avro here).
+
+_BM25_QUERIES = {
+    "q_merge_scan": ("merge", "scan"),
+    "q_window_ops": ("scan", "window", "filter"),
+}
+
+_BM25_MULTI_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         coalesce(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           tk -> tk <> ''), []) AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM t
+), totals AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base
+), m AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM base
+), tfs AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM m
+  WHERE term IN ('filter', 'merge', 'scan', 'window')
+  GROUP BY 1, 2, 3
+), dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+qmap(query_id, term) AS (
+  VALUES ('q_merge_scan', 'merge'), ('q_merge_scan', 'scan'),
+         ('q_window_ops', 'filter'), ('q_window_ops', 'scan'),
+         ('q_window_ops', 'window')
+)
+SELECT qmap.query_id, tfs.doc_id, tfs.term, tfs.tf,
+       CAST(tfs.dl AS BIGINT) AS dl, dfs.df, totals.n_docs, totals.sum_dl
+FROM tfs JOIN qmap USING (term) JOIN dfs USING (term) CROSS JOIN totals
+"""
+
+
+@query("text_bm25_multi_stats", _BM25_MULTI_SQL)
+def text_bm25_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 integer sufficient statistics at (query_id, doc,
+    term) grain (operators/retrieval.bm25_term_stats_multi): ONE corpus
+    scan serves both queries — token arrays intersect the UNION of all
+    query terms before the explode, per-term corpus stats (tf, df) are
+    computed once, and a broadcast join against the tiny (query_id,
+    term) table fans them to query grain. Exact integers per §6 (idf's
+    ln() never reaches the cross-engine compare; the float formula is
+    pytest-verified against an independent Python reference). The
+    corpus flows through the Avro container layer (``table_via_avro``)
+    so the gate keeps a third file format end-to-end."""
+    from eel_spark.operators.retrieval import bm25_term_stats_multi
+
+    docs = table_via_avro(spark, sf_dir, "documents").df
+    stats = bm25_term_stats_multi(
+        docs, "text", "doc_id", {k: list(v) for k, v in _BM25_QUERIES.items()}
+    )
+    return stats.select(
+        "query_id", "doc_id", "term", "tf",
+        F.col("dl").cast("long").alias("dl"), "df", "n_docs", "sum_dl",
     )

@@ -55,7 +55,7 @@ def table_via_avro(spark: SparkSession, sf_dir: str, name: str) -> DataStream:
     to .avro once per (sf_dir, table), cached on _SUCCESS. The Avro twin
     of ``table_via_orc`` — with it, the correctness gate covers THREE
     formats end-to-end (parquet everywhere, ORC via ops_project_derive,
-    Avro via ops_explode_tokens), so a row-oriented-format regression
+    Avro via text_bm25_multi_stats (ops_explode_tokens pre-r10)), so a row-oriented-format regression
     flips a CORRECTNESS row, not just a round-trip pytest."""
     import hashlib
     import os

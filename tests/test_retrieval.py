@@ -167,3 +167,105 @@ def test_bm25_stats_oracle_sf01_full(spark):
     df = UNGATED_QUERIES["text_bm25_stats"](spark, sf)
     assert_df_matches_oracle(df, con, UNGATED_ORACLE["text_bm25_stats"])
     con.close()
+
+
+# -- multi-query BM25 (r10) ---------------------------------------------------
+
+
+MULTI_QUERIES = {
+    "qa": ["merge", "window"],
+    "qb": ["window", "scan", "absent-term"],
+    "qc": ["merge"],
+}
+
+
+def test_bm25_multi_stats_equal_per_query_single(spark, docs):
+    """(query_id, doc, term) stats from the one-scan multi path equal the
+    single-query stats run separately per query — tf/df/dl/N/Σdl are all
+    corpus-level facts, so the union-then-fan-out must not change them."""
+    from eel_spark.operators.retrieval import bm25_term_stats_multi
+
+    multi = bm25_term_stats_multi(docs, "text", "doc_id", MULTI_QUERIES)
+    got = {
+        (r["query_id"], r["doc_id"], r["term"]):
+            (r["tf"], r["dl"], r["df"], r["n_docs"], r["sum_dl"])
+        for r in multi.collect()
+    }
+    expect = {}
+    for qid, terms in MULTI_QUERIES.items():
+        for r in bm25_term_stats(docs, "text", "doc_id", terms).collect():
+            expect[(qid, r["doc_id"], r["term"])] = (
+                r["tf"], r["dl"], r["df"], r["n_docs"], r["sum_dl"]
+            )
+    assert got == expect
+
+
+def test_bm25_topk_multi_equals_single_query_topk(spark, docs):
+    """Brute-force equivalence: for every query, the multi top-k rows
+    (score AND rank) are exactly the single-query bm25_topk rows —
+    identical component multisets fold to bit-identical doubles."""
+    from eel_spark.operators.retrieval import bm25_topk_multi
+
+    multi = bm25_topk_multi(docs, "text", "doc_id", MULTI_QUERIES, k=3)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = (r["doc_id"], r["score"])
+    assert set(got) == set(MULTI_QUERIES)
+    for qid, terms in MULTI_QUERIES.items():
+        single = {
+            r["rank"]: (r["doc_id"], r["score"])
+            for r in bm25_topk(docs, "text", "doc_id", terms, k=3).collect()
+        }
+        assert got[qid] == single, qid
+
+
+def test_bm25_multi_one_corpus_scan_jvm_only(spark):
+    """Scale invariants of the multi path: the slim tokenized projection
+    is pinned (tracked persist) so the corpus text is scanned+tokenized
+    once and every branch reads the cache; the (query_id, term) fan-out
+    is a broadcast join; no Python reaches the plan; and the plan shape
+    is INDEPENDENT of the query count (q queries ≠ q corpus passes)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from eel_spark.caching import release_pins
+    from eel_spark.operators.retrieval import bm25_term_stats_multi
+
+    def plan_of(queries):
+        release_pins()
+        out = bm25_term_stats_multi(docs, "text", "doc_id", queries)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    plan = plan_of(MULTI_QUERIES)
+    assert "InMemoryTableScan" in plan  # pinned tokenize, branches read cache
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
+    # doubling the query count must not change the number of corpus
+    # relations in the plan — only the broadcast-literal term set grows
+    more = dict(MULTI_QUERIES, qd=["scan", "table"], qe=["fox", "merge"])
+    assert plan_of(more).count("documents.parquet") == plan.count(
+        "documents.parquet"
+    )
+    release_pins()
+
+
+def test_bm25_null_text_counts_as_empty_doc(spark):
+    """ADVICE r9: NULL-text rows count toward n_docs with dl = 0 (same
+    as empty strings) instead of silently deflating sum_dl."""
+    docs = spark.createDataFrame(
+        [(0, "merge scan merge"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = bm25_term_stats(docs, "text", "doc_id", ["merge"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["sum_dl"], r["dl"], r["tf"]) == (3, 3, 3, 2)
+
+
+def test_bm25_multi_rejects_empty(spark, docs):
+    from eel_spark.operators.retrieval import bm25_term_stats_multi
+
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_term_stats_multi(docs, "text", "doc_id", {})
+    with pytest.raises(ValueError, match="no usable terms"):
+        bm25_term_stats_multi(docs, "text", "doc_id", {"q": ["  ", ""]})

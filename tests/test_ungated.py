@@ -35,6 +35,11 @@ ROTATED = {
     # percentile shape stays covered by rollup_quantile_daily's
     # order-statistic oracle + ops_window_frames)
     "ops_percentiles",
+    # round-10 rotation: slot freed for text_bm25_multi_stats (the
+    # tokenize+explode shape stays gated via text_token_stats; the Avro
+    # container-layer duty moved to the new slot, which also scans via
+    # table_via_avro)
+    "ops_explode_tokens",
 }
 
 # Registered ungated WITHOUT a DuckDB oracle: bench-visible companions
