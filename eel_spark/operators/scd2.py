@@ -56,9 +56,18 @@ marker: replaying a torn init redoes the (idempotent) init overwrite
 instead of misreading the half-written table as an initialized one.
 Single writer per table and in-order batch retry (a failed batch is
 retried before the next is attempted, as a streaming checkpoint
-guarantees) assumed; an inflight marker for a DIFFERENT batch fails
-loudly rather than interleaving — use a transactional table format
-when concurrent writers or readers matter.
+guarantees) assumed, and ENFORCED by a ``_scd_lease`` file acquired via
+atomic create-if-absent (``HdfsOps.create_atomic``) before any marker
+check: two genuinely concurrent writers no longer race the
+check-then-write window — the loser fails loudly at acquisition. The
+lease is released in a ``finally`` on every Python-level exit
+(success, rejection, crash-recovery exception); only a hard process
+kill strands it — remove with :func:`break_scd2_lease` after
+confirming the holder is dead (the lease file records holder
+fingerprint + acquisition time). An inflight marker for a DIFFERENT
+batch still fails loudly (a crashed batch must be retried in order) —
+use a transactional table format when concurrent writers or readers
+matter.
 """
 
 from __future__ import annotations
@@ -79,6 +88,7 @@ BUCKET_COL = "scd_bucket"  # partition: hash(key) % n_buckets
 # of the table never see them
 INFLIGHT_DIR = "_scd_inflight"  # batch fingerprint, written pre-merge
 APPLIED_DIR = "_scd_applied"  # batch fingerprint, written post-merge
+LEASE_FILE = "_scd_lease"  # single-writer lock (atomic create-if-absent)
 
 
 def _keylist(keys: str | Sequence[str]) -> list[str]:
@@ -228,6 +238,8 @@ def scd2_merge(
         .withColumn("__rn", rn)
         .persist()
     )
+    lease = f"{path}/{LEASE_FILE}"
+    lease_held = False
     try:
         fp = _batch_fingerprint(chains, out_cols)
         applied = f"{path}/{APPLIED_DIR}/{fp}"
@@ -238,6 +250,30 @@ def scd2_merge(
         # path would fail the out-of-order check forever, while redoing
         # the init overwrite is idempotent (same batch → same partitions)
         inflight_init = f"{inflight}__init"
+
+        # single-writer LEASE, acquired via atomic create-if-absent
+        # BEFORE any marker check: the r8 foreign-marker rejection only
+        # catches a writer that already left an inflight marker — two
+        # writers racing the check-then-write window both saw a clean
+        # table. The namenode's atomic create picks exactly one winner;
+        # the loser fails loudly here. Released in the finally on every
+        # Python-level exit; a hard process kill strands it — see
+        # break_scd2_lease.
+        if not ops.create_atomic(lease, content=fp + "\n"):
+            holder = ops.list_status(lease)
+            held = (
+                f", acquired at epoch-ms {holder[0]['modification_time']}"
+                if holder
+                else ""
+            )
+            raise RuntimeError(
+                f"SCD2 table at {path} is locked by another writer "
+                f"(lease {lease}{held}): merges are single-writer — "
+                "wait for the holder to finish, or if its process was "
+                "hard-killed, remove the stale lease with "
+                "break_scd2_lease(spark, path) before retrying"
+            )
+        lease_held = True
         if ops.exists(applied):
             return {
                 "new_keys": 0, "changed": 0, "unchanged": 0, "closed": 0,
@@ -330,7 +366,21 @@ def scd2_merge(
         finally:
             cur.unpersist()
     finally:
+        if lease_held:
+            ops.delete(lease)
         chains.unpersist()
+
+
+def break_scd2_lease(spark: SparkSession, path: str) -> bool:
+    """Remove a stranded single-writer lease left by a hard-killed merge
+    process (every Python-level exit releases it automatically). Returns
+    True when a lease file was actually removed. Only break a lease
+    after confirming its holder is dead — the file records the holder's
+    batch fingerprint, and ``HdfsOps.list_status`` on it shows the
+    acquisition time."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    return HdfsOps(spark).delete(f"{path}/{LEASE_FILE}")
 
 
 def _batch_fingerprint(chains: DataFrame, cols: list[str]) -> str:
@@ -632,17 +682,21 @@ def scd2_enrich(
     its validity overlaps, facts join on (key, bin) equality plus the
     same residual, so per-fact residual work drops to versions-per-bin
     — the same 10 000-version join runs 1.4 s (4.7×), flat in chain
-    depth. Exact: bins only ever ADD join-key constraints the residual
-    re-checks, a closed version appears once per bin, and a fact has
-    exactly one bin, so no match is lost or duplicated. OPEN versions
+    depth. Exact GIVEN the scd2_merge disjoint-intervals invariant:
+    bins only ever ADD join-key constraints the residual re-checks, a
+    closed version appears once per bin, and a fact has exactly one
+    bin, so no match is lost or duplicated; on a malformed dimension
+    with overlapping versions both the binned and the plain path fan
+    out visibly rather than silently picking a winner. OPEN versions
     (typically one long-lived row per key — the common dimension
-    shape) are NOT exploded: they take a separate plain key equi-join
-    with the ``ts >= valid_from`` residual, merged by coalesce (a fact
-    matches at most one version across both arms, so no fan-out).
-    Cost: the closed side grows by ~(version duration / bin_days) rows
-    per version and the facts shuffle twice (once per arm), so pick
-    ``bin_days`` around the typical version lifetime; leave None for
-    shallow dimensions.
+    shape) are NOT exploded over their unbounded tail: their candidate
+    bins come from the facts' own distinct (key, bin) pairs, both arms
+    union into one binned dimension, and the facts join ONCE on
+    (key, bin) — full fact rows shuffle a single time. Cost: the
+    closed side grows by ~(version duration / bin_days) rows per
+    version plus one slim (key, bin)-pair distinct over the facts, so
+    pick ``bin_days`` around the typical version lifetime; leave None
+    for shallow dimensions.
 
     ``attrs`` defaults to every dimension column except keys/validity;
     collisions with fact column names are rejected (rename first).
@@ -683,18 +737,25 @@ def scd2_enrich(
         def to_bin(c):
             return F.floor(F.datediff(c, anchor) / bin_days)
 
-        # Only CLOSED versions bin-explode (bounded: duration/bin_days
-        # rows each). Open versions — typically one long-lived row per
-        # key, which exploded-to-every-fact-bin would multiply by the
-        # fact time span — take a plain key equi-join with the
-        # ts >= valid_from residual instead. datediff truncates to
-        # DATE, so bin bounds only ever WIDEN the candidate set vs the
-        # exact interval — the residual predicates re-check it; a
-        # version never misses a matching fact. A fact matches at most
-        # one version across BOTH arms (disjoint validity intervals,
-        # and the open version starts at/after every closed valid_to),
-        # so the two left joins cannot fan out and at most one arm's
-        # carried columns are non-NULL — coalesce merges them.
+        # Only CLOSED versions bin-explode over their own validity
+        # (bounded: duration/bin_days rows each). OPEN versions —
+        # typically one long-lived row per key, which exploded over
+        # their unbounded tail would multiply by the fact time span —
+        # get candidate bins from the facts' own DISTINCT (key, bin)
+        # pairs instead (slim: pairs, not rows; to_bin is monotone, so
+        # fact_ts >= valid_from implies fact_bin >= start_bin and no
+        # match is lost). Both arms then union into ONE binned
+        # dimension and the facts join ONCE on (key, bin) — the full
+        # fact rows shuffle a single time (pre-r10: one join per arm,
+        # two fact exchanges). datediff truncates to DATE, so bin
+        # bounds only ever WIDEN the candidate set vs the exact
+        # interval — the residual predicates re-check it. Assuming
+        # disjoint validity intervals (the scd2_merge invariant), a
+        # fact matches at most one version across both arms — and on a
+        # MALFORMED dimension where a closed and the open version
+        # overlap, this single join fans out visibly, exactly like the
+        # plain path (pre-r10 the coalesce silently preferred the
+        # closed match).
         lo = to_bin(F.col("valid_from"))
         closed = dim.where(F.col("valid_to").isNotNull()).withColumn(
             binc,
@@ -703,35 +764,36 @@ def scd2_enrich(
             ),
         )
         open_v = dim.where(F.col("valid_to").isNull())
-        f = facts.withColumn(binc, to_bin(F.col(ts_col))).alias("f")
-        cond_c = functools.reduce(
+        f = facts.withColumn(binc, to_bin(F.col(ts_col)))
+        fkb = f.select(*ks, binc).distinct()
+        cond_ob = functools.reduce(
             lambda x, y: x & y,
-            [F.col(f"f.{k}") == F.col(f"c.{k}") for k in ks]
+            [F.col(f"o.{k}") == F.col(f"b.{k}") for k in ks]
+            + [F.col(f"b.{binc}") >= to_bin(F.col("o.valid_from"))],
+        )
+        open_binned = (
+            open_v.alias("o")
+            .join(fkb.alias("b"), cond_ob, "inner")
+            .select(
+                *[F.col(f"o.{c}") for c in open_v.columns],
+                F.col(f"b.{binc}").alias(binc),
+            )
+        )
+        fa, da = f.alias("f"), closed.unionByName(open_binned).alias("d")
+        cond = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"f.{k}") == F.col(f"d.{k}") for k in ks]
             + [
-                F.col(f"f.{binc}") == F.col(f"c.{binc}"),
-                F.col(f"f.{ts_col}") >= F.col("c.valid_from"),
-                F.col(f"f.{ts_col}") < F.col("c.valid_to"),
+                F.col(f"f.{binc}") == F.col(f"d.{binc}"),
+                F.col(f"f.{ts_col}") >= F.col("d.valid_from"),
+                F.col("d.valid_to").isNull()
+                | (F.col(f"f.{ts_col}") < F.col("d.valid_to")),
             ],
         )
-        cond_o = functools.reduce(
-            lambda x, y: x & y,
-            [F.col(f"f.{k}") == F.col(f"o.{k}") for k in ks]
-            + [F.col(f"f.{ts_col}") >= F.col("o.valid_from")],
-        )
-        joined = f.join(closed.alias("c"), cond_c, "left").join(
-            open_v.alias("o"), cond_o, "left"
-        )
-        if how == "inner":
-            joined = joined.filter(
-                F.col("c.valid_from").isNotNull()
-                | F.col("o.valid_from").isNotNull()
-            )
+        joined = fa.join(da, cond, how)
         return joined.select(
             *[F.col(f"f.{c}") for c in fact_cols],
-            *[
-                F.coalesce(F.col(f"c.{c}"), F.col(f"o.{c}")).alias(c)
-                for c in carried
-            ],
+            *[F.col(f"d.{c}") for c in carried],
         )
     f, d = facts.alias("f"), dim.alias("d")
     cond = functools.reduce(

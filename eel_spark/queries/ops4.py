@@ -59,26 +59,23 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full version-chain equality and the current-read partition
     pruning stay asserted in tests/test_scd2.py."""
     import os
-    import shutil
-    import tempfile
     from datetime import date
 
     from eel_spark.operators.scd2 import read_scd2_asof, scd2_merge
+    from eel_spark.queries.tables import fresh_scoped_tmpdir
 
     obs = (
         table(spark, sf_dir, "orders")
         .projection("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
         .df.withColumn("d", F.col("o_orderdate").cast("date"))
     )
-    # per-invocation dir: a fixed path keyed on sf_dir races two
-    # concurrent gate/bench runs (one rmtree's while the other reads);
-    # the returned DataFrame is lazy, so the dir must outlive this
-    # function — atexit reaps it
-    import atexit
-
+    # per-invocation dir (a fixed path keyed on sf_dir would race two
+    # concurrent gate/bench runs); fresh_scoped_tmpdir eagerly reaps the
+    # previous invocation's dir for this (query, sf_dir) scope, so
+    # repeated in-session passes hold O(1) dirs — atexit backstops the
+    # last one
     tag = sf_dir.strip("/").replace("/", "_")
-    root = tempfile.mkdtemp(prefix=f"eel_scd2_gate_{tag}_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = fresh_scoped_tmpdir(f"eel_scd2_gate_{tag}")
     path = os.path.join(root, "dim")
     scd2_merge(
         spark, path, obs, "o_custkey", ["o_orderpriority"], "d",

@@ -334,10 +334,9 @@ def scd2_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order (disjoint validity intervals; row-count match asserts no
     fan-out)."""
     import os
-    import shutil
-    import tempfile
 
     from eel_spark.operators.scd2 import scd2_enrich, scd2_merge
+    from eel_spark.queries.tables import fresh_scoped_tmpdir
 
     orders = table(spark, sf_dir, "orders").df
     obs = orders.select(
@@ -345,12 +344,10 @@ def scd2_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d"),
     )
     # per-invocation dir (see ops4.scd2_order_priority): fixed paths
-    # race concurrent gate/bench runs; atexit reaps the lazy-read dir
-    import atexit
-
+    # race concurrent gate/bench runs; eager same-scope reaping keeps
+    # repeated in-session passes at O(1) dirs, atexit backstops the last
     tag = sf_dir.strip("/").replace("/", "_")
-    root = tempfile.mkdtemp(prefix=f"eel_scd2_enrich_{tag}_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = fresh_scoped_tmpdir(f"eel_scd2_enrich_{tag}")
     path = os.path.join(root, "dim")
     scd2_merge(
         spark, path, obs, "o_custkey", ["o_orderpriority"], "d",

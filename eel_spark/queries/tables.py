@@ -138,3 +138,41 @@ def sql_dec(expr: str, scale: int = 6) -> str:
 
 def sql_dsum(expr: str, out_scale: int = 6) -> str:
     return f"CAST(SUM({expr}) AS DECIMAL(38,{out_scale}))"
+
+
+# -- per-invocation scoped temp dirs (r9 ADVICE: eager reaping) --------------
+
+_SCOPED_TMPDIRS: dict = {}
+_REAPER_ARMED = False
+
+
+def fresh_scoped_tmpdir(scope: str) -> str:
+    """Per-invocation temp dir that eagerly reaps the PREVIOUS
+    invocation's dir for the same ``scope`` before creating the next —
+    a long-lived session running repeated gate/bench passes holds O(1)
+    dirs per scope instead of accumulating one dir + one atexit entry
+    per invocation; a single atexit hook backstops the LAST dir of each
+    scope. Fresh dirs (not one fixed path) because two concurrent runs
+    racing a shared path corrupt each other; eager reaping assumes the
+    previous same-scope invocation's lazy DataFrames have been consumed
+    (true in gate/bench loops, which collect each query before
+    rebuilding it)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _REAPER_ARMED
+    prev = _SCOPED_TMPDIRS.pop(scope, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"{scope}_")
+    _SCOPED_TMPDIRS[scope] = d
+    if not _REAPER_ARMED:
+        _REAPER_ARMED = True
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _SCOPED_TMPDIRS.values()
+            ]
+        )
+    return d

@@ -66,6 +66,26 @@ class HdfsOps:
     def delete(self, path: str, recursive: bool = False) -> bool:
         return bool(self._fs(path).delete(self._path(path), recursive))
 
+    def create_atomic(self, path: str, content: str = "") -> bool:
+        """Create a file, failing if it already exists —
+        ``FileSystem.create(overwrite=false)``, which the HDFS namenode
+        executes as ONE atomic existence-check-and-create (the
+        lock-acquisition primitive; object stores without atomic
+        create-if-absent weaken this to best-effort). Returns False when
+        the path already exists; other failures raise."""
+        try:
+            out = self._fs(path).create(self._path(path), False)
+        except Exception as e:  # py4j surfaces Java exceptions generically
+            if "exist" in str(e).lower():
+                return False
+            raise
+        try:
+            if content:
+                out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
     def rename(self, src: str, dst: str) -> bool:
         return bool(self._fs(src).rename(self._path(src), self._path(dst)))
 

@@ -807,3 +807,83 @@ def test_fingerprint_distinguishes_paired_duplicates(spark):
     f1 = _batch_fingerprint(spark.createDataFrame([a, a, b], sch), cols)
     f2 = _batch_fingerprint(spark.createDataFrame([c, c, b], sch), cols)
     assert f1 != f2
+
+
+def test_enrich_binned_single_fact_exchange(spark, tmp_path):
+    """r10: the bin_days arm joins the facts ONCE against the unioned
+    (closed-binned ∪ fact-bin-probed open) dimension — with broadcast
+    disabled, exactly one Exchange carries the full fact rows (the
+    pre-r10 shape shuffled them twice, once per arm). The only other
+    fact-derived exchange is the slim (key, bin) distinct."""
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    path, facts = _enrich_fixture(spark, tmp_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = scd2_enrich(facts, spark, path, "k", "ts", bin_days=30)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted mode lists each operator's Input columns: count the
+    # Exchange nodes whose input still carries the wide fact payload
+    import re
+
+    wide_fact_exchanges = 0
+    details = re.split(r"\n(?=\(\d+\) )", plan)
+    for d in details:
+        if d.startswith("(") and ") Exchange" in d.split("\n")[0]:
+            if "label" in d:  # the fact-only payload column
+                wide_fact_exchanges += 1
+    assert wide_fact_exchanges == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_concurrent_writer_lease(spark, tmp_path):
+    """r10: the single-writer lease closes the check-then-write race the
+    r8 foreign-marker rejection could not see. Atomic create-if-absent
+    picks one winner; the loser fails loudly BEFORE touching any marker
+    or data; every Python-level exit (success or rejection) releases the
+    lease; break_scd2_lease clears a hard-kill stranding."""
+    from eel_spark.operators.scd2 import LEASE_FILE, break_scd2_lease
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    lease = f"{path}/{LEASE_FILE}"
+    ops = HdfsOps(spark)
+
+    # a successful merge acquires and releases
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    assert not ops.exists(lease)
+
+    # the atomic-create primitive: exactly one winner
+    assert ops.create_atomic(lease, content="holder-fp\n")
+    assert not ops.create_atomic(lease, content="second-writer\n")
+
+    # a concurrent merge (ANY batch — same or different fp) loses loudly
+    nxt = _log(spark, [(2, "B", 7, date(2024, 3, 1), 7)])
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        scd2_merge(spark, path, nxt, "k", ["seg", "score"], "d", ["seq"],
+                   n_buckets=4)
+    # the loser must not have disturbed the holder's lease or the table:
+    # it lost BEFORE writing any inflight marker
+    assert ops.exists(lease)
+    assert ops.list_status(f"{path}/_scd_inflight/*") == []
+
+    # hard-kill recovery: break the stranded lease, then the retry wins
+    assert break_scd2_lease(spark, path)
+    stats = scd2_merge(spark, path, nxt, "k", ["seg", "score"], "d",
+                       ["seq"], n_buckets=4)
+    assert stats["changed"] == 1 and not ops.exists(lease)
+
+    # a REJECTED batch (out-of-order) releases the lease too
+    stale = _log(spark, [(2, "Z", 9, date(2024, 1, 1), 99)])
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_merge(spark, path, stale, "k", ["seg", "score"], "d",
+                   ["seq"], n_buckets=4)
+    assert not ops.exists(lease)
