@@ -1,0 +1,86 @@
+"""Retrieval-eval set construction over the documents corpus: score a
+batch of topic queries with multi-query BM25 (ONE corpus scan for all
+queries), take the per-query top-k as positives, and mine the next
+ranks as hard negatives — the (query, positive, hard-negative) triples
+a retrieval model trains and evaluates on.
+
+Usage: python examples/retrieval_eval.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eel_spark.operators.retrieval import (
+    bm25_term_stats_multi,
+    bm25_topk_multi,
+)
+from eel_spark.queries.tables import table
+from eel_spark.session import get_session
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+spark = get_session("retrieval-eval-example")
+
+docs = table(spark, sf_dir, "documents").df
+
+QUERIES = {
+    "storage_ops": ["merge", "scan", "compaction"],
+    "windowing": ["window", "watermark", "stream"],
+    "query_planning": ["filter", "join", "partition"],
+}
+K = 5          # positives per query
+N_HARD = 10    # hard negatives per query (ranks K+1 .. K+N_HARD)
+
+# 1. integer sufficient statistics at (query, doc, term) grain — the
+#    engine-neutral audit trail for the scores below
+stats = bm25_term_stats_multi(docs, "text", "doc_id", QUERIES)
+per_q = {
+    r["query_id"]: (r["docs"], r["terms"])
+    for r in stats.groupBy("query_id").agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.countDistinct("term").alias("terms"),
+    ).collect()
+}
+for qid in sorted(QUERIES):
+    d, t = per_q.get(qid, (0, 0))
+    print(f"stats {qid:15s} matched_docs={d:5d} matched_terms={t}")
+
+# 2. one ranked pool per query, deep enough for positives + negatives —
+#    still ONE corpus scan for the whole query batch
+pool = bm25_topk_multi(docs, "text", "doc_id", QUERIES, k=K + N_HARD)
+
+# 3. positives = top-K; hard negatives = the next N_HARD ranks (scored
+#    high enough to be confusable, ranked low enough to teach contrast)
+labeled = pool.withColumn(
+    "role", F.when(F.col("rank") <= K, "positive").otherwise("hard_negative")
+)
+summary = labeled.groupBy("query_id", "role").agg(
+    F.count(F.lit(1)).alias("n"),
+    F.round(F.min("score"), 3).alias("min_score"),
+    F.round(F.max("score"), 3).alias("max_score"),
+)
+for r in summary.orderBy("query_id", F.desc("role")).collect():
+    print(f"{r['query_id']:15s} {r['role']:13s} n={r['n']:2d} "
+          f"score=[{r['min_score']}, {r['max_score']}]")
+
+# 4. the eval table itself: (query_id, doc_id, rank, role) joined back
+#    to the doc text — broadcast the tiny labeled pool, not the corpus
+eval_set = labeled.join(docs.select("doc_id", "lang", "source"), "doc_id")
+w = Window.partitionBy("query_id", "role").orderBy("rank")
+sample = eval_set.withColumn("__r", F.row_number().over(w)).where(
+    "__r = 1"
+).drop("__r")
+for r in sample.orderBy("query_id", F.desc("role")).collect():
+    print(f"example {r['query_id']:15s} {r['role']:13s} doc={r['doc_id']} "
+          f"rank={r['rank']} score={r['score']:.3f} lang={r['lang']}")
+
+n_pos = labeled.where("role = 'positive'").count()
+n_neg = labeled.where("role = 'hard_negative'").count()
+assert n_pos == K * len(QUERIES), (n_pos, K * len(QUERIES))
+print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
+      f"across {len(QUERIES)} queries")
+spark.stop()

@@ -21,6 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "tpch_analytics.py",
         "table_management.py",
         "product_analytics.py",
+        "retrieval_eval.py",
     ],
 )
 def test_example_runs(script):
