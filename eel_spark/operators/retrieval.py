@@ -218,12 +218,18 @@ def bm25_scores_multi(
     queries: dict,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 score per (query_id, document) for every document matching
     ≥1 of that query's terms — same sorted-fold determinism as
     ``bm25_scores``, so a (query_id, doc) score here is bit-identical to
-    the single-query score (identical component multiset)."""
-    stats = bm25_term_stats_multi(df, text_col, id_col, queries)
+    the single-query score (identical component multiset). Pass a
+    precomputed ``bm25_term_stats_multi`` result as ``stats`` to score
+    off an audit trail you already materialized — a fresh call builds a
+    NEW lineage whose pins can't be shared with the old one, so reusing
+    the DataFrame is what actually avoids a second corpus scan."""
+    if stats is None:
+        stats = bm25_term_stats_multi(df, text_col, id_col, queries)
     comp = stats.select(
         "query_id", id_col, _bm25_component(k1, b).alias("__c")
     )
@@ -245,13 +251,16 @@ def bm25_topk_multi(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25 over one corpus scan:
     (query_id, id, score, rank), deterministic (score DESC, id ASC)
     tie-break. ``_topk_per_query`` partitions phase 1 by
     (query_id, salt) — q queries × n_salt tasks of |matches|/n_salt rows
-    each — so per-query ranking never single-reduces the corpus."""
+    each — so per-query ranking never single-reduces the corpus.
+    ``stats`` as in :func:`bm25_scores_multi`."""
     from eel_spark.operators.similarity import _topk_per_query
 
-    scored = bm25_scores_multi(df, text_col, id_col, queries, k1, b)
+    scored = bm25_scores_multi(df, text_col, id_col, queries, k1, b,
+                               stats=stats)
     return _topk_per_query(scored, "query_id", id_col, k, value_col="score")

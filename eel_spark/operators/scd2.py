@@ -62,9 +62,12 @@ check: two genuinely concurrent writers no longer race the
 check-then-write window — the loser fails loudly at acquisition. The
 lease is released in a ``finally`` on every Python-level exit
 (success, rejection, crash-recovery exception); only a hard process
-kill strands it — remove with :func:`break_scd2_lease` after
-confirming the holder is dead (the lease file records holder
-fingerprint + acquisition time). An inflight marker for a DIFFERENT
+kill strands it, and a stranded lease recording the SAME batch
+fingerprint is self-adopted by the retry (so checkpoint-replayed
+streaming merges keep their automatic crash recovery) — a
+different-batch lease needs :func:`break_scd2_lease` after confirming
+the holder is dead (the lease file records holder fingerprint +
+acquisition time). An inflight marker for a DIFFERENT
 batch still fails loudly (a crashed batch must be retried in order) —
 use a transactional table format when concurrent writers or readers
 matter.
@@ -256,23 +259,36 @@ def scd2_merge(
         # catches a writer that already left an inflight marker — two
         # writers racing the check-then-write window both saw a clean
         # table. The namenode's atomic create picks exactly one winner;
-        # the loser fails loudly here. Released in the finally on every
-        # Python-level exit; a hard process kill strands it — see
-        # break_scd2_lease.
+        # a loser holding a DIFFERENT batch fails loudly here. Released
+        # in the finally on every Python-level exit. A lease recording
+        # THIS batch's fingerprint is self-adopted: under the
+        # single-writer + in-order-retry contract a same-fp lease can
+        # only be a hard-killed earlier attempt at this very batch
+        # (e.g. a streaming_scd2_sink job OOM-killed mid-merge whose
+        # checkpoint replays the batch), and refusing it would turn the
+        # documented automatic crash recovery into a manual
+        # break_scd2_lease step.
         if not ops.create_atomic(lease, content=fp + "\n"):
-            holder = ops.list_status(lease)
-            held = (
-                f", acquired at epoch-ms {holder[0]['modification_time']}"
-                if holder
-                else ""
-            )
-            raise RuntimeError(
-                f"SCD2 table at {path} is locked by another writer "
-                f"(lease {lease}{held}): merges are single-writer — "
-                "wait for the holder to finish, or if its process was "
-                "hard-killed, remove the stale lease with "
-                "break_scd2_lease(spark, path) before retrying"
-            )
+            try:
+                holder_fp = ops.read_text(lease).strip()
+            except Exception:
+                holder_fp = "<unreadable>"
+            if holder_fp != fp:
+                holder = ops.list_status(lease)
+                held = (
+                    f", acquired at epoch-ms "
+                    f"{holder[0]['modification_time']}"
+                    if holder
+                    else ""
+                )
+                raise RuntimeError(
+                    f"SCD2 table at {path} is locked by another writer "
+                    f"(lease {lease}, holder batch {holder_fp!r}{held}): "
+                    "merges are single-writer — wait for the holder to "
+                    "finish, or if its process was hard-killed, remove "
+                    "the stale lease with break_scd2_lease(spark, path) "
+                    "before retrying"
+                )
         lease_held = True
         if ops.exists(applied):
             return {

@@ -72,19 +72,43 @@ class HdfsOps:
         executes as ONE atomic existence-check-and-create (the
         lock-acquisition primitive; object stores without atomic
         create-if-absent weaken this to best-effort). Returns False when
-        the path already exists; other failures raise."""
+        the path already exists (matched on the Hadoop exception CLASS
+        names, not a message substring — 'LeaseExpiredException: file
+        does not exist' must surface, not read as lock-held); other
+        failures raise. If the content write fails after the create won,
+        the file is best-effort deleted before re-raising so a failed
+        acquisition doesn't strand a lock."""
         try:
             out = self._fs(path).create(self._path(path), False)
         except Exception as e:  # py4j surfaces Java exceptions generically
-            if "exist" in str(e).lower():
+            msg = str(e)
+            if ("FileAlreadyExistsException" in msg
+                    or "AlreadyBeingCreatedException" in msg):
                 return False
             raise
         try:
             if content:
                 out.write(bytearray(content.encode("utf-8")))
-        finally:
             out.close()
+        except Exception:
+            try:
+                out.close()
+            except Exception:
+                pass
+            self._fs(path).delete(self._path(path), False)
+            raise
         return True
+
+    def read_text(self, path: str) -> str:
+        """Read a small text file (e.g. a lease/marker) fully as UTF-8."""
+        fs = self._fs(path)
+        stream = fs.open(self._path(path))
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            data = ioutils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
 
     def rename(self, src: str, dst: str) -> bool:
         return bool(self._fs(src).rename(self._path(src), self._path(dst)))

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from eel_spark.caching import release_pins
 from eel_spark.operators.retrieval import (
     bm25_term_stats_multi,
     bm25_topk_multi,
@@ -50,8 +51,11 @@ for qid in sorted(QUERIES):
     print(f"stats {qid:15s} matched_docs={d:5d} matched_terms={t}")
 
 # 2. one ranked pool per query, deep enough for positives + negatives —
-#    still ONE corpus scan for the whole query batch
-pool = bm25_topk_multi(docs, "text", "doc_id", QUERIES, k=K + N_HARD)
+#    scored FROM the step-1 stats DataFrame (a fresh call would build a
+#    new lineage and rescan the corpus), so the whole batch really is
+#    one corpus scan + tokenize
+pool = bm25_topk_multi(docs, "text", "doc_id", QUERIES, k=K + N_HARD,
+                       stats=stats)
 
 # 3. positives = top-K; hard negatives = the next N_HARD ranks (scored
 #    high enough to be confusable, ranked low enough to teach contrast)
@@ -69,7 +73,9 @@ for r in summary.orderBy("query_id", F.desc("role")).collect():
 
 # 4. the eval table itself: (query_id, doc_id, rank, role) joined back
 #    to the doc text — broadcast the tiny labeled pool, not the corpus
-eval_set = labeled.join(docs.select("doc_id", "lang", "source"), "doc_id")
+eval_set = docs.select("doc_id", "lang", "source").join(
+    F.broadcast(labeled), "doc_id"
+)
 w = Window.partitionBy("query_id", "role").orderBy("rank")
 sample = eval_set.withColumn("__r", F.row_number().over(w)).where(
     "__r = 1"
@@ -83,4 +89,6 @@ n_neg = labeled.where("role = 'hard_negative'").count()
 assert n_pos == K * len(QUERIES), (n_pos, K * len(QUERIES))
 print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
       f"across {len(QUERIES)} queries")
+
+release_pins()  # standalone script: free the BM25 tokenize caches
 spark.stop()

@@ -211,6 +211,18 @@ def test_bm25_topk_multi_equals_single_query_topk(spark, docs):
     for r in multi.collect():
         got.setdefault(r["query_id"], {})[r["rank"]] = (r["doc_id"], r["score"])
     assert set(got) == set(MULTI_QUERIES)
+    # scoring off a precomputed stats DataFrame (the no-rescan path)
+    # yields the identical ranking
+    from eel_spark.operators.retrieval import bm25_term_stats_multi
+
+    stats = bm25_term_stats_multi(docs, "text", "doc_id", MULTI_QUERIES)
+    via_stats = bm25_topk_multi(
+        docs, "text", "doc_id", MULTI_QUERIES, k=3, stats=stats
+    )
+    got2 = {}
+    for r in via_stats.collect():
+        got2.setdefault(r["query_id"], {})[r["rank"]] = (r["doc_id"], r["score"])
+    assert got2 == got
     for qid, terms in MULTI_QUERIES.items():
         single = {
             r["rank"]: (r["doc_id"], r["score"])

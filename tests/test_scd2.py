@@ -887,3 +887,44 @@ def test_merge_concurrent_writer_lease(spark, tmp_path):
         scd2_merge(spark, path, stale, "k", ["seg", "score"], "d",
                    ["seq"], n_buckets=4)
     assert not ops.exists(lease)
+
+
+def test_merge_self_adopts_same_batch_stale_lease(spark, tmp_path):
+    """A hard-killed attempt strands a lease recording ITS batch
+    fingerprint; the checkpoint-replayed retry of the SAME batch must
+    self-adopt it (automatic crash recovery, no manual break), while a
+    DIFFERENT batch still fails loudly with the holder's fp named."""
+    from eel_spark.operators.scd2 import LEASE_FILE
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    lease = f"{path}/{LEASE_FILE}"
+    ops = HdfsOps(spark)
+
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    nxt = _log(spark, [(2, "B", 7, date(2024, 3, 1), 7)])
+
+    # simulate the hard kill: run the merge once to learn its fp from
+    # the applied marker, then re-strand a lease with that fp and replay
+    before = {s["name"] for s in ops.list_status(f"{path}/_scd_applied/*")}
+    stats = scd2_merge(spark, path, nxt, "k", ["seg", "score"], "d",
+                       ["seq"], n_buckets=4)
+    assert stats["replayed"] is False
+    after = {s["name"] for s in ops.list_status(f"{path}/_scd_applied/*")}
+    (fp,) = after - before  # the nxt batch's fingerprint
+
+    assert ops.create_atomic(lease, content=fp + "\n")
+    replay = scd2_merge(spark, path, nxt, "k", ["seg", "score"], "d",
+                        ["seq"], n_buckets=4)
+    assert replay["replayed"] is True  # adopted the lease, saw applied
+    assert not ops.exists(lease)  # and released it on the way out
+
+    # a different-batch lease still rejects, naming the holder
+    assert ops.create_atomic(lease, content="deadbeef0000\n")
+    with pytest.raises(RuntimeError, match="deadbeef0000"):
+        scd2_merge(spark, path,
+                   _log(spark, [(3, "F", 5, date(2024, 5, 1), 20)]),
+                   "k", ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert ops.exists(lease)  # loser must not release the holder's lease
+    assert ops.read_text(lease).strip() == "deadbeef0000"
