@@ -311,3 +311,38 @@ def test_fuzzy_join_equals_bruteforce_property(spark, strings, d):
     }
     want = {(i, j) for i, a in rows for j, b in rows if lev(a, b) <= d}
     assert got == want
+
+
+# -- y4m plane codec (r10): pure python, generous examples -------------------
+
+
+@settings(deadline=None)  # first example pays the numpy/module import
+@given(
+    st.integers(min_value=1, max_value=4),   # frames
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=1, max_value=9),   # width
+    st.integers(min_value=0, max_value=2**32 - 1),  # content seed
+    st.tuples(st.integers(1, 60), st.integers(1, 2)),  # fps
+)
+def test_y4m_planes_round_trip_any_shape(n, h, w, seed, fps):
+    """encode_y4m_planes ⇄ parse_y4m/y4m_frame_planes is the identity
+    for every frame count, dimension, fps, and byte content — planted
+    YCbCr planes survive the container bit-exactly (the invariant the
+    multimodal oracle rides)."""
+    import numpy as np
+
+    from eel_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31))
+    planes = rng.randint(0, 256, size=(n, 3, h, w)).astype(np.uint8)
+    payload = mm.encode_y4m_planes(planes, fps=fps)
+    info = mm.parse_y4m(payload)
+    assert (info["n_frames"], info["width"], info["height"]) == (n, w, h)
+    assert (info["fps_num"], info["fps_den"]) == fps
+    for k in range(n):
+        assert (mm.y4m_frame_planes(payload, k) == planes[k]).all()
+    # truncating mid-frame is detected, never silently short-read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.parse_y4m(payload[:-1])
