@@ -42,6 +42,31 @@ from pyspark.sql import functions as F
 from eel_spark.functions.text import normalized_text, tokens
 
 
+def _tokens_col(text_col: str):
+    """Normalized token array; NULL text coalesces to an empty array so
+    NULL-text documents count as dl=0 (same as empty strings)."""
+    return F.coalesce(
+        tokens(normalized_text(text_col)), F.array().cast("array<string>")
+    )
+
+
+def _matched_base(
+    df: DataFrame, text_col: str, id_col: str, terms: Sequence[str]
+) -> DataFrame:
+    """(id, dl, matched-token array) — tokens intersect the broadcast-
+    literal term set BEFORE any explode, so downstream relations are
+    bounded by matches, never corpus token volume."""
+    qarr = F.array(*[F.lit(t) for t in terms])
+    return df.select(
+        F.col(id_col),
+        _tokens_col(text_col).alias("__toks"),
+    ).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.filter("__toks", lambda t: F.array_contains(qarr, t)).alias("__m"),
+    )
+
+
 def bm25_term_stats(
     df: DataFrame,
     text_col: str,
@@ -64,24 +89,9 @@ def bm25_term_stats(
     terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    toks = F.coalesce(
-        tokens(normalized_text(text_col)), F.array().cast("array<string>")
-    )
-    qarr = F.array(*[F.lit(t) for t in terms])
     from eel_spark.caching import pin
 
-    base = pin(
-        df.select(
-            F.col(id_col),
-            toks.alias("__toks"),
-        ).select(
-            id_col,
-            F.size("__toks").alias("dl"),
-            # keep only matching tokens BEFORE exploding: the exploded
-            # relation is bounded by matches, not by corpus token volume
-            F.filter("__toks", lambda t: F.array_contains(qarr, t)).alias("__m"),
-        )
-    )
+    base = pin(_matched_base(df, text_col, id_col, terms))
     # base is read by THREE branches (totals, tf rows, df counts);
     # pinning it scans + tokenizes the corpus text ONCE and leaves the
     # branches reading the slim (id, dl, matched-terms) cache — without
@@ -264,3 +274,178 @@ def bm25_topk_multi(
     scored = bm25_scores_multi(df, text_col, id_col, queries, k1, b,
                                stats=stats)
     return _topk_per_query(scored, "query_id", id_col, k, value_col="score")
+
+
+# -- incrementally maintained corpus statistics (r10) -------------------------
+#
+# A streaming corpus can't rescan history to recompute df/N/avgdl for
+# every new wave. These helpers maintain the BM25 sufficient statistics
+# as batch-tagged parquet increments (the exactly-once pattern the
+# streaming rollup and dedup-history sinks use): each micro-batch writes
+# its FULL-VOCABULARY per-term document frequencies plus one totals row
+# into its own __src_batch partition, so a checkpoint-replayed batch
+# dynamic-overwrites exactly its partition and the store stays
+# byte-identical. Reading folds the increments with SUMs — df and the
+# totals are associative, so fold(waves) ≡ whole-corpus recompute
+# (equivalence-tested). Per batch the shuffle is (term, count) pairs
+# after an array_distinct — vocabulary-bounded, map-side combinable.
+
+
+def bm25_batch_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One batch's stats increment: per distinct term a (term, df) row
+    (df = batch docs containing the term — array_distinct before the
+    explode, so a doc counts once however often the term repeats), plus
+    ONE totals row (term NULL) carrying n_docs and sum_dl."""
+    base = df.select(_tokens_col(text_col).alias("__toks")).select(
+        F.size("__toks").alias("__dl"),
+        F.array_distinct("__toks").alias("__d"),
+    )
+    per_term = (
+        base.select(F.explode("__d").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term", "df",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("sum_dl"),
+        )
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("__dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("df"),
+        "n_docs", "sum_dl",
+    )
+    return per_term.unionByName(totals)
+
+
+def append_bm25_stats_batch(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    text_col: str,
+    src_batch: int = 0,
+) -> None:
+    """Fold one batch's increment into the store, idempotently: the
+    increment lands in its own ``__src_batch`` partition via dynamic
+    partition overwrite, so replaying a batch rewrites exactly its rows."""
+    inc = bm25_batch_stats(batch_df, text_col).withColumn(
+        "__src_batch", F.lit(int(src_batch))
+    )
+    (
+        inc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__src_batch")
+        .parquet(path)
+    )
+
+
+def read_bm25_stats(
+    spark, path: str, terms: Sequence[str] | None = None
+) -> DataFrame:
+    """Current corpus statistics from the increment store: per-term
+    ``df`` summed across batches, corpus ``n_docs``/``sum_dl`` from the
+    totals rows, broadcast onto every term row — the exact column shape
+    ``_bm25_component`` consumes. ``terms`` restricts the (vocabulary-
+    sized) per-term read to a query's term set — the filter reaches the
+    parquet scan."""
+    raw = spark.read.parquet(path)
+    dfreq = raw.where(F.col("term").isNotNull())
+    if terms is not None:
+        tset = sorted({t.strip().lower() for t in terms if t and t.strip()})
+        dfreq = dfreq.where(F.col("term").isin(tset))
+    dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
+    totals = raw.where(F.col("term").isNull()).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+    )
+    return dfreq.crossJoin(F.broadcast(totals))
+
+
+def compact_bm25_stats(spark, path: str) -> None:
+    """Collapse the per-batch increments into one ``__src_batch = -1``
+    partition — run once the streaming checkpoint's replay horizon has
+    passed (a batch replayed AFTER compaction would re-add its counts,
+    the same contract as the rollup/dedup-history compactors)."""
+    raw = spark.read.parquet(path)
+    dfreq = (
+        raw.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .select(
+            "term", "df",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("sum_dl"),
+        )
+    )
+    totals = raw.where(F.col("term").isNull()).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("df"),
+        "n_docs", "sum_dl",
+    )
+    compacted = dfreq.unionByName(totals).withColumn(
+        "__src_batch", F.lit(-1)
+    )
+    # stage under the store root (same filesystem → atomic-ish swap via
+    # rename), then replace: a static overwrite of the root would
+    # truncate before writing and a crash would lose the store
+    tmp = path.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").partitionBy("__src_batch").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p_old.getFileSystem(conf)
+    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    fs.delete(trash, True)
+    if not fs.rename(p_old, trash):
+        raise IOError(f"compact_bm25_stats: could not stage {path} aside")
+    if not fs.rename(p_tmp, p_old):
+        fs.rename(trash, p_old)  # roll back
+        raise IOError(f"compact_bm25_stats: could not swap in {tmp}")
+    fs.delete(trash, True)
+
+
+def bm25_score_against_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score documents against MAINTAINED corpus statistics: tf and dl
+    come from the scored rows, df/n_docs/sum_dl from ``stats``
+    (``read_bm25_stats``) — so a new wave is scored without rescanning
+    corpus history. Same match-bounded projection and sorted-order
+    component fold as ``bm25_scores``: identical integer inputs produce
+    bit-identical scores (equivalence-tested against the one-shot
+    path)."""
+    terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    matched = (
+        _matched_base(df, text_col, id_col, terms)
+        .where(F.size("__m") > 0)
+        .select(id_col, "dl", F.explode("__m").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    joined = matched.join(
+        F.broadcast(stats.where(F.col("term").isin(terms))), "term"
+    )
+    comp = joined.select(id_col, _bm25_component(k1, b).alias("__c"))
+    return comp.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__c")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

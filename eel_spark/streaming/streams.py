@@ -1235,3 +1235,35 @@ def streaming_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_bm25_stats_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str,
+):
+    """BM25 corpus statistics maintained from a document stream,
+    EXACTLY-ONCE: each micro-batch writes its full-vocabulary per-term
+    document frequencies plus a totals row into its own __src_batch
+    partition (operators/retrieval.append_bm25_stats_batch), so a
+    checkpoint-replayed batch dynamic-overwrites exactly its own rows.
+    Query with ``read_bm25_stats`` (fold ≡ whole-corpus recompute —
+    df/N/Σdl are associative); score new waves against the maintained
+    stats with ``bm25_score_against_stats`` — no history rescan; collapse
+    increments with ``compact_bm25_stats`` once the replay horizon has
+    passed."""
+    from eel_spark.operators.retrieval import append_bm25_stats_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_bm25_stats_batch(
+            batch_df.sparkSession, path, batch_df, text_col,
+            src_batch=batch_id,
+        )
+
+    return (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from eel_spark.operators.retrieval import bm25_scores, bm25_term_stats, bm25_topk
 
@@ -281,3 +282,100 @@ def test_bm25_multi_rejects_empty(spark, docs):
         bm25_term_stats_multi(docs, "text", "doc_id", {})
     with pytest.raises(ValueError, match="no usable terms"):
         bm25_term_stats_multi(docs, "text", "doc_id", {"q": ["  ", ""]})
+
+
+# -- incrementally maintained corpus stats (r10) ------------------------------
+
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+INC_TERMS = ["merge", "window", "scan"]
+
+
+@pytest.fixture()
+def stats_store(spark, tmp_path):
+    """Three waves appended batch-by-batch, as a streaming sink would."""
+    from eel_spark.operators.retrieval import append_bm25_stats_batch
+
+    docs = spark.read.parquet(SF_DOCS)
+    path = str(tmp_path / "bm25_stats")
+    for i in range(3):
+        append_bm25_stats_batch(
+            spark, path, docs.where(F.col("doc_id") % 3 == i), "text",
+            src_batch=i,
+        )
+    return path, docs
+
+
+def _stat_rows(spark, path, terms):
+    from eel_spark.operators.retrieval import read_bm25_stats
+
+    return {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in read_bm25_stats(spark, path, terms).collect()
+    }
+
+
+def test_incremental_stats_fold_equals_one_shot(spark, stats_store):
+    """SUM over per-wave increments ≡ one-shot whole-corpus recompute —
+    df, N, and Σdl are associative, so the maintained store never
+    drifts from what a full rescan would say."""
+    path, docs = stats_store
+    got = _stat_rows(spark, path, INC_TERMS)
+    expect = {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in bm25_term_stats(docs, "text", "doc_id", INC_TERMS)
+        .select("term", "df", "n_docs", "sum_dl").distinct().collect()
+    }
+    assert got == expect
+
+
+def test_incremental_stats_replay_idempotent(spark, stats_store):
+    """Re-appending a wave with its original src_batch (checkpoint
+    replay) dynamic-overwrites exactly its partition: stats unchanged."""
+    from eel_spark.operators.retrieval import append_bm25_stats_batch
+
+    path, docs = stats_store
+    before = _stat_rows(spark, path, INC_TERMS)
+    append_bm25_stats_batch(
+        spark, path, docs.where(F.col("doc_id") % 3 == 1), "text",
+        src_batch=1,
+    )
+    assert _stat_rows(spark, path, INC_TERMS) == before
+
+
+def test_incremental_stats_compact_preserves(spark, stats_store):
+    """Compaction collapses the increments to one partition without
+    changing any folded value."""
+    import glob
+
+    from eel_spark.operators.retrieval import compact_bm25_stats
+
+    path, docs = stats_store
+    before = _stat_rows(spark, path, INC_TERMS)
+    compact_bm25_stats(spark, path)
+    assert _stat_rows(spark, path, INC_TERMS) == before
+    parts = {p.split("=")[-1] for p in glob.glob(f"{path}/__src_batch=*")}
+    assert parts == {"-1"}
+
+
+def test_score_against_stats_equals_one_shot(spark, stats_store):
+    """Scoring the corpus against the MAINTAINED stats is bit-identical
+    to the one-shot bm25_scores (same integer inputs, same sorted fold)."""
+    from eel_spark.operators.retrieval import (
+        bm25_score_against_stats,
+        read_bm25_stats,
+    )
+
+    path, docs = stats_store
+    stats = read_bm25_stats(spark, path, INC_TERMS)
+    via_store = {
+        r["doc_id"]: (r["score"], r["n_terms"])
+        for r in bm25_score_against_stats(
+            docs, "text", "doc_id", stats, INC_TERMS
+        ).collect()
+    }
+    one_shot = {
+        r["doc_id"]: (r["score"], r["n_terms"])
+        for r in bm25_scores(docs, "text", "doc_id", INC_TERMS).collect()
+    }
+    assert via_store == one_shot

@@ -1405,3 +1405,81 @@ def test_streaming_funnel_final_ttl_bounds_state(spark, tmp_path):
     # finality + ttl at the last watermark) may remain
     assert state_ttl <= 3, state_ttl
     assert state_raw - state_ttl >= len(users) - 3
+
+
+def test_streaming_bm25_stats_sink_matches_batch(spark, tmp_path):
+    """BM25 corpus statistics maintained from a 3-wave document stream ≡
+    a one-shot batch recompute over the union, and scoring a NEW wave
+    against the maintained store needs no history rescan (bit-identical
+    to scoring against batch-recomputed stats)."""
+    from eel_spark.operators.retrieval import (
+        bm25_score_against_stats,
+        bm25_term_stats,
+        read_bm25_stats,
+    )
+    from eel_spark.streaming import streaming_bm25_stats_sink
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = tmp_path / "doc_waves"
+    src.mkdir()
+    # one parquet FILE per wave (the file source does not recurse into
+    # Spark's output directories)
+    for i in range(3):
+        pdf = docs.where(F.col("doc_id") % 3 == i).toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"wave{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "bm25_store")
+    q = streaming_bm25_stats_sink(
+        stream, store, str(tmp_path / "ckpt_bm25"), "text"
+    )
+    q.awaitTermination(120)
+
+    terms = ["merge", "window", "scan"]
+    got = {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in read_bm25_stats(spark, store, terms).collect()
+    }
+    expect = {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in bm25_term_stats(docs, "text", "doc_id", terms)
+        .select("term", "df", "n_docs", "sum_dl").distinct().collect()
+    }
+    assert got == expect
+
+    # restart against the same checkpoint: nothing new to process, and a
+    # second identical run leaves the folded stats untouched
+    q2 = streaming_bm25_stats_sink(
+        (spark.readStream.schema("doc_id BIGINT, text STRING")
+         .option("maxFilesPerTrigger", 1).parquet(str(src))),
+        store, str(tmp_path / "ckpt_bm25"), "text",
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in read_bm25_stats(spark, store, terms).collect()
+    }
+    assert got2 == expect
+
+    # score an unseen wave against the maintained store
+    new_wave = spark.createDataFrame(
+        [(100001, "merge merge window"), (100002, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["n_terms"]
+        for r in bm25_score_against_stats(
+            new_wave, "text", "doc_id",
+            read_bm25_stats(spark, store, terms), terms,
+        ).collect()
+    }
+    assert scored == {100001: 2}
