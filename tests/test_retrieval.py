@@ -379,3 +379,30 @@ def test_score_against_stats_equals_one_shot(spark, stats_store):
         for r in bm25_scores(docs, "text", "doc_id", INC_TERMS).collect()
     }
     assert via_store == one_shot
+
+
+def test_score_against_stats_plan_jvm_only_broadcast(spark, stats_store):
+    """Scale contract of the no-rescan path: Python-free plan, the
+    maintained stats join the matched rows by BROADCAST (the store side
+    is vocabulary-bounded and term-filtered at the scan), and the
+    explode stays match-bounded."""
+    from eel_spark.operators.retrieval import (
+        bm25_score_against_stats,
+        read_bm25_stats,
+    )
+
+    path, docs = stats_store
+    out = bm25_score_against_stats(
+        docs, "text", "doc_id", read_bm25_stats(spark, path, INC_TERMS),
+        INC_TERMS,
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen and all("__m" in ln for ln in gen), gen
