@@ -449,3 +449,53 @@ def bm25_score_against_stats(
         ).alias("score"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+def bm25_topk_multi_against_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stats: DataFrame,
+    queries: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query top-k over MAINTAINED corpus statistics — the
+    streaming-corpus twin of ``bm25_topk_multi``: tf/dl come from the
+    scored wave, df/N/Σdl from ``read_bm25_stats`` (load it with the
+    UNION of all query terms), so a query batch ranks a new wave with
+    one wave scan and zero history rescans. Same (query_id, salt)
+    two-phase rank; scores are bit-identical to the one-shot multi path
+    when the store covers the same corpus (equivalence-tested)."""
+    from eel_spark.operators.similarity import _topk_per_query
+
+    qmap = _normalize_queries(queries)
+    union_terms = sorted({t for ts in qmap.values() for t in ts})
+    matched = (
+        _matched_base(df, text_col, id_col, union_terms)
+        .where(F.size("__m") > 0)
+        .select(id_col, "dl", F.explode("__m").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pairs = [(qid, t) for qid, ts in sorted(qmap.items()) for t in ts]
+    qdf = df.sparkSession.createDataFrame(pairs, "query_id string, term string")
+    joined = (
+        matched.join(
+            F.broadcast(stats.where(F.col("term").isin(union_terms))), "term"
+        )
+        .join(F.broadcast(qdf), "term")
+    )
+    comp = joined.select(
+        "query_id", id_col, _bm25_component(k1, b).alias("__c")
+    )
+    scored = comp.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__c")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return _topk_per_query(scored, "query_id", id_col, k, value_col="score")

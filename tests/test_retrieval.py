@@ -170,6 +170,25 @@ def test_bm25_stats_oracle_sf01_full(spark):
     con.close()
 
 
+def test_bm25_multi_stats_oracle_sf01_full(spark):
+    """Third-SF oracle sweep for the GATED multi-query slot (the driver
+    covers sf0.01, test_tpch covers sf0.001)."""
+    import duckdb
+
+    from eel_spark.queries import ORACLE, QUERIES
+    from tests.conftest import TABLES, assert_df_matches_oracle
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = QUERIES["text_bm25_multi_stats"](spark, sf)
+    assert_df_matches_oracle(df, con, ORACLE["text_bm25_multi_stats"])
+    con.close()
+
+
 # -- multi-query BM25 (r10) ---------------------------------------------------
 
 
@@ -406,3 +425,30 @@ def test_score_against_stats_plan_jvm_only_broadcast(spark, stats_store):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gen and all("__m" in ln for ln in gen), gen
+
+
+def test_topk_multi_against_stats_equals_one_shot(spark, stats_store):
+    """When the store covers the scored corpus, per-query top-k against
+    the maintained stats is exactly the one-shot multi top-k (same
+    integer inputs, same sorted fold, same salted rank)."""
+    from eel_spark.operators.retrieval import (
+        bm25_topk_multi,
+        bm25_topk_multi_against_stats,
+        read_bm25_stats,
+    )
+
+    path, docs = stats_store
+    queries = {"qa": ["merge", "window"], "qb": ["scan", "merge"]}
+    union = ["merge", "scan", "window"]
+    via_store = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk_multi_against_stats(
+            docs, "text", "doc_id", read_bm25_stats(spark, path, union),
+            queries, k=4,
+        ).collect()
+    }
+    one_shot = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk_multi(docs, "text", "doc_id", queries, k=4).collect()
+    }
+    assert via_store == one_shot
