@@ -423,7 +423,10 @@ def bm25_score_against_stats(
     """Score documents against MAINTAINED corpus statistics: tf and dl
     come from the scored rows, df/n_docs/sum_dl from ``stats``
     (``read_bm25_stats``) — so a new wave is scored without rescanning
-    corpus history. Same match-bounded projection and sorted-order
+    corpus history. The store reflects the corpus as of its last folded
+    batch: a wave scored BEFORE being appended uses slightly stale
+    idf/avgdl (the standard incremental-index trade-off — append first
+    when the wave should count itself). Same match-bounded projection and sorted-order
     component fold as ``bm25_scores``: identical integer inputs produce
     bit-identical scores (equivalence-tested against the one-shot
     path)."""

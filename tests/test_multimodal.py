@@ -319,3 +319,30 @@ def test_multimodal_selfcheck_chain(spark):
         for r in df.groupBy("media_type").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"image": 22, "audio": 21, "video": 18}
+
+
+def test_resize_integer_stats_match_formula(spark):
+    """Oracle-grade check for the RESIZE kernel: nearest-neighbor index
+    selection is pure integer arithmetic (rows[y] = min(y*sh//th, sh-1)),
+    so over the LCG corpus the resized raster's exact per-pixel values
+    are computable from the planted formula without running numpy —
+    any index-rounding or channel-order drift in _resize_image breaks
+    the equality."""
+    tw, th = 17, 11
+    media = mm.synth_media_lcg(spark, n=12)
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in mm.resize_images(media, width=tw, height=th).collect()
+    }
+    assert set(out) == {0, 3, 6, 9}
+    for i, payload in out.items():
+        px = mm.decode_ppm(payload)
+        assert px.shape == (th, tw, 3)
+        sw, sh = 64 + i % 32, 48 + i % 16
+        for y in (0, th // 2, th - 1):
+            for x in (0, tw // 2, tw - 1):
+                sy = min(y * sh // th, sh - 1)
+                sx = min(x * sw // tw, sw - 1)
+                assert px[y, x, 0] == (sx * 3 + i) % 256, (i, x, y)
+                assert px[y, x, 1] == (sy * 5 + 2 * i) % 256, (i, x, y)
+                assert px[y, x, 2] == (sx + sy + 7 * i) % 256, (i, x, y)
