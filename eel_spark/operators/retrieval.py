@@ -67,6 +67,36 @@ def _matched_base(
     )
 
 
+def _matched_tf(
+    df: DataFrame, text_col: str, id_col: str, terms: Sequence[str]
+) -> DataFrame:
+    """(id, dl, term, tf) for the query terms present in each document —
+    the exploded, match-bounded term-frequency relation every scoring
+    path shares."""
+    return (
+        _matched_base(df, text_col, id_col, terms)
+        .where(F.size("__m") > 0)
+        .select(id_col, "dl", F.explode("__m").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _fold_scores(comp: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Per-group score = sorted-order fold of the ``__c`` components —
+    the ONE definition of the deterministic sum (float addition is not
+    associative; an unordered SUM is not reproducible across
+    partitionings)."""
+    return comp.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__c")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
 def bm25_term_stats(
     df: DataFrame,
     text_col: str,
@@ -146,17 +176,7 @@ def bm25_scores(
     comp = stats.select(
         id_col, _bm25_component(k1, b).alias("__c")
     )
-    return (
-        comp.groupBy(id_col)
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("__c")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("score"),
-            F.count(F.lit(1)).alias("n_terms"),
-        )
-    )
+    return _fold_scores(comp, [id_col])
 
 
 def bm25_topk(
@@ -243,14 +263,7 @@ def bm25_scores_multi(
     comp = stats.select(
         "query_id", id_col, _bm25_component(k1, b).alias("__c")
     )
-    return comp.groupBy("query_id", id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("__c")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
-        F.count(F.lit(1)).alias("n_terms"),
-    )
+    return _fold_scores(comp, ["query_id", id_col])
 
 
 def bm25_topk_multi(
@@ -296,9 +309,16 @@ def bm25_batch_stats(df: DataFrame, text_col: str) -> DataFrame:
     (df = batch docs containing the term — array_distinct before the
     explode, so a doc counts once however often the term repeats), plus
     ONE totals row (term NULL) carrying n_docs and sum_dl."""
-    base = df.select(_tokens_col(text_col).alias("__toks")).select(
-        F.size("__toks").alias("__dl"),
-        F.array_distinct("__toks").alias("__d"),
+    from eel_spark.caching import pin
+
+    # per_term and totals both read base: pin it so the batch text is
+    # scanned + regex-tokenized once (the module convention; callers in
+    # bounded scopes bracket with pins_mark/release_pins_since)
+    base = pin(
+        df.select(_tokens_col(text_col).alias("__toks")).select(
+            F.size("__toks").alias("__dl"),
+            F.array_distinct("__toks").alias("__d"),
+        )
     )
     per_term = (
         base.select(F.explode("__d").alias("term"))
@@ -322,7 +342,6 @@ def bm25_batch_stats(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def append_bm25_stats_batch(
-    spark,
     path: str,
     batch_df: DataFrame,
     text_col: str,
@@ -330,16 +349,25 @@ def append_bm25_stats_batch(
 ) -> None:
     """Fold one batch's increment into the store, idempotently: the
     increment lands in its own ``__src_batch`` partition via dynamic
-    partition overwrite, so replaying a batch rewrites exactly its rows."""
-    inc = bm25_batch_stats(batch_df, text_col).withColumn(
-        "__src_batch", F.lit(int(src_batch))
-    )
-    (
-        inc.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__src_batch")
-        .parquet(path)
-    )
+    partition overwrite, so replaying a batch rewrites exactly its rows.
+    Releases exactly the pins this batch added (foreachBatch runs on a
+    stream-execution thread; the thread-local mark/release pair is the
+    established sink pattern)."""
+    from eel_spark.caching import pins_mark, release_pins_since
+
+    mark = pins_mark()
+    try:
+        inc = bm25_batch_stats(batch_df, text_col).withColumn(
+            "__src_batch", F.lit(int(src_batch))
+        )
+        (
+            inc.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__src_batch")
+            .parquet(path)
+        )
+    finally:
+        release_pins_since(mark)
 
 
 def read_bm25_stats(
@@ -350,13 +378,29 @@ def read_bm25_stats(
     totals rows, broadcast onto every term row — the exact column shape
     ``_bm25_component`` consumes. ``terms`` restricts the (vocabulary-
     sized) per-term read to a query's term set — the filter reaches the
-    parquet scan."""
+    parquet scan — and GUARANTEES one row per requested term, with
+    ``df = 0`` for terms the corpus has never seen, so scoring a wave
+    that introduces a new term degrades to stale-df-0 idf instead of
+    silently dropping the term."""
     raw = spark.read.parquet(path)
     dfreq = raw.where(F.col("term").isNotNull())
     if terms is not None:
         tset = sorted({t.strip().lower() for t in terms if t and t.strip()})
-        dfreq = dfreq.where(F.col("term").isin(tset))
-    dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
+        if not tset:
+            raise ValueError("terms must contain at least one usable term")
+        tdf = spark.createDataFrame([(t,) for t in tset], "term string")
+        dfreq = (
+            tdf.join(
+                dfreq.where(F.col("term").isin(tset))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df")),
+                "term",
+                "left",
+            )
+            .select("term", F.coalesce("df", F.lit(0)).cast("long").alias("df"))
+        )
+    else:
+        dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
     totals = raw.where(F.col("term").isNull()).agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
         F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
@@ -366,9 +410,29 @@ def read_bm25_stats(
 
 def compact_bm25_stats(spark, path: str) -> None:
     """Collapse the per-batch increments into one ``__src_batch = -1``
-    partition — run once the streaming checkpoint's replay horizon has
-    passed (a batch replayed AFTER compaction would re-add its counts,
-    the same contract as the rollup/dedup-history compactors)."""
+    partition. Run it OFFLINE (no active sink or appender on this
+    store) and only once the streaming checkpoint's replay horizon has
+    passed — a batch appended DURING compaction lands after the read
+    and is destroyed by the swap, and one replayed AFTER compaction
+    re-adds its counts (the same contract as the rollup/dedup-history
+    compactors). Crash recovery: the swap stages the old store at
+    ``<path>__old`` before moving the compacted one in; if a crash
+    lands between the two renames, the next call restores the staged
+    store and re-compacts."""
+    tmp = path.rstrip("/") + "__compacting"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    fs = p_old.getFileSystem(conf)
+    if not fs.exists(p_old) and fs.exists(trash):
+        # a previous compaction crashed between its two renames: the
+        # authoritative store is the staged copy — restore and proceed
+        if not fs.rename(trash, p_old):
+            raise IOError(
+                f"compact_bm25_stats: could not restore staged store "
+                f"{path}__old after an interrupted compaction"
+            )
     raw = spark.read.parquet(path)
     dfreq = (
         raw.where(F.col("term").isNotNull())
@@ -394,14 +458,8 @@ def compact_bm25_stats(spark, path: str) -> None:
     # stage under the store root (same filesystem → atomic-ish swap via
     # rename), then replace: a static overwrite of the root would
     # truncate before writing and a crash would lose the store
-    tmp = path.rstrip("/") + "__compacting"
     compacted.write.mode("overwrite").partitionBy("__src_batch").parquet(tmp)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p_old = jvm.org.apache.hadoop.fs.Path(path)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = p_old.getFileSystem(conf)
-    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     fs.delete(trash, True)
     if not fs.rename(p_old, trash):
         raise IOError(f"compact_bm25_stats: could not stage {path} aside")
@@ -409,6 +467,24 @@ def compact_bm25_stats(spark, path: str) -> None:
         fs.rename(trash, p_old)  # roll back
         raise IOError(f"compact_bm25_stats: could not swap in {tmp}")
     fs.delete(trash, True)
+
+
+def _against_stats_components(
+    matched: DataFrame, stats: DataFrame, terms: Sequence[str],
+    k1: float, b: float,
+) -> DataFrame:
+    """Join matched (id, dl, term, tf) rows to maintained stats and emit
+    per-(row, term) components: LEFT join on term with df coalesced to 0
+    (a store-unseen term keeps its match), totals carried as a separate
+    1-row broadcast so they survive term misses."""
+    dfreq = stats.select("term", "df").where(F.col("term").isin(list(terms)))
+    totals = stats.select("n_docs", "sum_dl").limit(1)
+    return (
+        matched.join(F.broadcast(dfreq), "term", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__c", _bm25_component(k1, b))
+    )
 
 
 def bm25_score_against_stats(
@@ -426,32 +502,21 @@ def bm25_score_against_stats(
     corpus history. The store reflects the corpus as of its last folded
     batch: a wave scored BEFORE being appended uses slightly stale
     idf/avgdl (the standard incremental-index trade-off — append first
-    when the wave should count itself). Same match-bounded projection and sorted-order
-    component fold as ``bm25_scores``: identical integer inputs produce
-    bit-identical scores (equivalence-tested against the one-shot
-    path)."""
+    when the wave should count itself); a term the store has never seen
+    scores with ``df = 0`` (well-defined idf) instead of silently
+    dropping the match — the per-term join is a LEFT join with the
+    totals carried separately, so even a ``stats`` loaded with the wrong
+    term set degrades, never disappears rows. Same match-bounded
+    projection and sorted-order component fold as ``bm25_scores``:
+    identical integer inputs produce bit-identical scores
+    (equivalence-tested against the one-shot path)."""
     terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    matched = (
-        _matched_base(df, text_col, id_col, terms)
-        .where(F.size("__m") > 0)
-        .select(id_col, "dl", F.explode("__m").alias("term"))
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    joined = matched.join(
-        F.broadcast(stats.where(F.col("term").isin(terms))), "term"
-    )
-    comp = joined.select(id_col, _bm25_component(k1, b).alias("__c"))
-    return comp.groupBy(id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("__c")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
-        F.count(F.lit(1)).alias("n_terms"),
-    )
+    comp = _against_stats_components(
+        _matched_tf(df, text_col, id_col, terms), stats, terms, k1, b
+    ).select(id_col, "__c")
+    return _fold_scores(comp, [id_col])
 
 
 def bm25_topk_multi_against_stats(
@@ -470,35 +535,22 @@ def bm25_topk_multi_against_stats(
     UNION of all query terms), so a query batch ranks a new wave with
     one wave scan and zero history rescans. Same (query_id, salt)
     two-phase rank; scores are bit-identical to the one-shot multi path
-    when the store covers the same corpus (equivalence-tested)."""
+    when the store covers the same corpus (equivalence-tested), and a
+    store-unseen term degrades to ``df = 0`` instead of dropping the
+    match (see ``bm25_score_against_stats``)."""
     from eel_spark.operators.similarity import _topk_per_query
 
     qmap = _normalize_queries(queries)
     union_terms = sorted({t for ts in qmap.values() for t in ts})
-    matched = (
-        _matched_base(df, text_col, id_col, union_terms)
-        .where(F.size("__m") > 0)
-        .select(id_col, "dl", F.explode("__m").alias("term"))
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     pairs = [(qid, t) for qid, ts in sorted(qmap.items()) for t in ts]
     qdf = df.sparkSession.createDataFrame(pairs, "query_id string, term string")
-    joined = (
-        matched.join(
-            F.broadcast(stats.where(F.col("term").isin(union_terms))), "term"
+    comp = (
+        _against_stats_components(
+            _matched_tf(df, text_col, id_col, union_terms), stats,
+            union_terms, k1, b,
         )
         .join(F.broadcast(qdf), "term")
+        .select("query_id", id_col, "__c")
     )
-    comp = joined.select(
-        "query_id", id_col, _bm25_component(k1, b).alias("__c")
-    )
-    scored = comp.groupBy("query_id", id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("__c")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
-        F.count(F.lit(1)).alias("n_terms"),
-    )
+    scored = _fold_scores(comp, ["query_id", id_col])
     return _topk_per_query(scored, "query_id", id_col, k, value_col="score")

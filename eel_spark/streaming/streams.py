@@ -1256,10 +1256,7 @@ def streaming_bm25_stats_sink(
     from eel_spark.operators.retrieval import append_bm25_stats_batch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        append_bm25_stats_batch(
-            batch_df.sparkSession, path, batch_df, text_col,
-            src_batch=batch_id,
-        )
+        append_bm25_stats_batch(path, batch_df, text_col, src_batch=batch_id)
 
     return (
         df.writeStream.foreachBatch(fold)

@@ -319,8 +319,7 @@ def stats_store(spark, tmp_path):
     path = str(tmp_path / "bm25_stats")
     for i in range(3):
         append_bm25_stats_batch(
-            spark, path, docs.where(F.col("doc_id") % 3 == i), "text",
-            src_batch=i,
+            path, docs.where(F.col("doc_id") % 3 == i), "text", src_batch=i,
         )
     return path, docs
 
@@ -356,8 +355,7 @@ def test_incremental_stats_replay_idempotent(spark, stats_store):
     path, docs = stats_store
     before = _stat_rows(spark, path, INC_TERMS)
     append_bm25_stats_batch(
-        spark, path, docs.where(F.col("doc_id") % 3 == 1), "text",
-        src_batch=1,
+        path, docs.where(F.col("doc_id") % 3 == 1), "text", src_batch=1,
     )
     assert _stat_rows(spark, path, INC_TERMS) == before
 
@@ -452,3 +450,59 @@ def test_topk_multi_against_stats_equals_one_shot(spark, stats_store):
         for r in bm25_topk_multi(docs, "text", "doc_id", queries, k=4).collect()
     }
     assert via_store == one_shot
+
+
+def test_score_against_stats_unseen_term_degrades_not_drops(spark, stats_store):
+    """A wave that introduces a store-unseen term must keep the match
+    with df = 0 (well-defined idf), never silently drop the term or the
+    document — in both single and multi against-stats paths."""
+    from eel_spark.operators.retrieval import (
+        bm25_score_against_stats,
+        bm25_topk_multi_against_stats,
+        read_bm25_stats,
+    )
+
+    path, _ = stats_store
+    wave = spark.createDataFrame(
+        [(1, "novelterm only here"), (2, "merge and novelterm"), (3, "plain")],
+        "doc_id long, text string",
+    )
+    terms = ["merge", "novelterm"]
+    stats = read_bm25_stats(spark, path, terms)
+    # the store guarantees a row per requested term, df=0 for unseen
+    assert {r["term"]: r["df"] for r in stats.collect()}["novelterm"] == 0
+    got = {
+        r["doc_id"]: r["n_terms"]
+        for r in bm25_score_against_stats(
+            wave, "text", "doc_id", stats, terms
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2}  # doc 1 kept; doc 2 counts BOTH terms
+    # even a stats frame loaded WITHOUT the novel term degrades: the
+    # left join coalesces df to 0, totals ride separately
+    narrow = read_bm25_stats(spark, path, ["merge"])
+    got2 = {
+        r["doc_id"]: r["n_terms"]
+        for r in bm25_score_against_stats(
+            wave, "text", "doc_id", narrow, terms
+        ).collect()
+    }
+    assert got2 == {1: 1, 2: 2}
+    multi = bm25_topk_multi_against_stats(
+        wave, "text", "doc_id", stats, {"q": terms}, k=5
+    )
+    assert {r["doc_id"] for r in multi.collect()} == {1, 2}
+
+
+def test_compact_bm25_stats_restores_after_interrupted_swap(spark, stats_store):
+    """Crash between the two swap renames leaves the store staged at
+    <path>__old; the next compaction call restores it and proceeds."""
+    from eel_spark.operators.retrieval import compact_bm25_stats
+
+    path, _ = stats_store
+    before = _stat_rows(spark, path, INC_TERMS)
+    # simulate the crash window: store renamed aside, new store not yet in
+    import os
+    os.rename(path, path + "__old")
+    compact_bm25_stats(spark, path)
+    assert _stat_rows(spark, path, INC_TERMS) == before
