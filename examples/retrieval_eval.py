@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 
 from eel_spark.caching import release_pins
 from eel_spark.operators.retrieval import (
+    append_bm25_stats_batch,
     bm25_term_stats_multi,
     bm25_topk_multi,
+    bm25_topk_multi_against_stats,
+    read_bm25_stats,
 )
 from eel_spark.queries.tables import table
 from eel_spark.session import get_session
@@ -89,6 +92,33 @@ n_neg = labeled.where("role = 'hard_negative'").count()
 assert n_pos == K * len(QUERIES), (n_pos, K * len(QUERIES))
 print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
       f"across {len(QUERIES)} queries")
+
+# 5. the streaming-corpus variant: maintain the corpus statistics
+#    incrementally (two waves here; a stream would use
+#    streaming_bm25_stats_sink), then rank a NEW wave for the whole
+#    query batch against the maintained store — one wave scan, zero
+#    history rescans
+import tempfile
+
+store = tempfile.mkdtemp(prefix="eel_bm25_store_") + "/stats"
+for i in range(2):
+    append_bm25_stats_batch(
+        store, docs.where(F.col("doc_id") % 2 == i), "text", src_batch=i
+    )
+union_terms = sorted({t for ts in QUERIES.values() for t in ts})
+stats = read_bm25_stats(spark, store, union_terms)
+new_wave = spark.createDataFrame(
+    [(900001, "incremental merge compaction pipeline"),
+     (900002, "watermarked window stream join"),
+     (900003, "nothing relevant at all")],
+    "doc_id long, text string",
+)
+ranked = bm25_topk_multi_against_stats(
+    new_wave, "text", "doc_id", stats, QUERIES, k=2
+)
+for r in ranked.orderBy("query_id", "rank").collect():
+    print(f"new-wave {r['query_id']:15s} rank={r['rank']} doc={r['doc_id']} "
+          f"score={r['score']:.3f}")
 
 release_pins()  # standalone script: free the BM25 tokenize caches
 spark.stop()
