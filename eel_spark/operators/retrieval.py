@@ -554,3 +554,93 @@ def bm25_topk_multi_against_stats(
     )
     scored = _fold_scores(comp, ["query_id", id_col])
     return _topk_per_query(scored, "query_id", id_col, k, value_col="score")
+
+
+# -- hybrid retrieval + evaluation (r10) --------------------------------------
+
+
+def reciprocal_rank_fusion(
+    rankings: Sequence[DataFrame],
+    id_col: str,
+    query_col: str = "query_id",
+    k: int = 10,
+    k_rrf: int = 60,
+    weights: Sequence[float] | None = None,
+) -> DataFrame:
+    """Fuse per-query rankings (e.g. BM25 lexical top-k + ANN embedding
+    top-k) by Reciprocal Rank Fusion — Cormack/Clarke/Buettcher's
+    rank-only combiner (public):
+
+        rrf(q, d) = Σ_systems  w_s / (k_rrf + rank_s(q, d))
+
+    Rank-only fusion needs no score calibration between systems, which
+    is why it is the standard hybrid-retrieval baseline. Each input is a
+    (query_col, id_col, rank) table (the shape ``bm25_topk_multi`` /
+    ``_topk_per_query`` emit); a document absent from a system's list
+    simply contributes nothing for it. One union + one (query, doc)
+    groupBy with map-side partials, then the shared salted per-query
+    top-k — no window over the full candidate union. The fused score is
+    a sum of exact dyadic-ish rationals folded in sorted order for the
+    same cross-partitioning determinism as the BM25 fold."""
+    if not rankings:
+        raise ValueError("rankings must contain at least one table")
+    ws = list(weights) if weights is not None else [1.0] * len(rankings)
+    if len(ws) != len(rankings):
+        raise ValueError(
+            f"{len(rankings)} rankings but {len(ws)} weights"
+        )
+    from eel_spark.operators.similarity import _topk_per_query
+
+    tagged = None
+    for w, r in zip(ws, rankings):
+        part = r.select(
+            query_col,
+            id_col,
+            (F.lit(float(w)) / (F.lit(float(k_rrf)) + F.col("rank")))
+            .alias("__c"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = _fold_scores(tagged, [query_col, id_col]).withColumnRenamed(
+        "n_terms", "n_systems"
+    )
+    return _topk_per_query(fused, query_col, id_col, k, value_col="score")
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    id_col: str,
+    query_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-eval metrics of a (query, id, rank) table
+    against a (query, id) relevance set: ``recall_at_k`` (relevant docs
+    found in the top k / total relevant), ``precision_at_k``, and
+    ``reciprocal_rank`` (1/rank of the first relevant hit, 0 when none).
+    Queries with qrels but no ranked rows still surface (zero metrics) —
+    a system that returns nothing must not vanish from the mean. Two
+    slim aggregates + a broadcastable qrels join; averaging the output
+    yields MRR / mean recall@k."""
+    rel = qrels.select(query_col, id_col).distinct()
+    totals = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("__n_rel"))
+    hits = (
+        ranked.where(F.col("rank") <= k)
+        .join(rel, [query_col, id_col], "left_semi")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_hit"),
+            F.min("rank").alias("__first"),
+        )
+    )
+    return (
+        totals.join(hits, query_col, "left")
+        .select(
+            query_col,
+            (F.coalesce("__n_hit", F.lit(0)) / F.col("__n_rel"))
+            .alias("recall_at_k"),
+            (F.coalesce("__n_hit", F.lit(0)) / F.lit(float(k)))
+            .alias("precision_at_k"),
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0))
+            .alias("reciprocal_rank"),
+        )
+    )

@@ -506,3 +506,135 @@ def test_compact_bm25_stats_restores_after_interrupted_swap(spark, stats_store):
     os.rename(path, path + "__old")
     compact_bm25_stats(spark, path)
     assert _stat_rows(spark, path, INC_TERMS) == before
+
+
+# -- hybrid fusion + eval metrics (r10) ---------------------------------------
+
+
+def test_reciprocal_rank_fusion_matches_python(spark):
+    """Fused scores and ranks equal a from-scratch Python RRF over the
+    same ranking tables, including weights and a doc present in only
+    one system."""
+    from eel_spark.operators.retrieval import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2),
+         ("q2", 21, 1), ("q2", 20, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in reciprocal_rank_fusion(
+            [a, b], "doc_id", k=4, k_rrf=60, weights=[1.0, 0.5]
+        ).collect()
+    }
+    # python reference
+    import collections
+
+    scores: dict = collections.defaultdict(float)
+    for w, rows in ((1.0, a.collect()), (0.5, b.collect())):
+        for r in rows:
+            scores[(r["query_id"], r["doc_id"])] += w / (60 + r["rank"])
+    expect = {}
+    for q in ("q1", "q2"):
+        ranked = sorted(
+            ((d, s) for (qq, d), s in scores.items() if qq == q),
+            key=lambda t: (-t[1], t[0]),
+        )
+        for i, (d, s) in enumerate(ranked[:4]):
+            expect[(q, i + 1)] = d
+    assert {k: v[0] for k, v in got.items()} == expect
+    for (q, rk), (d, s) in got.items():
+        assert s == pytest.approx(scores[(q, d)], rel=1e-12)
+
+
+def test_rrf_rejects_bad_inputs(spark):
+    from eel_spark.operators.retrieval import reciprocal_rank_fusion
+
+    with pytest.raises(ValueError, match="at least one"):
+        reciprocal_rank_fusion([], "doc_id")
+    a = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id long, rank int")
+    with pytest.raises(ValueError, match="weights"):
+        reciprocal_rank_fusion([a, a], "doc_id", weights=[1.0])
+
+
+def test_rrf_hybrid_bm25_plus_ann_jvm_only(spark, stats_store):
+    """The intended composition: BM25 lexical top-k fused with an
+    embedding top-k, all JVM-side, fused ranks deterministic."""
+    from eel_spark.operators.retrieval import (
+        bm25_topk_multi,
+        reciprocal_rank_fusion,
+    )
+
+    _, docs = stats_store
+    lex = bm25_topk_multi(
+        docs, "text", "doc_id",
+        {"qa": ["merge", "scan"], "qb": ["window"]}, k=8,
+    ).select("query_id", "doc_id", "rank")
+    # a second "system": rank by doc length (stands in for ANN cosine —
+    # any (query, id, rank) table fuses)
+    from pyspark.sql import Window as W
+
+    sem = (
+        docs.crossJoin(
+            spark.createDataFrame([("qa",), ("qb",)], "query_id string")
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.length("text"), "doc_id")
+            ),
+        )
+        .where(F.col("rank") <= 8)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = reciprocal_rank_fusion([lex, sem], "doc_id", k=5)
+    rows = fused.collect()
+    assert {r["query_id"] for r in rows} == {"qa", "qb"}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    # determinism across partitionings
+    again = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in reciprocal_rank_fusion(
+            [lex.repartition(7), sem.repartition(3)], "doc_id", k=5
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in rows
+    }
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    from eel_spark.operators.retrieval import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2),
+         ("q3", 30, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        # q1: 2 relevant, first hit at rank 2; q2: 1 relevant, not
+        # retrieved; q4: relevant but system returned NOTHING
+        [("q1", 11), ("q1", 12), ("q2", 99), ("q4", 40)],
+        "query_id string, doc_id long",
+    )
+    got = {
+        r["query_id"]: (
+            r["recall_at_k"], r["precision_at_k"], r["reciprocal_rank"]
+        )
+        for r in retrieval_metrics(ranked, qrels, "doc_id", k=2).collect()
+    }
+    assert got == {
+        "q1": (0.5, 0.5, 0.5),   # only doc 11 inside k=2, first at rank 2
+        "q2": (0.0, 0.0, 0.0),
+        "q4": (0.0, 0.0, 0.0),   # unserved query still surfaces
+    }
