@@ -22,7 +22,10 @@ from eel_spark.operators.retrieval import (
     bm25_topk_multi,
     bm25_topk_multi_against_stats,
     read_bm25_stats,
+    reciprocal_rank_fusion,
+    retrieval_metrics,
 )
+from eel_spark.operators.similarity import brute_force_topk
 from eel_spark.queries.tables import table
 from eel_spark.session import get_session
 
@@ -93,7 +96,26 @@ assert n_pos == K * len(QUERIES), (n_pos, K * len(QUERIES))
 print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
       f"across {len(QUERIES)} queries")
 
-# 5. the streaming-corpus variant: maintain the corpus statistics
+# 5. hybrid retrieval: pseudo-relevance feedback — each query's BM25
+#    top-1 document supplies a query EMBEDDING, exact-cosine top-k over
+#    the embedding table gives a semantic ranking, and reciprocal rank
+#    fusion combines both lists rank-only (no score calibration).
+emb = table(spark, sf_dir, "embeddings").df.select("vec_id", "embedding")
+lexical = pool.select("query_id", "doc_id", "rank")
+top1 = pool.where("rank = 1").select("query_id", F.col("doc_id").alias("vec_id"))
+qvecs = top1.join(emb, "vec_id").select("query_id", "embedding")
+semantic = brute_force_topk(
+    emb, qvecs, id_col="vec_id", k=K + N_HARD
+).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+hybrid = reciprocal_rank_fusion([lexical, semantic], "doc_id", k=K)
+# sanity metric: how much of the lexical top-K the hybrid list retains
+qrels = labeled.where("role = 'positive'").select("query_id", "doc_id")
+m = retrieval_metrics(hybrid, qrels, "doc_id", k=K)
+for r in m.orderBy("query_id").collect():
+    print(f"hybrid {r['query_id']:15s} recall@{K}={r['recall_at_k']:.2f} "
+          f"mrr={r['reciprocal_rank']:.2f}")
+
+# 6. the streaming-corpus variant: maintain the corpus statistics
 #    incrementally (two waves here; a stream would use
 #    streaming_bm25_stats_sink), then rank a NEW wave for the whole
 #    query batch against the maintained store — one wave scan, zero
