@@ -122,6 +122,71 @@ def funnel_report(
     )
 
 
+def funnel_report_by(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Mapping[str, Column],
+    segment: Column,
+    within: str | None = None,
+    segment_name: str = "segment",
+) -> DataFrame:
+    """Funnel summary broken down by FIRST-TOUCH segment — the standard
+    product-analytics attribution: each user belongs to the ``segment``
+    value of their earliest step-1 event (ties broken by segment value,
+    deterministic), and the per-segment funnel counts users of that
+    segment reaching each step in order. Returns one row per
+    (segment, step): ``segment_name``, ``step``, ``step_name``,
+    ``users``, and ``conversion`` from that segment's step 1.
+
+    Per-segment rows sum to the overall ``funnel_report`` counts for
+    every step (equivalence-tested): only users who entered the funnel
+    (step 1) are attributable, which is exactly the population the
+    overall report counts. Cost: the funnel's one user-key exchange +
+    one slim user-grain attribution aggregate joined back on the user
+    key — segments never multiply the event shuffle."""
+    names = list(steps)
+    times = funnel_times(df, user_col, ts_col, steps, within)
+    first_cond = steps[names[0]]
+    seg = (
+        df.where(first_cond)
+        .groupBy(user_col)
+        .agg(
+            F.min_by(
+                segment, F.struct(F.col(ts_col), segment)
+            ).alias(segment_name)
+        )
+    )
+    joined = times.join(seg, user_col)
+    counts = joined.groupBy(segment_name).agg(
+        *[F.count(n).alias(n) for n in names]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(n).alias("step_name"),
+                F.col(n).alias("users"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    exploded = counts.select(
+        segment_name, F.explode(pairs).alias("s")
+    ).select(segment_name, "s.step", "s.step_name", "s.users")
+    first = F.first("users").over(
+        Window.partitionBy(segment_name)
+        .orderBy("step")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return exploded.withColumn(
+        "conversion",
+        F.when(first == 0, F.lit(0.0)).otherwise(
+            F.round(F.col("users") / first, 4)
+        ),
+    )
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str,

@@ -146,3 +146,82 @@ def test_retention_cohort_filter_anchoring(spark):
         ("2024-01-01", 0): 1,
         ("2024-01-01", 2): 1,
     }
+
+
+def test_funnel_report_by_segment(spark):
+    """First-touch segmentation: each user attributes to the segment of
+    their earliest step-1 event; per-segment counts sum to the overall
+    report for EVERY step, and per-segment rows equal an independent
+    funnel_report over just that segment's users."""
+    from eel_spark.operators.funnel import funnel_report_by
+
+    rows = [
+        # mobile user: full funnel; first view is mobile even though a
+        # later view is web (first-touch wins)
+        (1, _t(1), "view", "mobile"), (1, _t(2), "view", "web"),
+        (1, _t(3), "click", "web"), (1, _t(4), "buy", "web"),
+        # web users: one converts to click, one stalls at view
+        (2, _t(1), "view", "web"), (2, _t(2), "click", "web"),
+        (3, _t(1), "view", "web"),
+        # never enters the funnel: unattributed, excluded
+        (4, _t(1), "buy", "mobile"),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, etype string, ch string")
+    steps = {
+        "view": F.col("etype") == "view",
+        "click": F.col("etype") == "click",
+        "buy": F.col("etype") == "buy",
+    }
+    out = funnel_report_by(df, "user", "ts", steps, F.col("ch"))
+    got = {
+        (r["segment"], r["step_name"]): (r["users"], r["conversion"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("mobile", "view"): (1, 1.0),
+        ("mobile", "click"): (1, 1.0),
+        ("mobile", "buy"): (1, 1.0),
+        ("web", "view"): (2, 1.0),
+        ("web", "click"): (1, 0.5),
+        ("web", "buy"): (0, 0.0),
+    }
+    # per-segment sums equal the overall report at every step
+    overall = {
+        r["step_name"]: r["users"]
+        for r in funnel_report(df, "user", "ts", steps).collect()
+    }
+    for step in steps:
+        assert sum(u for (s, n), (u, _) in got.items() if n == step) == overall[step]
+    # and each segment row equals an independent report over that
+    # segment's first-touch users
+    for seg, users in (("mobile", [1]), ("web", [2, 3])):
+        sub = funnel_report(
+            df.where(F.col("user").isin(users)), "user", "ts", steps
+        )
+        for r in sub.collect():
+            assert got[(seg, r["step_name"])][0] == r["users"], (seg, r)
+
+
+def test_funnel_report_by_plan_bounded(spark):
+    """Segmentation must not multiply the event shuffle: the funnel's
+    user-key exchange + the slim attribution agg + the per-segment
+    rollup — and no Python."""
+    from eel_spark.operators.funnel import funnel_report_by
+
+    from eel_spark.queries.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").df
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    out = funnel_report_by(
+        ev, "user_id", "ts", steps,
+        (F.col("user_id") % 3).alias("bucket"), segment_name="bucket",
+    )
+    assert out.count() == 9  # 3 buckets x 3 steps
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    assert plan.count("hashpartitioning(user_id") <= 3, plan
