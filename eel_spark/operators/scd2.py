@@ -842,3 +842,77 @@ def read_scd2_asof(spark: SparkSession, path: str, ts) -> DataFrame:
         )
         .drop(CURRENT_COL, BUCKET_COL)
     )
+
+
+def scd2_trim_history(
+    spark: SparkSession,
+    path: str,
+    older_than,
+) -> dict:
+    """Retention trim: drop CLOSED versions whose validity ENDED at or
+    before ``older_than`` (a date/timestamp literal). Open versions and
+    closed versions still valid after the cutoff are untouched, so
+    ``read_scd2_current`` and any ``read_scd2_asof``/``scd2_enrich`` at
+    or after the cutoff return exactly what they did before the trim
+    (tested); as-of reads BEFORE the cutoff lose the purged versions —
+    that is the point of retention, pick ``older_than`` behind every
+    replay/audit horizon.
+
+    Mechanics: takes the single-writer ``_scd_lease`` (trim is a write —
+    interleaving with a merge would corrupt both), rewrites the
+    surviving closed rows into a staged ``scd_current=0`` subtree, and
+    swaps it in by rename with the same crash contract as the other
+    compactors (crash between the two renames → the next call restores
+    the staged-aside subtree and re-trims). Buckets whose closed history
+    expires ENTIRELY disappear with the swap — the reason this is a
+    subtree swap and not a dynamic partition overwrite, which only
+    rewrites partitions present in the new data and would strand
+    all-expired buckets. Returns {"dropped", "kept"}."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    lease = f"{path}/{LEASE_FILE}"
+    if not ops.create_atomic(lease, content="__trim__\n"):
+        raise RuntimeError(
+            f"SCD2 table at {path} is locked by another writer (lease "
+            f"{lease}): trim is a write — wait for the holder, or use "
+            "break_scd2_lease(spark, path) if it was hard-killed"
+        )
+    try:
+        closed_root = f"{path}/{CURRENT_COL}=0"
+        # underscore-prefixed staging names: Spark's file index ignores
+        # them, so a crash that leaves either behind never breaks
+        # partition discovery on the table (a `scd_current=0__old` dir
+        # would read as a conflicting partition layout)
+        trash = f"{path}/_scd_trim_old"
+        staging = f"{path}/_scd_trim_staging"
+        if not ops.exists(closed_root) and ops.exists(trash):
+            # interrupted swap: the staged-aside subtree is authoritative
+            if not ops.rename(trash, closed_root):
+                raise IOError(
+                    f"scd2_trim_history: could not restore {trash} after "
+                    "an interrupted trim"
+                )
+        if not ops.exists(closed_root):
+            return {"dropped": 0, "kept": 0}
+        cutoff = F.lit(older_than)
+        closed = spark.read.parquet(closed_root)  # scd_bucket partitions
+        total = closed.count()
+        keep = closed.where(F.col("valid_to") > cutoff)
+        kept = keep.count()
+        if kept == total:
+            return {"dropped": 0, "kept": int(kept)}
+        # stage the surviving subtree, then swap (bucket dirs that lost
+        # ALL rows simply do not exist in the staged tree)
+        ops.delete(staging, recursive=True)
+        keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        ops.delete(trash, recursive=True)
+        if not ops.rename(closed_root, trash):
+            raise IOError(f"scd2_trim_history: could not stage {closed_root} aside")
+        if not ops.rename(staging, closed_root):
+            ops.rename(trash, closed_root)  # roll back
+            raise IOError(f"scd2_trim_history: could not swap in {staging}")
+        ops.delete(trash, recursive=True)
+        return {"dropped": int(total - kept), "kept": int(kept)}
+    finally:
+        ops.delete(lease)

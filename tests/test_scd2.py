@@ -928,3 +928,59 @@ def test_merge_self_adopts_same_batch_stale_lease(spark, tmp_path):
                    "k", ["seg", "score"], "d", ["seq"], n_buckets=4)
     assert ops.exists(lease)  # loser must not release the holder's lease
     assert ops.read_text(lease).strip() == "deadbeef0000"
+
+
+def test_trim_history_retention(spark, tmp_path):
+    """Retention trim drops closed versions ended at/before the cutoff:
+    current reads and as-of reads AT/AFTER the cutoff are byte-identical
+    to pre-trim; as-of before the cutoff loses the purged versions (the
+    point); all-expired buckets disappear; idempotent re-trim no-ops;
+    lease respected; interrupted swap self-heals."""
+    from eel_spark.operators.scd2 import (
+        LEASE_FILE,
+        read_scd2_current,
+        scd2_trim_history,
+    )
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    ops = HdfsOps(spark)
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    cur_before = _versions(read_scd2_current(spark, path))
+    asof_after = _versions(read_scd2_asof(spark, path, date(2024, 2, 15)))
+    cutoff = date(2024, 1, 20)
+    # closed versions: (1,A) ends 2024-02-01 (> cutoff, kept),
+    # (3,C,1) ends 2024-01-09 (<= cutoff, dropped)
+    stats = scd2_trim_history(spark, path, cutoff)
+    assert stats == {"dropped": 1, "kept": 1}
+    assert not ops.exists(f"{path}/{LEASE_FILE}")
+    assert _versions(read_scd2_current(spark, path)) == cur_before
+    assert _versions(read_scd2_asof(spark, path, date(2024, 2, 15))) == asof_after
+    # pre-cutoff as-of lost the purged version (retention semantics)
+    early = read_scd2_asof(spark, path, date(2024, 1, 5))
+    assert {r["k"] for r in early.collect()} == {1, 2}  # k3's v1 purged
+    # idempotent re-trim
+    assert scd2_trim_history(spark, path, cutoff) == {"dropped": 0, "kept": 1}
+
+    # trimming EVERYTHING closed removes the bucket dirs with the swap,
+    # and the table still reads cleanly
+    stats = scd2_trim_history(spark, path, date(2030, 1, 1))
+    assert stats["kept"] == 0
+    assert _versions(read_scd2_current(spark, path)) == cur_before
+
+    # lease respected
+    assert ops.create_atomic(f"{path}/{LEASE_FILE}", content="x\n")
+    with pytest.raises(RuntimeError, match="locked"):
+        scd2_trim_history(spark, path, cutoff)
+    ops.delete(f"{path}/{LEASE_FILE}")
+
+    # interrupted-swap recovery: closed subtree staged aside, no new one
+    scd2_merge(spark, path,
+               _log(spark, [(1, "Q", 5, date(2024, 6, 1), 50)]),
+               "k", ["seg", "score"], "d", ["seq"], n_buckets=4)
+    import os
+    os.rename(f"{path}/scd_current=0", f"{path}/_scd_trim_old")
+    stats = scd2_trim_history(spark, path, date(2020, 1, 1))
+    assert stats == {"dropped": 0, "kept": 1}  # restored, nothing old
+    assert ops.exists(f"{path}/scd_current=0")
