@@ -81,6 +81,37 @@ def funnel_times(
     return out.groupBy(user_col).agg(*aggs)
 
 
+def _shape_report(counts: DataFrame, names: list, partition_col: str | None = None) -> DataFrame:
+    """Shared report shaping: per-step struct array → explode →
+    conversion from step 1 within the (optional) partition column —
+    one definition for the plain and segmented reports."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(n).alias("step_name"),
+                F.col(n).alias("users"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    keep = [partition_col] if partition_col else []
+    exploded = counts.select(*keep, F.explode(pairs).alias("s")).select(
+        *keep, "s.step", "s.step_name", "s.users"
+    )
+    w = (Window.partitionBy(partition_col) if partition_col else Window) \
+        .orderBy("step").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    first = F.first("users").over(w)
+    return exploded.withColumn(
+        "conversion",
+        F.when(first == 0, F.lit(0.0)).otherwise(
+            F.round(F.col("users") / first, 4)
+        ),
+    )
+
+
 def funnel_report(
     df: DataFrame,
     user_col: str,
@@ -96,30 +127,7 @@ def funnel_report(
     counts = times.agg(
         *[F.count(n).alias(n) for n in names]  # count ignores NULLs
     )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("step"),
-                F.lit(n).alias("step_name"),
-                F.col(n).alias("users"),
-            )
-            for i, n in enumerate(names)
-        ]
-    )
-    exploded = counts.select(F.explode(pairs).alias("s")).select(
-        "s.step", "s.step_name", "s.users"
-    )
-    first = F.first("users").over(
-        Window.orderBy("step").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    return exploded.withColumn(
-        "conversion",
-        F.when(first == 0, F.lit(0.0)).otherwise(
-            F.round(F.col("users") / first, 4)
-        ),
-    )
+    return _shape_report(counts, names)
 
 
 def funnel_report_by(
@@ -140,11 +148,13 @@ def funnel_report_by(
     ``users``, and ``conversion`` from that segment's step 1.
 
     Per-segment rows sum to the overall ``funnel_report`` counts for
-    every step (equivalence-tested): only users who entered the funnel
-    (step 1) are attributable, which is exactly the population the
-    overall report counts. Cost: the funnel's one user-key exchange +
-    one slim user-grain attribution aggregate joined back on the user
-    key — segments never multiply the event shuffle."""
+    every step (equivalence-tested, INCLUDING a NULL user id — the
+    attribution join is null-safe so funnel_times' NULL-user group keeps
+    its segment instead of vanishing through an equi-join): only users
+    who entered the funnel (step 1) are attributable, which is exactly
+    the population the overall report counts. Cost: the funnel's one
+    user-key exchange + one slim user-grain attribution aggregate joined
+    back on the user key — segments never multiply the event shuffle."""
     names = list(steps)
     times = funnel_times(df, user_col, ts_col, steps, within)
     first_cond = steps[names[0]]
@@ -157,34 +167,14 @@ def funnel_report_by(
             ).alias(segment_name)
         )
     )
-    joined = times.join(seg, user_col)
+    t, g = times.alias("__t"), seg.alias("__g")
+    joined = t.join(
+        g, F.col(f"__t.{user_col}").eqNullSafe(F.col(f"__g.{user_col}"))
+    ).select(*[F.col(f"__t.{n}") for n in names], F.col(f"__g.{segment_name}"))
     counts = joined.groupBy(segment_name).agg(
         *[F.count(n).alias(n) for n in names]
     )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("step"),
-                F.lit(n).alias("step_name"),
-                F.col(n).alias("users"),
-            )
-            for i, n in enumerate(names)
-        ]
-    )
-    exploded = counts.select(
-        segment_name, F.explode(pairs).alias("s")
-    ).select(segment_name, "s.step", "s.step_name", "s.users")
-    first = F.first("users").over(
-        Window.partitionBy(segment_name)
-        .orderBy("step")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return exploded.withColumn(
-        "conversion",
-        F.when(first == 0, F.lit(0.0)).otherwise(
-            F.round(F.col("users") / first, 4)
-        ),
-    )
+    return _shape_report(counts, names, partition_col=segment_name)
 
 
 def retention_cohorts(

@@ -600,9 +600,9 @@ def reciprocal_rank_fusion(
             .alias("__c"),
         )
         tagged = part if tagged is None else tagged.unionByName(part)
-    fused = _fold_scores(tagged, [query_col, id_col]).withColumnRenamed(
-        "n_terms", "n_systems"
-    )
+    fused = _fold_scores(tagged, [query_col, id_col])
+    # output schema: (query_col, id_col, score, rank) — _topk_per_query
+    # keeps only those; the per-doc system count is internal to the fold
     return _topk_per_query(fused, query_col, id_col, k, value_col="score")
 
 

@@ -879,6 +879,19 @@ def scd2_trim_history(
             "break_scd2_lease(spark, path) if it was hard-killed"
         )
     try:
+        # trim must honor the merge's crash contract: a table with
+        # inflight markers has a torn batch awaiting its in-order retry,
+        # whose recovery re-reads the touched buckets' FULL history —
+        # purging closed rows underneath it would break the repair
+        inflight = [
+            st["name"] for st in ops.list_status(f"{path}/{INFLIGHT_DIR}/*")
+        ]
+        if inflight:
+            raise RuntimeError(
+                f"SCD2 table at {path} has inflight marker(s) "
+                f"({inflight}): a crashed merge must be retried (and "
+                "repaired) before trimming its history"
+            )
         closed_root = f"{path}/{CURRENT_COL}=0"
         # underscore-prefixed staging names: Spark's file index ignores
         # them, so a crash that leaves either behind never breaks
@@ -893,26 +906,48 @@ def scd2_trim_history(
                     f"scd2_trim_history: could not restore {trash} after "
                     "an interrupted trim"
                 )
-        if not ops.exists(closed_root):
+        # reap leftovers UP FRONT (a crash after a successful swap but
+        # before the trash delete must not strand a full closed-history
+        # copy behind the early-return paths below)
+        ops.delete(trash, recursive=True)
+        ops.delete(staging, recursive=True)
+        has_files = bool(
+            ops.list_status(f"{closed_root}/{BUCKET_COL}=*/*.parquet")
+        )
+        if not has_files:  # no closed history (or a prior trim took it all)
             return {"dropped": 0, "kept": 0}
         cutoff = F.lit(older_than)
         closed = spark.read.parquet(closed_root)  # scd_bucket partitions
-        total = closed.count()
-        keep = closed.where(F.col("valid_to") > cutoff)
-        kept = keep.count()
+        keep_cond = F.col("valid_to") > cutoff
+        # ONE scan for both counts (the closed history is the table's
+        # large part; don't read it three times)
+        row = closed.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(keep_cond, F.lit(1))).alias("kept"),
+        ).first()
+        total, kept = int(row["total"]), int(row["kept"])
         if kept == total:
-            return {"dropped": 0, "kept": int(kept)}
+            return {"dropped": 0, "kept": kept}
+        if kept == 0:
+            # nothing survives: remove the subtree (no empty staging dir
+            # that a later read would choke on); same crash contract —
+            # a kill after the rename restores from trash next call
+            if not ops.rename(closed_root, trash):
+                raise IOError(
+                    f"scd2_trim_history: could not stage {closed_root} aside"
+                )
+            ops.delete(trash, recursive=True)
+            return {"dropped": total, "kept": 0}
         # stage the surviving subtree, then swap (bucket dirs that lost
         # ALL rows simply do not exist in the staged tree)
-        ops.delete(staging, recursive=True)
+        keep = closed.where(keep_cond)
         keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-        ops.delete(trash, recursive=True)
         if not ops.rename(closed_root, trash):
             raise IOError(f"scd2_trim_history: could not stage {closed_root} aside")
         if not ops.rename(staging, closed_root):
             ops.rename(trash, closed_root)  # roll back
             raise IOError(f"scd2_trim_history: could not swap in {staging}")
         ops.delete(trash, recursive=True)
-        return {"dropped": int(total - kept), "kept": int(kept)}
+        return {"dropped": total - kept, "kept": kept}
     finally:
         ops.delete(lease)

@@ -165,6 +165,9 @@ def test_funnel_report_by_segment(spark):
         (3, _t(1), "view", "web"),
         # never enters the funnel: unattributed, excluded
         (4, _t(1), "buy", "mobile"),
+        # NULL user id: funnel_times keeps it as one group; the
+        # null-safe attribution join must keep its segment too
+        (None, _t(1), "view", "kiosk"), (None, _t(2), "click", "kiosk"),
     ]
     df = spark.createDataFrame(rows, "user long, ts timestamp, etype string, ch string")
     steps = {
@@ -184,6 +187,9 @@ def test_funnel_report_by_segment(spark):
         ("web", "view"): (2, 1.0),
         ("web", "click"): (1, 0.5),
         ("web", "buy"): (0, 0.0),
+        ("kiosk", "view"): (1, 1.0),
+        ("kiosk", "click"): (1, 1.0),
+        ("kiosk", "buy"): (0, 0.0),
     }
     # per-segment sums equal the overall report at every step
     overall = {

@@ -984,3 +984,38 @@ def test_trim_history_retention(spark, tmp_path):
     stats = scd2_trim_history(spark, path, date(2020, 1, 1))
     assert stats == {"dropped": 0, "kept": 1}  # restored, nothing old
     assert ops.exists(f"{path}/scd_current=0")
+
+
+def test_trim_history_review_hardening(spark, tmp_path):
+    """r10 review findings: re-trim after FULL expiry no-ops instead of
+    choking on a parquet-less subtree; a stranded _scd_trim_old copy is
+    reaped even on early-return paths; a table with inflight markers
+    (torn merge awaiting retry) refuses to trim."""
+    from eel_spark.operators.scd2 import scd2_trim_history
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    ops = HdfsOps(spark)
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+
+    # stranded trash (crash after swap, before delete) is reaped on the
+    # next call even when nothing newly expires
+    ops.mkdirs(f"{path}/_scd_trim_old/{'scd_bucket=0'}")
+    out = scd2_trim_history(spark, path, date(2000, 1, 1))  # no-op cutoff
+    assert out["dropped"] == 0
+    assert not ops.exists(f"{path}/_scd_trim_old")
+
+    # full expiry, then an immediate re-trim: both succeed
+    assert scd2_trim_history(spark, path, date(2030, 1, 1))["kept"] == 0
+    assert scd2_trim_history(spark, path, date(2030, 1, 1)) == {
+        "dropped": 0, "kept": 0,
+    }
+    # the whole table still reads
+    assert spark.read.parquet(path).count() == 3  # current rows only
+
+    # inflight marker: trim refuses (the merge's crash contract owns it)
+    ops.mkdirs(f"{path}/_scd_inflight/deadbeef")
+    with pytest.raises(RuntimeError, match="inflight"):
+        scd2_trim_history(spark, path, date(2030, 1, 1))
+    ops.delete(f"{path}/_scd_inflight", recursive=True)
