@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eel_spark.functions.text import normalized_text, tokens
@@ -153,7 +153,10 @@ def _bm25_component(k1: float, b: float) -> Column:
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    # try_divide: n_docs = 0 only on the degenerate empty-store path,
+    # where callers coalesce the NULL component to 0.0 (ANSI mode would
+    # otherwise throw on the 0/0)
+    avgdl = F.try_divide(F.col("sum_dl").cast("double"), F.col("n_docs"))
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
     )
@@ -476,14 +479,37 @@ def _against_stats_components(
     """Join matched (id, dl, term, tf) rows to maintained stats and emit
     per-(row, term) components: LEFT join on term with df coalesced to 0
     (a store-unseen term keeps its match), totals carried as a separate
-    1-row broadcast so they survive term misses."""
-    dfreq = stats.select("term", "df").where(F.col("term").isin(list(terms)))
-    totals = stats.select("n_docs", "sum_dl").limit(1)
+    1-row broadcast so they survive term misses.
+
+    Defensive about the ``stats`` shape (it has the same column names as
+    ``bm25_term_stats`` output, which is (doc, term) grain): the per-term
+    projection collapses to ONE row per term via MAX(df) — on the
+    canonical ``read_bm25_stats`` shape that is the identity, and a
+    mistakenly-passed doc-grain frame no longer fans out the left join
+    and silently inflates scores (doc-grain df is constant per term, so
+    MAX recovers it). Totals likewise aggregate to exactly one row with
+    NULL→0 coalescing, so an EMPTY stats frame (empty-vocabulary store
+    read with ``terms=None``) degrades every match to df=0 / N=0 instead
+    of dropping rows through an empty crossJoin — the documented
+    'degrades, never disappears rows' contract. With N=0 the avgdl
+    normalization is undefined (0/0 → NULL), so the component coalesces
+    to 0.0: every match survives with a zero score rather than a NULL
+    that would poison the fold."""
+    dfreq = (
+        stats.select("term", "df")
+        .where(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+    )
+    totals = stats.agg(
+        F.coalesce(F.max("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.max("sum_dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
     return (
         matched.join(F.broadcast(dfreq), "term", "left")
         .withColumn("df", F.coalesce("df", F.lit(0)))
         .crossJoin(F.broadcast(totals))
-        .withColumn("__c", _bm25_component(k1, b))
+        .withColumn("__c", F.coalesce(_bm25_component(k1, b), F.lit(0.0)))
     )
 
 
@@ -589,6 +615,12 @@ def reciprocal_rank_fusion(
         raise ValueError(
             f"{len(rankings)} rankings but {len(ws)} weights"
         )
+    bad = [w for w in ws if not (float(w) > 0.0)]
+    if bad:
+        raise ValueError(
+            f"RRF weights must be positive (got {bad}): a zero weight "
+            "silently erases a system and a negative one inverts it"
+        )
     from eel_spark.operators.similarity import _topk_per_query
 
     tagged = None
@@ -598,6 +630,14 @@ def reciprocal_rank_fusion(
             id_col,
             (F.lit(float(w)) / (F.lit(float(k_rrf)) + F.col("rank")))
             .alias("__c"),
+        )
+        # a malformed input with duplicate (query, doc) rows would
+        # double-count that system's contribution — collapse to the BEST
+        # (smallest-rank ⇒ largest) component per doc within each system;
+        # on the canonical _topk_per_query shape this is the identity
+        # (and a no-op on the tiny q·k-row input)
+        part = part.groupBy(query_col, id_col).agg(
+            F.max("__c").alias("__c")
         )
         tagged = part if tagged is None else tagged.unionByName(part)
     fused = _fold_scores(tagged, [query_col, id_col])
@@ -612,28 +652,72 @@ def retrieval_metrics(
     id_col: str,
     query_col: str = "query_id",
     k: int = 10,
+    rel_col: str | None = None,
 ) -> DataFrame:
     """Per-query retrieval-eval metrics of a (query, id, rank) table
-    against a (query, id) relevance set: ``recall_at_k`` (relevant docs
-    found in the top k / total relevant), ``precision_at_k``, and
-    ``reciprocal_rank`` (1/rank of the first relevant hit, 0 when none).
-    Queries with qrels but no ranked rows still surface (zero metrics) —
-    a system that returns nothing must not vanish from the mean. Two
-    slim aggregates + a broadcastable qrels join; averaging the output
-    yields MRR / mean recall@k."""
-    rel = qrels.select(query_col, id_col).distinct()
-    totals = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("__n_rel"))
-    hits = (
-        ranked.where(F.col("rank") <= k)
-        .join(rel, [query_col, id_col], "left_semi")
-        .groupBy(query_col)
-        .agg(
-            F.count(F.lit(1)).alias("__n_hit"),
-            F.min("rank").alias("__first"),
+    against a relevance set: ``recall_at_k`` (relevant docs found in the
+    top k / total relevant), ``precision_at_k``, ``reciprocal_rank``
+    (1/rank of the first relevant hit, 0 when none), and ``ndcg_at_k``
+    (Jarvelin & Kekalainen's normalized discounted cumulative gain with
+    the exponential gain form, gain = (2^rel − 1)/log2(rank + 1)).
+
+    ``qrels`` is (query, id) for binary relevance; pass ``rel_col`` for
+    graded judgments — grade ≤ 0 rows count as judged-irrelevant
+    (excluded from recall/RR and contributing zero gain), and duplicate
+    (query, id) judgments collapse to the max grade. Queries with qrels
+    but no ranked rows still surface (zero metrics) — a system that
+    returns nothing must not vanish from the mean. Slim aggregates + a
+    broadcastable qrels join; the ideal-DCG window runs over the
+    (eval-set-sized, not corpus-sized) qrels only; both DCG folds sum in
+    sorted order for cross-partitioning float determinism. Averaging the
+    output yields MRR / mean recall@k / mean nDCG@k."""
+    grade = (
+        F.col(rel_col).cast("double") if rel_col is not None else F.lit(1.0)
+    )
+    rel = (
+        qrels.select(query_col, id_col, grade.alias("__g"))
+        .groupBy(query_col, id_col)
+        .agg(F.max("__g").alias("__g"))
+        .where(F.col("__g") > 0)
+    )
+
+    def _gain(pos):
+        return (F.pow(F.lit(2.0), F.col("__g")) - F.lit(1.0)) / F.log2(
+            pos + F.lit(1.0)
         )
+
+    def _dcg_fold(comp: DataFrame) -> DataFrame:
+        return comp.groupBy(query_col).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__gain")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__dcg")
+        )
+
+    totals = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("__n_rel"))
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.desc("__g"), F.asc(id_col)
+    )
+    idcg = _dcg_fold(
+        rel.withColumn("__pos", F.row_number().over(w_ideal))
+        .where(F.col("__pos") <= k)
+        .select(query_col, _gain(F.col("__pos")).alias("__gain"))
+    ).withColumnRenamed("__dcg", "__idcg")
+    hit_rows = ranked.where(F.col("rank") <= k).join(
+        F.broadcast(rel), [query_col, id_col]
+    )
+    hits = hit_rows.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__n_hit"),
+        F.min("rank").alias("__first"),
+    )
+    dcg = _dcg_fold(
+        hit_rows.select(query_col, _gain(F.col("rank")).alias("__gain"))
     )
     return (
         totals.join(hits, query_col, "left")
+        .join(dcg, query_col, "left")
+        .join(idcg, query_col, "left")
         .select(
             query_col,
             (F.coalesce("__n_hit", F.lit(0)) / F.col("__n_rel"))
@@ -642,5 +726,9 @@ def retrieval_metrics(
             .alias("precision_at_k"),
             F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0))
             .alias("reciprocal_rank"),
+            F.coalesce(
+                F.col("__dcg") / F.nullif(F.col("__idcg"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("ndcg_at_k"),
         )
     )

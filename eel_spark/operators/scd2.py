@@ -267,7 +267,16 @@ def scd2_merge(
         # (e.g. a streaming_scd2_sink job OOM-killed mid-merge whose
         # checkpoint replays the batch), and refusing it would turn the
         # documented automatic crash recovery into a manual
-        # break_scd2_lease step.
+        # break_scd2_lease step. The flip side (r10 ADVICE, accepted
+        # trade-off): the lease records only the batch fp, so a LIVE
+        # duplicate submission of the SAME batch — two callers
+        # concurrently merging identical data — also self-adopts and the
+        # two interleave. Preventing duplicate concurrent submission of
+        # one batch is the caller's responsibility (Structured
+        # Streaming's checkpoint serializes same-query attempts, so the
+        # streaming sink satisfies it by construction); the lease exists
+        # to fence writers of DIFFERENT batches, which it does
+        # unconditionally.
         if not ops.create_atomic(lease, content=fp + "\n"):
             try:
                 holder_fp = ops.read_text(lease).strip()

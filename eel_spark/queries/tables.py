@@ -142,37 +142,48 @@ def sql_dsum(expr: str, out_scale: int = 6) -> str:
 
 # -- per-invocation scoped temp dirs (r9 ADVICE: eager reaping) --------------
 
-_SCOPED_TMPDIRS: dict = {}
+_SCOPED_TMPDIRS: dict = {}  # scope -> [older, newer] (≤2 kept per scope)
+_SCOPED_LOCK = None  # created lazily to keep import cheap
 _REAPER_ARMED = False
 
 
 def fresh_scoped_tmpdir(scope: str) -> str:
-    """Per-invocation temp dir that eagerly reaps the PREVIOUS
-    invocation's dir for the same ``scope`` before creating the next —
-    a long-lived session running repeated gate/bench passes holds O(1)
-    dirs per scope instead of accumulating one dir + one atexit entry
-    per invocation; a single atexit hook backstops the LAST dir of each
-    scope. Fresh dirs (not one fixed path) because two concurrent runs
-    racing a shared path corrupt each other; eager reaping assumes the
-    previous same-scope invocation's lazy DataFrames have been consumed
-    (true in gate/bench loops, which collect each query before
-    rebuilding it)."""
+    """Per-invocation temp dir that reaps same-scope dirs TWO
+    invocations behind — a long-lived session running repeated
+    gate/bench passes holds O(1) dirs per scope instead of accumulating
+    one dir + one atexit entry per invocation; a single atexit hook
+    backstops the last ≤2 dirs of each scope. Fresh dirs (not one fixed
+    path) because two concurrent runs racing a shared path corrupt each
+    other. Keeping the IMMEDIATELY preceding dir alive (deferred reap,
+    r10 ADVICE) means a still-unconsumed lazy DataFrame from the
+    previous build of the same query cannot lose its files mid-collect;
+    only the invocation-before-last is reclaimed, by which point the
+    gate/bench loop has long consumed it. The registry dict is
+    lock-guarded so concurrent builders (e.g. a bench thread beside a
+    gate pass) cannot interleave the pop/rmtree."""
     import atexit
     import shutil
     import tempfile
+    import threading
 
-    global _REAPER_ARMED
-    prev = _SCOPED_TMPDIRS.pop(scope, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    global _REAPER_ARMED, _SCOPED_LOCK
+    if _SCOPED_LOCK is None:
+        _SCOPED_LOCK = threading.Lock()
     d = tempfile.mkdtemp(prefix=f"{scope}_")
-    _SCOPED_TMPDIRS[scope] = d
-    if not _REAPER_ARMED:
-        _REAPER_ARMED = True
-        atexit.register(
-            lambda: [
-                shutil.rmtree(p, ignore_errors=True)
-                for p in _SCOPED_TMPDIRS.values()
-            ]
-        )
+    with _SCOPED_LOCK:
+        kept = _SCOPED_TMPDIRS.setdefault(scope, [])
+        kept.append(d)
+        stale = kept[:-2]
+        del kept[:-2]
+        if not _REAPER_ARMED:
+            _REAPER_ARMED = True
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(p, ignore_errors=True)
+                    for ps in _SCOPED_TMPDIRS.values()
+                    for p in ps
+                ]
+            )
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
     return d

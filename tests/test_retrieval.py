@@ -638,3 +638,120 @@ def test_retrieval_metrics_hand_computed(spark):
         "q2": (0.0, 0.0, 0.0),
         "q4": (0.0, 0.0, 0.0),   # unserved query still surfaces
     }
+
+
+def test_retrieval_metrics_ndcg_hand_computed(spark):
+    """nDCG@k against a by-hand computation, binary and graded, including
+    the zero-IDCG and unserved-query degenerate cases."""
+    import math
+
+    from eel_spark.operators.retrieval import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1),
+         ("q3", 30, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    # binary: q1 has 2 relevant (one at rank 2, one at rank 3 > k)
+    qrels = spark.createDataFrame(
+        [("q1", 11), ("q1", 12), ("q2", 99), ("q4", 40)],
+        "query_id string, doc_id long",
+    )
+    got = {
+        r["query_id"]: r["ndcg_at_k"]
+        for r in retrieval_metrics(ranked, qrels, "doc_id", k=2).collect()
+    }
+    # q1: DCG = 1/log2(3) (hit at rank 2); IDCG = 1/log2(2) + 1/log2(3)
+    ideal = 1 / math.log2(2) + 1 / math.log2(3)
+    assert got["q1"] == pytest.approx((1 / math.log2(3)) / ideal, rel=1e-12)
+    assert got["q2"] == 0.0 and got["q4"] == 0.0
+    # graded: duplicate judgment collapses to max grade; grade-0 rows
+    # are judged-irrelevant (excluded from recall and gain)
+    graded = spark.createDataFrame(
+        [("q1", 10, 3), ("q1", 10, 1), ("q1", 11, 1), ("q1", 12, 0)],
+        "query_id string, doc_id long, rel int",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in retrieval_metrics(
+            ranked, graded, "doc_id", k=2, rel_col="rel"
+        ).collect()
+    }
+    dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    assert rows["q1"]["ndcg_at_k"] == pytest.approx(1.0, rel=1e-12)
+    assert rows["q1"]["recall_at_k"] == pytest.approx(1.0)  # 2 relevant, both hit
+    assert rows["q1"]["reciprocal_rank"] == pytest.approx(1.0)
+    # sanity: the perfect ranking's DCG is what we derived by hand
+    assert dcg == pytest.approx(
+        (2**3 - 1) / math.log2(2) + 1 / math.log2(3)
+    )
+
+
+def test_against_stats_degrades_on_empty_and_doc_grain_stats(spark, stats_store):
+    """r10 ADVICE: an EMPTY stats frame (empty-vocabulary store) must
+    degrade matches to score 0.0 — never drop rows through an empty
+    crossJoin; a doc-grain stats frame (bm25_term_stats output, same
+    column names) must not fan out the join and inflate scores."""
+    from eel_spark.operators.retrieval import (
+        bm25_score_against_stats,
+        bm25_term_stats,
+        read_bm25_stats,
+    )
+
+    path, docs = stats_store
+    wave = spark.createDataFrame(
+        [(1, "merge the window"), (2, "plain prose")],
+        "doc_id long, text string",
+    )
+    terms = ["merge", "window"]
+    empty = read_bm25_stats(spark, path, terms).where(F.lit(False))
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms"])
+        for r in bm25_score_against_stats(
+            wave, "text", "doc_id", empty, terms
+        ).collect()
+    }
+    assert got == {1: (0.0, 2)}  # matches survive, zero score
+    # doc-grain frame: df repeats once per matching doc — the defensive
+    # per-term collapse keeps scores identical to the canonical shape
+    canonical = read_bm25_stats(spark, path, terms)
+    doc_grain = bm25_term_stats(docs, "text", "doc_id", terms).select(
+        "term", "df", "n_docs", "sum_dl"
+    )
+    a = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_against_stats(
+            wave, "text", "doc_id", canonical, terms
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_against_stats(
+            wave, "text", "doc_id", doc_grain, terms
+        ).collect()
+    }
+    assert a == b
+
+
+def test_rrf_rejects_nonpositive_weights_and_dedupes(spark):
+    """r10 ADVICE: zero/negative weights raise; duplicate (query, doc)
+    rows within ONE ranking count once (best rank wins)."""
+    from eel_spark.operators.retrieval import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id long, rank int"
+    )
+    for bad in ([0.0, 1.0], [-1.0, 1.0]):
+        with pytest.raises(ValueError, match="positive"):
+            reciprocal_rank_fusion([a, a], "doc_id", weights=bad)
+    dup = spark.createDataFrame(
+        [("q", 1, 1), ("q", 1, 5), ("q", 2, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in reciprocal_rank_fusion([dup], "doc_id", k=5).collect()
+    }
+    assert got[1] == pytest.approx(1 / 61, rel=1e-12)  # rank 5 dup ignored
+    assert got[2] == pytest.approx(1 / 62, rel=1e-12)
