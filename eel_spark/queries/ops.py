@@ -127,10 +127,15 @@ FROM (SELECT custkey FROM builders EXCEPT ALL SELECT DISTINCT custkey FROM big_s
 """
 
 
-@query("ops_set_operations", _OPS_SETOPS_SQL)
+@query("ops_set_operations", _OPS_SETOPS_SQL, gated=False)
 def ops_set_operations(spark: SparkSession, sf_dir: str) -> DataStream:
     """union + intersection + subtract + distinct — all shuffle-based
-    distributed set ops (the reference collects one side to the driver)."""
+    distributed set ops (the reference collects one side to the driver).
+
+    Rotated to the ungated tier in round 11 (registry capped at 50): its
+    set-op shape stays covered gated by the q2/q16/q21/q22 anti/semi
+    joins; the freed slot went to retrieval_rrf_fused (queries/ops5.py),
+    the hybrid-retrieval fusion path's driver CORRECTNESS row."""
     spenders = (
         table(spark, sf_dir, "orders")
         .filter("o_totalprice > 300000")

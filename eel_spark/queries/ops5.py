@@ -483,3 +483,141 @@ def text_bm25_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "term", "tf",
         F.col("dl").cast("long").alias("dl"), "df", "n_docs", "sum_dl",
     )
+
+
+# -- hybrid-retrieval fusion (operators/retrieval.reciprocal_rank_fusion)
+# — GATED (r11 rotation). Took ops_set_operations' driver slot (its
+# union/intersect/except shape stays covered gated by the q2/q16/q21/q22
+# anti/semi joins and pytest-oracled at 2 SFs in the ungated tier) so the
+# hybrid-retrieval path flips a driver CORRECTNESS row.
+#
+# Oracle exactness (§6): RRF is pure integer-rank arithmetic — the fused
+# score Σ w/(k_rrf + rank) with unit weights and k_rrf=60 is a rational
+# whose denominator divides lcm(61..70), so multiplying by that constant
+# yields an EXACT BIGINT both engines compute without libm: DuckDB sums
+# L // (60 + rank) integer contributions directly; Spark recovers the
+# same integer from the operator's float score as round(score · L) —
+# the float error bound (≤ a few ulp of ~5e12, « 0.5) makes the
+# roundtrip exact, so the hash compare genuinely gates the operator's
+# arithmetic, not a rounded shadow of it. The two fused systems are
+# integer-ordered rankings (term-frequency sum; term-coverage with a
+# shorter-doc tiebreak), so the base ranks are engine-neutral too.
+
+_RRF_QUERIES = {
+    "q_merge_scan": ("merge", "scan"),
+    "q_window_ops": ("scan", "window", "filter"),
+}
+_RRF_K = 10
+_RRF_KRRF = 60
+_RRF_L = 142813628717760  # lcm(61..70): every 1/(60+rank) scales exact
+
+_RRF_QMAP_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, ts in sorted(_RRF_QUERIES.items()) for t in ts
+)
+_RRF_TERMS = tuple(sorted({t for ts in _RRF_QUERIES.values() for t in ts}))
+
+_RRF_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           tk -> tk <> ''), []) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+), tfs AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM m
+  WHERE term IN {_RRF_TERMS!r}
+  GROUP BY 1, 2, 3
+), qmap(query_id, term) AS (
+  VALUES {_RRF_QMAP_VALUES}
+), agg AS (
+  SELECT qmap.query_id, tfs.doc_id, SUM(tfs.tf) AS tfsum,
+         COUNT(*) AS n_terms, MAX(tfs.dl) AS dl
+  FROM tfs JOIN qmap USING (term) GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY tfsum DESC, doc_id) AS rank
+  FROM agg
+), cov AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY n_terms * 1000000 - LEAST(dl, 999999) DESC, doc_id) AS rank
+  FROM agg
+), u AS (
+  SELECT query_id, doc_id, {_RRF_L} // (60 + rank) AS c
+  FROM lex WHERE rank <= {_RRF_K}
+  UNION ALL
+  SELECT query_id, doc_id, {_RRF_L} // (60 + rank) AS c
+  FROM cov WHERE rank <= {_RRF_K}
+), f AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_num FROM u
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank, score_num FROM (
+  SELECT query_id, doc_id, score_num, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_num DESC, doc_id) AS rank
+  FROM f
+) WHERE rank <= {_RRF_K}
+"""
+
+
+@query("retrieval_rrf_fused", _RRF_SQL)
+def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse a term-frequency ranking and a
+    term-coverage ranking of the documents corpus per query via
+    Reciprocal Rank Fusion (operators/retrieval.reciprocal_rank_fusion —
+    Cormack et al.'s rank-only combiner, the standard hybrid-retrieval
+    baseline). ONE match-bounded corpus scan feeds BOTH base rankings
+    (the (query, doc) aggregate is pinned — tokens intersect the
+    broadcast-literal union term set before the explode, so nothing
+    token-volume-sized shuffles); each ranking is a salted exact top-k
+    (no full-corpus window), and the fusion is one union + one
+    map-side-combinable (query, doc) groupBy + the same salted top-k.
+    ``score_num`` is the fused score scaled by lcm(61..70) and rounded
+    back to the exact integer numerator — the engine-neutral form (§6)
+    that gates the operator's float arithmetic to within half an ulp."""
+    from eel_spark.caching import pin
+    from eel_spark.operators.retrieval import (
+        _matched_tf,
+        reciprocal_rank_fusion,
+    )
+    from eel_spark.operators.similarity import _topk_per_query
+
+    docs = table(spark, sf_dir, "documents").df
+    pairs = [
+        (qid, t) for qid, ts in sorted(_RRF_QUERIES.items()) for t in ts
+    ]
+    qdf = spark.createDataFrame(pairs, "query_id string, term string")
+    agg = pin(
+        _matched_tf(docs, "text", "doc_id", list(_RRF_TERMS))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("tfsum"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    lex = _topk_per_query(
+        agg.select("query_id", "doc_id", "tfsum"),
+        "query_id", "doc_id", _RRF_K, value_col="tfsum",
+    ).select("query_id", "doc_id", "rank")
+    cov = _topk_per_query(
+        agg.select(
+            "query_id", "doc_id",
+            (
+                F.col("n_terms") * F.lit(1000000)
+                - F.least(F.col("dl"), F.lit(999999))
+            ).cast("long").alias("covscore"),
+        ),
+        "query_id", "doc_id", _RRF_K, value_col="covscore",
+    ).select("query_id", "doc_id", "rank")
+    fused = reciprocal_rank_fusion(
+        [lex, cov], "doc_id", "query_id", k=_RRF_K, k_rrf=_RRF_KRRF
+    )
+    return fused.select(
+        "query_id", "doc_id", "rank",
+        F.round(F.col("score") * F.lit(_RRF_L)).cast("long")
+        .alias("score_num"),
+    )

@@ -755,3 +755,84 @@ def test_rrf_rejects_nonpositive_weights_and_dedupes(spark):
     }
     assert got[1] == pytest.approx(1 / 61, rel=1e-12)  # rank 5 dup ignored
     assert got[2] == pytest.approx(1 / 62, rel=1e-12)
+
+
+# -- gated hybrid-fusion slot (r11) -------------------------------------------
+
+
+def test_rrf_fused_oracle_sf01_full(spark):
+    """Third-SF oracle sweep for the GATED retrieval_rrf_fused slot
+    (the driver covers sf0.01, test_tpch covers sf0.001)."""
+    import duckdb
+
+    from eel_spark.queries import ORACLE, QUERIES
+    from tests.conftest import TABLES, assert_df_matches_oracle
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = QUERIES["retrieval_rrf_fused"](spark, sf)
+    assert_df_matches_oracle(df, con, ORACLE["retrieval_rrf_fused"])
+    con.close()
+
+
+def test_rrf_fused_plan_jvm_only(spark):
+    """The gated fusion slot stays whole-stage-JVM: no Python eval
+    stages anywhere in the plan (the base rankings, the fusion fold and
+    the salted top-k are all Catalyst)."""
+    from eel_spark.queries import QUERIES
+
+    df = QUERIES["retrieval_rrf_fused"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_retrieval_metrics_against_gated_rrf(spark):
+    """retrieval_metrics (incl. nDCG) asserted against the gated fusion
+    slot's actual output: qrels = each query's term-coverage top docs,
+    metrics recomputed from the collected frame by an independent Python
+    reference."""
+    import math
+
+    from eel_spark.operators.retrieval import retrieval_metrics
+    from eel_spark.queries import QUERIES
+
+    fused = QUERIES["retrieval_rrf_fused"](spark, "/root/testdata/sf0.001")
+    rows = fused.collect()
+    assert {r["query_id"] for r in rows} == {"q_merge_scan", "q_window_ops"}
+    # qrels: the top-3 fused docs of one query + a decoy unserved query
+    qrels_rows = [
+        (r["query_id"], r["doc_id"]) for r in rows if r["rank"] <= 3
+    ] + [("q_unserved", 999999)]
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id string, doc_id long"
+    )
+    k = 5
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(
+            fused.select("query_id", "doc_id", "rank"), qrels, "doc_id", k=k
+        ).collect()
+    }
+    # independent reference over the collected rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for q, ranked in by_q.items():
+        rel = {d for rk, d in ranked if rk <= 3}
+        hits = sorted(rk for rk, d in ranked if rk <= k and d in rel)
+        dcg = sum(1 / math.log2(rk + 1) for rk in hits)
+        idcg = sum(1 / math.log2(i + 2) for i in range(min(len(rel), k)))
+        m = got[q]
+        assert m["recall_at_k"] == pytest.approx(len(hits) / len(rel))
+        assert m["precision_at_k"] == pytest.approx(len(hits) / k)
+        assert m["reciprocal_rank"] == pytest.approx(
+            1 / hits[0] if hits else 0.0
+        )
+        assert m["ndcg_at_k"] == pytest.approx(dcg / idcg, rel=1e-12)
+    assert got["q_unserved"]["ndcg_at_k"] == 0.0
+    assert got["q_unserved"]["recall_at_k"] == 0.0

@@ -40,6 +40,10 @@ ROTATED = {
     # container-layer duty moved to the new slot, which also scans via
     # table_via_avro)
     "ops_explode_tokens",
+    # round-11 rotation: slot freed for retrieval_rrf_fused (the
+    # union/intersect/except shape stays covered gated by the
+    # q2/q16/q21/q22 anti/semi joins)
+    "ops_set_operations",
 }
 
 # Registered ungated WITHOUT a DuckDB oracle: bench-visible companions
