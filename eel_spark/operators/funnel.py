@@ -177,6 +177,31 @@ def funnel_report_by(
     return _shape_report(counts, names, partition_col=segment_name)
 
 
+def funnel_state_report(
+    states: DataFrame,
+    step_names: Sequence[str],
+    segment_name: str | None = None,
+) -> DataFrame:
+    """Shape a per-user anchor-state table (one row per user with one
+    TIMESTAMP column per step — the latest-row output of
+    ``streaming/streams.streaming_funnel``, or ``funnel_times`` itself)
+    into the report the batch operators emit: one row per step — or per
+    (segment, step) when ``segment_name`` is given — with ``users``
+    (non-null anchors) and ``conversion`` from step 1. Because it runs
+    on the maintained per-user state instead of raw events, a streaming
+    report sink gets the exact ``funnel_report_by`` shape from one slim
+    aggregate over O(users) rows, no event rescan (equivalence-tested:
+    3-wave out-of-order stream ≡ batch, segment-for-segment)."""
+    names = list(step_names)
+    aggs = [F.count(n).alias(n) for n in names]
+    counts = (
+        states.groupBy(segment_name).agg(*aggs)
+        if segment_name
+        else states.agg(*aggs)
+    )
+    return _shape_report(counts, names, partition_col=segment_name)
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str,

@@ -18,7 +18,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -219,6 +219,8 @@ def streaming_funnel(
     within: str | None = None,
     watermark: str = "10 minutes",
     final_ttl: str | None = None,
+    segment: Column | str | None = None,
+    segment_name: str = "segment",
 ) -> DataFrame:
     """Streaming first-touch funnel — per-user step-anchor maintenance
     with event-time finalization (the streaming twin of
@@ -264,6 +266,20 @@ def streaming_funnel(
     it None (default) for the keep-forever tombstone when the user
     universe is bounded. Without ``within``, an incomplete funnel stays
     live indefinitely — set a horizon in production.
+    First-touch segmentation (r11, the streaming twin of
+    ``funnel_report_by``): pass ``segment`` (a column name or expression
+    over the event row, cast to string) and every output row carries
+    ``segment_name`` = the segment of the user's attributed step-1 event
+    — frozen into the anchor state the moment step 1 anchors, exactly
+    like the anchor timestamp itself, so it survives finalization,
+    tombstones, and checkpoint replay. Tie handling matches the batch
+    operator's ``min_by(segment, struct(ts, segment))``: among step-1
+    events at the SAME final timestamp the smallest segment (NULL first)
+    wins, which the kernel gets for free by folding each watermark-final
+    batch in (ts, step, segment) sorted order. One extra state column;
+    segments never multiply the event shuffle. Feed the latest row per
+    user to ``operators/funnel.funnel_state_report`` for the
+    per-(segment, step) report shape.
     Output (update mode): a row is emitted only when the key is first
     seen, an anchor changes, or finality is reached — idle
     watermark-advance timeouts stay silent — with the current anchor
@@ -273,7 +289,10 @@ def streaming_funnel(
     names = list(steps)
     if len(names) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    has_seg = segment is not None
     reserved = {user_col, "final", "folded_until_us"}
+    if has_seg:
+        reserved.add(segment_name)
     clash = [n for n in names if n in reserved]
     if clash:
         raise ValueError(
@@ -291,36 +310,59 @@ def streaming_funnel(
     arr = F.array(
         *[F.when(c, F.lit(i)) for i, c in enumerate(steps.values())]
     )
+    seg_cols = []
+    if has_seg:
+        seg_expr = F.col(segment) if isinstance(segment, str) else segment
+        seg_cols = [seg_expr.cast("string").alias("__seg")]
     ev = (
         events.withWatermark(ts_col, watermark)
         .select(
             F.col(user_col),
             F.col(ts_col),
+            *seg_cols,
             F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("__step"),
         )
     )
     out_schema = T.StructType(
         [events.schema[user_col]]
         + [T.StructField(n, T.TimestampType()) for n in names]
+        + ([T.StructField(segment_name, T.StringType())] if has_seg else [])
         + [
             T.StructField("final", T.BooleanType()),
             T.StructField("folded_until_us", T.LongType()),
         ]
     )
+    # the segmented variant appends its two state columns LAST so the
+    # unsegmented schema stays byte-compatible with pre-r11 checkpoints
     state_schema = (
         "anchors ARRAY<BIGINT>, buf_ts ARRAY<BIGINT>, "
         "buf_step ARRAY<INT>, folded BIGINT, done BOOLEAN"
     )
+    if has_seg:
+        state_schema += ", buf_seg ARRAY<STRING>, seg STRING"
+
+    def _sort_key(entry):
+        # (ts, step) primary — among equal (ts, step=1) events the
+        # NULL-first smallest segment folds first, matching the batch
+        # min_by(segment, struct(ts, segment)) tie-break
+        t, s, g = entry
+        return (t, s, g is not None, g or "")
 
     def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
         anchors: list = [None] * k
-        buf: list = []
+        buf: list = []  # (ts_us, step, segment-or-None) triples
+        seg_val = None
         folded = -(1 << 62)
         fresh = not state.exists
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1_000
         if state.exists:
-            st_anchors, st_ts, st_step, folded, done = state.get
+            if has_seg:
+                (st_anchors, st_ts, st_step, folded, done,
+                 st_seg, seg_val) = state.get
+            else:
+                st_anchors, st_ts, st_step, folded, done = state.get
+                st_seg = [None] * len(st_ts)
             if done:  # finalized: ignore post-final traffic, stay silent
                 for _ in batches:
                     pass
@@ -335,7 +377,10 @@ def streaming_funnel(
                         state.setTimeoutTimestamp(expiry_us // 1_000 + 1)
                 return
             anchors = [None if a is None else int(a) for a in st_anchors]
-            buf = [(int(t), int(s)) for t, s in zip(st_ts, st_step)]
+            buf = [
+                (int(t), int(s), g)
+                for t, s, g in zip(st_ts, st_step, st_seg)
+            ]
             folded = int(folded)
         before = list(anchors)
         for pdf in batches:  # empty on a timeout invocation
@@ -343,16 +388,26 @@ def streaming_funnel(
             if getattr(ts.dtype, "tz", None) is not None:
                 ts = ts.dt.tz_localize(None)
             ts_us = ts.astype("datetime64[us]").astype("int64")
-            for t, s in zip(ts_us.tolist(), pdf["__step"].tolist()):
+            segs = (
+                [None if pd.isna(g) else str(g) for g in pdf["__seg"]]
+                if has_seg
+                else [None] * len(pdf)
+            )
+            for t, s, g in zip(
+                ts_us.tolist(), pdf["__step"].tolist(), segs
+            ):
                 if t > folded:  # deterministic too-late ignore
-                    buf.append((int(t), int(s)))
-        buf.sort()
+                    buf.append((int(t), int(s), g))
+        buf.sort(key=_sort_key)
         keep = []
-        for t, s in buf:
+        for t, s, g in buf:
             if t <= wm_us:
+                if s == 0 and anchors[0] is None:
+                    # first-touch attribution freezes with the anchor
+                    seg_val = g
                 _funnel_fold(anchors, within_us, t, s)
             else:
-                keep.append((t, s))
+                keep.append((t, s, g))
         buf = keep
         folded = max(folded, wm_us)
         complete = all(a is not None for a in anchors)
@@ -362,22 +417,35 @@ def streaming_funnel(
             and wm_us > anchors[0] + within_us
         )
         final = complete or expired
+
+        def _update(done_flag, entries):
+            base = (
+                anchors,
+                [t for t, _, _ in entries],
+                [s for _, s, _ in entries],
+                folded,
+                done_flag,
+            )
+            if has_seg:
+                # seg kept in the tombstone too: replays stay attributed
+                base = base + ([g for _, _, g in entries], seg_val)
+            state.update(base)
+
         if final:
             # done-tombstone: anchors kept, buffer dropped — the key
             # never emits or folds again; with final_ttl the timeout
             # stays armed so the tombstone self-evicts at expiry
-            state.update((anchors, [], [], folded, True))
+            _update(True, [])
             if ttl_us is not None:
                 state.setTimeoutTimestamp((folded + ttl_us) // 1_000 + 1)
         else:
-            state.update(
-                (anchors, [t for t, _ in buf], [s for _, s in buf],
-                 folded, False)
-            )
+            _update(False, buf)
             state.setTimeoutTimestamp(wm_ms + 1)
         if not (fresh or final or anchors != before):
             return  # idle watermark tick: nothing changed, stay silent
         row = {user_col: key[0], "final": final, "folded_until_us": folded}
+        if has_seg:
+            row[segment_name] = seg_val
         for i, n in enumerate(names):
             row[n] = (
                 pd.Timestamp(anchors[i], unit="us")

@@ -1483,3 +1483,118 @@ def test_streaming_bm25_stats_sink_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert scored == {100001: 2}
+
+
+def _write_wave_seg(path: str, rows: list[tuple]) -> None:
+    """Segmented wave writer: (user_id, ts, event_type, device)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "device"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True).astype("datetime64[us, UTC]")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_streaming_segmented_funnel_equals_batch_report_by(spark, tmp_path):
+    """First-touch segments ride the anchor state: a 3-wave out-of-order
+    stream's latest per-user rows, shaped by funnel_state_report, must
+    equal the batch funnel_report_by segment-for-segment — including a
+    late early step-1 event that rewrites the attribution-bearing
+    anchor, a same-timestamp segment tie (min segment wins), and a NULL
+    segment (NULL-first, its own report group)."""
+    from eel_spark.operators.funnel import (
+        funnel_report_by,
+        funnel_state_report,
+    )
+    from eel_spark.streaming import streaming_funnel
+
+    d = lambda day, h=0: f"2024-01-{day:02d} {h:02d}:00:00"
+    waves = [
+        # user 1: click/purchase arrive BEFORE the attributing view
+        [(1, d(10), "click", "web"), (1, d(12), "purchase", "web"),
+         (2, d(5), "view", "ios")],
+        # user 1's late early view carries the segment that must win
+        # (android, not the web of the already-arrived click); user 3:
+        # same-ts view tie 'z' vs 'a' → 'a' attributes; user 5: NULL
+        [(1, d(8), "view", "android"), (2, d(6), "click", "android"),
+         (3, d(3), "view", "z"), (3, d(3), "view", "a"),
+         (3, d(4), "click", "a"), (3, d(5), "purchase", "a"),
+         (5, d(2), "view", None), (5, d(3), "click", "ios")],
+        # user 2 purchases outside the 7-day horizon; user 4 stalls
+        [(2, d(20), "purchase", "ios"), (4, d(9), "view", "ios")],
+        [(-999, "2024-03-15", "view", "flush")],
+        [(-999, "2024-05-15", "view", "flush")],
+    ]
+    src = tmp_path / "segwaves"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        _write_wave_seg(str(src / f"wave{i}.parquet"), rows)
+
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, ts TIMESTAMP, event_type STRING, device STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_funnel(
+        stream, steps, within="7 days", watermark="30 days",
+        segment="device",
+    )
+    _run_available_now(out, tmp_path, "segfunnel", output_mode="update")
+    rows = spark.sql("SELECT * FROM segfunnel ORDER BY folded_until_us").collect()
+    latest = {r["user_id"]: r for r in rows}
+
+    # per-user attribution: the late early view rewrote user 1 to android
+    assert latest[1]["segment"] == "android"
+    assert latest[2]["segment"] == "ios"
+    assert latest[3]["segment"] == "a"     # same-ts tie: min segment
+    assert latest[5]["segment"] is None    # NULL-first beats nothing else
+
+    # segment-for-segment report equivalence vs the batch operator
+    names = list(steps)
+    state_df = spark.createDataFrame(
+        [
+            tuple(latest[u][c] for c in ["user_id", *names, "segment"])
+            for u in latest
+            if u != -999
+        ],
+        f"user_id long, {', '.join(n + ' timestamp' for n in names)}, segment string",
+    )
+    got = {
+        (r["segment"], r["step"]): (r["users"], r["conversion"])
+        for r in funnel_state_report(
+            state_df, names, segment_name="segment"
+        ).collect()
+    }
+    batch_events = spark.createDataFrame(
+        [r for w in waves[:3] for r in w],
+        "user_id long, ts string, event_type string, device string",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "device",
+    )
+    expected = {
+        (r["segment"], r["step"]): (r["users"], r["conversion"])
+        for r in funnel_report_by(
+            batch_events, "user_id", "ts", steps, F.col("device"),
+            within="7 days",
+        ).collect()
+    }
+    assert got == expected
+    # the unsegmented state-report path agrees with the overall totals
+    overall = {
+        r["step"]: r["users"]
+        for r in funnel_state_report(state_df, names).collect()
+    }
+    per_seg_sums = {}
+    for (seg, step), (users, _) in expected.items():
+        per_seg_sums[step] = per_seg_sums.get(step, 0) + users
+    assert overall == per_seg_sums
