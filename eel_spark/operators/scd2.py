@@ -76,6 +76,7 @@ matter.
 from __future__ import annotations
 
 import functools
+from contextlib import contextmanager as _contextmanager
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -853,6 +854,68 @@ def read_scd2_asof(spark: SparkSession, path: str, ts) -> DataFrame:
     )
 
 
+# trim and compaction share ONE pair of staged-swap names (kept from the
+# r10 trim for on-disk compat), so whichever tool runs next after a crash
+# recognizes and recovers the other's interrupted swap — distinct names
+# would make trim silently treat a compaction's staged-aside closed
+# history as "no closed history at all"
+_CLOSED_TRASH = "_scd_trim_old"
+_CLOSED_STAGING = "_scd_trim_staging"
+
+
+@_contextmanager
+def _closed_history_writer(spark: SparkSession, path: str, tag: str):
+    """Shared prologue/epilogue for closed-history rewriters (retention
+    trim, small-files compaction): acquire the single-writer
+    ``_scd_lease`` (these are writes — interleaving with a merge would
+    corrupt both), refuse tables with inflight markers (a torn batch's
+    in-order retry re-reads the touched buckets' FULL history —
+    rewriting closed rows underneath it would break the repair), recover
+    an interrupted swap (crash between the two renames leaves the
+    authoritative subtree staged aside), and reap stale leftovers UP
+    FRONT (a crash after a successful swap but before the trash delete
+    must not strand a full closed-history copy behind the early-return
+    paths). Underscore-prefixed staging names keep Spark's file index
+    blind to both dirs, so a crash never breaks partition discovery.
+    Yields ``(ops, closed_root, trash, staging)``; the lease releases on
+    every Python-level exit."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    lease = f"{path}/{LEASE_FILE}"
+    if not ops.create_atomic(lease, content=f"__{tag}__\n"):
+        raise RuntimeError(
+            f"SCD2 table at {path} is locked by another writer (lease "
+            f"{lease}): {tag} is a write — wait for the holder, or use "
+            "break_scd2_lease(spark, path) if it was hard-killed"
+        )
+    try:
+        inflight = [
+            st["name"] for st in ops.list_status(f"{path}/{INFLIGHT_DIR}/*")
+        ]
+        if inflight:
+            raise RuntimeError(
+                f"SCD2 table at {path} has inflight marker(s) "
+                f"({inflight}): a crashed merge must be retried (and "
+                f"repaired) before a history {tag}"
+            )
+        closed_root = f"{path}/{CURRENT_COL}=0"
+        trash = f"{path}/{_CLOSED_TRASH}"
+        staging = f"{path}/{_CLOSED_STAGING}"
+        if not ops.exists(closed_root) and ops.exists(trash):
+            # interrupted swap: the staged-aside subtree is authoritative
+            if not ops.rename(trash, closed_root):
+                raise IOError(
+                    f"scd2 history {tag}: could not restore {trash} "
+                    "after an interrupted swap"
+                )
+        ops.delete(trash, recursive=True)
+        ops.delete(staging, recursive=True)
+        yield ops, closed_root, trash, staging
+    finally:
+        ops.delete(lease)
+
+
 def scd2_trim_history(
     spark: SparkSession,
     path: str,
@@ -877,49 +940,9 @@ def scd2_trim_history(
     subtree swap and not a dynamic partition overwrite, which only
     rewrites partitions present in the new data and would strand
     all-expired buckets. Returns {"dropped", "kept"}."""
-    from eel_spark.sources.hdfs import HdfsOps
-
-    ops = HdfsOps(spark)
-    lease = f"{path}/{LEASE_FILE}"
-    if not ops.create_atomic(lease, content="__trim__\n"):
-        raise RuntimeError(
-            f"SCD2 table at {path} is locked by another writer (lease "
-            f"{lease}): trim is a write — wait for the holder, or use "
-            "break_scd2_lease(spark, path) if it was hard-killed"
-        )
-    try:
-        # trim must honor the merge's crash contract: a table with
-        # inflight markers has a torn batch awaiting its in-order retry,
-        # whose recovery re-reads the touched buckets' FULL history —
-        # purging closed rows underneath it would break the repair
-        inflight = [
-            st["name"] for st in ops.list_status(f"{path}/{INFLIGHT_DIR}/*")
-        ]
-        if inflight:
-            raise RuntimeError(
-                f"SCD2 table at {path} has inflight marker(s) "
-                f"({inflight}): a crashed merge must be retried (and "
-                "repaired) before trimming its history"
-            )
-        closed_root = f"{path}/{CURRENT_COL}=0"
-        # underscore-prefixed staging names: Spark's file index ignores
-        # them, so a crash that leaves either behind never breaks
-        # partition discovery on the table (a `scd_current=0__old` dir
-        # would read as a conflicting partition layout)
-        trash = f"{path}/_scd_trim_old"
-        staging = f"{path}/_scd_trim_staging"
-        if not ops.exists(closed_root) and ops.exists(trash):
-            # interrupted swap: the staged-aside subtree is authoritative
-            if not ops.rename(trash, closed_root):
-                raise IOError(
-                    f"scd2_trim_history: could not restore {trash} after "
-                    "an interrupted trim"
-                )
-        # reap leftovers UP FRONT (a crash after a successful swap but
-        # before the trash delete must not strand a full closed-history
-        # copy behind the early-return paths below)
-        ops.delete(trash, recursive=True)
-        ops.delete(staging, recursive=True)
+    with _closed_history_writer(spark, path, "trim") as (
+        ops, closed_root, trash, staging,
+    ):
         has_files = bool(
             ops.list_status(f"{closed_root}/{BUCKET_COL}=*/*.parquet")
         )
@@ -958,5 +981,65 @@ def scd2_trim_history(
             raise IOError(f"scd2_trim_history: could not swap in {staging}")
         ops.delete(trash, recursive=True)
         return {"dropped": total - kept, "kept": kept}
-    finally:
-        ops.delete(lease)
+
+
+def compact_scd2_history(spark: SparkSession, path: str) -> dict:
+    """Small-files compaction of the CLOSED history: ``scd2_merge``
+    appends closed rows per batch (append-only by design — rewriting
+    history on every merge would turn the closed subtree into a
+    full-table rewrite), so a long-lived table accumulates one file set
+    per batch per touched bucket and as-of/enrich scans pay the
+    open-file overhead. This rewrites the whole closed subtree into ONE
+    file per ``scd_bucket`` — row-identical, no retention cutoff (that
+    is ``scd2_trim_history``'s job) — under the same single-writer lease
+    + inflight-marker refusal + staged-rename crash contract as the trim
+    (`_closed_history_writer`; the two share staged-swap names, so
+    either tool recovers the other's interrupted swap). One hash
+    exchange on the bucket column keys every bucket's rows to one task,
+    and ``partitionBy`` re-splits by value, so each bucket dir lands
+    exactly one file regardless of task co-location. Already-compact
+    tables (≤1 file per bucket) return without reading a row. Run it
+    OFFLINE like the other compactors: between merges, no concurrent
+    readers that hold open file handles across the swap. Returns
+    {"files_before", "files_after", "buckets", "rows"}."""
+    with _closed_history_writer(spark, path, "compaction") as (
+        ops, closed_root, trash, staging,
+    ):
+        files = ops.list_status(
+            f"{closed_root}/{BUCKET_COL}=*/*.parquet"
+        )
+        if not files:
+            return {"files_before": 0, "files_after": 0, "buckets": 0,
+                    "rows": 0}
+        per_bucket: dict = {}
+        for st in files:
+            # .../scd_current=0/scd_bucket=N/part-*.parquet
+            bucket = st["path"].rstrip("/").rsplit("/", 2)[-2]
+            per_bucket[bucket] = per_bucket.get(bucket, 0) + 1
+        n_before = len(files)
+        if all(n <= 1 for n in per_bucket.values()):
+            return {"files_before": n_before, "files_after": n_before,
+                    "buckets": len(per_bucket), "rows": None}
+        closed = spark.read.parquet(closed_root)
+        rows = closed.count()
+        (
+            closed.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        if not ops.rename(closed_root, trash):
+            raise IOError(
+                f"compact_scd2_history: could not stage {closed_root} aside"
+            )
+        if not ops.rename(staging, closed_root):
+            ops.rename(trash, closed_root)  # roll back
+            raise IOError(
+                f"compact_scd2_history: could not swap in {staging}"
+            )
+        ops.delete(trash, recursive=True)
+        n_after = len(
+            ops.list_status(f"{closed_root}/{BUCKET_COL}=*/*.parquet")
+        )
+        return {"files_before": n_before, "files_after": n_after,
+                "buckets": len(per_bucket), "rows": rows}

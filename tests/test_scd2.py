@@ -1019,3 +1019,101 @@ def test_trim_history_review_hardening(spark, tmp_path):
     with pytest.raises(RuntimeError, match="inflight"):
         scd2_trim_history(spark, path, date(2030, 1, 1))
     ops.delete(f"{path}/_scd_inflight", recursive=True)
+
+
+def test_compact_scd2_history_one_file_per_bucket(spark, tmp_path):
+    """Closed-history compaction: after N merges each touched bucket
+    holds one file set per batch; compaction collapses to exactly ONE
+    file per bucket with row-identical content — current reads, as-of
+    reads and a subsequent merge all byte-identical to pre-compaction;
+    already-compact tables no-op without reading a row; lease respected;
+    interrupted swap self-heals (shared with trim's recovery)."""
+    import glob
+    import os
+
+    from eel_spark.operators.scd2 import (
+        LEASE_FILE,
+        compact_scd2_history,
+        read_scd2_current,
+        scd2_trim_history,
+    )
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "dim")
+    ops = HdfsOps(spark)
+    # three merge batches: every batch closes versions of key 1/3 so the
+    # same buckets accumulate multiple closed file sets
+    scd2_merge(spark, path, _log(spark, BASE_LOG), "k", ["seg", "score"],
+               "d", ["seq"], n_buckets=4)
+    scd2_merge(spark, path,
+               _log(spark, [(1, "C", 11, date(2024, 3, 1), 10),
+                            (3, "D", 3, date(2024, 3, 2), 11)]),
+               "k", ["seg", "score"], "d", ["seq"], n_buckets=4)
+    scd2_merge(spark, path,
+               _log(spark, [(1, "D", 12, date(2024, 4, 1), 20)]),
+               "k", ["seg", "score"], "d", ["seq"], n_buckets=4)
+
+    def closed_files():
+        return sorted(
+            glob.glob(f"{path}/scd_current=0/scd_bucket=*/*.parquet")
+        )
+
+    def per_bucket_counts():
+        from collections import Counter
+
+        return Counter(f.rsplit("/", 2)[-2] for f in closed_files())
+
+    assert any(n > 1 for n in per_bucket_counts().values()), (
+        "precondition: some bucket must hold multiple files"
+    )
+    cur_before = _versions(read_scd2_current(spark, path))
+    hist_before = _versions(spark.read.parquet(path))
+    asof_before = _versions(read_scd2_asof(spark, path, date(2024, 3, 15)))
+    n_before = len(closed_files())
+
+    stats = compact_scd2_history(spark, path)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == stats["buckets"]
+    assert all(n == 1 for n in per_bucket_counts().values())
+    assert not ops.exists(f"{path}/{LEASE_FILE}")
+    # row-identical across every read path
+    assert _versions(read_scd2_current(spark, path)) == cur_before
+    assert _versions(spark.read.parquet(path)) == hist_before
+    assert _versions(
+        read_scd2_asof(spark, path, date(2024, 3, 15))
+    ) == asof_before
+
+    # already-compact: no-op (rows=None marks the no-read path)
+    again = compact_scd2_history(spark, path)
+    assert again["files_before"] == again["files_after"] == stats["buckets"]
+    assert again["rows"] is None
+
+    # a merge after compaction behaves exactly as one before it
+    scd2_merge(spark, path,
+               _log(spark, [(2, "Z", 9, date(2024, 5, 1), 30)]),
+               "k", ["seg", "score"], "d", ["seq"], n_buckets=4)
+    assert {r["k"]: r["seg"] for r in
+            read_scd2_current(spark, path).collect()}[2] == "Z"
+
+    # lease respected
+    assert ops.create_atomic(f"{path}/{LEASE_FILE}", content="x\n")
+    with pytest.raises(RuntimeError, match="locked"):
+        compact_scd2_history(spark, path)
+    ops.delete(f"{path}/{LEASE_FILE}")
+
+    # inflight marker: compaction refuses like trim does
+    ops.mkdirs(f"{path}/_scd_inflight/deadbeef")
+    with pytest.raises(RuntimeError, match="inflight"):
+        compact_scd2_history(spark, path)
+    ops.delete(f"{path}/_scd_inflight", recursive=True)
+
+    # interrupted-swap crash window: closed subtree staged aside, no new
+    # one swapped in — the next compaction restores it first (and TRIM
+    # recovers a compaction's swap too: shared staging names)
+    hist = _versions(spark.read.parquet(path))
+    os.rename(f"{path}/scd_current=0", f"{path}/_scd_trim_old")
+    compact_scd2_history(spark, path)
+    assert _versions(spark.read.parquet(path)) == hist
+    os.rename(f"{path}/scd_current=0", f"{path}/_scd_trim_old")
+    assert scd2_trim_history(spark, path, date(2000, 1, 1))["dropped"] == 0
+    assert _versions(spark.read.parquet(path)) == hist
