@@ -344,6 +344,35 @@ def bm25_batch_stats(df: DataFrame, text_col: str) -> DataFrame:
     return per_term.unionByName(totals)
 
 
+# term-hash sub-partitioning of the increment store (r11): each batch's
+# per-term df rows split across _TERM_KP = crc32(term) % 16 partitions
+# (totals rows get the dedicated -1), so a query's per-term read prunes
+# to |query-term kp set| / 16 of every batch's files instead of folding
+# each batch's full vocabulary — the same file-pruning discipline the
+# dedup history's (band, kp) layout carries. crc32 because BOTH engines
+# of the contract can compute it (Spark F.crc32 ≡ Python zlib.crc32,
+# parity-tested), so the reader derives the kp set driver-side with no
+# Spark job. 16 buckets: enough to prune ~94% of per-term files for a
+# few-term query while keeping file counts per batch small.
+_TERM_KP = 16
+
+
+def _term_kp_col() -> Column:
+    return (
+        F.when(F.col("term").isNull(), F.lit(-1))
+        .otherwise(
+            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(_TERM_KP))
+        )
+        .cast("int")
+    )
+
+
+def _term_kps(terms) -> list[int]:
+    import zlib
+
+    return sorted({zlib.crc32(t.encode("utf-8")) % _TERM_KP for t in terms})
+
+
 def append_bm25_stats_batch(
     path: str,
     batch_df: DataFrame,
@@ -351,22 +380,32 @@ def append_bm25_stats_batch(
     src_batch: int = 0,
 ) -> None:
     """Fold one batch's increment into the store, idempotently: the
-    increment lands in its own ``__src_batch`` partition via dynamic
-    partition overwrite, so replaying a batch rewrites exactly its rows.
-    Releases exactly the pins this batch added (foreachBatch runs on a
+    increment lands in its own ``(__src_batch, __term_kp)`` partitions
+    via dynamic partition overwrite, so replaying a batch rewrites
+    exactly its rows; the term-hash sub-partitioning lets per-term reads
+    prune files (see ``_TERM_KP``). Do not mix with a pre-r11 store
+    written without ``__term_kp`` (partition discovery rejects mixed
+    depths) — run ``compact_bm25_stats`` once to migrate. Releases
+    exactly the pins this batch added (foreachBatch runs on a
     stream-execution thread; the thread-local mark/release pair is the
     established sink pattern)."""
     from eel_spark.caching import pins_mark, release_pins_since
 
     mark = pins_mark()
     try:
-        inc = bm25_batch_stats(batch_df, text_col).withColumn(
-            "__src_batch", F.lit(int(src_batch))
+        inc = (
+            bm25_batch_stats(batch_df, text_col)
+            .withColumn("__src_batch", F.lit(int(src_batch)))
+            .withColumn("__term_kp", _term_kp_col())
+            # term-sorted files: parquet row-group min/max on `term`
+            # prunes within each kp file too (an in-task sort of
+            # batch-vocab-sized rows — no extra exchange)
+            .sortWithinPartitions("__term_kp", "term")
         )
         (
             inc.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__src_batch")
+            .partitionBy("__src_batch", "__term_kp")
             .parquet(path)
         )
     finally:
@@ -384,13 +423,23 @@ def read_bm25_stats(
     parquet scan — and GUARANTEES one row per requested term, with
     ``df = 0`` for terms the corpus has never seen, so scoring a wave
     that introduces a new term degrades to stale-df-0 idf instead of
-    silently dropping the term."""
+    silently dropping the term.
+
+    On the r11 ``__term_kp`` layout the per-term read also PRUNES
+    partitions to the query terms' crc32 buckets (≤ |terms|/16 of each
+    batch's per-term files; the kp set is derived driver-side via zlib,
+    no Spark job) and the totals read prunes to the dedicated -1 bucket.
+    Pre-r11 stores without the kp column still read (no pruning);
+    ``compact_bm25_stats`` migrates them to the kp layout."""
     raw = spark.read.parquet(path)
+    has_kp = "__term_kp" in raw.columns
     dfreq = raw.where(F.col("term").isNotNull())
     if terms is not None:
         tset = sorted({t.strip().lower() for t in terms if t and t.strip()})
         if not tset:
             raise ValueError("terms must contain at least one usable term")
+        if has_kp:
+            dfreq = dfreq.where(F.col("__term_kp").isin(_term_kps(tset)))
         tdf = spark.createDataFrame([(t,) for t in tset], "term string")
         dfreq = (
             tdf.join(
@@ -404,7 +453,8 @@ def read_bm25_stats(
         )
     else:
         dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
-    totals = raw.where(F.col("term").isNull()).agg(
+    totals = raw.where(F.col("__term_kp") == -1) if has_kp else raw
+    totals = totals.where(F.col("term").isNull()).agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
         F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
     )
@@ -455,13 +505,20 @@ def compact_bm25_stats(spark, path: str) -> None:
         F.lit(None).cast("long").alias("df"),
         "n_docs", "sum_dl",
     )
-    compacted = dfreq.unionByName(totals).withColumn(
-        "__src_batch", F.lit(-1)
+    compacted = (
+        dfreq.unionByName(totals)
+        .withColumn("__src_batch", F.lit(-1))
+        # always emit the r11 term-hash layout: compaction doubles as the
+        # migration path for pre-r11 stores written without __term_kp
+        .withColumn("__term_kp", _term_kp_col())
+        .sortWithinPartitions("__term_kp", "term")
     )
     # stage under the store root (same filesystem → atomic-ish swap via
     # rename), then replace: a static overwrite of the root would
     # truncate before writing and a crash would lose the store
-    compacted.write.mode("overwrite").partitionBy("__src_batch").parquet(tmp)
+    compacted.write.mode("overwrite").partitionBy(
+        "__src_batch", "__term_kp"
+    ).parquet(tmp)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(trash, True)
     if not fs.rename(p_old, trash):

@@ -25,7 +25,7 @@ from eel_spark.operators.retrieval import (
     reciprocal_rank_fusion,
     retrieval_metrics,
 )
-from eel_spark.operators.similarity import brute_force_topk
+from eel_spark.operators.similarity import bq_topk
 from eel_spark.queries.tables import table
 from eel_spark.session import get_session
 
@@ -97,15 +97,20 @@ print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
       f"across {len(QUERIES)} queries")
 
 # 5. hybrid retrieval: pseudo-relevance feedback — each query's BM25
-#    top-1 document supplies a query EMBEDDING, exact-cosine top-k over
-#    the embedding table gives a semantic ranking, and reciprocal rank
+#    top-1 document supplies a query EMBEDDING, ANN top-k over the
+#    embedding table gives a semantic ranking, and reciprocal rank
 #    fusion combines both lists rank-only (no score calibration).
+#    bq_topk is the 100×-scale dense arm: a Hamming prefilter over
+#    packed sign sketches reads 32× less data than the float corpus,
+#    then exact-cosine reranks the bounded candidate set — same output
+#    format and tie-breaks as brute_force_topk (which remains the
+#    labeled small-corpus baseline, not the template to copy).
 emb = table(spark, sf_dir, "embeddings").df.select("vec_id", "embedding")
 lexical = pool.select("query_id", "doc_id", "rank")
 top1 = pool.where("rank = 1").select("query_id", F.col("doc_id").alias("vec_id"))
-qvecs = top1.join(emb, "vec_id").select("query_id", "embedding")
-semantic = brute_force_topk(
-    emb, qvecs, id_col="vec_id", k=K + N_HARD
+qvecs = top1.join(emb, "vec_id").select("query_id", "vec_id", "embedding")
+semantic = bq_topk(
+    emb, qvecs.drop("vec_id"), id_col="vec_id", k=K + N_HARD, refine=8
 ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
 hybrid = reciprocal_rank_fusion([lexical, semantic], "doc_id", k=K)
 # sanity metric: how much of the lexical top-K the hybrid list retains

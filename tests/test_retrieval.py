@@ -836,3 +836,77 @@ def test_retrieval_metrics_against_gated_rrf(spark):
         assert m["ndcg_at_k"] == pytest.approx(dcg / idcg, rel=1e-12)
     assert got["q_unserved"]["ndcg_at_k"] == 0.0
     assert got["q_unserved"]["recall_at_k"] == 0.0
+
+
+# -- r11 term-hash store layout -----------------------------------------------
+
+
+def test_term_kp_crc32_parity_and_pruning_plan(spark, stats_store):
+    """The kp set the driver derives via zlib must equal Spark's crc32
+    (the layout contract), and a per-term read must push __term_kp
+    partition filters into the scan — the file-pruning path that keeps
+    the fold flat as batches accumulate."""
+    import zlib
+
+    from eel_spark.operators.retrieval import (
+        _TERM_KP,
+        read_bm25_stats,
+    )
+
+    path, _ = stats_store
+    terms = ["merge", "window"]
+    rows = spark.createDataFrame([(t,) for t in terms], "t string").select(
+        "t", F.pmod(F.crc32(F.col("t").cast("binary")), F.lit(_TERM_KP))
+        .alias("kp")
+    ).collect()
+    for r in rows:
+        assert r["kp"] == zlib.crc32(r["t"].encode("utf-8")) % _TERM_KP
+    stats = read_bm25_stats(spark, path, terms)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "__term_kp" in plan  # partition filter reached the scan
+    # and the layout is on disk: (__src_batch, __term_kp) dirs
+    import glob
+
+    assert glob.glob(f"{path}/__src_batch=0/__term_kp=-1"), (
+        "totals rows must land in the dedicated -1 bucket"
+    )
+
+
+def test_legacy_store_reads_and_compact_migrates(spark, tmp_path):
+    """A pre-r11 store (no __term_kp column) still reads — no pruning,
+    same values — and one compact_bm25_stats migrates it to the kp
+    layout, after which reads prune."""
+    import glob
+
+    from eel_spark.operators.retrieval import (
+        bm25_batch_stats,
+        compact_bm25_stats,
+        read_bm25_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge scan merge"), (2, "window scan"), (3, "plain prose")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "legacy_store")
+    (
+        bm25_batch_stats(docs, "text")
+        .withColumn("__src_batch", F.lit(0))
+        .write.mode("overwrite").partitionBy("__src_batch").parquet(path)
+    )
+    terms = ["merge", "scan", "window"]
+    before = {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in read_bm25_stats(spark, path, terms).collect()
+    }
+    assert before["merge"][0] == 1 and before["scan"][0] == 2
+    assert before["merge"][1] == 3  # n_docs
+    compact_bm25_stats(spark, path)
+    assert glob.glob(f"{path}/__src_batch=-1/__term_kp=*"), (
+        "compaction must emit the kp layout"
+    )
+    after = {
+        r["term"]: (r["df"], r["n_docs"], r["sum_dl"])
+        for r in read_bm25_stats(spark, path, terms).collect()
+    }
+    assert after == before
