@@ -380,19 +380,29 @@ def append_bm25_stats_batch(
     src_batch: int = 0,
 ) -> None:
     """Fold one batch's increment into the store, idempotently: the
-    increment lands in its own ``(__src_batch, __term_kp)`` partitions
-    via dynamic partition overwrite, so replaying a batch rewrites
-    exactly its rows; the term-hash sub-partitioning lets per-term reads
-    prune files (see ``_TERM_KP``). Do not mix with a pre-r11 store
-    written without ``__term_kp`` (partition discovery rejects mixed
-    depths) — run ``compact_bm25_stats`` once to migrate. Releases
-    exactly the pins this batch added (foreachBatch runs on a
-    stream-execution thread; the thread-local mark/release pair is the
-    established sink pattern)."""
+    batch's WHOLE ``__src_batch`` partition dir is dropped up front and
+    rewritten, so replaying (or re-submitting corrected data under) a
+    batch id rewrites exactly its rows — a two-level dynamic overwrite
+    alone would leave stale ``__term_kp`` sub-partitions behind when the
+    new increment no longer touches them (r11 review). A crash between
+    the delete and the write loses nothing durable: the batch had not
+    committed, so the checkpoint replays it and the rewrite completes.
+    The term-hash sub-partitioning lets per-term reads prune files (see
+    ``_TERM_KP``). Do not mix with a pre-r11 store written without
+    ``__term_kp`` (partition discovery rejects mixed depths) — run
+    ``compact_bm25_stats`` once to migrate. Releases exactly the pins
+    this batch added (foreachBatch runs on a stream-execution thread;
+    the thread-local mark/release pair is the established sink
+    pattern)."""
     from eel_spark.caching import pins_mark, release_pins_since
+    from eel_spark.sources.hdfs import HdfsOps
 
     mark = pins_mark()
     try:
+        HdfsOps(batch_df.sparkSession).delete(
+            f"{path.rstrip('/')}/__src_batch={int(src_batch)}",
+            recursive=True,
+        )
         inc = (
             bm25_batch_stats(batch_df, text_col)
             .withColumn("__src_batch", F.lit(int(src_batch)))
@@ -681,22 +691,24 @@ def reciprocal_rank_fusion(
     from eel_spark.operators.similarity import _topk_per_query
 
     tagged = None
-    for w, r in zip(ws, rankings):
+    for i, (w, r) in enumerate(zip(ws, rankings)):
         part = r.select(
             query_col,
             id_col,
+            F.lit(i).alias("__sys"),
             (F.lit(float(w)) / (F.lit(float(k_rrf)) + F.col("rank")))
             .alias("__c"),
         )
-        # a malformed input with duplicate (query, doc) rows would
-        # double-count that system's contribution — collapse to the BEST
-        # (smallest-rank ⇒ largest) component per doc within each system;
-        # on the canonical _topk_per_query shape this is the identity
-        # (and a no-op on the tiny q·k-row input)
-        part = part.groupBy(query_col, id_col).agg(
-            F.max("__c").alias("__c")
-        )
         tagged = part if tagged is None else tagged.unionByName(part)
+    # a malformed input with duplicate (query, doc) rows would
+    # double-count that system's contribution — collapse to the BEST
+    # (smallest-rank ⇒ largest) component per doc WITHIN each system; on
+    # the canonical _topk_per_query shape this is the identity. One
+    # post-union dedup exchange for all systems (not one per ranking —
+    # r11 review), and the fold's (query, doc) exchange follows.
+    tagged = tagged.groupBy(query_col, id_col, "__sys").agg(
+        F.max("__c").alias("__c")
+    )
     fused = _fold_scores(tagged, [query_col, id_col])
     # output schema: (query_col, id_col, score, rank) — _topk_per_query
     # keeps only those; the per-doc system count is internal to the fold
@@ -731,12 +743,12 @@ def retrieval_metrics(
     grade = (
         F.col(rel_col).cast("double") if rel_col is not None else F.lit(1.0)
     )
-    rel = (
+    judged = (
         qrels.select(query_col, id_col, grade.alias("__g"))
         .groupBy(query_col, id_col)
         .agg(F.max("__g").alias("__g"))
-        .where(F.col("__g") > 0)
     )
+    rel = judged.where(F.col("__g") > 0)
 
     def _gain(pos):
         return (F.pow(F.lit(2.0), F.col("__g")) - F.lit(1.0)) / F.log2(
@@ -752,7 +764,12 @@ def retrieval_metrics(
             ).alias("__dcg")
         )
 
-    totals = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("__n_rel"))
+    # totals keep EVERY judged query — a graded query whose judgments
+    # are all <= 0 (judged, nothing relevant) still surfaces with zero
+    # metrics instead of silently shrinking a mean's denominator
+    totals = judged.groupBy(query_col).agg(
+        F.count(F.when(F.col("__g") > 0, F.lit(1))).alias("__n_rel")
+    )
     w_ideal = Window.partitionBy(query_col).orderBy(
         F.desc("__g"), F.asc(id_col)
     )
@@ -777,8 +794,12 @@ def retrieval_metrics(
         .join(idcg, query_col, "left")
         .select(
             query_col,
-            (F.coalesce("__n_hit", F.lit(0)) / F.col("__n_rel"))
-            .alias("recall_at_k"),
+            F.coalesce(
+                F.try_divide(
+                    F.coalesce("__n_hit", F.lit(0)), F.col("__n_rel")
+                ),
+                F.lit(0.0),
+            ).alias("recall_at_k"),
             (F.coalesce("__n_hit", F.lit(0)) / F.lit(float(k)))
             .alias("precision_at_k"),
             F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0))

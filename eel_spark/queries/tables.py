@@ -142,8 +142,12 @@ def sql_dsum(expr: str, out_scale: int = 6) -> str:
 
 # -- per-invocation scoped temp dirs (r9 ADVICE: eager reaping) --------------
 
+import threading as _threading
+
 _SCOPED_TMPDIRS: dict = {}  # scope -> [older, newer] (≤2 kept per scope)
-_SCOPED_LOCK = None  # created lazily to keep import cheap
+# created at import: a lazily-created lock is itself a race (two first
+# callers each construct and acquire their own Lock — r11 review)
+_SCOPED_LOCK = _threading.Lock()
 _REAPER_ARMED = False
 
 
@@ -164,11 +168,8 @@ def fresh_scoped_tmpdir(scope: str) -> str:
     import atexit
     import shutil
     import tempfile
-    import threading
 
-    global _REAPER_ARMED, _SCOPED_LOCK
-    if _SCOPED_LOCK is None:
-        _SCOPED_LOCK = threading.Lock()
+    global _REAPER_ARMED
     d = tempfile.mkdtemp(prefix=f"{scope}_")
     with _SCOPED_LOCK:
         kept = _SCOPED_TMPDIRS.setdefault(scope, [])

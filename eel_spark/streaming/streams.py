@@ -292,6 +292,11 @@ def streaming_funnel(
     has_seg = segment is not None
     reserved = {user_col, "final", "folded_until_us"}
     if has_seg:
+        if segment_name in reserved or segment_name in names:
+            raise ValueError(
+                f"segment_name {segment_name!r} collides with an output "
+                f"column ({sorted(reserved)} or a step name) — rename it"
+            )
         reserved.add(segment_name)
     clash = [n for n in names if n in reserved]
     if clash:
@@ -1299,6 +1304,116 @@ def streaming_rollup_sink(
 
     return (
         df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_funnel_report_sink(
+    funnel_out: DataFrame,
+    path: str,
+    checkpoint: str,
+    step_names,
+    user_col: str = "user_id",
+    segment_name: str | None = None,
+    n_buckets: int = 64,
+):
+    """Maintain a live funnel REPORT from a ``streaming_funnel`` output
+    stream: each micro-batch of per-user anchor rows upserts a compact
+    latest-per-user state table at ``<path>/state`` (keyed by the user,
+    partitioned by ``hash(user) % n_buckets`` — key-determined, so the
+    merge reads only touched buckets, ``operators/upsert``'s pruning
+    discipline), then rewrites ``<path>/report`` with
+    ``funnel_state_report`` — the exact ``funnel_report`` /
+    ``funnel_report_by`` shape, per segment when the funnel was built
+    with one.
+
+    Exactly-once: the funnel kernel is deterministic, so a checkpoint
+    replay re-emits the same per-user rows and the keyed upsert
+    REPLACES them — idempotent, no ledger. The report itself is a
+    derived artifact rebuilt from the full (compact, O(users)) state
+    each trigger; a crash mid-rewrite leaves a torn report that the
+    retry heals, and it is always re-derivable offline via
+    ``funnel_state_report(spark.read.parquet(f"{path}/state"), ...)``.
+    Rows with a NULL user key are dropped (a keyed store cannot upsert
+    NULL; batch ``funnel_report_by`` does count a NULL user — run the
+    batch operator if that population matters). ``n_buckets`` is frozen
+    into a ``<path>/_n_buckets`` marker on first write and checked every
+    batch: restarting with a different value would re-hash users into
+    different buckets, and the bucket-pruned merge would silently leave
+    each user's OLD row standing beside the new one — the mismatch
+    raises instead. Per-trigger cost: one bucket-pruned merge of the
+    batch's users + one O(users) aggregate — events are never
+    rescanned."""
+    from eel_spark.operators.funnel import funnel_state_report
+    from eel_spark.operators.upsert import upsert_parquet
+
+    names = list(step_names)
+    keep = [user_col, *names]
+    if segment_name is not None:
+        keep.append(segment_name)
+    keep += ["final", "folded_until_us"]
+    state_path = f"{path}/state"
+    report_path = f"{path}/report"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from eel_spark.caching import pins_mark, release_pins_since
+
+        mark = pins_mark()
+        try:
+            spark = batch_df.sparkSession
+            from eel_spark.sources.hdfs import HdfsOps
+
+            ops = HdfsOps(spark)
+            marker = f"{path}/_n_buckets"
+            if not ops.create_atomic(marker, content=f"{n_buckets}\n"):
+                stored = int(ops.read_text(marker).strip())
+                if stored != n_buckets:
+                    raise ValueError(
+                        f"funnel report store at {path} was built with "
+                        f"n_buckets={stored}, got {n_buckets}: the "
+                        "bucket-pruned upsert would duplicate re-hashed "
+                        "users — keep the original value"
+                    )
+            w = Window.partitionBy(user_col).orderBy(
+                F.desc("folded_until_us")
+            )
+            latest = (
+                batch_df.select(*keep)
+                .where(F.col(user_col).isNotNull())
+                # one row per key per trigger by construction; the
+                # row_number guard makes multi-row batches (e.g. a
+                # coalesced replay) pick the newest state anyway
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+                .withColumn(
+                    "__ub",
+                    F.pmod(
+                        F.xxhash64(F.col(user_col)), F.lit(n_buckets)
+                    ).cast("int"),
+                )
+            )
+            if latest.isEmpty():
+                return
+            upsert_parquet(
+                spark, state_path, latest, user_col,
+                partition_col="__ub", assert_unique_keys=False,
+            )
+            report = funnel_state_report(
+                spark.read.parquet(state_path), names,
+                segment_name=segment_name,
+            )
+            report.write.mode("overwrite").parquet(report_path)
+        finally:
+            release_pins_since(mark)
+
+    return (
+        funnel_out.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -108,9 +108,9 @@ print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
 emb = table(spark, sf_dir, "embeddings").df.select("vec_id", "embedding")
 lexical = pool.select("query_id", "doc_id", "rank")
 top1 = pool.where("rank = 1").select("query_id", F.col("doc_id").alias("vec_id"))
-qvecs = top1.join(emb, "vec_id").select("query_id", "vec_id", "embedding")
+qvecs = top1.join(emb, "vec_id").select("query_id", "embedding")
 semantic = bq_topk(
-    emb, qvecs.drop("vec_id"), id_col="vec_id", k=K + N_HARD, refine=8
+    emb, qvecs, id_col="vec_id", k=K + N_HARD, refine=8
 ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
 hybrid = reciprocal_rank_fusion([lexical, semantic], "doc_id", k=K)
 # sanity metric: how much of the lexical top-K the hybrid list retains

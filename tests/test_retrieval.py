@@ -910,3 +910,62 @@ def test_legacy_store_reads_and_compact_migrates(spark, tmp_path):
         for r in read_bm25_stats(spark, path, terms).collect()
     }
     assert after == before
+
+
+def test_append_resubmission_drops_stale_kp_rows(spark, tmp_path):
+    """r11 review: re-submitting a corrected wave under the same
+    src_batch must drop term rows the new increment no longer carries —
+    a two-level dynamic overwrite alone would leave the stale __term_kp
+    sub-partition standing and corrupt df forever."""
+    from eel_spark.operators.retrieval import (
+        append_bm25_stats_batch,
+        read_bm25_stats,
+    )
+
+    path = str(tmp_path / "store")
+    bad = spark.createDataFrame(
+        [(1, "merge badterm")], "doc_id long, text string"
+    )
+    append_bm25_stats_batch(path, bad, "text", src_batch=7)
+    assert {
+        r["term"]: r["df"]
+        for r in read_bm25_stats(spark, path, ["badterm"]).collect()
+    } == {"badterm": 1}
+    fixed = spark.createDataFrame(
+        [(1, "merge goodterm")], "doc_id long, text string"
+    )
+    append_bm25_stats_batch(path, fixed, "text", src_batch=7)
+    got = {
+        r["term"]: r["df"]
+        for r in read_bm25_stats(
+            spark, path, ["badterm", "goodterm", "merge"]
+        ).collect()
+    }
+    assert got == {"badterm": 0, "goodterm": 1, "merge": 1}
+
+
+def test_retrieval_metrics_all_zero_graded_query_surfaces(spark):
+    """r11 review: a judged query whose graded judgments are ALL <= 0
+    must still emit a zero-metrics row (the mean's denominator must not
+    silently shrink), and recall must not divide by zero under ANSI."""
+    from eel_spark.operators.retrieval import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q9", 90, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10, 2), ("q9", 90, 0), ("q9", 91, 0)],
+        "query_id string, doc_id long, rel int",
+    )
+    got = {
+        r["query_id"]: (
+            r["recall_at_k"], r["precision_at_k"],
+            r["reciprocal_rank"], r["ndcg_at_k"],
+        )
+        for r in retrieval_metrics(
+            ranked, qrels, "doc_id", k=2, rel_col="rel"
+        ).collect()
+    }
+    assert got["q1"] == (1.0, 0.5, 1.0, 1.0)
+    assert got["q9"] == (0.0, 0.0, 0.0, 0.0)

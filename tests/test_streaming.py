@@ -1598,3 +1598,180 @@ def test_streaming_segmented_funnel_equals_batch_report_by(spark, tmp_path):
     for (seg, step), (users, _) in expected.items():
         per_seg_sums[step] = per_seg_sums.get(step, 0) + users
     assert overall == per_seg_sums
+
+
+def test_streaming_funnel_report_sink_exactly_once(spark, tmp_path):
+    """The report sink maintains a latest-per-user state store (keyed
+    upsert, bucket-pruned) + a rewritten report; after a 3-wave
+    out-of-order stream the report equals batch funnel_report_by
+    segment-for-segment, a restart with the same checkpoint (no new
+    data) is a no-op, and a new wave advances the report."""
+    from eel_spark.operators.funnel import funnel_report_by
+    from eel_spark.streaming import (
+        streaming_funnel,
+        streaming_funnel_report_sink,
+    )
+
+    d = lambda day, h=0: f"2024-01-{day:02d} {h:02d}:00:00"
+    waves = [
+        [(1, d(10), "click", "web"), (1, d(12), "purchase", "web"),
+         (2, d(5), "view", "ios")],
+        [(1, d(8), "view", "android"), (2, d(6), "click", "android"),
+         (4, d(9), "view", "ios")],
+        [(-999, "2024-03-15", "noop", "flush")],
+        [(-999, "2024-05-15", "noop", "flush")],
+    ]
+    src = tmp_path / "rswaves"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        _write_wave_seg(str(src / f"wave{i}.parquet"), rows)
+
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    names = list(steps)
+    sink_root = str(tmp_path / "funnel_report")
+    ckpt = str(tmp_path / "ckpt_report")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, ts TIMESTAMP, event_type STRING, "
+                "device STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = streaming_funnel(
+            stream, steps, within="7 days", watermark="30 days",
+            segment="device",
+        )
+        q = streaming_funnel_report_sink(
+            out, sink_root, ckpt, names, segment_name="segment",
+        )
+        q.awaitTermination(180)
+
+    run_once()
+
+    def report():
+        return {
+            (r["segment"], r["step"]): (r["users"], r["conversion"])
+            for r in spark.read.parquet(f"{sink_root}/report").collect()
+        }
+
+    def batch_expected(n_waves):
+        ev = spark.createDataFrame(
+            [r for w in waves[:n_waves] for r in w if r[0] != -999],
+            "user_id long, ts string, event_type string, device string",
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "device",
+        )
+        return {
+            (r["segment"], r["step"]): (r["users"], r["conversion"])
+            for r in funnel_report_by(
+                ev, "user_id", "ts", steps, F.col("device"),
+                within="7 days",
+            ).collect()
+        }
+
+    first = report()
+    assert first == batch_expected(2)
+    # state store is bucket-partitioned and user-unique
+    state = spark.read.parquet(f"{sink_root}/state")
+    assert state.count() == state.select("user_id").distinct().count()
+    assert "__ub" in state.columns
+
+    # restart on the same checkpoint with no new data: a pure no-op
+    run_once()
+    assert report() == first
+
+    # a new wave (fresh user 6 converts end-to-end) advances the report
+    # through the same checkpoint: one upsert of user 6's state row.
+    # (User 4 stays non-converted FOREVER: its horizon expired behind
+    # the watermark and the done-tombstone ignores post-final traffic —
+    # the designed divergence from a batch recompute over late events.)
+    _write_wave_seg(
+        str(src / "wave9.parquet"),
+        [(6, "2024-06-01 00:00:00", "view", "web"),
+         (6, "2024-06-02 00:00:00", "click", "web"),
+         (6, "2024-06-03 00:00:00", "purchase", "web")],
+    )
+    _write_wave_seg(
+        str(src / "wave10.parquet"),
+        [(-999, "2024-08-15 00:00:00", "noop", "flush")],
+    )
+    run_once()
+    second = report()
+    waves.append([(6, "2024-06-01 00:00:00", "view", "web"),
+                  (6, "2024-06-02 00:00:00", "click", "web"),
+                  (6, "2024-06-03 00:00:00", "purchase", "web")])
+    assert second == batch_expected(6)
+    assert second[("web", 3)][0] == 1  # user 6 reached purchase
+
+
+def test_streaming_funnel_segment_name_collision_rejected(spark, tmp_path):
+    """r11 review: segment_name colliding with an output column (or a
+    step) must raise instead of silently duplicating a schema field."""
+    from eel_spark.streaming import streaming_funnel
+
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, ts TIMESTAMP, event_type STRING, device STRING"
+        ).parquet(str(tmp_path))
+    )
+    steps = {"view": F.lit(True), "click": F.lit(False)}
+    for bad in ("final", "user_id", "folded_until_us", "view"):
+        with pytest.raises(ValueError, match="collides"):
+            streaming_funnel(stream, steps, segment="device",
+                             segment_name=bad)
+
+
+def test_streaming_funnel_report_sink_n_buckets_frozen(spark, tmp_path):
+    """r11 review: restarting the report sink with a different n_buckets
+    must fail loudly — re-hashed users would duplicate in the
+    bucket-pruned state store."""
+    from eel_spark.streaming import (
+        streaming_funnel,
+        streaming_funnel_report_sink,
+    )
+
+    src = tmp_path / "nbwaves"
+    src.mkdir()
+    _write_wave_seg(
+        str(src / "w0.parquet"),
+        [(1, "2024-01-01 00:00:00", "view", "web"),
+         (-999, "2024-03-15 00:00:00", "noop", "flush")],
+    )
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+    }
+
+    def run(n_buckets):
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, ts TIMESTAMP, event_type STRING, "
+                "device STRING"
+            ).parquet(str(src))
+        )
+        out = streaming_funnel(
+            stream, steps, within="7 days", watermark="30 days",
+            segment="device",
+        )
+        q = streaming_funnel_report_sink(
+            out, str(tmp_path / "sink"), str(tmp_path / "ckpt_nb"),
+            list(steps), segment_name="segment", n_buckets=n_buckets,
+        )
+        q.awaitTermination(120)
+        return q
+
+    run(8)
+    _write_wave_seg(
+        str(src / "w1.parquet"),
+        [(2, "2024-01-02 00:00:00", "view", "ios")],
+    )
+    with pytest.raises(Exception, match="n_buckets"):
+        q = run(4)
