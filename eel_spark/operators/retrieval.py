@@ -726,9 +726,12 @@ def retrieval_metrics(
     """Per-query retrieval-eval metrics of a (query, id, rank) table
     against a relevance set: ``recall_at_k`` (relevant docs found in the
     top k / total relevant), ``precision_at_k``, ``reciprocal_rank``
-    (1/rank of the first relevant hit, 0 when none), and ``ndcg_at_k``
+    (1/rank of the first relevant hit, 0 when none), ``ndcg_at_k``
     (Jarvelin & Kekalainen's normalized discounted cumulative gain with
-    the exponential gain form, gain = (2^rel − 1)/log2(rank + 1)).
+    the exponential gain form, gain = (2^rel − 1)/log2(rank + 1)), and
+    ``avg_precision_at_k`` (TREC AP@k: Σ over relevant hits of
+    precision@their-rank, normalized by min(n_rel, k) — averaging it
+    over queries yields MAP@k; binary relevance, grade > 0 = relevant).
 
     ``qrels`` is (query, id) for binary relevance; pass ``rel_col`` for
     graded judgments — grade ≤ 0 rows count as judged-irrelevant
@@ -781,9 +784,27 @@ def retrieval_metrics(
     hit_rows = ranked.where(F.col("rank") <= k).join(
         F.broadcast(rel), [query_col, id_col]
     )
-    hits = hit_rows.groupBy(query_col).agg(
-        F.count(F.lit(1)).alias("__n_hit"),
-        F.min("rank").alias("__first"),
+    # precision@rank-of-each-hit: a window over the ≤k hit rows per
+    # query (never the corpus); Σ of those is AP@k's numerator
+    w_hits = (
+        Window.partitionBy(query_col)
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = (
+        hit_rows.withColumn(
+            "__p_at", F.count(F.lit(1)).over(w_hits) / F.col("rank")
+        )
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_hit"),
+            F.min("rank").alias("__first"),
+            F.aggregate(
+                F.array_sort(F.collect_list("__p_at")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__ap_num"),
+        )
     )
     dcg = _dcg_fold(
         hit_rows.select(query_col, _gain(F.col("rank")).alias("__gain"))
@@ -808,5 +829,12 @@ def retrieval_metrics(
                 F.col("__dcg") / F.nullif(F.col("__idcg"), F.lit(0.0)),
                 F.lit(0.0),
             ).alias("ndcg_at_k"),
+            F.coalesce(
+                F.try_divide(
+                    F.col("__ap_num"),
+                    F.least(F.col("__n_rel"), F.lit(float(k))),
+                ),
+                F.lit(0.0),
+            ).alias("avg_precision_at_k"),
         )
     )

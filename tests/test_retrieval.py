@@ -969,3 +969,37 @@ def test_retrieval_metrics_all_zero_graded_query_surfaces(spark):
     }
     assert got["q1"] == (1.0, 0.5, 1.0, 1.0)
     assert got["q9"] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_average_precision_hand_computed(spark):
+    """AP@k against a by-hand TREC computation: hits at ranks 1 and 3
+    with 3 relevant total, k=3 → AP = (1/1 + 2/3) / 3; unserved and
+    zero-relevant queries stay 0."""
+    from eel_spark.operators.retrieval import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10), ("q1", 12), ("q1", 99), ("q2", 77), ("q4", 40)],
+        "query_id string, doc_id long",
+    )
+    got = {
+        r["query_id"]: r["avg_precision_at_k"]
+        for r in retrieval_metrics(ranked, qrels, "doc_id", k=3).collect()
+    }
+    assert got["q1"] == pytest.approx((1 / 1 + 2 / 3) / 3, rel=1e-12)
+    assert got["q2"] == 0.0
+    assert got["q4"] == 0.0
+    # normalization floor: 5 relevant but k=2 → divide by min(5, 2)
+    qrels5 = spark.createDataFrame(
+        [("q1", d) for d in (10, 11, 12, 13, 14)],
+        "query_id string, doc_id long",
+    )
+    got2 = {
+        r["query_id"]: r["avg_precision_at_k"]
+        for r in retrieval_metrics(ranked, qrels5, "doc_id", k=2).collect()
+    }
+    assert got2["q1"] == pytest.approx((1 / 1 + 2 / 2) / 2, rel=1e-12)
