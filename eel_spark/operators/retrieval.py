@@ -838,3 +838,73 @@ def retrieval_metrics(
             ).alias("avg_precision_at_k"),
         )
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict,
+    vectors_df: DataFrame,
+    query_vecs_df: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    weights: Sequence[float] = (1.0, 1.0),
+    vec_col: str = "embedding",
+    vec_id_col: str | None = None,
+    query_id_col: str = "query_id",
+    pool: int | None = None,
+    dense: str = "bq",
+    dense_kwargs: dict | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """One-call hybrid retrieval: BM25 lexical top-``pool`` per query +
+    an ANN dense top-``pool`` over the embedding table, fused by
+    weighted Reciprocal Rank Fusion — the library form of the pattern
+    ``examples/retrieval_eval.py`` composes by hand, with the column
+    alignment (``vec_id_col`` → ``id_col``) and pool sizing handled
+    here so callers can't fuse misaligned ids.
+
+    ``queries`` maps query id → term list (the lexical arm);
+    ``query_vecs_df`` is (query_id, vec) for the SAME query ids (the
+    dense arm) — a query present in only one arm fuses from that arm
+    alone, the RRF absent-list semantics. ``pool`` (default ``4·k``) is
+    each arm's candidate depth: RRF can promote a document ranked just
+    outside one arm's top-k, so fusing from exactly-k lists clips the
+    candidates RRF exists to recover. ``dense`` picks the ANN arm:
+    ``"bq"`` (binary-quantization Hamming prefilter + exact rerank —
+    the 100-TB default) or ``"brute"`` (the labeled exact baseline for
+    small corpora / recall measurement). Scale shape: one match-bounded
+    corpus scan (lexical), one signature-table scan + bounded rerank
+    (dense), two salted top-(pool)s, one fusion groupBy + salted top-k
+    — nothing corpus-sized crosses arms."""
+    from eel_spark.operators import similarity as _sim
+
+    if dense not in ("bq", "brute"):
+        raise ValueError(f"dense must be 'bq' or 'brute', got {dense!r}")
+    depth = int(pool) if pool is not None else 4 * k
+    if depth < k:
+        raise ValueError(f"pool ({depth}) must be >= k ({k})")
+    vid = vec_id_col or id_col
+    lex = bm25_topk_multi(
+        docs, text_col, id_col, queries, k=depth, k1=k1, b=b
+    ).select(query_id_col, id_col, "rank")
+    dense_fn = _sim.bq_topk if dense == "bq" else _sim.brute_force_topk
+    sem = dense_fn(
+        vectors_df,
+        query_vecs_df.select(
+            F.col(query_id_col), F.col(vec_col)
+        ),
+        id_col=vid,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=depth,
+        **(dense_kwargs or {}),
+    ).select(
+        query_id_col, F.col(vid).alias(id_col), "rank"
+    )
+    return reciprocal_rank_fusion(
+        [lex, sem], id_col, query_id_col,
+        k=k, k_rrf=k_rrf, weights=list(weights),
+    )

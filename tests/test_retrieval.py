@@ -1003,3 +1003,68 @@ def test_retrieval_metrics_average_precision_hand_computed(spark):
         for r in retrieval_metrics(ranked, qrels5, "doc_id", k=2).collect()
     }
     assert got2["q1"] == pytest.approx((1 / 1 + 2 / 2) / 2, rel=1e-12)
+
+
+def test_hybrid_topk_equals_manual_composition(spark):
+    """hybrid_topk ≡ the hand-built bm25_topk_multi + dense ANN +
+    reciprocal_rank_fusion pipeline at the same pool depth, for both
+    dense arms; misuse raises."""
+    from eel_spark.operators.retrieval import (
+        bm25_topk_multi,
+        hybrid_topk,
+        reciprocal_rank_fusion,
+    )
+    from eel_spark.operators.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [(i, ("merge scan " * (i % 3 + 1)) + ("window " * (i % 2)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    import math
+
+    vecs = spark.createDataFrame(
+        [(i, [math.cos(i * 0.37), math.sin(i * 0.37), (i % 7) / 7.0])
+         for i in range(40)],
+        "doc_id long, embedding array<double>",
+    )
+    queries = {"qa": ["merge", "scan"], "qb": ["window"]}
+    qvecs = spark.createDataFrame(
+        [("qa", [1.0, 0.0, 0.5]), ("qb", [0.0, 1.0, 0.2])],
+        "query_id string, embedding array<double>",
+    )
+    k, depth = 5, 20
+    got = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in hybrid_topk(
+            docs, "text", "doc_id", queries, vecs, qvecs,
+            k=k, pool=depth, dense="brute",
+        ).collect()
+    }
+    lex = bm25_topk_multi(docs, "text", "doc_id", queries, k=depth).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem = brute_force_topk(vecs, qvecs, id_col="doc_id", k=depth).select(
+        "query_id", "doc_id", "rank"
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in reciprocal_rank_fusion(
+            [lex, sem], "doc_id", k=k
+        ).collect()
+    }
+    assert got == want
+    # the bq arm returns the same shape (recall may differ by design)
+    bq = hybrid_topk(
+        docs, "text", "doc_id", queries, vecs, qvecs,
+        k=k, pool=depth, dense="bq",
+    )
+    rows = bq.collect()
+    assert {r["query_id"] for r in rows} == {"qa", "qb"}
+    assert set(bq.columns) == {"query_id", "doc_id", "score", "rank"}
+    with pytest.raises(ValueError, match="dense"):
+        hybrid_topk(docs, "text", "doc_id", queries, vecs, qvecs,
+                    dense="ivf")
+    with pytest.raises(ValueError, match="pool"):
+        hybrid_topk(docs, "text", "doc_id", queries, vecs, qvecs,
+                    k=10, pool=5)
