@@ -380,44 +380,55 @@ def append_bm25_stats_batch(
     src_batch: int = 0,
 ) -> None:
     """Fold one batch's increment into the store, idempotently: the
-    batch's WHOLE ``__src_batch`` partition dir is dropped up front and
-    rewritten, so replaying (or re-submitting corrected data under) a
-    batch id rewrites exactly its rows — a two-level dynamic overwrite
-    alone would leave stale ``__term_kp`` sub-partitions behind when the
-    new increment no longer touches them (r11 review). A crash between
-    the delete and the write loses nothing durable: the batch had not
-    committed, so the checkpoint replays it and the rewrite completes.
-    The term-hash sub-partitioning lets per-term reads prune files (see
-    ``_TERM_KP``). Do not mix with a pre-r11 store written without
-    ``__term_kp`` (partition discovery rejects mixed depths) — run
-    ``compact_bm25_stats`` once to migrate. Releases exactly the pins
-    this batch added (foreachBatch runs on a stream-execution thread;
-    the thread-local mark/release pair is the established sink
-    pattern)."""
-    from eel_spark.caching import pins_mark, release_pins_since
+    increment lands via DYNAMIC partition overwrite (old data stays
+    intact until job commit — a failed or interrupted append loses
+    nothing), then ``__term_kp`` sub-partitions of this batch that the
+    new increment no longer touches are reaped post-commit, so
+    replaying (or re-submitting corrected data under) a batch id
+    converges to exactly its rows — a two-level dynamic overwrite alone
+    would leave stale kp dirs behind forever (r11 review). The one
+    remaining window — crash AFTER commit, BEFORE the reap — leaves
+    stale kp rows only until the batch's next replay/re-submission (and
+    never loses data; the r11 review's delete-first draft traded that
+    for batch LOSS on any mid-write failure of a direct caller with no
+    checkpoint to replay). The term-hash sub-partitioning lets per-term
+    reads prune files (see ``_TERM_KP``). Do not mix with a pre-r11
+    store written without ``__term_kp`` (partition discovery rejects
+    mixed depths) — run ``compact_bm25_stats`` once to migrate.
+    Releases exactly the pins this batch added (foreachBatch runs on a
+    stream-execution thread; the thread-local mark/release pair is the
+    established sink pattern)."""
+    from eel_spark.caching import pin, pins_mark, release_pins_since
     from eel_spark.sources.hdfs import HdfsOps
 
     mark = pins_mark()
     try:
-        HdfsOps(batch_df.sparkSession).delete(
-            f"{path.rstrip('/')}/__src_batch={int(src_batch)}",
-            recursive=True,
-        )
-        inc = (
+        inc = pin(
             bm25_batch_stats(batch_df, text_col)
             .withColumn("__src_batch", F.lit(int(src_batch)))
             .withColumn("__term_kp", _term_kp_col())
+        )
+        # the kp set this increment actually carries (≤ _TERM_KP + 1
+        # values over the pinned slim rows — a cheap distinct)
+        new_kps = {
+            r["__term_kp"] for r in inc.select("__term_kp").distinct().collect()
+        }
+        (
             # term-sorted files: parquet row-group min/max on `term`
             # prunes within each kp file too (an in-task sort of
             # batch-vocab-sized rows — no extra exchange)
-            .sortWithinPartitions("__term_kp", "term")
-        )
-        (
-            inc.write.mode("overwrite")
+            inc.sortWithinPartitions("__term_kp", "term")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__src_batch", "__term_kp")
             .parquet(path)
         )
+        ops = HdfsOps(batch_df.sparkSession)
+        batch_root = f"{path.rstrip('/')}/__src_batch={int(src_batch)}"
+        for st in ops.list_status(f"{batch_root}/__term_kp=*"):
+            kp = int(st["name"].split("=", 1)[1])
+            if kp not in new_kps:
+                ops.delete(st["path"], recursive=True)
     finally:
         release_pins_since(mark)
 
@@ -729,9 +740,14 @@ def retrieval_metrics(
     (1/rank of the first relevant hit, 0 when none), ``ndcg_at_k``
     (Jarvelin & Kekalainen's normalized discounted cumulative gain with
     the exponential gain form, gain = (2^rel − 1)/log2(rank + 1)), and
-    ``avg_precision_at_k`` (TREC AP@k: Σ over relevant hits of
-    precision@their-rank, normalized by min(n_rel, k) — averaging it
-    over queries yields MAP@k; binary relevance, grade > 0 = relevant).
+    ``avg_precision_at_k`` (AP@k: Σ over relevant hits of
+    precision@their-rank, normalized by min(n_rel, k) so a perfect
+    top-k scores 1.0 even when n_rel > k — averaging it over queries
+    yields MAP@k; binary relevance, grade > 0 = relevant. NOTE: this is
+    the min(n_rel, k)-normalized variant; trec_eval's ``map_cut_k``
+    divides by TOTAL relevant R instead, so its numbers are smaller for
+    queries with n_rel > k — divide this column's numerator back out if
+    you need trec_eval-comparable values).
 
     ``qrels`` is (query, id) for binary relevance; pass ``rel_col`` for
     graded judgments — grade ≤ 0 rows count as judged-irrelevant
@@ -889,7 +905,11 @@ def hybrid_topk(
     vid = vec_id_col or id_col
     lex = bm25_topk_multi(
         docs, text_col, id_col, queries, k=depth, k1=k1, b=b
-    ).select(query_id_col, id_col, "rank")
+    ).select(
+        # bm25_topk_multi emits the fixed name "query_id" — realias so a
+        # non-default query_id_col works (r11 review)
+        F.col("query_id").alias(query_id_col), id_col, "rank"
+    )
     dense_fn = _sim.bq_topk if dense == "bq" else _sim.brute_force_topk
     sem = dense_fn(
         vectors_df,

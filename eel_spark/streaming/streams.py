@@ -1343,9 +1343,14 @@ def streaming_funnel_report_sink(
     batch: restarting with a different value would re-hash users into
     different buckets, and the bucket-pruned merge would silently leave
     each user's OLD row standing beside the new one — the mismatch
-    raises instead. Per-trigger cost: one bucket-pruned merge of the
-    batch's users + one O(users) aggregate — events are never
-    rescanned."""
+    raises instead. The store is SINGLE-WRITER, enforced like scd2's:
+    each batch takes a ``_report_lease`` via atomic create-if-absent —
+    a second query (or offline upsert) racing the keyed merge would
+    silently lose rows — and a stale lease recording THIS batch id
+    self-adopts (a hard-killed attempt whose checkpoint replays the
+    batch), while a foreign holder fails loudly. Per-trigger cost: one
+    bucket-pruned merge of the batch's users + one O(users) aggregate —
+    events are never rescanned."""
     from eel_spark.operators.funnel import funnel_state_report
     from eel_spark.operators.upsert import upsert_parquet
 
@@ -1362,12 +1367,31 @@ def streaming_funnel_report_sink(
 
         from eel_spark.caching import pins_mark, release_pins_since
 
-        mark = pins_mark()
-        try:
-            spark = batch_df.sparkSession
-            from eel_spark.sources.hdfs import HdfsOps
+        from eel_spark.caching import pin
+        from eel_spark.sources.hdfs import HdfsOps
 
-            ops = HdfsOps(spark)
+        mark = pins_mark()
+        spark = batch_df.sparkSession
+        ops = HdfsOps(spark)
+        lease = f"{path}/_report_lease"
+        lease_tag = f"batch {int(batch_id)}\n"
+        if not ops.create_atomic(lease, content=lease_tag):
+            try:
+                holder = ops.read_text(lease)
+            except Exception:
+                holder = "<unreadable>"
+            if holder != lease_tag:
+                raise RuntimeError(
+                    f"funnel report store at {path} is locked by "
+                    f"another writer (lease {lease}, holder "
+                    f"{holder.strip()!r}): the keyed state merge is "
+                    "single-writer — stop the other query, or delete "
+                    "the lease if its process was hard-killed"
+                )
+            # same batch id: a hard-killed earlier attempt this
+            # checkpoint replay is re-running — adopt and redo (the
+            # keyed upsert makes the redo idempotent)
+        try:
             marker = f"{path}/_n_buckets"
             if not ops.create_atomic(marker, content=f"{n_buckets}\n"):
                 stored = int(ops.read_text(marker).strip())
@@ -1381,7 +1405,7 @@ def streaming_funnel_report_sink(
             w = Window.partitionBy(user_col).orderBy(
                 F.desc("folded_until_us")
             )
-            latest = (
+            latest = pin(  # one evaluation: isEmpty + the upsert's reads
                 batch_df.select(*keep)
                 .where(F.col(user_col).isNotNull())
                 # one row per key per trigger by construction; the
@@ -1410,6 +1434,7 @@ def streaming_funnel_report_sink(
             report.write.mode("overwrite").parquet(report_path)
         finally:
             release_pins_since(mark)
+            ops.delete(lease)
 
     return (
         funnel_out.writeStream.foreachBatch(write_batch)

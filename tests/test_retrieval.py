@@ -1068,3 +1068,70 @@ def test_hybrid_topk_equals_manual_composition(spark):
     with pytest.raises(ValueError, match="pool"):
         hybrid_topk(docs, "text", "doc_id", queries, vecs, qvecs,
                     k=10, pool=5)
+
+
+def test_hybrid_topk_nondefault_query_id_col(spark):
+    """r11 review: a non-default query_id_col must work — the lexical
+    arm's fixed 'query_id' output is realiased."""
+    from eel_spark.operators.retrieval import hybrid_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge scan"), (2, "window"), (3, "merge")],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "doc_id long, embedding array<double>",
+    )
+    qvecs = spark.createDataFrame(
+        [("qa", [1.0, 0.1])], "qid string, embedding array<double>"
+    )
+    out = hybrid_topk(
+        docs, "text", "doc_id", {"qa": ["merge"]}, vecs, qvecs,
+        k=3, pool=3, dense="brute", query_id_col="qid",
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"qid", "doc_id", "score", "rank"}
+    assert {r["qid"] for r in rows} == {"qa"}
+
+
+def test_append_survives_stale_kp_dir_and_reaps_on_rewrite(spark, tmp_path):
+    """r11 review #2 follow-through: the dynamic overwrite keeps old
+    data intact until commit, and a stale kp dir left by a crash
+    between commit and reap converges on the next (re)submission."""
+    from eel_spark.operators.retrieval import (
+        append_bm25_stats_batch,
+        read_bm25_stats,
+    )
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path = str(tmp_path / "store")
+    append_bm25_stats_batch(
+        path,
+        spark.createDataFrame([(1, "merge badterm")],
+                              "doc_id long, text string"),
+        "text", src_batch=3,
+    )
+    # simulate crash-after-commit-before-reap of a LATER corrected
+    # submission: the badterm kp dir is stale on disk
+    ops = HdfsOps(spark)
+    import zlib
+
+    from eel_spark.operators.retrieval import _TERM_KP
+
+    kp_bad = zlib.crc32(b"badterm") % _TERM_KP
+    assert ops.exists(f"{path}/__src_batch=3/__term_kp={kp_bad}")
+    append_bm25_stats_batch(
+        path,
+        spark.createDataFrame([(1, "merge goodterm")],
+                              "doc_id long, text string"),
+        "text", src_batch=3,
+    )
+    assert not ops.exists(f"{path}/__src_batch=3/__term_kp={kp_bad}")
+    got = {
+        r["term"]: r["df"]
+        for r in read_bm25_stats(
+            spark, path, ["badterm", "goodterm"]
+        ).collect()
+    }
+    assert got == {"badterm": 0, "goodterm": 1}

@@ -1775,3 +1775,58 @@ def test_streaming_funnel_report_sink_n_buckets_frozen(spark, tmp_path):
     )
     with pytest.raises(Exception, match="n_buckets"):
         q = run(4)
+
+
+def test_streaming_funnel_report_sink_foreign_lease_rejected(spark, tmp_path):
+    """r11 review: a foreign _report_lease (another live writer) fails
+    the batch loudly instead of silently interleaving the keyed merge;
+    a same-batch stale lease self-adopts (checkpoint-replay recovery)."""
+    from eel_spark.sources.hdfs import HdfsOps
+    from eel_spark.streaming import (
+        streaming_funnel,
+        streaming_funnel_report_sink,
+    )
+
+    src = tmp_path / "lwaves"
+    src.mkdir()
+    _write_wave_seg(
+        str(src / "w0.parquet"),
+        [(1, "2024-01-01 00:00:00", "view", "web"),
+         (-999, "2024-03-15 00:00:00", "noop", "flush")],
+    )
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+    }
+    sink_root = str(tmp_path / "sink")
+    ops = HdfsOps(spark)
+    ops.mkdirs(sink_root)
+    assert ops.create_atomic(f"{sink_root}/_report_lease",
+                             content="batch 999\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, ts TIMESTAMP, event_type STRING, "
+                "device STRING"
+            ).parquet(str(src))
+        )
+        out = streaming_funnel(
+            stream, steps, within="7 days", watermark="30 days",
+            segment="device",
+        )
+        q = streaming_funnel_report_sink(
+            out, sink_root, str(tmp_path / "ckpt_lease"), list(steps),
+            segment_name="segment",
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="locked by"):
+        run()
+    # stale lease for the batch the checkpoint now replays: self-adopts
+    ops.delete(f"{sink_root}/_report_lease")
+    assert ops.create_atomic(f"{sink_root}/_report_lease",
+                             content="batch 0\n")
+    run()
+    assert not ops.exists(f"{sink_root}/_report_lease")  # released
+    assert spark.read.parquet(f"{sink_root}/report").count() > 0
