@@ -100,6 +100,9 @@ print(f"eval set: {n_pos} positives + {n_neg} hard negatives "
 #    top-1 document supplies a query EMBEDDING, ANN top-k over the
 #    embedding table gives a semantic ranking, and reciprocal rank
 #    fusion combines both lists rank-only (no score calibration).
+#    (The arms are composed by hand here because the lexical pool is
+#    reused for the eval labels above; when you just want the fused
+#    list, operators/retrieval.hybrid_topk is the one-call form.)
 #    bq_topk is the 100×-scale dense arm: a Hamming prefilter over
 #    packed sign sketches reads 32× less data than the float corpus,
 #    then exact-cosine reranks the bounded candidate set — same output
