@@ -1830,3 +1830,41 @@ def test_streaming_funnel_report_sink_foreign_lease_rejected(spark, tmp_path):
     run()
     assert not ops.exists(f"{sink_root}/_report_lease")  # released
     assert spark.read.parquet(f"{sink_root}/report").count() > 0
+
+
+def test_segmented_funnel_adds_no_exchanges(spark, tmp_path):
+    """Scale shape: the segment column rides the funnel's one user-key
+    exchange — the segmented plan has exactly as many shuffles as the
+    unsegmented one (attribution is in-kernel state, never a join)."""
+    import re
+
+    from eel_spark.streaming import streaming_funnel
+
+    _write_wave_seg(
+        str(tmp_path / "w0.parquet"),
+        [(1, "2024-01-01 00:00:00", "view", "web")],
+    )
+    steps = {
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+    }
+
+    def n_exchanges(segment):
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, ts TIMESTAMP, event_type STRING, "
+                "device STRING"
+            ).parquet(str(tmp_path))
+        )
+        out = streaming_funnel(
+            stream, steps, within="7 days", watermark="30 days",
+            segment=segment,
+        )
+        # analyzed logical plan suffices: count repartition/exchange ops
+        plan = out._jdf.queryExecution().analyzed().toString()
+        # stateful op implies one hash partitioning on the grouping key;
+        # compare the full operator inventory between the two plans
+        ops = re.findall(r"FlatMapGroupsInPandasWithState|Repartition", plan)
+        return ops
+
+    assert n_exchanges(None) == n_exchanges("device")
