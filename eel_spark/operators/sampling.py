@@ -71,6 +71,85 @@ def quota_sample(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    hash_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    seed: int = 0,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis'
+    A-ES (public): keep the ``k`` rows with the largest
+    ``u^(1/w)`` (ordered here by the monotone-equivalent
+    ``ln(u)/w``), where ``u ∈ (0,1)`` is a deterministic content-hash
+    uniform over ``hash_cols``. Inclusion probabilities follow the
+    sequential weighted draw exactly; the sample is a pure function of
+    (data, seed) — retry-safe, repartition-safe, cluster-size-free —
+    unlike ``rand()``-based draws (module docstring). The pipeline use:
+    quality-weighted corpus subsampling (w = a quality score) where
+    high-weight documents must be overrepresented but never duplicated
+    (``replicate_by_weight`` is the WITH-replacement epoch tool).
+
+    With ``group_cols``: top-k per group via one windowed rank — Spark
+    rewrites ``row_number <= literal`` into WindowGroupLimit, pruning
+    map-side like :func:`quota_sample`. WITHOUT groups a naive global
+    window would single-reduce |df|, so the global path runs the shared
+    two-phase salted top-k shape instead: phase 1 ranks within
+    ``pmod(hash, n_salt)`` (map-side-pruned), phase 2 ranks the
+    ≤ ``n_salt·k`` survivors. NULL or non-positive weights raise
+    in-plan (A-ES is undefined there; silently dropping rows would skew
+    every downstream estimate).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    denom = float(1 << 52)
+    u = (
+        F.pmod(_hash_order(hash_cols, seed), F.lit(1 << 52)) + F.lit(1.0)
+    ) / F.lit(denom + 1.0)
+    w_ok = F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    key = F.when(
+        w_ok, F.log(u) / F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_sample_without_replacement: weight "
+                    f"column {weight_col!r} must be > 0 and non-NULL "
+                    "(got "
+                ),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(")"),
+            )
+        ).cast("double")
+    )
+    tie = [F.col(c) for c in hash_cols]
+    rn_name = "__ws_rn"
+    if group_cols:
+        w_spec = Window.partitionBy(*group_cols).orderBy(F.desc(key), *tie)
+        return (
+            df.withColumn(rn_name, F.row_number().over(w_spec))
+            .filter(F.col(rn_name) <= F.lit(int(k)))
+            .drop(rn_name)
+        )
+    salt = F.pmod(_hash_order(hash_cols, seed + 1), F.lit(int(n_salt)))
+    w1 = Window.partitionBy(salt).orderBy(F.desc(key), *tie)
+    survivors = (
+        df.withColumn(rn_name, F.row_number().over(w1))
+        .filter(F.col(rn_name) <= F.lit(int(k)))
+        .drop(rn_name)
+    )
+    w2 = Window.partitionBy().orderBy(F.desc(key), *tie)
+    return (
+        survivors.withColumn(rn_name, F.row_number().over(w2))
+        .filter(F.col(rn_name) <= F.lit(int(k)))
+        .drop(rn_name)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

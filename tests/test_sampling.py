@@ -303,3 +303,131 @@ def test_hash_split_full_fractions_cover_every_bucket(spark):
         top, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["id"], seed=0
     )
     assert out.collect()[0]["split"] == "test"
+
+
+# -- weighted sampling without replacement (r11, Efraimidis-Spirakis) ---------
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The Spark sample equals a from-scratch Python A-ES over the SAME
+    hash uniforms (collected from a projection), per group and global —
+    the formula, tie-break, and hash plumbing all line up."""
+    import math
+
+    from eel_spark.operators.sampling import (
+        _hash_order,
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(1 + (i * 7) % 10)) for i in range(60)],
+        "id long, grp string, w double",
+    )
+    hashes = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", F.pmod(_hash_order(["id"], 5), F.lit(1 << 52)).alias("h")
+        ).collect()
+    }
+    rows = df.collect()
+
+    def key(r):
+        u = (hashes[r["id"]] + 1.0) / float((1 << 52) + 1)
+        return math.log(u) / r["w"]
+
+    # global, k=7
+    expect = {r["id"] for r in sorted(rows, key=lambda r: (-key(r), r["id"]))[:7]}
+    got = {
+        r["id"]
+        for r in weighted_sample_without_replacement(
+            df, "w", 7, ["id"], seed=5
+        ).collect()
+    }
+    assert got == expect
+    # per-group, k=4
+    expect_g = set()
+    for g in ("g0", "g1", "g2"):
+        grp = [r for r in rows if r["grp"] == g]
+        expect_g |= {
+            r["id"] for r in sorted(grp, key=lambda r: (-key(r), r["id"]))[:4]
+        }
+    got_g = {
+        r["id"]
+        for r in weighted_sample_without_replacement(
+            df, "w", 4, ["id"], group_cols=["grp"], seed=5
+        ).collect()
+    }
+    assert got_g == expect_g
+    # deterministic across partitionings
+    again = {
+        r["id"]
+        for r in weighted_sample_without_replacement(
+            df.repartition(13), "w", 7, ["id"], seed=5
+        ).collect()
+    }
+    assert again == got
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Distribution sanity: with one row 50x the weight of the others,
+    k=1 across 30 seeds must pick the heavy row in a clear majority
+    (P(heavy) = 50/59 ≈ 0.85 per draw)."""
+    from eel_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 50.0)] + [(i, 1.0) for i in range(1, 10)],
+        "id long, w double",
+    )
+    wins = sum(
+        weighted_sample_without_replacement(
+            df, "w", 1, ["id"], seed=s
+        ).collect()[0]["id"] == 0
+        for s in range(30)
+    )
+    assert wins >= 18, wins  # binomial(30, .85): P(<18) ~ 1e-5
+
+
+def test_weighted_sample_rejects_bad_weights_and_k(spark):
+    import pytest
+
+    from eel_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0)], "id long, w double"
+    )
+    with pytest.raises(Exception, match="must be > 0"):
+        weighted_sample_without_replacement(df, "w", 1, ["id"]).collect()
+    nulls = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "id long, w double"
+    )
+    with pytest.raises(Exception, match="must be > 0"):
+        weighted_sample_without_replacement(nulls, "w", 1, ["id"]).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_without_replacement(df, "w", 0, ["id"])
+
+
+def test_weighted_sample_plans_prune_map_side(spark):
+    """Scale shape: the grouped variant keeps quota_sample's
+    WindowGroupLimit rewrite; the global variant never runs a window
+    over the unsalted full input (phase 1 partitions by the salt)."""
+    from eel_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        (F.col("id") % 9 + 1).cast("double").alias("w"),
+    )
+    grouped = weighted_sample_without_replacement(
+        df, "w", 3, ["id"], group_cols=["grp"]
+    )
+    plan_g = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan_g
+    global_ = weighted_sample_without_replacement(df, "w", 3, ["id"])
+    plan = global_._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # phase 1 map-side prune
+    assert len(global_.collect()) == 3
