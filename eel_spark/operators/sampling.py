@@ -462,3 +462,108 @@ def hash_split(
             (bucket >= bound(lo)) & (bucket < bound(hi_b)), F.lit(name)
         ).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    id_col: str,
+    clusters: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+    hash: str = "xxhash64",
+    node_col: str = "node",
+    component_col: str = "component",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """:func:`hash_split` that cannot leak duplicates across splits:
+    every member of a duplicate CLUSTER hashes on the cluster's
+    representative id, so near-identical documents land in the same
+    split by construction. Splitting row-by-row (``randomSplit`` or
+    plain ``hash_split``) puts one copy of a duplicated document in
+    train and another in test — the classic split-leakage bug that
+    inflates eval scores; splitting by cluster representative is the
+    standard fix (discussed e.g. in Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — public).
+
+    Provide exactly one of:
+
+    - ``clusters``: a (``node_col``, ``component_col``) map — e.g. the
+      output of :func:`eel_spark.operators.dedup.connected_components`
+      over near-dup pairs, or any (id, representative) table (exact-dup
+      groups, URL-canonical groups, ...).
+    - ``pairs``: raw duplicate pairs (``id_a``, ``id_b``) — components
+      are derived here via ``connected_components``.
+
+    Rows absent from the cluster map (singletons — the common case by
+    far) hash on their OWN id, so only actual duplicates constrain each
+    other and the realized fractions track the requested ones as long
+    as clusters are small relative to the corpus.
+
+    Scale shape: one equi-join of the corpus against the slim (node,
+    component) map on the id (AQE broadcasts it when the duplicate set
+    is small — in a deduplicated-world corpus it is), then the same
+    pure-projection split as ``hash_split``. The representative column
+    is computed, split on, and dropped — output schema is input +
+    ``split_col``, exactly like ``hash_split``.
+    """
+    if (clusters is None) == (pairs is None):
+        raise ValueError("provide exactly one of clusters= or pairs=")
+    if clusters is None:
+        from eel_spark.operators.dedup import connected_components
+
+        clusters = connected_components(pairs, id_a=id_a, id_b=id_b)
+        node_col, component_col = "node", "component"
+    rep = "__lss_rep"
+    while rep in df.columns:
+        rep = "_" + rep
+    cmap = clusters.select(
+        F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
+    )
+    joined = df.join(cmap, on=id_col, how="left").withColumn(
+        rep, F.coalesce(F.col(rep), F.col(id_col))
+    )
+    return hash_split(
+        joined, fractions, [rep], seed=seed, split_col=split_col, hash=hash
+    ).drop(rep)
+
+
+def split_leakage_report(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Audit any existing split against a duplicate-pair table: returns
+    (split_a, split_b, n_pairs) for every ordered split combination a
+    duplicate pair straddles, EXCLUDING same-split pairs — an empty
+    result means the split is leakage-free w.r.t. these pairs. Run it
+    over the minhash/simhash/embedding pair output before training; a
+    non-empty report on a ``hash_split`` corpus is the signal to switch
+    to :func:`leakage_safe_split`.
+
+    Scale shape: the corpus projects to a slim (id, split) table, the
+    pair table joins it twice on the id (each a hash join; AQE
+    broadcasts the smaller side), and the report aggregates to at most
+    |splits|² rows. Pairs missing from ``split_df`` are dropped — they
+    carry no split to leak across.
+    """
+    slim = split_df.select(F.col(id_col), F.col(split_col))
+    a = slim.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("split_a")
+    )
+    b = slim.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.select(id_a, id_b)
+        .join(a, on=id_a)
+        .join(b, on=id_b)
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -313,3 +313,61 @@ def rollup_quantile_daily(spark: SparkSession, sf_dir: str) -> DataStream:
             quantile_bucket_from_histogram("value_qhist", 0.95).alias("p95_bucket"),
         )
     )
+
+
+# -- leakage-safe split (operators/sampling.leakage_safe_split) -------------
+# Registered with gated=False: the 50-slot driver registry is full; the
+# pytest ungated harness (tests/test_ungated.py) hash-compares this
+# against the oracle at sf0.001 AND sf0.01. The oracle derives the
+# exact-duplicate cluster representative (min doc_id per normalized
+# content md5) and the md5-bucket split assignment independently, so a
+# single moved document — the split-leakage bug this operator exists to
+# prevent — flips the hash.
+
+_LEAKAGE_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5({_LEAKAGE_NORM}) AS h FROM documents
+), rep AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep FROM h
+), b AS (
+  SELECT doc_id, rep,
+         substr(md5('11' || chr(31) || CAST(rep AS VARCHAR)), 1, 5) AS hx
+  FROM rep
+)
+SELECT doc_id,
+       CASE WHEN hx < '{_B_TRAIN}' THEN 'train'
+            WHEN hx < '{_B_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@query("sampling_leakage_split", _LEAKAGE_SPLIT_SQL, gated=False)
+def sampling_leakage_split(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Leakage-safe 80/10/10 split (operators/sampling.
+    leakage_safe_split, md5 mode): every document hashes on its
+    exact-duplicate cluster representative (min doc_id per normalized
+    content hash), so byte-identical documents can never straddle
+    train/test. Per-doc assignment rows — the strictest shape the
+    oracle can check."""
+    from eel_spark.functions.text import normalized_text
+    from eel_spark.operators.sampling import leakage_safe_split
+
+    docs = table(spark, sf_dir, "documents").df
+    hdf = docs.select(
+        "doc_id", F.md5(normalized_text("text").cast("binary")).alias("__h")
+    )
+    clusters = hdf.join(
+        hdf.groupBy("__h").agg(F.min("doc_id").alias("component")), on="__h"
+    ).select(F.col("doc_id").alias("node"), "component")
+    split = leakage_safe_split(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+        clusters=clusters,
+        seed=11,
+        hash="md5",
+    )
+    return DataStream(split.select("doc_id", "split"))

@@ -431,3 +431,104 @@ def test_weighted_sample_plans_prune_map_side(spark):
     plan = global_._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # phase 1 map-side prune
     assert len(global_.collect()) == 3
+
+
+def _leak_corpus(spark, n=400, chains=((1, 101, 201), (2, 102), (350, 351, 352))):
+    """n singleton docs plus planted duplicate chains (pairs wire
+    consecutive chain members — components must merge transitively)."""
+    rows = [(i, f"doc {i}") for i in range(n)]
+    pairs = [
+        (a, b)
+        for chain in chains
+        for a, b in zip(chain, chain[1:])
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    p = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    return df, p, chains
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from eel_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+        split_leakage_report,
+    )
+
+    df, pairs, chains = _leak_corpus(spark)
+    out = leakage_safe_split(
+        df, {"train": 0.6, "val": 0.2, "test": 0.2}, "doc_id", pairs=pairs, seed=3
+    )
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 400
+    # every chain lands whole in ONE split
+    for chain in chains:
+        assert len({rows[i] for i in chain}) == 1, chain
+    # the report agrees: zero straddling pairs
+    assert split_leakage_report(out, pairs, "doc_id").count() == 0
+    # fractions still roughly hold (singletons dominate)
+    c = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert 190 < c["train"] < 290 and 50 < c["val"] < 110 and 50 < c["test"] < 110
+    # negative control: plain hash_split DOES straddle some planted pair
+    # for at least one seed (deterministic — seeds chosen so the chain
+    # members hash apart), and the report surfaces it
+    for seed in range(20):
+        plain = hash_split(
+            df, {"train": 0.6, "val": 0.2, "test": 0.2}, ["doc_id"], seed=seed
+        )
+        if split_leakage_report(plain, pairs, "doc_id").count() > 0:
+            break
+    else:
+        raise AssertionError("no seed straddled a planted pair — corpus too easy")
+
+
+def test_leakage_safe_split_clusters_arg_and_validation(spark):
+    import pytest as _pytest
+    from eel_spark.operators.dedup import connected_components
+    from eel_spark.operators.sampling import leakage_safe_split
+
+    df, pairs, _ = _leak_corpus(spark)
+    clusters = connected_components(pairs)
+    via_clusters = leakage_safe_split(
+        df, {"train": 0.8, "test": 0.2}, "doc_id", clusters=clusters, seed=5
+    )
+    via_pairs = leakage_safe_split(
+        df, {"train": 0.8, "test": 0.2}, "doc_id", pairs=pairs, seed=5
+    )
+    assert {tuple(r) for r in via_clusters.collect()} == {
+        tuple(r) for r in via_pairs.collect()
+    }
+    # deterministic under repartitioning (retry/cluster safety)
+    again = leakage_safe_split(
+        df.repartition(7), {"train": 0.8, "test": 0.2}, "doc_id",
+        clusters=clusters, seed=5,
+    )
+    assert {tuple(r) for r in via_clusters.collect()} == {
+        tuple(r) for r in again.collect()
+    }
+    with _pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(df, {"train": 1.0}, "doc_id")
+    with _pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(
+            df, {"train": 1.0}, "doc_id", clusters=clusters, pairs=pairs
+        )
+
+
+def test_split_leakage_report_counts_by_split_pair(spark):
+    from eel_spark.operators.sampling import split_leakage_report
+
+    split_df = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val")],
+        "doc_id: long, split: string",
+    )
+    pairs = spark.createDataFrame(
+        # 1-2 straddles train/test, 1-3 same-split, 3-4 straddles
+        # train/val, 9-1 has an id missing from the split table
+        [(1, 2), (1, 3), (3, 4), (9, 1)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_leakage_report(split_df, pairs, "doc_id").collect()
+    }
+    assert got == {("train", "test"): 1, ("train", "val"): 1}

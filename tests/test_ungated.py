@@ -58,7 +58,9 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # is capped at 50): same two-SF pytest oracle discipline as the rotated
 # set. text_bm25_stats gates BM25's integer sufficient statistics; the
 # ln()-bearing score formula is verified in tests/test_retrieval.py.
-EXTRA_ORACLED = {"text_bm25_stats"}
+# sampling_leakage_split gates leakage_safe_split per-doc: the oracle
+# re-derives exact-dup cluster reps AND the md5 split independently.
+EXTRA_ORACLED = {"text_bm25_stats", "sampling_leakage_split"}
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
 
