@@ -14,6 +14,8 @@ compose (sketch column inside each IVF cell).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -159,7 +161,10 @@ def train_centroids(
     return centroids
 
 
-def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFrame:
+def _assign_cells(
+    df: DataFrame, centroids: DataFrame, vec_expr: str,
+    dist_col: str | None = None,
+) -> DataFrame:
     """Assign each row to its nearest centroid — shuffle-free argmin.
 
     The centroid table (n_cells rows) is packed into ONE array-of-structs
@@ -168,7 +173,9 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFra
     argmin by (dist, cell_id), the same tie-break the previous
     row_number-over-window produced, without an Exchange+sort per
     assignment (the window shuffled the full corpus once per k-means
-    round and once per IVF corpus prep)."""
+    round and once per IVF corpus prep). ``dist_col`` additionally keeps
+    the distance to the assigned centroid (the incremental index's drift
+    signal)."""
     # fresh helper name: a user column literally named __cents would be
     # overwritten by the crossJoin and then dropped — the collision class
     # fixed everywhere else with _fresh/_salt_col
@@ -187,10 +194,37 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, vec_expr: str) -> DataFra
             ),
         )
     )
+    out = df.crossJoin(F.broadcast(packed)).withColumn("cell_id", best["cell_id"])
+    if dist_col is not None:
+        out = out.withColumn(dist_col, best["dist"])
+    return out.drop(cents)
+
+
+def _probe_cells(
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Per query, the ``n_probe`` nearest cells: (__qid, __qv, cell_id).
+    One broadcast crossJoin against the n_cells-row centroid table plus a
+    per-query window over n_cells rows — bounded by queries × n_cells.
+    Shared by :func:`ivf_topk` and :func:`ivf_topk_against_index` so the
+    one-shot and incremental-index paths cannot drift (their equivalence
+    is bit-exact, tested)."""
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist", vectors.l2_distance(F.col("__qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.asc("__dist"), F.asc("cell_id"))
     return (
-        df.crossJoin(F.broadcast(packed))
-        .withColumn("cell_id", best["cell_id"])
-        .drop(cents)
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qv", "cell_id")
     )
 
 
@@ -217,19 +251,7 @@ def ivf_topk(
         centroids,
         "__v",
     )
-    q = queries_df.select(
-        F.col(query_id_col).alias("__qid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    )
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "__dist", vectors.l2_distance(F.col("__qv"), F.col("centroid"))
-    )
-    wq = Window.partitionBy("__qid").orderBy(F.asc("__dist"), F.asc("cell_id"))
-    probes = (
-        qc.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select("__qid", "__qv", "cell_id")
-    )
+    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
     scored = probes.join(corpus, "cell_id").select(
         F.col("__qid").alias(query_id_col),
         F.col("__id").alias(id_col),
@@ -718,3 +740,273 @@ def pq_topk(
         )
     )
     return _topk_per_query(rerank, query_id_col, id_col, k, n_salt=n_salt)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index (r11): embeddings arrive in waves; re-assigning
+# the whole corpus per wave (what ivf_topk does) is a full-corpus job at
+# every arrival. The index persists assigned postings per batch and new
+# waves append THEIR rows only — the same incremental-store discipline as
+# the BM25 stats store (retrieval.py:376) and the dedup history:
+#
+#   <path>/centroids/      frozen (cell_id, centroid) — written once at
+#                          init; appends READ it, so an append can never
+#                          assign against drifted centroids
+#   <path>/postings/       (id, vec, cell_id) partitioned by
+#                          (__src_batch, __cell_kp = cell_id % _IVF_KP);
+#                          cell_id-sorted files so probe reads prune row
+#                          groups inside each kp file too
+#   <path>/assign_stats/   one row per batch (n_vectors, sum_dist) —
+#                          distance of each appended vector to its
+#                          assigned centroid; the retrain drift signal
+#
+# Append idempotency/crash contract mirrors append_bm25_stats_batch:
+# dynamic partition overwrite (commit-atomic; an interrupted append
+# loses nothing), then post-commit reap of this batch's kp dirs the new
+# increment no longer touches, so replaying a batch id converges to
+# exactly its rows. Query reads prune postings partitions to the probed
+# cells' kp buckets driver-side (the probed-cell set is ≤ n_cells rows —
+# a bounded collect).
+# ---------------------------------------------------------------------------
+
+_IVF_KP = 16
+
+
+def _cell_kp_col() -> "F.Column":
+    # cell_ids are non-negative by construction (pmod seeds in
+    # train_centroids), so pmod here ≡ Python % in _ivf_kps
+    return F.pmod(F.col("cell_id"), F.lit(_IVF_KP)).cast("int")
+
+
+def _ivf_kps(cells) -> list[int]:
+    return sorted({int(c) % _IVF_KP for c in cells})
+
+
+def init_ivf_index(path: str, centroids: DataFrame) -> None:
+    """Create the index root and freeze its centroid table. Fails if the
+    index already exists — centroids define every stored assignment, so
+    replacing them under live postings corrupts the index (train new
+    centroids → init a NEW path → re-append, or rebuild via compaction
+    into a fresh index)."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(centroids.sparkSession)
+    root = path.rstrip("/")
+    if ops.exists(f"{root}/centroids"):
+        raise ValueError(
+            f"IVF index already initialized at {path} — init a new path "
+            "to change centroids"
+        )
+    bad = centroids.filter(F.col("cell_id") < 0).limit(1).count()
+    if bad:
+        raise ValueError("cell_id must be non-negative (kp layout invariant)")
+    centroids.select("cell_id", "centroid").write.mode("errorifexists").parquet(
+        f"{root}/centroids"
+    )
+
+
+def read_ivf_centroids(spark, path: str) -> DataFrame:
+    from eel_spark.sources.hdfs import HdfsOps
+
+    root = path.rstrip("/")
+    if not HdfsOps(spark).exists(f"{root}/centroids"):
+        raise ValueError(f"no IVF index at {path} — call init_ivf_index first")
+    return spark.read.parquet(f"{root}/centroids")
+
+
+def append_ivf_batch(
+    path: str,
+    batch_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_batch: int = 0,
+) -> None:
+    """Assign one wave against the index's frozen centroids and fold its
+    postings in, idempotently (see module comment for the crash
+    contract). The assignment is the shuffle-free broadcast argmin —
+    appending a wave never touches existing postings, so cost is
+    O(|wave| · n_cells) compares + one partitioned write, regardless of
+    index size. Also records the wave's (n_vectors, sum_dist) drift row.
+    """
+    from eel_spark.caching import pin, pins_mark, release_pins_since
+    from eel_spark.sources.hdfs import HdfsOps
+
+    spark = batch_df.sparkSession
+    root = path.rstrip("/")
+    centroids = read_ivf_centroids(spark, path)
+    mark = pins_mark()
+    try:
+        assigned = pin(
+            _assign_cells(
+                batch_df.select(
+                    F.col(id_col).alias("id"),
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double")
+                    ).alias("vec"),
+                ),
+                centroids,
+                "vec",
+                dist_col="__cdist",
+            ).withColumn("__cell_kp", _cell_kp_col())
+        )
+        new_kps = {
+            r["__cell_kp"]
+            for r in assigned.select("__cell_kp").distinct().collect()
+        }
+        (
+            assigned.select("id", "vec", "cell_id", "__cell_kp")
+            .withColumn("__src_batch", F.lit(int(src_batch)))
+            .sortWithinPartitions("__cell_kp", "cell_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__src_batch", "__cell_kp")
+            .parquet(f"{root}/postings")
+        )
+        ops = HdfsOps(spark)
+        batch_root = f"{root}/postings/__src_batch={int(src_batch)}"
+        for st in ops.list_status(f"{batch_root}/__cell_kp=*"):
+            kp = int(st["name"].split("=", 1)[1])
+            if kp not in new_kps:
+                ops.delete(st["path"], recursive=True)
+        (
+            assigned.agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.coalesce(F.sum("__cdist"), F.lit(0.0)).alias("sum_dist"),
+            )
+            .withColumn("__src_batch", F.lit(int(src_batch)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__src_batch")
+            .parquet(f"{root}/assign_stats")
+        )
+    finally:
+        release_pins_since(mark)
+
+
+def read_ivf_postings(spark, path: str, cells: Sequence[int] | None = None) -> DataFrame:
+    """Stored postings (id, vec, cell_id). ``cells`` prunes the read to
+    the probed cells: partition pruning on ``__cell_kp`` (kp set derived
+    driver-side — no Spark job) plus a ``cell_id`` predicate the sorted
+    files answer with row-group min/max."""
+    df = spark.read.parquet(f"{path.rstrip('/')}/postings")
+    if cells is not None:
+        cl = sorted({int(c) for c in cells})
+        df = df.where(
+            F.col("__cell_kp").isin(_ivf_kps(cl)) & F.col("cell_id").isin(cl)
+        )
+    return df.select("id", "vec", "cell_id")
+
+
+def ivf_topk_against_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF top-k served FROM the incremental index: probe cells against
+    the frozen centroids, read only the probed cells' postings
+    (partition-pruned — plan-asserted in tests), rank with the shared
+    salted top-k. Bit-identical to :func:`ivf_topk` over the union of
+    appended waves with the same centroids (same probe helper, same
+    double-cast arithmetic, same tie-breaks — tested), except no
+    full-corpus re-assignment happens at query time."""
+    centroids = read_ivf_centroids(spark, path)
+    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
+    # bounded collect: ≤ n_cells distinct values (the centroid table is
+    # broadcast-sized by design) — buys driver-side partition pruning
+    probed_cells = [
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    ]
+    corpus = ensure_parallelism(
+        read_ivf_postings(spark, path, cells=probed_cells)
+    ).select(F.col("id").alias("__id"), F.col("vec").alias("__v"), "cell_id")
+    scored = probes.join(corpus, "cell_id").select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        vectors.cosine(F.col("__v"), F.col("__qv")).alias("cos"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    return _topk_per_query(scored, query_id_col, id_col, k)
+
+
+def ivf_drift_report(spark, path: str) -> DataFrame:
+    """Per appended batch: how far its vectors sat from their assigned
+    centroids — (src_batch, n_vectors, mean_dist). A rising mean_dist
+    across batches means the data has drifted off the frozen centroids
+    (cells unbalance, probes lose recall): train fresh centroids and
+    init a new index. One scan of the KB-scale stats table."""
+    return (
+        spark.read.parquet(f"{path.rstrip('/')}/assign_stats")
+        .select(
+            F.col("__src_batch").alias("src_batch"),
+            "n_vectors",
+            F.try_divide(F.col("sum_dist"), F.col("n_vectors")).alias("mean_dist"),
+        )
+        .orderBy("src_batch")
+    )
+
+
+def ivf_index_report(spark, path: str) -> DataFrame:
+    """Per-cell balance: (cell_id, n_vectors, n_batches). A cell holding
+    a disproportionate share of postings is the IVF skew signal (probes
+    hitting it scan that share of the corpus) — the retrain/re-shard
+    trigger alongside :func:`ivf_drift_report`. One map-side-combinable
+    groupBy over the postings."""
+    return (
+        spark.read.parquet(f"{path.rstrip('/')}/postings")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__src_batch").alias("n_batches"),
+        )
+    )
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Collapse the per-batch postings into one ``__src_batch = -1``
+    partition set (file count drops to ≤1 per kp dir; query reads stop
+    opening O(batches) files). Run OFFLINE, past the replay horizon —
+    the same contract and staged-rename crash recovery as
+    ``compact_bm25_stats`` (retrieval.py:485): a batch appended during
+    compaction is destroyed by the swap; one replayed after re-adds its
+    rows (here: re-appends its postings — idempotent per batch id).
+    Per-batch drift rows in assign_stats are kept (compaction does not
+    rewrite history's drift signal)."""
+    root = path.rstrip("/")
+    store = f"{root}/postings"
+    tmp = store + "__compacting"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(store)
+    trash = jvm.org.apache.hadoop.fs.Path(store + "__old")
+    fs = p_old.getFileSystem(conf)
+    if not fs.exists(p_old) and fs.exists(trash):
+        if not fs.rename(trash, p_old):
+            raise IOError(
+                f"compact_ivf_index: could not restore staged postings "
+                f"{store}__old after an interrupted compaction"
+            )
+    compacted = (
+        spark.read.parquet(store)
+        .select("id", "vec", "cell_id", "__cell_kp")
+        .withColumn("__src_batch", F.lit(-1))
+        .repartition("__cell_kp")
+        .sortWithinPartitions("__cell_kp", "cell_id")
+    )
+    compacted.write.mode("overwrite").partitionBy(
+        "__src_batch", "__cell_kp"
+    ).parquet(tmp)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(trash, True)
+    if not fs.rename(p_old, trash):
+        raise IOError(f"compact_ivf_index: could not stage {store} aside")
+    if not fs.rename(p_tmp, p_old):
+        fs.rename(trash, p_old)  # roll back
+        raise IOError(f"compact_ivf_index: could not swap in {tmp}")
+    fs.delete(trash, True)

@@ -1472,3 +1472,35 @@ def streaming_bm25_stats_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ivf_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental IVF ANN index maintained from an embedding stream,
+    EXACTLY-ONCE: each micro-batch assigns its vectors against the
+    index's FROZEN centroids (``init_ivf_index`` must have run) and
+    folds the postings into the batch's own ``__src_batch`` partition
+    (operators/similarity.append_ivf_batch), so a checkpoint-replayed
+    batch dynamic-overwrites exactly its own rows. Serve queries with
+    ``ivf_topk_against_index`` (bit-identical to the one-shot
+    ``ivf_topk`` over the accumulated corpus); watch
+    ``ivf_drift_report`` for the retrain signal; collapse increments
+    with ``compact_ivf_index`` once the replay horizon has passed."""
+    from eel_spark.operators.similarity import append_ivf_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_batch(
+            path, batch_df, id_col=id_col, vec_col=vec_col, src_batch=batch_id
+        )
+
+    return (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

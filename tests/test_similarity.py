@@ -445,3 +445,180 @@ def test_ivf_pq_recall_on_real_embeddings(spark):
     # IVF cell misses compound ADC misses: measured 0.66/0.73/0.82 at
     # n_probe 3/4/6 on this table — gate at 0.4 for seed-drift headroom
     assert sum(recalls) / len(recalls) >= 0.4, f"mean recall too low: {recalls}"
+
+
+# -- incremental IVF index (r11) ---------------------------------------------
+
+
+def _wave_rows(ids, seeds, jitter_step=0.05):
+    return [
+        (vid, _unit(seeds[i % len(seeds)], jitter=jitter_step * (i + 1)))
+        for i, vid in enumerate(ids)
+    ]
+
+
+@pytest.fixture()
+def ivf_index(spark, tmp_path, clustered):
+    """An index built from the clustered corpus's centroids with three
+    appended waves drawn from the same cluster directions."""
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        init_ivf_index,
+        train_centroids,
+    )
+
+    centroids = train_centroids(clustered, n_cells=3, iterations=2)
+    path = str(tmp_path / "ivf_index")
+    init_ivf_index(path, centroids)
+    waves = [
+        spark.createDataFrame(
+            _wave_rows(range(100 * w, 100 * w + 12), seeds=(1, 5, 11)),
+            "vec_id: long, embedding: array<double>",
+        )
+        for w in range(3)
+    ]
+    for w, wave in enumerate(waves):
+        append_ivf_batch(path, wave, src_batch=w)
+    return path, waves, centroids
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(0, _unit(1, jitter=0.01)), (1, _unit(5, jitter=0.02)),
+         (2, _unit(11, jitter=0.03))],
+        "query_id: long, embedding: array<double>",
+    )
+
+
+def test_ivf_index_equals_one_shot(spark, ivf_index):
+    """Serving from the incremental index is bit-identical to ivf_topk
+    over the union of the appended waves with the same centroids."""
+    from eel_spark.operators.similarity import ivf_topk, ivf_topk_against_index
+
+    path, waves, centroids = ivf_index
+    union = waves[0]
+    for w in waves[1:]:
+        union = union.unionByName(w)
+    q = _queries(spark)
+    one_shot = ivf_topk(union, q, centroids, k=5, n_probe=2)
+    from_index = ivf_topk_against_index(spark, path, q, k=5, n_probe=2)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_ivf_index_replay_idempotent_and_reaps_stale_kp(spark, ivf_index):
+    """Replaying a batch id converges to exactly its rows: identical
+    store on exact replay, and a corrected resubmission that vacates a
+    kp bucket reaps that bucket's stale dir."""
+    from eel_spark.operators.similarity import append_ivf_batch, read_ivf_postings
+
+    path, waves, _ = ivf_index
+    before = sorted(map(tuple, read_ivf_postings(spark, path).collect()))
+    append_ivf_batch(path, waves[1], src_batch=1)  # exact replay
+    assert sorted(map(tuple, read_ivf_postings(spark, path).collect())) == before
+    # corrected resubmission: batch 2 shrinks to vectors of ONE cluster
+    # direction — cells (and kp dirs) the old batch 2 touched but the new
+    # one does not must disappear from the store
+    small = spark.createDataFrame(
+        _wave_rows(range(200, 204), seeds=(1,)),
+        "vec_id: long, embedding: array<double>",
+    )
+    append_ivf_batch(path, small, src_batch=2)
+    rows = read_ivf_postings(spark, path).collect()
+    b2_ids = {r["id"] for r in rows if r["id"] >= 200}
+    assert b2_ids == {200, 201, 202, 203}
+    assert len(rows) == 12 + 12 + 4
+
+
+def test_ivf_index_probe_read_prunes_partitions(spark, ivf_index):
+    """The probed-cell read reaches the scan as PartitionFilters on
+    __cell_kp plus a cell_id data filter — the file-pruning contract."""
+    from eel_spark.operators.similarity import read_ivf_postings
+
+    path, _, centroids = ivf_index
+    cells = [r["cell_id"] for r in centroids.collect()]
+    pruned = read_ivf_postings(spark, path, cells=cells[:1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__cell_kp" in plan.split("PartitionFilters", 1)[1]
+    full = read_ivf_postings(spark, path)
+    assert pruned.count() == full.filter(F.col("cell_id") == cells[0]).count()
+
+
+def test_ivf_index_compact_preserves_and_recovers(spark, ivf_index):
+    """Compaction keeps query results identical, collapses to one file
+    per kp dir, and an interrupted swap (postings staged aside) is
+    restored by the next call."""
+    import glob
+    import os
+
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_topk_against_index,
+        read_ivf_postings,
+    )
+
+    path, _, _ = ivf_index
+    q = _queries(spark)
+    before = sorted(map(tuple, ivf_topk_against_index(spark, path, q, k=5).collect()))
+    compact_ivf_index(spark, path)
+    assert sorted(
+        map(tuple, ivf_topk_against_index(spark, path, q, k=5).collect())
+    ) == before
+    batch_dirs = glob.glob(f"{path}/postings/__src_batch=*")
+    assert [os.path.basename(d) for d in batch_dirs] == ["__src_batch=-1"]
+    for kp_dir in glob.glob(f"{path}/postings/__src_batch=-1/__cell_kp=*"):
+        assert len(glob.glob(f"{kp_dir}/*.parquet")) == 1
+    # crash window: postings renamed aside, compacted tree never moved in
+    os.rename(f"{path}/postings", f"{path}/postings__old")
+    compact_ivf_index(spark, path)
+    assert sorted(
+        map(tuple, read_ivf_postings(spark, path).collect())
+    ) and sorted(
+        map(tuple, ivf_topk_against_index(spark, path, q, k=5).collect())
+    ) == before
+
+
+def test_ivf_drift_report_flags_offcluster_wave(spark, ivf_index):
+    """A wave drawn from a direction the centroids never saw reports a
+    clearly larger mean assigned-centroid distance — the retrain signal."""
+    from eel_spark.operators.similarity import append_ivf_batch, ivf_drift_report
+
+    path, _, _ = ivf_index
+    off = spark.createDataFrame(
+        _wave_rows(range(300, 312), seeds=(23, 29)),
+        "vec_id: long, embedding: array<double>",
+    )
+    append_ivf_batch(path, off, src_batch=3)
+    rep = {r["src_batch"]: r["mean_dist"] for r in ivf_drift_report(spark, path).collect()}
+    assert set(rep) == {0, 1, 2, 3}
+    in_cluster = max(rep[0], rep[1], rep[2])
+    assert rep[3] > 2 * in_cluster
+
+
+def test_ivf_index_report_and_validation(spark, ivf_index, tmp_path):
+    import pytest as _pytest
+
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        init_ivf_index,
+        ivf_index_report,
+        read_ivf_centroids,
+    )
+
+    path, waves, centroids = ivf_index
+    rep = ivf_index_report(spark, path).collect()
+    assert sum(r["n_vectors"] for r in rep) == 36
+    assert all(1 <= r["n_batches"] <= 3 for r in rep)
+    # init refuses to overwrite an existing index
+    with _pytest.raises(ValueError, match="already initialized"):
+        init_ivf_index(path, centroids)
+    # append/read against a missing index fail loudly
+    with _pytest.raises(ValueError, match="init_ivf_index"):
+        append_ivf_batch(str(tmp_path / "nope"), waves[0])
+    with _pytest.raises(ValueError, match="init_ivf_index"):
+        read_ivf_centroids(spark, str(tmp_path / "nope"))
+    # negative cell ids break the kp layout — rejected at init
+    bad = centroids.withColumn("cell_id", F.lit(-1))
+    with _pytest.raises(ValueError, match="non-negative"):
+        init_ivf_index(str(tmp_path / "bad"), bad)

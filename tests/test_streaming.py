@@ -1868,3 +1868,51 @@ def test_segmented_funnel_adds_no_exchanges(spark, tmp_path):
         return ops
 
     assert n_exchanges(None) == n_exchanges("device")
+
+
+def test_streaming_ivf_sink_matches_one_shot(spark, tmp_path):
+    """An IVF index maintained from a 3-wave embedding stream serves
+    bit-identical top-k to the one-shot ivf_topk over the union, and the
+    drift report carries one row per streamed batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eel_spark.operators.similarity import (
+        init_ivf_index,
+        ivf_drift_report,
+        ivf_topk,
+        ivf_topk_against_index,
+        train_centroids,
+    )
+    from eel_spark.streaming import streaming_ivf_sink
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids = train_centroids(emb, n_cells=8, iterations=2)
+    path = str(tmp_path / "ivf_stream_index")
+    init_ivf_index(path, centroids)
+    src = tmp_path / "vec_waves"
+    src.mkdir()
+    for i in range(3):
+        pdf = emb.where(F.col("vec_id") % 3 == i).toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"wave{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_ivf_sink(stream, path, str(tmp_path / "ckpt_ivf"))
+    q.awaitTermination(120)
+
+    queries = emb.where(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    got = ivf_topk_against_index(spark, path, queries, k=5, n_probe=3)
+    want = ivf_topk(emb, queries, centroids, k=5, n_probe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    drift = ivf_drift_report(spark, path).collect()
+    assert len(drift) == 3 and sum(r["n_vectors"] for r in drift) == 500
