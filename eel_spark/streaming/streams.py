@@ -1504,3 +1504,56 @@ def streaming_ivf_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_scd2_enrich_sink(
+    facts: DataFrame,
+    dim_path: str,
+    out_path: str,
+    checkpoint: str,
+    keys,
+    ts_col: str,
+    attrs=None,
+    how: str = "left",
+    n_buckets: int | None = None,
+    bin_days: int | None = None,
+):
+    """Point-in-time enrichment of a FACT STREAM against an SCD2
+    dimension table: each micro-batch joins the version valid at each
+    fact's own ``ts_col`` (operators/scd2.scd2_enrich — the
+    feature-store join that keeps training data leakage-free) and lands
+    in its own ``batch_id`` partition with dynamic overwrite, so a
+    checkpoint replay overwrites exactly its own rows.
+
+    Determinism contract: the dimension is read at PROCESSING time of
+    each micro-batch. A fact arriving before the dimension version
+    covering its timestamp exists is enriched against the best version
+    then visible (NULL attrs under ``how='left'`` if none) — and a
+    REPLAYED batch re-enriches against the CURRENT dimension, which may
+    have since gained that version. Feed the dimension ahead of the
+    facts (the standard stream-static ordering) or rebuild affected
+    spans offline with ``scd2_enrich`` when late dimension data lands;
+    the per-batch overwrite makes either repair idempotent.
+    ``n_buckets``/``bin_days`` pass through to the enrich (bucket-pruned
+    dimension read / binned interval join for deep version chains)."""
+    from eel_spark.operators.scd2 import scd2_enrich
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            scd2_enrich(
+                batch_df, batch_df.sparkSession, dim_path, keys, ts_col,
+                attrs=attrs, how=how, n_buckets=n_buckets, bin_days=bin_days,
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        facts.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1916,3 +1916,79 @@ def test_streaming_ivf_sink_matches_one_shot(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     drift = ivf_drift_report(spark, path).collect()
     assert len(drift) == 3 and sum(r["n_vectors"] for r in drift) == 500
+
+
+def test_streaming_scd2_enrich_sink_matches_batch_enrich(spark, tmp_path):
+    """A 3-wave fact stream enriched point-in-time against a static SCD2
+    dimension ≡ one batch scd2_enrich over the union, and a replayed
+    batch overwrites its own partition instead of duplicating."""
+    import glob
+    import os
+    from datetime import date
+
+    from eel_spark.operators.scd2 import scd2_merge, scd2_enrich
+    from eel_spark.streaming import streaming_scd2_enrich_sink
+
+    dim_path = str(tmp_path / "dim")
+    changes = spark.createDataFrame(
+        [(1, "A", date(2024, 1, 1), 1), (2, "X", date(2024, 1, 1), 2),
+         (1, "B", date(2024, 2, 1), 3), (2, "Y", date(2024, 3, 1), 4)],
+        "k long, seg string, d date, seq long",
+    )
+    scd2_merge(spark, dim_path, changes, "k", ["seg"], "d", ["seq"], n_buckets=4)
+
+    fact_schema = "fact_id long, k long, d date, amount long"
+    waves = [
+        [(10, 1, date(2024, 1, 15), 5), (11, 2, date(2024, 1, 20), 7)],
+        [(12, 1, date(2024, 2, 15), 9), (13, 9, date(2024, 2, 16), 1)],
+        [(14, 2, date(2024, 3, 15), 3), (15, 1, date(2023, 12, 1), 2)],
+    ]
+    in_dir = tmp_path / "facts_in"
+    in_dir.mkdir()
+    for i, rows in enumerate(waves):
+        spark.createDataFrame(rows, fact_schema).coalesce(1).write.parquet(
+            str(in_dir / f"w{i}")
+        )
+    out_path = str(tmp_path / "enriched")
+    facts = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = streaming_scd2_enrich_sink(
+        facts, dim_path, out_path, str(tmp_path / "ck"), "k", "d", n_buckets=4
+    )
+    q.awaitTermination(180)
+
+    def enriched_state():
+        return sorted(
+            (r["fact_id"], r["k"], str(r["d"]), r["amount"], r["seg"])
+            for r in spark.read.parquet(out_path).collect()
+        )
+
+    got = enriched_state()
+    want_df = scd2_enrich(
+        spark.createDataFrame([r for w in waves for r in w], fact_schema),
+        spark, dim_path, "k", "d",
+    )
+    want = sorted(
+        (r["fact_id"], r["k"], str(r["d"]), r["amount"], r["seg"])
+        for r in want_df.collect()
+    )
+    assert got == want and len(got) == 6
+    # unknown key (9) and pre-history fact (2023-12) carry NULL seg
+    segs = {r[0]: r[4] for r in got}
+    assert segs[13] is None and segs[15] is None
+    # point-in-time: fact 10 (Jan) sees A, fact 12 (Feb) sees B
+    assert segs[10] == "A" and segs[12] == "B"
+    # replay: re-run with a fresh checkpoint (same batch ids) — dynamic
+    # overwrite per batch_id partition leaves the output identical
+    q2 = streaming_scd2_enrich_sink(
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*")),
+        dim_path, out_path, str(tmp_path / "ck2"), "k", "d", n_buckets=4,
+    )
+    q2.awaitTermination(180)
+    assert enriched_state() == got
+    assert len(glob.glob(f"{out_path}/batch_id=*")) == 3
