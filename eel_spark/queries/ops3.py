@@ -371,3 +371,59 @@ def sampling_leakage_split(spark: SparkSession, sf_dir: str) -> DataStream:
         hash="md5",
     )
     return DataStream(split.select("doc_id", "split"))
+
+
+# -- robust time-series anomaly report (operators/anomaly) -------------------
+# Ungated (same pytest two-SF oracle discipline). §6 notes: medians of
+# integer counts are exact binary doubles (halves), MADs exact quarters
+# — dev4/mad4 ship them as exact BIGINTs; the flag compares
+# c·(dev/mad) > cutoff with the SAME operation order in both engines
+# (multiply after the divide), so the boolean itself is gated too.
+
+_ANOMALY_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+  FROM b GROUP BY 1
+), d AS (
+  SELECT b.event_type, b.bucket, b.n, abs(CAST(b.n AS DOUBLE) - m.med) AS dev
+  FROM b JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       strftime(d.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       d.n,
+       CAST(round(4 * d.dev) AS BIGINT) AS dev4,
+       CAST(round(4 * md.mad) AS BIGINT) AS mad4,
+       CASE WHEN md.mad = 0 THEN d.dev > 0
+            ELSE 0.6745 * (d.dev / md.mad) > 3.5 END AS is_outlier
+FROM d JOIN md USING (event_type)
+"""
+
+
+@query("anomaly_hourly_events", _ANOMALY_SQL, gated=False)
+def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataStream:
+    """Modified z-score ingest monitoring (operators/anomaly.
+    timeseries_anomalies): hourly event counts per event_type scored
+    against their own series' median/MAD. Every bucket row ships its
+    flag plus exact integer-scaled deviation/MAD, so the oracle gates
+    the order statistics AND the outlier decision."""
+    from eel_spark.operators.anomaly import timeseries_anomalies
+
+    ev = table(spark, sf_dir, "events").df
+    rep = timeseries_anomalies(ev, "ts", by=["event_type"], granularity="hour")
+    return DataStream(
+        rep.select(
+            "event_type",
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            F.round(
+                F.abs(F.col("n").cast("double") - F.col("median")) * 4
+            ).cast("long").alias("dev4"),
+            F.round(F.col("mad") * 4).cast("long").alias("mad4"),
+            "is_outlier",
+        )
+    )

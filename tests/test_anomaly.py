@@ -1,0 +1,107 @@
+"""Robust (median/MAD) outlier detection: modified z-score vs a from-
+scratch Python reference, degenerate MAD=0 groups, the time-series
+report, and the approx path."""
+
+from __future__ import annotations
+
+import statistics
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_spark.operators.anomaly import robust_outliers, timeseries_anomalies
+
+
+def _py_modz(values, cutoff=3.5, c=0.6745):
+    med = statistics.median(values)
+    devs = [abs(v - med) for v in values]
+    mad = statistics.median(devs)
+    out = []
+    for v, d in zip(values, devs):
+        if mad == 0:
+            out.append((med, mad, None, d > 0))
+        else:
+            z = c * d / mad
+            out.append((med, mad, z, z > cutoff))
+    return out
+
+
+def test_robust_outliers_matches_python_reference(spark):
+    groups = {
+        "a": [10.0, 11.0, 9.0, 10.5, 10.0, 9.5, 250.0, 10.0],     # one spike
+        "b": [5.0, 5.0, 5.0, 5.0, 7.0],                           # MAD = 0
+        "c": [1.0, 2.0, 3.0, 4.0],                                # even count
+    }
+    rows = [(g, i, v) for g, vs in groups.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    got = {
+        (r["g"], r["i"]): (r["median"], r["mad"], r["mod_z"], r["is_outlier"])
+        for r in robust_outliers(df, "v", by=["g"]).collect()
+    }
+    for g, vs in groups.items():
+        for i, (med, mad, z, flag) in enumerate(_py_modz(vs)):
+            gmed, gmad, gz, gflag = got[(g, i)]
+            assert gmed == med and gmad == mad, (g, i)
+            assert (gz is None) == (z is None)
+            if z is not None:
+                assert abs(gz - z) < 1e-12
+            assert gflag == flag, (g, i)
+    # the spike is the only flagged row in group a; b flags only the 7
+    flagged = {k for k, v in got.items() if v[3]}
+    assert flagged == {("a", 6), ("b", 4)}
+
+
+def test_robust_outliers_global_nulls_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 11.0), (4, 9.0), (5, 500.0), (6, None)],
+        "i int, v double",
+    )
+    got = {r["i"]: (r["mod_z"], r["is_outlier"])
+           for r in robust_outliers(df, "v").collect()}
+    assert got[5][1] is True
+    assert got[6] == (None, None)  # NULL value passes through unflagged
+    assert {i for i, (_, f) in got.items() if f} == {5}
+    with pytest.raises(ValueError, match="positive"):
+        robust_outliers(df, "v", c=0.0)
+    with pytest.raises(ValueError, match="already exist"):
+        robust_outliers(df.withColumn("mad", F.lit(1)), "v")
+
+
+def test_timeseries_anomalies_flags_spike_hour(spark):
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 500 if h == 13 else 10 + (h % 3)  # hour 13 spikes 50x
+        for _ in range(n):
+            rows.append((eid, "click", base + timedelta(hours=h, minutes=1)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, et string, ts timestamp")
+    rep = timeseries_anomalies(df, "ts", by=["et"], granularity="hour")
+    flagged = [
+        (str(r["bucket_start"]), r["n"])
+        for r in rep.filter("is_outlier").collect()
+    ]
+    assert flagged == [("2024-01-01 13:00:00", 500)]
+    assert rep.count() == 24
+    # sum measure instead of count
+    df2 = df.withColumn("amount", F.lit(2.0))
+    rep2 = timeseries_anomalies(
+        df2, "ts", by=["et"], granularity="hour",
+        measure=F.sum("amount"), measure_name="total",
+    )
+    assert [
+        r["total"] for r in rep2.filter("is_outlier").collect()
+    ] == [1000.0]
+
+
+def test_robust_outliers_approx_path_agrees_on_clear_spike(spark):
+    df = spark.createDataFrame(
+        [(i, 10.0 + (i % 5) * 0.1) for i in range(1000)] + [(1000, 9999.0)],
+        "i long, v double",
+    )
+    ex = robust_outliers(df, "v")
+    ap = robust_outliers(df, "v", exact=False)
+    assert [r["i"] for r in ex.filter("is_outlier").collect()] == [1000]
+    assert [r["i"] for r in ap.filter("is_outlier").collect()] == [1000]

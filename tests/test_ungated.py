@@ -60,7 +60,13 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # ln()-bearing score formula is verified in tests/test_retrieval.py.
 # sampling_leakage_split gates leakage_safe_split per-doc: the oracle
 # re-derives exact-dup cluster reps AND the md5 split independently.
-EXTRA_ORACLED = {"text_bm25_stats", "sampling_leakage_split"}
+# anomaly_hourly_events gates the modified-z-score report per bucket —
+# exact integer-scaled median/MAD deviations plus the flag itself.
+EXTRA_ORACLED = {
+    "text_bm25_stats",
+    "sampling_leakage_split",
+    "anomaly_hourly_events",
+}
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
 
