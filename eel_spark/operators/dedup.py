@@ -12,6 +12,8 @@ band keys, no driver-side state, no Python in the hot path).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1198,3 +1200,78 @@ def dedup_paragraphs(
         text_col,
         F.when(F.col("__rm").isNull(), F.col(text_col)).otherwise(rebuilt),
     ).drop("__rm")
+
+
+def split_contamination_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str = "split",
+    eval_splits: Sequence[str] | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cross-split contamination detail: every (corpus doc, eval doc)
+    pair in DIFFERENT splits sharing ≥ ``min_shared`` word ``n``-grams —
+    the post-split audit that :func:`ngram_contamination` is pre-split.
+    A non-empty result means eval scores are inflated: near-copies of
+    eval material sit in train (fix the split with
+    ``sampling.leakage_safe_split`` over these pairs, or drop the
+    contaminated train docs).
+
+    ``eval_splits`` names the held-out splits (e.g. ``["val","test"]``)
+    — they are the BROADCAST side, small by construction (that is what
+    makes this one corpus pass with no corpus-side shuffle, exactly the
+    ngram_contamination shape). Same-split shared n-grams are benign
+    and excluded. Returns (corpus id, corpus split, eval id, eval
+    split, n_shared_ngrams).
+    """
+    if not eval_splits:
+        raise ValueError("eval_splits must name at least one held-out split")
+    ev = list(dict.fromkeys(eval_splits))
+
+    def sh(d: DataFrame, id_out: str, split_out: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(id_out),
+            F.col(split_col).alias(split_out),
+            F.explode(hashes.shingles(text_col, n)).alias("__sh"),
+        ).select(id_out, split_out, F.xxhash64("__sh").alias("__h"))
+
+    corpus_sh = sh(ensure_parallelism(df), "corpus_id", "corpus_split")
+    eval_sh = F.broadcast(
+        sh(df.where(F.col(split_col).isin(ev)), "eval_id", "eval_split")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(eval_sh, "__h")
+        .filter(F.col("corpus_split") != F.col("eval_split"))
+        .groupBy("corpus_id", "corpus_split", "eval_id", "eval_split")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )
+
+
+def split_contamination_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str = "split",
+    eval_splits: Sequence[str] | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Aggregate of :func:`split_contamination_pairs` per split pair:
+    (corpus_split, eval_split, n_pairs, n_corpus_docs, n_eval_docs).
+    At most |splits|² rows — the dashboard number; an empty report is
+    the green light."""
+    return (
+        split_contamination_pairs(
+            df, text_col, id_col, split_col, eval_splits, n, min_shared
+        )
+        .groupBy("corpus_split", "eval_split")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("corpus_id").alias("n_corpus_docs"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )

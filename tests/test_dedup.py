@@ -647,3 +647,90 @@ def test_dedup_paragraphs_within_doc(spark):
     )
     got = dedup_paragraphs(df, "text", "id").collect()[0]["text"]
     assert got == f"{p}\n\nmiddle filler paragraph that is long enough to count"
+
+
+# -- cross-split contamination audit (r11) ------------------------------------
+
+
+def _split_corpus(spark):
+    """Docs with a planted 13-gram overlap straddling train/test, one
+    inside train only, and clean docs."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    rows = [
+        (1, f"intro {shared} outro one", "train"),
+        (2, f"prefix {shared} suffix two", "test"),       # contaminates vs 1
+        (3, f"another {shared} body three", "train"),     # same-split vs 1 — benign
+        (4, "totally unrelated words " + " ".join(f"w{i}" for i in range(20)), "test"),
+        (5, "clean doc " + " ".join(f"v{i}" for i in range(20)), "val"),
+        (6, f"val copy {shared} tail six", "val"),        # contaminates vs 1,3 and 2
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, split: string")
+
+
+def test_split_contamination_pairs_and_report(spark):
+    from eel_spark.operators.dedup import (
+        split_contamination_pairs,
+        split_contamination_report,
+    )
+
+    df = _split_corpus(spark)
+    pairs = split_contamination_pairs(
+        df, "text", "doc_id", eval_splits=["test", "val"]
+    )
+    got = {
+        (r["corpus_id"], r["eval_id"]): (r["corpus_split"], r["eval_split"])
+        for r in pairs.collect()
+    }
+    # train docs 1,3 each hit eval docs 2 (test) and 6 (val); eval docs
+    # 2 and 6 also hit EACH OTHER (both directions: each is in the
+    # corpus side too); same-split 1-3 and self pairs never appear
+    assert set(got) == {(1, 2), (3, 2), (1, 6), (3, 6), (2, 6), (6, 2)}
+    assert got[(1, 2)] == ("train", "test") and got[(6, 2)] == ("val", "test")
+    rep = {
+        (r["corpus_split"], r["eval_split"]): (
+            r["n_pairs"], r["n_corpus_docs"], r["n_eval_docs"]
+        )
+        for r in split_contamination_report(
+            df, "text", "doc_id", eval_splits=["test", "val"]
+        ).collect()
+    }
+    assert rep == {
+        ("train", "test"): (2, 2, 1),
+        ("train", "val"): (2, 2, 1),
+        ("val", "test"): (1, 1, 1),
+        ("test", "val"): (1, 1, 1),
+    }
+    # min_shared above the planted single shingle run empties the report
+    assert split_contamination_pairs(
+        df, "text", "doc_id", eval_splits=["test"], min_shared=50
+    ).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="eval_splits"):
+        split_contamination_pairs(df, "text", "doc_id")
+
+
+def test_contamination_pairs_feed_leakage_safe_resplit(spark):
+    """The end-to-end fix: audit finds cross-split n-gram pairs → re-split
+    with leakage_safe_split over those pairs → audit comes back empty."""
+    from eel_spark.operators.dedup import (
+        split_contamination_pairs,
+        split_contamination_report,
+    )
+    from eel_spark.operators.sampling import leakage_safe_split
+
+    df = _split_corpus(spark)
+    pairs = split_contamination_pairs(
+        df, "text", "doc_id", eval_splits=["test", "val"]
+    ).select(
+        F.col("corpus_id").alias("id_a"), F.col("eval_id").alias("id_b")
+    )
+    resplit = leakage_safe_split(
+        df.drop("split"),
+        {"train": 0.6, "val": 0.2, "test": 0.2},
+        "doc_id",
+        pairs=pairs,
+        seed=1,
+    )
+    assert split_contamination_report(
+        resplit, "text", "doc_id", eval_splits=["test", "val"]
+    ).count() == 0
