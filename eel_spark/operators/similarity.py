@@ -834,6 +834,11 @@ def append_ivf_batch(
     spark = batch_df.sparkSession
     root = path.rstrip("/")
     centroids = read_ivf_centroids(spark, path)
+    # the index's dimension is the centroids' — a one-row driver probe
+    # (the bq_topk convention); packed sign sketches ride along in the
+    # postings (1/32 the vector bytes) so ivf_bq_topk_against_index can
+    # Hamming-prefilter inside probed cells without a second store
+    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
     mark = pins_mark()
     try:
         assigned = pin(
@@ -847,14 +852,16 @@ def append_ivf_batch(
                 centroids,
                 "vec",
                 dist_col="__cdist",
-            ).withColumn("__cell_kp", _cell_kp_col())
+            )
+            .withColumn("__cell_kp", _cell_kp_col())
+            .withColumn("sig", vectors.pack_sign_bits(F.col("vec"), dim))
         )
         new_kps = {
             r["__cell_kp"]
             for r in assigned.select("__cell_kp").distinct().collect()
         }
         (
-            assigned.select("id", "vec", "cell_id", "__cell_kp")
+            assigned.select("id", "vec", "sig", "cell_id", "__cell_kp")
             .withColumn("__src_batch", F.lit(int(src_batch)))
             .sortWithinPartitions("__cell_kp", "cell_id")
             .write.mode("overwrite")
@@ -883,18 +890,27 @@ def append_ivf_batch(
         release_pins_since(mark)
 
 
-def read_ivf_postings(spark, path: str, cells: Sequence[int] | None = None) -> DataFrame:
-    """Stored postings (id, vec, cell_id). ``cells`` prunes the read to
-    the probed cells: partition pruning on ``__cell_kp`` (kp set derived
-    driver-side — no Spark job) plus a ``cell_id`` predicate the sorted
-    files answer with row-group min/max."""
+def read_ivf_postings(
+    spark, path: str, cells: Sequence[int] | None = None,
+    with_sig: bool = False,
+) -> DataFrame:
+    """Stored postings (id, vec, cell_id; + the packed sign sketch with
+    ``with_sig``). ``cells`` prunes the read to the probed cells:
+    partition pruning on ``__cell_kp`` (kp set derived driver-side — no
+    Spark job) plus a ``cell_id`` predicate the sorted files answer with
+    row-group min/max."""
     df = spark.read.parquet(f"{path.rstrip('/')}/postings")
+    if with_sig and "sig" not in df.columns:
+        raise ValueError(
+            f"index at {path} predates stored sign sketches — re-append "
+            "its batches (or rebuild) to use the BQ-prefiltered path"
+        )
     if cells is not None:
         cl = sorted({int(c) for c in cells})
         df = df.where(
             F.col("__cell_kp").isin(_ivf_kps(cl)) & F.col("cell_id").isin(cl)
         )
-    return df.select("id", "vec", "cell_id")
+    return df.select("id", "vec", *(["sig"] if with_sig else []), "cell_id")
 
 
 def ivf_topk_against_index(
@@ -933,6 +949,69 @@ def ivf_topk_against_index(
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     return _topk_per_query(scored, query_id_col, id_col, k)
+
+
+def ivf_bq_topk_against_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 8,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The composed 100 TB query path over the incremental index: IVF
+    bounds WHICH postings a query touches (probed cells only, partition-
+    pruned), the stored sign sketch bounds WHAT each touch costs — stage
+    1 compares 8 bytes per 64 dims (xor + bit_count on the ``sig``
+    column), keeps ``refine·k`` Hamming survivors per query via the
+    salted top-k, stage 2 reranks only the survivors by exact cosine.
+    Result format and tie-breaks match :func:`ivf_topk_against_index`;
+    only stage-1 misses cost recall (recall-floor tested; raise
+    ``refine`` or ``n_probe`` to trade cost for recall)."""
+    centroids = read_ivf_centroids(spark, path)
+    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
+    probed_cells = [
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    ]
+    corpus = ensure_parallelism(
+        read_ivf_postings(spark, path, cells=probed_cells, with_sig=True)
+    ).select(
+        F.col("id").alias("__id"), F.col("vec").alias("__v"), "sig", "cell_id"
+    )
+    qsig = probes.withColumn("__qsig", vectors.pack_sign_bits(F.col("__qv"), dim))
+    ham = qsig.join(corpus, "cell_id").select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        vectors.hamming(F.col("sig"), F.col("__qsig")).alias("hamming"),
+    )
+    if exclude_self:
+        ham = ham.filter(F.col(id_col) != F.col(query_id_col))
+    cands = _topk_per_query(
+        ham, query_id_col, id_col, refine * k,
+        value_col="hamming", ascending=True,
+    ).select(F.col(query_id_col).alias("__cqid"), F.col(id_col).alias("__cid"))
+    # survivors are bounded (|queries|·refine·k rows): broadcast them into
+    # the postings join so float vectors are read only for survivors
+    q = queries_df.select(
+        F.col(query_id_col).alias("__cqid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    rerank = (
+        read_ivf_postings(spark, path, cells=probed_cells)
+        .join(F.broadcast(cands), F.col("id") == F.col("__cid"))
+        .join(F.broadcast(q), "__cqid")
+        .select(
+            F.col("__cqid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            vectors.cosine(F.col("vec"), F.col("__qv")).alias("cos"),
+        )
+    )
+    return _topk_per_query(rerank, query_id_col, id_col, k)
 
 
 def ivf_drift_report(spark, path: str) -> DataFrame:
@@ -992,9 +1071,12 @@ def compact_ivf_index(spark, path: str) -> None:
                 f"compact_ivf_index: could not restore staged postings "
                 f"{store}__old after an interrupted compaction"
             )
+    raw = spark.read.parquet(store)
+    keep = ["id", "vec"] + (["sig"] if "sig" in raw.columns else []) + [
+        "cell_id", "__cell_kp",
+    ]
     compacted = (
-        spark.read.parquet(store)
-        .select("id", "vec", "cell_id", "__cell_kp")
+        raw.select(*keep)
         .withColumn("__src_batch", F.lit(-1))
         .repartition("__cell_kp")
         .sortWithinPartitions("__cell_kp", "cell_id")

@@ -622,3 +622,57 @@ def test_ivf_index_report_and_validation(spark, ivf_index, tmp_path):
     bad = centroids.withColumn("cell_id", F.lit(-1))
     with _pytest.raises(ValueError, match="non-negative"):
         init_ivf_index(str(tmp_path / "bad"), bad)
+
+
+def test_ivf_bq_against_index_full_params_equals_plain_and_recall(spark, ivf_index):
+    """With refine covering the probed candidate pool the BQ-prefiltered
+    path equals the plain index path exactly; at default refine it keeps
+    high recall on the planted clusters."""
+    from eel_spark.operators.similarity import (
+        ivf_bq_topk_against_index,
+        ivf_topk_against_index,
+    )
+
+    path, _, _ = ivf_index
+    q = _queries(spark)
+    plain = ivf_topk_against_index(spark, path, q, k=5, n_probe=3)
+    full = ivf_bq_topk_against_index(
+        spark, path, q, k=5, n_probe=3, refine=50
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    fast = ivf_bq_topk_against_index(spark, path, q, k=5, n_probe=3)
+    want = {(r["query_id"], r["vec_id"]) for r in plain.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in fast.collect()}
+    assert len(got & want) / len(want) >= 0.8
+
+
+def test_ivf_bq_against_index_survives_compaction_and_gates_legacy(spark, ivf_index, tmp_path):
+    import pyspark.sql.utils  # noqa: F401
+    import pytest as _pytest
+
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_bq_topk_against_index,
+        read_ivf_postings,
+    )
+
+    path, _, _ = ivf_index
+    q = _queries(spark)
+    before = sorted(
+        map(tuple, ivf_bq_topk_against_index(spark, path, q, k=5, refine=50).collect())
+    )
+    compact_ivf_index(spark, path)
+    assert sorted(
+        map(tuple, ivf_bq_topk_against_index(spark, path, q, k=5, refine=50).collect())
+    ) == before
+    # a store without the sig column fails the BQ path loudly
+    legacy = str(tmp_path / "legacy")
+    read_ivf_postings(spark, path).withColumn(
+        "__src_batch", F.lit(0)
+    ).withColumn("__cell_kp", F.pmod(F.col("cell_id"), F.lit(16)).cast("int")).write.partitionBy(
+        "__src_batch", "__cell_kp"
+    ).parquet(f"{legacy}/postings")
+    with _pytest.raises(ValueError, match="sign sketches"):
+        read_ivf_postings(spark, legacy, with_sig=True)
