@@ -68,9 +68,24 @@ def robust_outliers(
     v = F.col(value_col).cast("double")
 
     def _join(base: DataFrame, agg: DataFrame) -> DataFrame:
-        if keys:
-            return base.join(agg, keys, "left")
-        return base.crossJoin(F.broadcast(agg))
+        if not keys:
+            return base.crossJoin(F.broadcast(agg))
+        # NULL-SAFE key equality: groupBy treats NULL as a real group (a
+        # NULL-keyed series is still a series — e.g. events missing a
+        # source tag), but a plain equi-join would drop its median back-
+        # join and silently never flag it. Alias the agg's keys and join
+        # on <=> so the NULL group scores like any other.
+        agg2 = agg.select(
+            *[F.col(k).alias(f"{med_c}_k{i}") for i, k in enumerate(keys)],
+            *[c for c in agg.columns if c not in keys],
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            piece = base[k].eqNullSafe(agg2[f"{med_c}_k{i}"])
+            cond = piece if cond is None else (cond & piece)
+        return base.join(agg2, cond, "left").drop(
+            *[f"{med_c}_k{i}" for i in range(len(keys))]
+        )
 
     med = (df.groupBy(*keys) if keys else df.groupBy()).agg(
         pct(v, F.lit(0.5)).alias(med_c)

@@ -423,12 +423,11 @@ def append_bm25_stats_batch(
             .partitionBy("__src_batch", "__term_kp")
             .parquet(path)
         )
-        ops = HdfsOps(batch_df.sparkSession)
-        batch_root = f"{path.rstrip('/')}/__src_batch={int(src_batch)}"
-        for st in ops.list_status(f"{batch_root}/__term_kp=*"):
-            kp = int(st["name"].split("=", 1)[1])
-            if kp not in new_kps:
-                ops.delete(st["path"], recursive=True)
+        HdfsOps(batch_df.sparkSession).reap_stale_kp_dirs(
+            f"{path.rstrip('/')}/__src_batch={int(src_batch)}",
+            "__term_kp",
+            new_kps,
+        )
     finally:
         release_pins_since(mark)
 
@@ -492,62 +491,45 @@ def compact_bm25_stats(spark, path: str) -> None:
     compactors). Crash recovery: the swap stages the old store at
     ``<path>__old`` before moving the compacted one in; if a crash
     lands between the two renames, the next call restores the staged
-    store and re-compacts."""
-    tmp = path.rstrip("/") + "__compacting"
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p_old = jvm.org.apache.hadoop.fs.Path(path)
-    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
-    fs = p_old.getFileSystem(conf)
-    if not fs.exists(p_old) and fs.exists(trash):
-        # a previous compaction crashed between its two renames: the
-        # authoritative store is the staged copy — restore and proceed
-        if not fs.rename(trash, p_old):
-            raise IOError(
-                f"compact_bm25_stats: could not restore staged store "
-                f"{path}__old after an interrupted compaction"
+    store and re-compacts. The restore/stage/swap mechanics live in
+    ``sources/hdfs.staged_swap`` (shared with ``compact_ivf_index``)."""
+    from eel_spark.sources.hdfs import staged_swap
+
+    store = path.rstrip("/")
+
+    def rewrite(tmp: str) -> None:
+        raw = spark.read.parquet(store)
+        dfreq = (
+            raw.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .select(
+                "term", "df",
+                F.lit(None).cast("long").alias("n_docs"),
+                F.lit(None).cast("long").alias("sum_dl"),
             )
-    raw = spark.read.parquet(path)
-    dfreq = (
-        raw.where(F.col("term").isNotNull())
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .select(
-            "term", "df",
-            F.lit(None).cast("long").alias("n_docs"),
-            F.lit(None).cast("long").alias("sum_dl"),
         )
-    )
-    totals = raw.where(F.col("term").isNull()).agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    ).select(
-        F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast("long").alias("df"),
-        "n_docs", "sum_dl",
-    )
-    compacted = (
-        dfreq.unionByName(totals)
-        .withColumn("__src_batch", F.lit(-1))
-        # always emit the r11 term-hash layout: compaction doubles as the
-        # migration path for pre-r11 stores written without __term_kp
-        .withColumn("__term_kp", _term_kp_col())
-        .sortWithinPartitions("__term_kp", "term")
-    )
-    # stage under the store root (same filesystem → atomic-ish swap via
-    # rename), then replace: a static overwrite of the root would
-    # truncate before writing and a crash would lose the store
-    compacted.write.mode("overwrite").partitionBy(
-        "__src_batch", "__term_kp"
-    ).parquet(tmp)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(trash, True)
-    if not fs.rename(p_old, trash):
-        raise IOError(f"compact_bm25_stats: could not stage {path} aside")
-    if not fs.rename(p_tmp, p_old):
-        fs.rename(trash, p_old)  # roll back
-        raise IOError(f"compact_bm25_stats: could not swap in {tmp}")
-    fs.delete(trash, True)
+        totals = raw.where(F.col("term").isNull()).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        ).select(
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("df"),
+            "n_docs", "sum_dl",
+        )
+        (
+            dfreq.unionByName(totals)
+            .withColumn("__src_batch", F.lit(-1))
+            # always emit the r11 term-hash layout: compaction doubles as
+            # the migration path for pre-r11 stores without __term_kp
+            .withColumn("__term_kp", _term_kp_col())
+            .sortWithinPartitions("__term_kp", "term")
+            .write.mode("overwrite")
+            .partitionBy("__src_batch", "__term_kp")
+            .parquet(tmp)
+        )
+
+    staged_swap(spark, store, rewrite)
 
 
 def _against_stats_components(

@@ -852,16 +852,31 @@ def append_ivf_batch(
                 centroids,
                 "vec",
                 dist_col="__cdist",
-            )
-            .withColumn("__cell_kp", _cell_kp_col())
-            .withColumn("sig", vectors.pack_sign_bits(F.col("vec"), dim))
+            ).withColumn("__cell_kp", _cell_kp_col())
         )
+        # the ONE invariant the index knows is its dimension — a wave
+        # from a different embedding model would otherwise be assigned
+        # by prefix distance (zip_with truncates) and its sign sketch
+        # would ANSI-error (too short) or truncate (too long), poisoning
+        # the store. Checked BEFORE the sketch projection so the error
+        # is this message, not an element_at index error.
+        bad = assigned.where(
+            F.coalesce(F.size("vec"), F.lit(-1)) != dim
+        ).select("id", F.size("vec").alias("got")).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"append_ivf_batch: vector dim {bad[0]['got']} (id "
+                f"{bad[0]['id']}) != index dim {dim} — wrong embedding "
+                "model for this index"
+            )
         new_kps = {
             r["__cell_kp"]
             for r in assigned.select("__cell_kp").distinct().collect()
         }
         (
-            assigned.select("id", "vec", "sig", "cell_id", "__cell_kp")
+            assigned.withColumn(
+                "sig", vectors.pack_sign_bits(F.col("vec"), dim)
+            ).select("id", "vec", "sig", "cell_id", "__cell_kp")
             .withColumn("__src_batch", F.lit(int(src_batch)))
             .sortWithinPartitions("__cell_kp", "cell_id")
             .write.mode("overwrite")
@@ -869,12 +884,11 @@ def append_ivf_batch(
             .partitionBy("__src_batch", "__cell_kp")
             .parquet(f"{root}/postings")
         )
-        ops = HdfsOps(spark)
-        batch_root = f"{root}/postings/__src_batch={int(src_batch)}"
-        for st in ops.list_status(f"{batch_root}/__cell_kp=*"):
-            kp = int(st["name"].split("=", 1)[1])
-            if kp not in new_kps:
-                ops.delete(st["path"], recursive=True)
+        HdfsOps(spark).reap_stale_kp_dirs(
+            f"{root}/postings/__src_batch={int(src_batch)}",
+            "__cell_kp",
+            new_kps,
+        )
         (
             assigned.agg(
                 F.count(F.lit(1)).alias("n_vectors"),
@@ -899,7 +913,15 @@ def read_ivf_postings(
     partition pruning on ``__cell_kp`` (kp set derived driver-side — no
     Spark job) plus a ``cell_id`` predicate the sorted files answer with
     row-group min/max."""
-    df = spark.read.parquet(f"{path.rstrip('/')}/postings")
+    # mergeSchema: on a MIXED store (pre-sketch batches + re-appended
+    # sketch-bearing ones) plain schema inference picks one file's
+    # schema nondeterministically — sig would vanish or appear by
+    # coin-flip; merged, legacy rows read as sig=NULL deterministically
+    # (the BQ path degrades them instead of mis-ranking, see
+    # ivf_bq_topk_against_index)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{path.rstrip('/')}/postings"
+    )
     if with_sig and "sig" not in df.columns:
         raise ValueError(
             f"index at {path} predates stored sign sketches — re-append "
@@ -984,10 +1006,19 @@ def ivf_bq_topk_against_index(
         F.col("id").alias("__id"), F.col("vec").alias("__v"), "sig", "cell_id"
     )
     qsig = probes.withColumn("__qsig", vectors.pack_sign_bits(F.col("__qv"), dim))
+    # legacy rows on a mixed store read as sig = NULL (mergeSchema):
+    # coalesce their Hamming to an impossible worst so they rank LAST —
+    # ascending order is NULLS FIRST, which would let un-sketched rows
+    # consume every refine·k slot and silently displace real candidates.
+    # They degrade to prefilter-invisible (the plain path still finds
+    # them) rather than poisoning the ranking.
     ham = qsig.join(corpus, "cell_id").select(
         F.col("__qid").alias(query_id_col),
         F.col("__id").alias(id_col),
-        vectors.hamming(F.col("sig"), F.col("__qsig")).alias("hamming"),
+        F.coalesce(
+            vectors.hamming(F.col("sig"), F.col("__qsig")),
+            F.lit(1 << 30),
+        ).alias("hamming"),
     )
     if exclude_self:
         ham = ham.filter(F.col(id_col) != F.col(query_id_col))
@@ -1057,38 +1088,27 @@ def compact_ivf_index(spark, path: str) -> None:
     rows (here: re-appends its postings — idempotent per batch id).
     Per-batch drift rows in assign_stats are kept (compaction does not
     rewrite history's drift signal)."""
-    root = path.rstrip("/")
-    store = f"{root}/postings"
-    tmp = store + "__compacting"
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p_old = jvm.org.apache.hadoop.fs.Path(store)
-    trash = jvm.org.apache.hadoop.fs.Path(store + "__old")
-    fs = p_old.getFileSystem(conf)
-    if not fs.exists(p_old) and fs.exists(trash):
-        if not fs.rename(trash, p_old):
-            raise IOError(
-                f"compact_ivf_index: could not restore staged postings "
-                f"{store}__old after an interrupted compaction"
-            )
-    raw = spark.read.parquet(store)
-    keep = ["id", "vec"] + (["sig"] if "sig" in raw.columns else []) + [
-        "cell_id", "__cell_kp",
-    ]
-    compacted = (
-        raw.select(*keep)
-        .withColumn("__src_batch", F.lit(-1))
-        .repartition("__cell_kp")
-        .sortWithinPartitions("__cell_kp", "cell_id")
-    )
-    compacted.write.mode("overwrite").partitionBy(
-        "__src_batch", "__cell_kp"
-    ).parquet(tmp)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(trash, True)
-    if not fs.rename(p_old, trash):
-        raise IOError(f"compact_ivf_index: could not stage {store} aside")
-    if not fs.rename(p_tmp, p_old):
-        fs.rename(trash, p_old)  # roll back
-        raise IOError(f"compact_ivf_index: could not swap in {tmp}")
-    fs.delete(trash, True)
+    from eel_spark.sources.hdfs import staged_swap
+
+    store = f"{path.rstrip('/')}/postings"
+
+    def rewrite(tmp: str) -> None:
+        # mergeSchema: a mixed pre-/post-sketch store must not lose the
+        # sig column to a schema-inference coin flip — merged, legacy
+        # rows compact with sig = NULL (still degraded-not-poisonous in
+        # the BQ path; re-append them to backfill sketches)
+        raw = spark.read.option("mergeSchema", "true").parquet(store)
+        keep = ["id", "vec"] + (["sig"] if "sig" in raw.columns else []) + [
+            "cell_id", "__cell_kp",
+        ]
+        (
+            raw.select(*keep)
+            .withColumn("__src_batch", F.lit(-1))
+            .repartition("__cell_kp")
+            .sortWithinPartitions("__cell_kp", "cell_id")
+            .write.mode("overwrite")
+            .partitionBy("__src_batch", "__cell_kp")
+            .parquet(tmp)
+        )
+
+    staged_swap(spark, store, rewrite)

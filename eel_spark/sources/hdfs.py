@@ -119,6 +119,23 @@ class HdfsOps:
         FsPermission = self._jvm.org.apache.hadoop.fs.permission.FsPermission
         self._fs(path).setPermission(self._path(path), FsPermission(octal))
 
+    def reap_stale_kp_dirs(
+        self, batch_root: str, kp_name: str, live_kps: set[int]
+    ) -> None:
+        """Post-commit reap for the key-hash-partitioned increment
+        stores (BM25 term store, IVF postings): delete this batch's
+        ``<kp_name>=K`` sub-dirs whose K is not in ``live_kps``, so
+        replaying (or re-submitting corrected data under) a batch id
+        converges to exactly its rows — a two-level dynamic overwrite
+        alone would leave vacated kp dirs behind forever. The one
+        crash window — after the write's commit, before this reap —
+        degrades to transient stale rows (repaired by the batch's next
+        replay), never to data loss."""
+        for st in self.list_status(f"{batch_root}/{kp_name}=*"):
+            kp = int(st["name"].split("=", 1)[1])
+            if kp not in live_kps:
+                self.delete(st["path"], recursive=True)
+
     def list_status(self, pattern: str) -> list[dict]:
         """Glob-expand ``pattern`` and return one metadata dict per match
         (FilePattern.scala globbing + HdfsSource.scala's status surface)."""
@@ -189,3 +206,39 @@ class HdfsWatcher:
             polls += 1
             if max_polls is None or polls < max_polls:
                 time.sleep(interval_sec)
+
+
+def staged_swap(spark: SparkSession, store: str, write_fn) -> None:
+    """Crash-safe whole-store replacement, shared by the increment-store
+    compactors (``compact_bm25_stats``, ``compact_ivf_index``): a static
+    overwrite of the store root would truncate before writing, so a
+    crash mid-write loses the store. Instead:
+
+    1. If a PRIOR swap was interrupted between its two renames (store
+       missing, ``<store>__old`` present) the staged-aside copy is
+       authoritative — restore it first.
+    2. ``write_fn(tmp)`` builds the replacement at
+       ``<store>__compacting`` (same filesystem → rename-able); it may
+       read the (restored) store freely.
+    3. Swap: store → ``__old``, tmp → store (rolled back if the second
+       rename fails), then drop ``__old``.
+
+    Run OFFLINE relative to appenders — data landing in the store
+    between write_fn's read and the swap is destroyed by it (the
+    documented compactor contract)."""
+    tmp = store + "__compacting"
+    ops = HdfsOps(spark)
+    if not ops.exists(store) and ops.exists(store + "__old"):
+        if not ops.rename(store + "__old", store):
+            raise IOError(
+                f"staged_swap: could not restore staged store "
+                f"{store}__old after an interrupted swap"
+            )
+    write_fn(tmp)
+    ops.delete(store + "__old", recursive=True)
+    if not ops.rename(store, store + "__old"):
+        raise IOError(f"staged_swap: could not stage {store} aside")
+    if not ops.rename(tmp, store):
+        ops.rename(store + "__old", store)  # roll back
+        raise IOError(f"staged_swap: could not swap in {tmp}")
+    ops.delete(store + "__old", recursive=True)

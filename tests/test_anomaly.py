@@ -105,3 +105,18 @@ def test_robust_outliers_approx_path_agrees_on_clear_spike(spark):
     ap = robust_outliers(df, "v", exact=False)
     assert [r["i"] for r in ex.filter("is_outlier").collect()] == [1000]
     assert [r["i"] for r in ap.filter("is_outlier").collect()] == [1000]
+
+
+def test_robust_outliers_scores_null_group_key(spark):
+    """A NULL group key is a real series (groupBy keeps it) — the
+    median/MAD back-join must be null-safe so its spike still flags."""
+    rows = [("src", i, 10.0) for i in range(6)] + [("src", 6, 11.0)]
+    rows += [(None, i, 20.0) for i in range(6)] + [(None, 6, 900.0)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    got = {
+        (r["g"], r["i"]): r["is_outlier"]
+        for r in robust_outliers(df, "v", by=["g"]).collect()
+    }
+    assert got[(None, 6)] is True          # the NULL series' spike flags
+    assert got[(None, 0)] is False
+    assert got[("src", 6)] is True and got[("src", 0)] is False

@@ -676,3 +676,73 @@ def test_ivf_bq_against_index_survives_compaction_and_gates_legacy(spark, ivf_in
     ).parquet(f"{legacy}/postings")
     with _pytest.raises(ValueError, match="sign sketches"):
         read_ivf_postings(spark, legacy, with_sig=True)
+
+
+def test_ivf_append_rejects_wrong_dimension_wave(spark, ivf_index):
+    """A wave from a different embedding model (wrong dim) must fail
+    loudly instead of silently poisoning the store with prefix-distance
+    assignments and NULL-padded sketches."""
+    import pytest as _pytest
+
+    from eel_spark.operators.similarity import append_ivf_batch, read_ivf_postings
+
+    path, _, _ = ivf_index
+    wrong = spark.createDataFrame(
+        [(900, [0.1, 0.2, 0.3])], "vec_id: long, embedding: array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        append_ivf_batch(path, wrong, src_batch=9)
+    assert not any(
+        r["id"] == 900 for r in read_ivf_postings(spark, path).collect()
+    )
+
+
+def test_ivf_bq_mixed_store_degrades_legacy_rows_not_ranking(spark, ivf_index):
+    """Legacy (pre-sketch) rows on a mixed store read as sig=NULL under
+    mergeSchema and must rank LAST in the Hamming stage — never consume
+    candidate slots ahead of sketch-bearing near neighbors — while the
+    plain path still serves them; compaction keeps the sig column."""
+    import glob
+
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_bq_topk_against_index,
+        ivf_topk_against_index,
+        read_ivf_postings,
+    )
+
+    path, _, _ = ivf_index
+    # plant a legacy batch by writing sig-less postings directly (the
+    # pre-sketch layout) for vectors FAR from every centroid direction
+    legacy_rows = _wave_rows(range(400, 404), seeds=(37,))
+    legacy = spark.createDataFrame(
+        legacy_rows, "id: long, vec: array<double>"
+    ).withColumn("cell_id", F.lit(0).cast("long")).withColumn(
+        "__src_batch", F.lit(90)
+    ).withColumn("__cell_kp", F.lit(0))
+    legacy.write.mode("append").partitionBy("__src_batch", "__cell_kp").parquet(
+        f"{path}/postings"
+    )
+    q = _queries(spark)
+    # BQ stage-1 ranks the legacy NULL-sig rows last: the top-k equals
+    # the plain path's whenever refine covers the probed pool of
+    # SKETCHED rows (legacy rows can only fill slots below them)
+    plain = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_against_index(spark, path, q, k=5, n_probe=3).collect()
+        if r["vec_id"] < 400
+    }
+    bq = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_bq_topk_against_index(
+            spark, path, q, k=5, n_probe=3, refine=50
+        ).collect()
+    }
+    assert plain <= bq  # every sketched winner survives the prefilter
+    # plain path still reads legacy rows (they are merely un-sketched)
+    ids = {r["id"] for r in read_ivf_postings(spark, path).collect()}
+    assert {400, 401, 402, 403} <= ids
+    compact_ivf_index(spark, path)
+    cols = spark.read.parquet(f"{path}/postings").columns
+    assert "sig" in cols
+    assert glob.glob(f"{path}/postings/__src_batch=-1/__cell_kp=*")
