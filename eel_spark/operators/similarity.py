@@ -486,6 +486,58 @@ def _assign_pq_cells(sub: DataFrame, books: DataFrame, vec_expr: str) -> DataFra
     )
 
 
+def _with_pq_codes(
+    df: DataFrame, books: DataFrame, vec_expr: str, dim: int, n_subs: int,
+    out: str = "codes",
+) -> DataFrame:
+    """Append the ``n_subs``-byte PQ code array for ``vec_expr`` — one
+    broadcast of the packed codebooks, per-sub argmin, no shuffle.
+    Shared by ``encode_pq`` and the incremental index's append so the
+    two encoders cannot drift."""
+    packed = _packed_books(books)
+    # per-sub argmin: zip subvectors with their codebooks positionally
+    codes = F.zip_with(
+        _subvecs(F.col(vec_expr), dim, n_subs),
+        F.col("__books"),
+        lambda v, cents: F.array_min(
+            F.zip_with(
+                cents,
+                F.sequence(F.lit(0), F.size(cents) - 1),
+                lambda c, i: F.struct(_l2sq(v, c).alias("dist"), i.alias("code")),
+            )
+        )["code"].cast("tinyint"),
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(out, codes)
+        .drop("__books")
+    )
+
+
+def _pq_lut(qsv_col: str = "__qsv") -> "F.Column":
+    """Per-(query, subspace) ADC lookup table: distances from the query's
+    subvector to every codebook entry — evaluated over (__qsv, __books)."""
+    return F.zip_with(
+        F.col(qsv_col),
+        F.col("__books"),
+        lambda qs, cents: F.transform(cents, lambda c: _l2sq(qs, c)),
+    )
+
+
+def _pq_adc(codes_col: str = "codes", lut_col: str = "__lut") -> "F.Column":
+    """ADC distance: sum the per-sub LUT entries the code array selects
+    (n_subs element_at + adds per pair — the PQ scan kernel)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col(lut_col),
+            lambda code, row: F.element_at(row, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def encode_pq(
     vectors_df: DataFrame,
     books: DataFrame,
@@ -500,27 +552,11 @@ def encode_pq(
     float32 corpus at dim=64/n_subs=8 becomes a ~3 TB code table — the
     table ``pq_topk`` scans. One broadcast join, no shuffle. ``keep``
     carries extra columns through (e.g. cell_id for the IVF-PQ layout)."""
-    packed = _packed_books(books)
-    sv = vectors_df.select(
-        F.col(id_col),
-        _subvecs(F.col(vec_col), dim, n_subs).alias("__sv"),
-        *[F.col(c) for c in keep],
+    base = vectors_df.select(
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in keep]
     )
-    # per-sub argmin: zip subvectors with their codebooks positionally
-    codes = F.zip_with(
-        F.col("__sv"),
-        F.col("__books"),
-        lambda v, cents: F.array_min(
-            F.zip_with(
-                cents,
-                F.sequence(F.lit(0), F.size(cents) - 1),
-                lambda c, i: F.struct(_l2sq(v, c).alias("dist"), i.alias("code")),
-            )
-        )["code"].cast("tinyint"),
-    )
-    return (
-        sv.crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), codes.alias("codes"), *[F.col(c) for c in keep])
+    return _with_pq_codes(base, books, vec_col, dim, n_subs).select(
+        F.col(id_col), "codes", *[F.col(c) for c in keep]
     )
 
 
@@ -566,31 +602,17 @@ def ivf_pq_topk(
         "__dist", vectors.l2_distance(F.col("__qv"), F.col("centroid"))
     )
     wq = Window.partitionBy("__qid").orderBy(F.asc("__dist"), F.asc("cell_id"))
-    lut = F.zip_with(
-        F.col("__qsv"),
-        F.col("__books"),
-        lambda qs, cents: F.transform(cents, lambda c: _l2sq(qs, c)),
-    )
     probes = F.broadcast(
         qc.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
         .select("__qid", "__qsv", "cell_id")
         .crossJoin(F.broadcast(_packed_books(books)))
-        .select("__qid", "cell_id", lut.alias("__lut"))
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda code, row: F.element_at(row, code.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        .select("__qid", "cell_id", _pq_lut().alias("__lut"))
     )
     scored = probes.join(ensure_parallelism(coded), "cell_id").select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
-        dist.alias("adc"),
+        _pq_adc().alias("adc"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
@@ -782,12 +804,18 @@ def _ivf_kps(cells) -> list[int]:
     return sorted({int(c) % _IVF_KP for c in cells})
 
 
-def init_ivf_index(path: str, centroids: DataFrame) -> None:
-    """Create the index root and freeze its centroid table. Fails if the
-    index already exists — centroids define every stored assignment, so
-    replacing them under live postings corrupts the index (train new
-    centroids → init a NEW path → re-append, or rebuild via compaction
-    into a fresh index)."""
+def init_ivf_index(
+    path: str, centroids: DataFrame, pq_books: DataFrame | None = None
+) -> None:
+    """Create the index root and freeze its centroid table — plus,
+    optionally, its PQ codebooks (``train_pq`` output): with books
+    frozen at init, EVERY appended posting carries its n_subs-byte code
+    and ``ivf_pq_topk_against_index`` serves the ADC-scan path. Fails if
+    the index already exists — centroids/books define every stored
+    assignment/code, so replacing them under live postings corrupts the
+    index (train new ones → init a NEW path → re-append). Books cannot
+    be added to a populated index for the same reason: existing postings
+    would have no codes."""
     from eel_spark.sources.hdfs import HdfsOps
 
     ops = HdfsOps(centroids.sparkSession)
@@ -800,6 +828,22 @@ def init_ivf_index(path: str, centroids: DataFrame) -> None:
     bad = centroids.filter(F.col("cell_id") < 0).limit(1).count()
     if bad:
         raise ValueError("cell_id must be non-negative (kp layout invariant)")
+    if pq_books is not None:
+        dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+        shape = pq_books.agg(
+            F.countDistinct("sub_id").alias("n_subs"),
+            F.min(F.size("centroid")).alias("lo"),
+            F.max(F.size("centroid")).alias("hi"),
+        ).first()
+        n_subs, sub_dim = shape["n_subs"], shape["lo"]
+        if shape["lo"] != shape["hi"] or n_subs * sub_dim != dim:
+            raise ValueError(
+                f"pq_books shape ({n_subs} subspaces × {shape['lo']}.."
+                f"{shape['hi']} dims) does not tile the index dim {dim}"
+            )
+        pq_books.select("sub_id", "cell_id", "centroid").write.mode(
+            "errorifexists"
+        ).parquet(f"{root}/pq_books")
     centroids.select("cell_id", "centroid").write.mode("errorifexists").parquet(
         f"{root}/centroids"
     )
@@ -812,6 +856,17 @@ def read_ivf_centroids(spark, path: str) -> DataFrame:
     if not HdfsOps(spark).exists(f"{root}/centroids"):
         raise ValueError(f"no IVF index at {path} — call init_ivf_index first")
     return spark.read.parquet(f"{root}/centroids")
+
+
+def read_ivf_pq_books(spark, path: str) -> DataFrame | None:
+    """The index's frozen PQ codebooks, or None when it was initialized
+    without them (vec+sig postings only)."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    root = path.rstrip("/")
+    if not HdfsOps(spark).exists(f"{root}/pq_books"):
+        return None
+    return spark.read.parquet(f"{root}/pq_books")
 
 
 def append_ivf_batch(
@@ -873,10 +928,19 @@ def append_ivf_batch(
             r["__cell_kp"]
             for r in assigned.select("__cell_kp").distinct().collect()
         }
+        post = assigned.withColumn(
+            "sig", vectors.pack_sign_bits(F.col("vec"), dim)
+        )
+        cols = ["id", "vec", "sig", "cell_id", "__cell_kp"]
+        books = read_ivf_pq_books(spark, path)
+        if books is not None:
+            n_subs = books.select(
+                F.countDistinct("sub_id").alias("n")
+            ).first()["n"]
+            post = _with_pq_codes(post, books, "vec", dim, n_subs)
+            cols.insert(3, "codes")
         (
-            assigned.withColumn(
-                "sig", vectors.pack_sign_bits(F.col("vec"), dim)
-            ).select("id", "vec", "sig", "cell_id", "__cell_kp")
+            post.select(*cols)
             .withColumn("__src_batch", F.lit(int(src_batch)))
             .sortWithinPartitions("__cell_kp", "cell_id")
             .write.mode("overwrite")
@@ -906,13 +970,14 @@ def append_ivf_batch(
 
 def read_ivf_postings(
     spark, path: str, cells: Sequence[int] | None = None,
-    with_sig: bool = False,
+    with_sig: bool = False, with_codes: bool = False,
 ) -> DataFrame:
     """Stored postings (id, vec, cell_id; + the packed sign sketch with
-    ``with_sig``). ``cells`` prunes the read to the probed cells:
-    partition pruning on ``__cell_kp`` (kp set derived driver-side — no
-    Spark job) plus a ``cell_id`` predicate the sorted files answer with
-    row-group min/max."""
+    ``with_sig``; + the PQ code array with ``with_codes``). ``cells``
+    prunes the read to the probed cells: partition pruning on
+    ``__cell_kp`` (kp set derived driver-side — no Spark job) plus a
+    ``cell_id`` predicate the sorted files answer with row-group
+    min/max."""
     # mergeSchema: on a MIXED store (pre-sketch batches + re-appended
     # sketch-bearing ones) plain schema inference picks one file's
     # schema nondeterministically — sig would vanish or appear by
@@ -927,12 +992,22 @@ def read_ivf_postings(
             f"index at {path} predates stored sign sketches — re-append "
             "its batches (or rebuild) to use the BQ-prefiltered path"
         )
+    if with_codes and "codes" not in df.columns:
+        raise ValueError(
+            f"index at {path} was initialized without PQ codebooks — "
+            "init a new index with pq_books= to use the ADC-scan path"
+        )
     if cells is not None:
         cl = sorted({int(c) for c in cells})
         df = df.where(
             F.col("__cell_kp").isin(_ivf_kps(cl)) & F.col("cell_id").isin(cl)
         )
-    return df.select("id", "vec", *(["sig"] if with_sig else []), "cell_id")
+    return df.select(
+        "id", "vec",
+        *(["sig"] if with_sig else []),
+        *(["codes"] if with_codes else []),
+        "cell_id",
+    )
 
 
 def ivf_topk_against_index(
@@ -1045,6 +1120,75 @@ def ivf_bq_topk_against_index(
     return _topk_per_query(rerank, query_id_col, id_col, k)
 
 
+def ivf_pq_topk_against_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 8,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF×PQ served FROM the incremental index (requires an index
+    initialized with ``pq_books``): probe cells, ADC-scan ONLY the
+    probed cells' stored code arrays (n_subs byte lookups per pair over
+    a partition-pruned read that never touches the float vectors),
+    exact-cosine rerank of the refine·k survivors from the stored
+    vectors. Same LUT/ADC kernels as the one-shot ``ivf_pq_topk`` (the
+    expressions are shared helpers), so results match it exactly for
+    the same centroids/books/corpus (tested)."""
+    centroids = read_ivf_centroids(spark, path)
+    books = read_ivf_pq_books(spark, path)
+    if books is None:
+        raise ValueError(
+            f"index at {path} was initialized without PQ codebooks — "
+            "init a new index with pq_books= to use the ADC-scan path"
+        )
+    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    n_subs = books.select(F.countDistinct("sub_id").alias("n")).first()["n"]
+    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
+    probed_cells = [
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    ]
+    lut_probes = F.broadcast(
+        probes.withColumn("__qsv", _subvecs(F.col("__qv"), dim, n_subs))
+        .crossJoin(F.broadcast(_packed_books(books)))
+        .select("__qid", "cell_id", _pq_lut().alias("__lut"))
+    )
+    coded = ensure_parallelism(
+        read_ivf_postings(spark, path, cells=probed_cells, with_codes=True)
+    ).select(F.col("id").alias("__id"), "codes", "cell_id")
+    scored = lut_probes.join(coded, "cell_id").select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        _pq_adc().alias("adc"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    cands = _topk_per_query(
+        scored, query_id_col, id_col, refine * k,
+        value_col="adc", ascending=True,
+    ).select(F.col(query_id_col).alias("__cqid"), F.col(id_col).alias("__cid"))
+    q = queries_df.select(
+        F.col(query_id_col).alias("__cqid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    rerank = (
+        read_ivf_postings(spark, path, cells=probed_cells)
+        .join(F.broadcast(cands), F.col("id") == F.col("__cid"))
+        .join(F.broadcast(q), "__cqid")
+        .select(
+            F.col("__cqid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            vectors.cosine(F.col("vec"), F.col("__qv")).alias("cos"),
+        )
+    )
+    return _topk_per_query(rerank, query_id_col, id_col, k)
+
+
 def ivf_drift_report(spark, path: str) -> DataFrame:
     """Per appended batch: how far its vectors sat from their assigned
     centroids — (src_batch, n_vectors, mean_dist). A rising mean_dist
@@ -1098,9 +1242,12 @@ def compact_ivf_index(spark, path: str) -> None:
         # rows compact with sig = NULL (still degraded-not-poisonous in
         # the BQ path; re-append them to backfill sketches)
         raw = spark.read.option("mergeSchema", "true").parquet(store)
-        keep = ["id", "vec"] + (["sig"] if "sig" in raw.columns else []) + [
-            "cell_id", "__cell_kp",
-        ]
+        keep = (
+            ["id", "vec"]
+            + (["sig"] if "sig" in raw.columns else [])
+            + (["codes"] if "codes" in raw.columns else [])
+            + ["cell_id", "__cell_kp"]
+        )
         (
             raw.select(*keep)
             .withColumn("__src_batch", F.lit(-1))

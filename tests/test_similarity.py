@@ -746,3 +746,89 @@ def test_ivf_bq_mixed_store_degrades_legacy_rows_not_ranking(spark, ivf_index):
     cols = spark.read.parquet(f"{path}/postings").columns
     assert "sig" in cols
     assert glob.glob(f"{path}/postings/__src_batch=-1/__cell_kp=*")
+
+
+@pytest.fixture()
+def pq_index(spark, tmp_path, clustered):
+    """An index initialized WITH PQ codebooks, three appended waves."""
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        init_ivf_index,
+        train_centroids,
+        train_pq,
+    )
+
+    centroids = train_centroids(clustered, n_cells=3, iterations=2)
+    books = train_pq(clustered, dim=8, n_subs=4, n_codes=8, iterations=2)
+    path = str(tmp_path / "pq_index")
+    init_ivf_index(path, centroids, pq_books=books)
+    waves = [
+        spark.createDataFrame(
+            _wave_rows(range(100 * w, 100 * w + 12), seeds=(1, 5, 11)),
+            "vec_id: long, embedding: array<double>",
+        )
+        for w in range(3)
+    ]
+    for w, wave in enumerate(waves):
+        append_ivf_batch(path, wave, src_batch=w)
+    return path, waves, centroids, books
+
+
+def test_ivf_pq_against_index_equals_one_shot(spark, pq_index):
+    """ADC scan from the incremental index ≡ one-shot ivf_pq_topk over
+    the union with the same centroids/books (shared LUT/ADC kernels)."""
+    from eel_spark.operators.similarity import ivf_pq_topk, ivf_pq_topk_against_index
+
+    path, waves, centroids, books = pq_index
+    union = waves[0]
+    for w in waves[1:]:
+        union = union.unionByName(w)
+    q = _queries(spark)
+    want = ivf_pq_topk(
+        union, q, centroids, books, dim=8, n_subs=4, k=5, n_probe=2, refine=4
+    )
+    got = ivf_pq_topk_against_index(
+        spark, path, q, k=5, n_probe=2, refine=4
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_pq_index_lifecycle_and_validation(spark, pq_index, tmp_path, clustered):
+    """Codes survive compaction; books-less indexes refuse the ADC path;
+    malformed books are rejected at init."""
+    import pytest as _pytest
+
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        init_ivf_index,
+        ivf_pq_topk_against_index,
+        train_centroids,
+    )
+
+    path, _, centroids, books = pq_index
+    q = _queries(spark)
+    before = sorted(
+        map(tuple, ivf_pq_topk_against_index(spark, path, q, k=5, refine=10).collect())
+    )
+    compact_ivf_index(spark, path)
+    assert sorted(
+        map(tuple, ivf_pq_topk_against_index(spark, path, q, k=5, refine=10).collect())
+    ) == before
+    assert "codes" in spark.read.parquet(f"{path}/postings").columns
+    # an index initialized WITHOUT books refuses the ADC path loudly
+    plain = str(tmp_path / "plain_idx")
+    init_ivf_index(plain, centroids)
+    from eel_spark.operators.similarity import append_ivf_batch
+    append_ivf_batch(
+        plain,
+        spark.createDataFrame(
+            _wave_rows(range(12), seeds=(1, 5, 11)),
+            "vec_id: long, embedding: array<double>",
+        ),
+    )
+    with _pytest.raises(ValueError, match="PQ codebooks"):
+        ivf_pq_topk_against_index(spark, plain, q, k=5)
+    # books whose subspaces do not tile the centroid dim are rejected
+    bad_books = books.filter(F.col("sub_id") < 3)  # 3×2 dims != 8
+    with _pytest.raises(ValueError, match="tile"):
+        init_ivf_index(str(tmp_path / "bad_idx"), centroids, pq_books=bad_books)
