@@ -702,31 +702,16 @@ def pq_topk(
     bits per dim/n_subs dims), same two-stage shape; at 100 TB compose
     with IVF cells for the candidate bound and PQ codes for the scan cost.
     """
-    sd = dim // n_subs
     q = queries_df.select(
         F.col(query_id_col).alias("__qid"),
         _subvecs(F.col(vec_col), dim, n_subs).alias("__qsv"),
     )
-    lut = F.zip_with(
-        F.col("__qsv"),
-        F.col("__books"),
-        lambda qs, cents: F.transform(cents, lambda c: _l2sq(qs, c)),
-    )
     q_lut = F.broadcast(
         q.crossJoin(F.broadcast(_packed_books(books)))
-        .select("__qid", lut.alias("__lut"))
+        .select("__qid", _pq_lut().alias("__lut"))
     )
     code_table = codes or encode_pq(
         vectors_df, books, dim, n_subs, id_col, vec_col
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda code, row: F.element_at(row, code.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
     )
     scored = (
         ensure_parallelism(code_table)
@@ -734,7 +719,7 @@ def pq_topk(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col(id_col),
-            dist.alias("adc"),
+            _pq_adc().alias("adc"),
         )
     )
     if exclude_self:
@@ -828,6 +813,11 @@ def init_ivf_index(
     bad = centroids.filter(F.col("cell_id") < 0).limit(1).count()
     if bad:
         raise ValueError("cell_id must be non-negative (kp layout invariant)")
+    # a crashed earlier init can strand a books dir without the
+    # centroids commit marker — reap it, or a books-less retry would
+    # silently adopt books the caller never associated with THESE
+    # centroids (read_ivf_pq_books refuses such orphans too)
+    ops.delete(f"{root}/pq_books", recursive=True)
     if pq_books is not None:
         dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
         shape = pq_books.agg(
@@ -836,14 +826,29 @@ def init_ivf_index(
             F.max(F.size("centroid")).alias("hi"),
         ).first()
         n_subs, sub_dim = shape["n_subs"], shape["lo"]
+        if not n_subs or sub_dim is None:
+            raise ValueError("pq_books is empty")
         if shape["lo"] != shape["hi"] or n_subs * sub_dim != dim:
             raise ValueError(
                 f"pq_books shape ({n_subs} subspaces × {shape['lo']}.."
                 f"{shape['hi']} dims) does not tile the index dim {dim}"
             )
+        # codes store as tinyint (train_pq enforces n_codes <= 127; a
+        # hand-built oversized book would wrap negative at append)
+        biggest = (
+            pq_books.groupBy("sub_id").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m")).first()["m"]
+        )
+        if biggest > 127:
+            raise ValueError(
+                f"pq_books has {biggest} codes in one subspace — codes "
+                "are tinyint, max 127 per subspace"
+            )
         pq_books.select("sub_id", "cell_id", "centroid").write.mode(
             "errorifexists"
         ).parquet(f"{root}/pq_books")
+    # centroids LAST: their presence is the init commit marker — a crash
+    # before this line leaves no index (the books dir is reaped above)
     centroids.select("cell_id", "centroid").write.mode("errorifexists").parquet(
         f"{root}/centroids"
     )
@@ -860,12 +865,20 @@ def read_ivf_centroids(spark, path: str) -> DataFrame:
 
 def read_ivf_pq_books(spark, path: str) -> DataFrame | None:
     """The index's frozen PQ codebooks, or None when it was initialized
-    without them (vec+sig postings only)."""
+    without them (vec+sig postings only). Books without the centroids
+    commit marker are an interrupted init's orphan — refused, never
+    silently served."""
     from eel_spark.sources.hdfs import HdfsOps
 
+    ops = HdfsOps(spark)
     root = path.rstrip("/")
-    if not HdfsOps(spark).exists(f"{root}/pq_books"):
+    if not ops.exists(f"{root}/pq_books"):
         return None
+    if not ops.exists(f"{root}/centroids"):
+        raise ValueError(
+            f"orphaned pq_books at {path} (interrupted init) — re-run "
+            "init_ivf_index"
+        )
     return spark.read.parquet(f"{root}/pq_books")
 
 
@@ -1161,10 +1174,13 @@ def ivf_pq_topk_against_index(
     coded = ensure_parallelism(
         read_ivf_postings(spark, path, cells=probed_cells, with_codes=True)
     ).select(F.col("id").alias("__id"), "codes", "cell_id")
+    # codes = NULL (a wave appended by a pre-pq writer on a mixed store)
+    # must rank LAST, not NULLS-FIRST into every candidate slot — the
+    # same degrade-never-displace coalesce as the BQ path's sig
     scored = lut_probes.join(coded, "cell_id").select(
         F.col("__qid").alias(query_id_col),
         F.col("__id").alias(id_col),
-        _pq_adc().alias("adc"),
+        F.coalesce(_pq_adc(), F.lit(float("inf"))).alias("adc"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))

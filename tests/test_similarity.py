@@ -832,3 +832,77 @@ def test_ivf_pq_index_lifecycle_and_validation(spark, pq_index, tmp_path, cluste
     bad_books = books.filter(F.col("sub_id") < 3)  # 3×2 dims != 8
     with _pytest.raises(ValueError, match="tile"):
         init_ivf_index(str(tmp_path / "bad_idx"), centroids, pq_books=bad_books)
+
+
+def test_init_validation_orphan_books_and_bad_shapes(spark, tmp_path, clustered):
+    """Interrupted-init orphan books are reaped by re-init and refused by
+    reads; empty and oversized books fail with the designed messages."""
+    import pytest as _pytest
+
+    from eel_spark.operators.similarity import (
+        init_ivf_index,
+        read_ivf_pq_books,
+        train_centroids,
+        train_pq,
+    )
+
+    centroids = train_centroids(clustered, n_cells=3, iterations=1)
+    books = train_pq(clustered, dim=8, n_subs=4, n_codes=8, iterations=1)
+    # simulate a crash between the books write and the centroids commit
+    # marker: books exist, centroids do not
+    path = str(tmp_path / "orphan_idx")
+    books.write.parquet(f"{path}/pq_books")
+    with _pytest.raises(ValueError, match="orphaned pq_books"):
+        read_ivf_pq_books(spark, path)
+    # a books-LESS re-init reaps the orphan instead of adopting it
+    init_ivf_index(path, centroids)
+    assert read_ivf_pq_books(spark, path) is None
+    # empty books
+    with _pytest.raises(ValueError, match="empty"):
+        init_ivf_index(
+            str(tmp_path / "e_idx"), centroids, pq_books=books.limit(0)
+        )
+    # >127 codes per subspace would wrap the tinyint code at append
+    fat = spark.range(200).select(
+        F.lit(0).alias("sub_id"),
+        F.col("id").alias("cell_id"),
+        F.array(*[F.lit(0.0)] * 8).alias("centroid"),
+    )
+    with _pytest.raises(ValueError, match="tinyint"):
+        init_ivf_index(str(tmp_path / "f_idx"), centroids, pq_books=fat)
+
+
+def test_ivf_pq_mixed_store_null_codes_degrade(spark, pq_index):
+    """A wave written without codes (pre-pq writer) reads codes=NULL on
+    the mixed store; its rows must rank LAST in the ADC stage — the
+    coded near neighbors keep their slots."""
+    from eel_spark.operators.similarity import (
+        ivf_pq_topk_against_index,
+        read_ivf_postings,
+    )
+
+    path, _, _, _ = pq_index
+    before = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_pq_topk_against_index(
+            spark, path, _queries(spark), k=5, n_probe=3, refine=50
+        ).collect()
+    }
+    legacy = spark.createDataFrame(
+        _wave_rows(range(500, 504), seeds=(41,)),
+        "id: long, vec: array<double>",
+    ).withColumn("cell_id", F.lit(0).cast("long")).withColumn(
+        "__src_batch", F.lit(91)
+    ).withColumn("__cell_kp", F.lit(0))
+    legacy.write.mode("append").partitionBy("__src_batch", "__cell_kp").parquet(
+        f"{path}/postings"
+    )
+    after = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_pq_topk_against_index(
+            spark, path, _queries(spark), k=5, n_probe=3, refine=50
+        ).collect()
+    }
+    assert before <= after  # coded winners never displaced by NULL codes
+    ids = {r["id"] for r in read_ivf_postings(spark, path).collect()}
+    assert {500, 501, 502, 503} <= ids
