@@ -1,0 +1,99 @@
+"""Incremental ANN index lifecycle over the embeddings table: train
+centroids + PQ codebooks on the first wave, freeze them in an index,
+append arrival waves (each wave's postings land in their own batch
+partition — no corpus re-encode, ever), query it three ways (exact IVF,
+BQ Hamming-prefiltered, PQ ADC-scan), watch the drift report for the
+retrain signal, and compact the accumulated batch files.
+
+This is the 100 TB shape: a crawling corpus appends embeddings daily;
+queries prune to probed cells' partitions and scan codes (bytes), not
+vectors (floats); compaction bounds the file count, not the fold.
+
+Usage: python examples/ann_index_lifecycle.py [sf_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eel_spark.operators.similarity import (
+    append_ivf_batch,
+    compact_ivf_index,
+    init_ivf_index,
+    ivf_bq_topk_against_index,
+    ivf_drift_report,
+    ivf_index_report,
+    ivf_pq_topk_against_index,
+    ivf_topk_against_index,
+    train_centroids,
+    train_pq,
+)
+from eel_spark.session import get_session
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+spark = get_session("ann-index-lifecycle-example")
+
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    "vec_id", "embedding"
+)
+dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+
+# --- train on the first wave (in production: a sample of it) ---------------
+wave0 = emb.where(F.col("vec_id") % 3 == 0)
+centroids = train_centroids(wave0, n_cells=8, iterations=2)
+books = train_pq(wave0, dim=dim, n_subs=8, n_codes=16, iterations=2)
+
+with tempfile.TemporaryDirectory() as work:
+    index = os.path.join(work, "ann_index")
+    init_ivf_index(index, centroids, pq_books=books)
+
+    # --- arrival waves append; nothing already stored is touched -----------
+    for w in range(3):
+        append_ivf_batch(
+            index, emb.where(F.col("vec_id") % 3 == w), src_batch=w
+        )
+
+    queries = emb.where(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
+    bq = ivf_bq_topk_against_index(
+        spark, index, queries, k=5, n_probe=3, refine=8
+    )
+    pq = ivf_pq_topk_against_index(
+        spark, index, queries, k=5, n_probe=3, refine=8
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for name, fast in (("bq", bq), ("pq", pq)):
+        fast_sets = {}
+        for r in fast.collect():
+            fast_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        rec = [
+            len(exact_sets[q] & fast_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        print(f"{name} recall@5 vs in-index exact: {sum(rec) / len(rec):.2f}")
+
+    # --- drift + balance: the retrain / re-shard signals --------------------
+    print("drift per batch (rising mean_dist => retrain):")
+    for r in ivf_drift_report(spark, index).collect():
+        print(f"  batch {r['src_batch']}: n={r['n_vectors']} "
+              f"mean_dist={r['mean_dist']:.4f}")
+    skew = ivf_index_report(spark, index).agg(
+        F.max("n_vectors").alias("mx"), F.min("n_vectors").alias("mn")
+    ).first()
+    print(f"cell balance: largest {skew['mx']} vs smallest {skew['mn']}")
+
+    # --- compact the per-batch file sets ------------------------------------
+    compact_ivf_index(spark, index)
+    again = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, exact.collect())
+    ), "compaction must not change results"
+    print("compacted: results identical, one file set per kp partition")

@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "table_management.py",
         "product_analytics.py",
         "retrieval_eval.py",
+        "ann_index_lifecycle.py",
     ],
 )
 def test_example_runs(script):
