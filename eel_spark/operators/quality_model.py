@@ -228,3 +228,144 @@ def score_perplexity(
     return df.join(
         scored.withColumnRenamed("__pid", id_col), id_col, "left"
     ).withColumn(out_col, F.round(F.col(out_col), 4))
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    bigram_min_count: int = 5,
+):
+    """Interpolated bigram language model — one fidelity step toward the
+    KenLM n-gram models CCNet's published perplexity recipe uses, still
+    zero-dependency and fully distributed.
+
+    Returns ``(bigrams, vocab, oov_logp)``:
+
+    - ``bigrams``: (w1, w2, logp_bi) with ``logp_bi = log(c(w1,w2) /
+      c(w1))`` over pairs seen ≥ ``bigram_min_count`` times — the
+      maximum-likelihood conditional, kept bounded by the count cut
+      exactly the way ``vocab`` is (bigram TYPES grow with the corpus;
+      the cut keeps the table a broadcastable few × the vocab size).
+    - ``vocab``/``oov_logp``: the :func:`train_unigram_lm` model over
+      the SAME corpus (one extra aggregate on the same tokenized pass'
+      shape) — the interpolation floor and the unseen-pair fallback.
+
+    Scoring (:func:`score_perplexity_bigram`) interpolates
+    ``p = λ·p_bi + (1−λ)·p_uni`` — with p_bi = 0 for unseen/cut pairs —
+    so every probability is strictly positive whenever λ < 1 (Jelinek-
+    Mercer smoothing, public). λ lives at SCORING time: one trained
+    model serves any mixture weight.
+
+    Scale shape: tokens explode once; bigram counts are one additional
+    map-side-combinable groupBy over (tok, next) pairs derived from the
+    SAME per-document token arrays (a window-free zip of the array with
+    itself — pair generation never shuffles); the w1-count join reuses
+    the unigram count table.
+    """
+    from eel_spark.caching import pin
+
+    vocab, oov_logp = train_unigram_lm(corpus, text_col, min_count)
+    arrs = corpus.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("__t")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    # pinned like train_unigram_lm's counts: the w1 totals AND the cut
+    # table both read it — unpinned, the corpus would tokenize twice
+    # (released by caching.release_pins(); callers persisting the model
+    # to storage can release immediately)
+    bi_counts = pin(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    w1_counts = bi_counts.groupBy("w1").agg(F.sum("c_bi").alias("c_w1"))
+    bigrams = (
+        bi_counts.filter(F.col("c_bi") >= bigram_min_count)
+        .join(w1_counts, "w1")
+        .select(
+            "w1", "w2",
+            F.log(F.col("c_bi") / F.col("c_w1")).alias("logp_bi"),
+        )
+    )
+    return bigrams, vocab, oov_logp
+
+
+def score_perplexity_bigram(
+    df: DataFrame,
+    bigrams: DataFrame,
+    vocab: DataFrame,
+    oov_logp: float,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bits_per_token",
+) -> DataFrame:
+    """Append ``out_col`` = interpolated-bigram cross-entropy in
+    bits/token: per position, ``p = λ·p(w2|w1) + (1−λ)·p_uni(w2)`` with
+    the bigram term 0 when the pair is unseen/cut and the unigram term
+    falling back to ``oov_logp`` — strictly positive for λ < 1, so no
+    −inf poisoning. A document's FIRST token scores unigram-only (no
+    predecessor); empty docs get NULL; single-token docs score their
+    one token. Lower = more natural; filter on a band like the unigram
+    scorer.
+
+    Scale shape: one explode to (id, w1, w2) position rows (w1 NULL at
+    position 0), one broadcast join per model table (both bounded by
+    their count cuts), one groupBy(id) average, one join back.
+    """
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+    arrs = df.select(
+        F.col(id_col).alias("__pid"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("__t"),
+    ).filter(F.size("__t") > 0)
+    pos = arrs.select(
+        "__pid",
+        F.explode(
+            F.zip_with(
+                # predecessors: NULL prepended so position 0 pairs with
+                # no w1 (unigram-only); concat keeps lengths aligned
+                F.concat(F.array(F.lit(None).cast("string")),
+                         F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0)))),
+                F.col("__t"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("__pid", "p.w1", "p.w2")
+    ln2 = 0.6931471805599453
+    uni = vocab.select(F.col("tok").alias("w2"), F.col("logp").alias("__lp_uni"))
+    scored = (
+        pos.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .select(
+            "__pid",
+            F.log(
+                F.when(
+                    F.col("w1").isNull() | F.col("logp_bi").isNull(),
+                    F.lit(0.0),
+                ).otherwise(F.lit(float(lam)) * F.exp(F.col("logp_bi")))
+                + F.when(F.col("w1").isNull(), F.lit(1.0)).otherwise(
+                    F.lit(1.0 - float(lam))
+                )
+                * F.exp(F.coalesce(F.col("__lp_uni"), F.lit(float(oov_logp))))
+            ).alias("__lp"),
+        )
+        .groupBy("__pid")
+        .agg((-F.avg("__lp") / ln2).alias(out_col))
+    )
+    return df.join(
+        scored.withColumnRenamed("__pid", id_col), id_col, "left"
+    ).withColumn(out_col, F.round(F.col(out_col), 4))

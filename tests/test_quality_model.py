@@ -162,3 +162,114 @@ def test_unigram_lm_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "doc_id: long, text: string")
     with _pytest.raises(ValueError, match="no tokens"):
         train_unigram_lm(empty)
+
+
+# -- interpolated bigram LM (r11) ---------------------------------------------
+
+
+def _bigram_corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "the dog sat on the mat"),
+        (4, "a cat and a dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    import math
+
+    from eel_spark.operators.quality_model import (
+        score_perplexity_bigram,
+        train_bigram_lm,
+    )
+
+    corpus = _bigram_corpus(spark)
+    bigrams, vocab, oov_logp = train_bigram_lm(
+        corpus, min_count=1, bigram_min_count=1
+    )
+    got_bi = {(r["w1"], r["w2"]): r["logp_bi"] for r in bigrams.collect()}
+    # python reference over the same corpus
+    texts = [r["text"].split() for r in corpus.collect()]
+    from collections import Counter
+    bi = Counter((a, b) for t in texts for a, b in zip(t, t[1:]))
+    w1 = Counter()
+    for (a, _), c in bi.items():
+        w1[a] += c
+    for pair, c in bi.items():
+        assert abs(got_bi[pair] - math.log(c / w1[pair[0]])) < 1e-12
+    assert set(got_bi) == set(bi)
+
+    uni = {r["tok"]: r["logp"] for r in vocab.collect()}
+    lam = 0.6
+    scored = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity_bigram(
+            corpus, bigrams, vocab, oov_logp, lam=lam
+        ).collect()
+    }
+    for r in corpus.collect():
+        t = r["text"].split()
+        lps = []
+        for i, w in enumerate(t):
+            p_uni = math.exp(uni.get(w, oov_logp))
+            if i == 0:
+                lps.append(math.log(p_uni))
+            else:
+                p_bi = math.exp(got_bi[(t[i - 1], w)]) if (t[i - 1], w) in got_bi else 0.0
+                lps.append(math.log(lam * p_bi + (1 - lam) * p_uni))
+        want = -sum(lps) / len(lps) / math.log(2)
+        assert abs(scored[r["doc_id"]] - round(want, 4)) < 5e-4
+
+
+def test_bigram_scorer_lam_zero_equals_unigram_scorer(spark):
+    """λ=0 collapses the interpolation to the pure unigram model — the
+    two scorers must agree bit-for-bit (same rounding)."""
+    from eel_spark.operators.quality_model import (
+        score_perplexity,
+        score_perplexity_bigram,
+        train_bigram_lm,
+    )
+
+    corpus = _bigram_corpus(spark)
+    bigrams, vocab, oov_logp = train_bigram_lm(corpus, min_count=1)
+    a = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity_bigram(
+            corpus, bigrams, vocab, oov_logp, lam=0.0
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity(corpus, vocab, oov_logp).collect()
+    }
+    assert a == b
+
+
+def test_bigram_scorer_edges(spark):
+    import pytest as _pytest
+
+    from eel_spark.operators.quality_model import (
+        score_perplexity_bigram,
+        train_bigram_lm,
+    )
+
+    corpus = _bigram_corpus(spark)
+    bigrams, vocab, oov_logp = train_bigram_lm(corpus, min_count=1)
+    docs = spark.createDataFrame(
+        [(10, "zzz qqq"), (11, ""), (12, "cat"), (13, "the cat sat")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity_bigram(
+            docs, bigrams, vocab, oov_logp, lam=0.9
+        ).collect()
+    }
+    assert got[11] is None                      # empty doc
+    assert got[12] is not None                  # single token: unigram-only
+    # all-OOV doc scores strictly worse than an in-corpus phrase
+    assert got[10] > got[13]
+    with _pytest.raises(ValueError, match="lam"):
+        score_perplexity_bigram(docs, bigrams, vocab, oov_logp, lam=1.0)
