@@ -137,31 +137,21 @@ def score_quality(
     return out.withColumnRenamed(train_col, text_col) if renamed else out
 
 
-def train_unigram_lm(
-    corpus: DataFrame,
-    text_col: str = "text",
-    min_count: int = 5,
-):
-    """Unigram language model for perplexity-based quality filtering.
+def _token_array(text_col: str):
+    """THE LM tokenization, in array form — the single definition all
+    train/score paths derive from, so a model can never be scored with
+    a different tokenizer than it was trained with."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
 
-    CCNet's published recipe scores documents by LM perplexity and keeps
-    the low-perplexity (most natural) band; the reference LM there is
-    KenLM (external binary). This is the zero-dependency distributed
-    analogue: token unigram log-probabilities estimated from a (clean)
-    corpus — one explode + one groupBy, both map-side combinable.
 
-    Returns ``(vocab, oov_logp)``: a (token, logp) DataFrame over tokens
-    seen ≥ ``min_count`` times, and the OOV log-probability — the
-    discounted probability mass of all filtered tokens spread over their
-    distinct types (computed from two 1-row aggregates; no data on the
-    driver beyond them). Persist ``vocab`` with the model run; it is a
-    few MB for web-scale corpora after the count cut.
-    """
+def _unigram_from_tokens(toks: DataFrame, min_count: int):
+    """(vocab, oov_logp) from a (tok) row frame — the shared tail of
+    unigram and bigram training."""
     from eel_spark.caching import pin
 
-    toks = corpus.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
-    ).filter(F.length("tok") > 0)
     # counts feeds BOTH the totals collect and the returned vocab —
     # unpinned, the first scoring job would re-run the full corpus
     # tokenize+count (released by caching.release_pins(); callers that
@@ -189,6 +179,30 @@ def train_unigram_lm(
     return vocab, oov_logp
 
 
+def train_unigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+):
+    """Unigram language model for perplexity-based quality filtering.
+
+    CCNet's published recipe scores documents by LM perplexity and keeps
+    the low-perplexity (most natural) band; the reference LM there is
+    KenLM (external binary). This is the zero-dependency distributed
+    analogue: token unigram log-probabilities estimated from a (clean)
+    corpus — one explode + one groupBy, both map-side combinable.
+
+    Returns ``(vocab, oov_logp)``: a (token, logp) DataFrame over tokens
+    seen ≥ ``min_count`` times, and the OOV log-probability — the
+    discounted probability mass of all filtered tokens spread over their
+    distinct types (computed from two 1-row aggregates; no data on the
+    driver beyond them). Persist ``vocab`` with the model run; it is a
+    few MB for web-scale corpora after the count cut.
+    """
+    toks = corpus.select(F.explode(_token_array(text_col)).alias("tok"))
+    return _unigram_from_tokens(toks, min_count)
+
+
 def score_perplexity(
     df: DataFrame,
     vocab: DataFrame,
@@ -210,8 +224,8 @@ def score_perplexity(
     """
     toks = df.select(
         F.col(id_col).alias("__pid"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).filter(F.length("tok") > 0)
+        F.explode(_token_array(text_col)).alias("tok"),
+    )
     ln2 = 0.6931471805599453
     scored = (
         # the vocab is small BY CONSTRUCTION (min_count cut: a few MB at
@@ -244,9 +258,10 @@ def train_bigram_lm(
 
     - ``bigrams``: (w1, w2, logp_bi) with ``logp_bi = log(c(w1,w2) /
       c(w1))`` over pairs seen ≥ ``bigram_min_count`` times — the
-      maximum-likelihood conditional, kept bounded by the count cut
-      exactly the way ``vocab`` is (bigram TYPES grow with the corpus;
-      the cut keeps the table a broadcastable few × the vocab size).
+      maximum-likelihood conditional. The count cut bounds the table
+      but — unlike the vocab — bigram TYPES keep growing with the
+      corpus, so treat it as a (slim) TABLE, not a broadcast constant;
+      the scorer's join lets AQE pick the strategy accordingly.
     - ``vocab``/``oov_logp``: the :func:`train_unigram_lm` model over
       the SAME corpus (one extra aggregate on the same tokenized pass'
       shape) — the interpolation floor and the unseen-pair fallback.
@@ -257,20 +272,21 @@ def train_bigram_lm(
     Mercer smoothing, public). λ lives at SCORING time: one trained
     model serves any mixture weight.
 
-    Scale shape: tokens explode once; bigram counts are one additional
-    map-side-combinable groupBy over (tok, next) pairs derived from the
-    SAME per-document token arrays (a window-free zip of the array with
-    itself — pair generation never shuffles); the w1-count join reuses
-    the unigram count table.
+    Scale shape: the corpus is read and tokenized ONCE — the pinned
+    per-document token arrays feed the unigram counts (explode) and the
+    bigram counts (a window-free zip of each array with itself — pair
+    generation never shuffles); both counts are map-side-combinable
+    groupBys, and the w1 denominators fold from the pinned bigram
+    counts rather than rescanning anything.
     """
     from eel_spark.caching import pin
 
-    vocab, oov_logp = train_unigram_lm(corpus, text_col, min_count)
-    arrs = corpus.select(
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-            lambda t: F.length(t) > 0,
-        ).alias("__t")
+    # ONE tokenize pass: both models derive from these pinned arrays
+    # (released by caching.release_pins(); callers persisting the model
+    # to storage can release immediately)
+    arrs = pin(corpus.select(_token_array(text_col).alias("__t")))
+    vocab, oov_logp = _unigram_from_tokens(
+        arrs.select(F.explode("__t").alias("tok")), min_count
     )
     pairs = arrs.select(
         F.explode(
@@ -281,10 +297,7 @@ def train_bigram_lm(
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    # pinned like train_unigram_lm's counts: the w1 totals AND the cut
-    # table both read it — unpinned, the corpus would tokenize twice
-    # (released by caching.release_pins(); callers persisting the model
-    # to storage can release immediately)
+    # pinned: the w1 totals AND the cut table both read it
     bi_counts = pin(
         pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
     )
@@ -320,17 +333,14 @@ def score_perplexity_bigram(
     scorer.
 
     Scale shape: one explode to (id, w1, w2) position rows (w1 NULL at
-    position 0), one broadcast join per model table (both bounded by
-    their count cuts), one groupBy(id) average, one join back.
+    position 0); the vocab join broadcasts (bounded by construction),
+    the bigram join is AQE's choice (its table grows with the corpus);
+    one groupBy(id) average, one join back.
     """
     if not 0.0 <= lam < 1.0:
         raise ValueError(f"lam must be in [0, 1), got {lam}")
     arrs = df.select(
-        F.col(id_col).alias("__pid"),
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-            lambda t: F.length(t) > 0,
-        ).alias("__t"),
+        F.col(id_col).alias("__pid"), _token_array(text_col).alias("__t")
     ).filter(F.size("__t") > 0)
     pos = arrs.select(
         "__pid",
@@ -347,22 +357,27 @@ def score_perplexity_bigram(
     ).select("__pid", "p.w1", "p.w2")
     ln2 = 0.6931471805599453
     uni = vocab.select(F.col("tok").alias("w2"), F.col("logp").alias("__lp_uni"))
-    scored = (
-        pos.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), "w2", "left")
-        .select(
-            "__pid",
+    # vocab is bounded by construction (broadcast); the bigram table is
+    # NOT — its types grow with the corpus even after the count cut, so
+    # AQE decides that join (a forced broadcast would collect a
+    # potentially multi-GB table to the driver)
+    uni_lp = F.coalesce(F.col("__lp_uni"), F.lit(float(oov_logp)))
+    if lam == 0.0:
+        # pure-unigram positions score logp DIRECTLY (no exp/log round
+        # trip), so λ=0 equals score_perplexity bit-for-bit
+        lp = uni_lp
+    else:
+        lp = F.when(F.col("w1").isNull(), uni_lp).otherwise(
             F.log(
-                F.when(
-                    F.col("w1").isNull() | F.col("logp_bi").isNull(),
-                    F.lit(0.0),
-                ).otherwise(F.lit(float(lam)) * F.exp(F.col("logp_bi")))
-                + F.when(F.col("w1").isNull(), F.lit(1.0)).otherwise(
-                    F.lit(1.0 - float(lam))
-                )
-                * F.exp(F.coalesce(F.col("__lp_uni"), F.lit(float(oov_logp))))
-            ).alias("__lp"),
+                F.lit(float(lam))
+                * F.coalesce(F.exp(F.col("logp_bi")), F.lit(0.0))
+                + F.lit(1.0 - float(lam)) * F.exp(uni_lp)
+            )
         )
+    scored = (
+        pos.join(bigrams, ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .select("__pid", lp.alias("__lp"))
         .groupBy("__pid")
         .agg((-F.avg("__lp") / ln2).alias(out_col))
     )

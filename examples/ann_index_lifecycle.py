@@ -60,7 +60,11 @@ with tempfile.TemporaryDirectory() as work:
     queries = emb.where(F.col("vec_id") < 5).withColumnRenamed(
         "vec_id", "query_id"
     )
+    # materialize the pre-compaction answer NOW: compaction deletes the
+    # files this plan reads, so a later re-collect would only work while
+    # completed shuffle stages happen to be reusable — not a guarantee
     exact = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
+    exact_rows = sorted(map(tuple, exact.collect()))
     bq = ivf_bq_topk_against_index(
         spark, index, queries, k=5, n_probe=3, refine=8
     )
@@ -68,8 +72,8 @@ with tempfile.TemporaryDirectory() as work:
         spark, index, queries, k=5, n_probe=3, refine=8
     )
     exact_sets = {}
-    for r in exact.collect():
-        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid, vid, _cos, _rank in exact_rows:
+        exact_sets.setdefault(qid, set()).add(vid)
     for name, fast in (("bq", bq), ("pq", pq)):
         fast_sets = {}
         for r in fast.collect():
@@ -93,7 +97,7 @@ with tempfile.TemporaryDirectory() as work:
     # --- compact the per-batch file sets ------------------------------------
     compact_ivf_index(spark, index)
     again = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
-    assert sorted(map(tuple, again.collect())) == sorted(
-        map(tuple, exact.collect())
-    ), "compaction must not change results"
+    assert sorted(map(tuple, again.collect())) == exact_rows, (
+        "compaction must not change results"
+    )
     print("compacted: results identical, one file set per kp partition")

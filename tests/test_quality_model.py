@@ -233,7 +233,10 @@ def test_bigram_scorer_lam_zero_equals_unigram_scorer(spark):
     )
 
     corpus = _bigram_corpus(spark)
-    bigrams, vocab, oov_logp = train_bigram_lm(corpus, min_count=1)
+    bigrams, vocab, oov_logp = train_bigram_lm(
+        corpus, min_count=1, bigram_min_count=1
+    )
+    assert bigrams.count() > 0  # the seen-pair arm must be exercised
     a = {
         r["doc_id"]: r["bits_per_token"]
         for r in score_perplexity_bigram(
@@ -256,7 +259,9 @@ def test_bigram_scorer_edges(spark):
     )
 
     corpus = _bigram_corpus(spark)
-    bigrams, vocab, oov_logp = train_bigram_lm(corpus, min_count=1)
+    bigrams, vocab, oov_logp = train_bigram_lm(
+        corpus, min_count=1, bigram_min_count=1
+    )
     docs = spark.createDataFrame(
         [(10, "zzz qqq"), (11, ""), (12, "cat"), (13, "the cat sat")],
         "doc_id: long, text: string",
