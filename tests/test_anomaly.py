@@ -120,3 +120,63 @@ def test_robust_outliers_scores_null_group_key(spark):
     assert got[(None, 6)] is True          # the NULL series' spike flags
     assert got[(None, 0)] is False
     assert got[("src", 6)] is True and got[("src", 0)] is False
+
+
+def test_anomaly_over_streamed_rollup_store_matches_batch(spark, tmp_path):
+    """The streaming ingest-monitoring composition: events stream into
+    the exactly-once rollup store (streaming_rollup_sink), the store's
+    re-merged hourly counts feed robust_outliers — and the result equals
+    batch timeseries_anomalies over the full event set. No new operator
+    needed: the stores and the scorer compose."""
+    from datetime import datetime, timedelta
+
+    from eel_spark.operators.rollups import read_rollup
+    from eel_spark.streaming import streaming_rollup_sink
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 400 if h == 7 else 8 + (h % 4)
+        for _ in range(n):
+            rows.append((eid, "click", base + timedelta(hours=h, minutes=2)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, et string, ts timestamp")
+    src = tmp_path / "ev_waves"
+    src.mkdir()
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"w{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id BIGINT, et STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "rollup_store")
+    q = streaming_rollup_sink(
+        stream, store, str(tmp_path / "ck_roll"), "ts",
+        aggs={"n": F.count(F.lit(1))},
+        granularities=["hour"], extra_keys=["et"],
+    )
+    q.awaitTermination(120)
+
+    counts = read_rollup(
+        spark, store, merges={"n": F.sum("n")}, extra_keys=["et"]
+    ).select("et", "bucket_start", "n")
+    streamed = robust_outliers(counts, "n", by=["et"])
+    batch = timeseries_anomalies(ev, "ts", by=["et"], granularity="hour")
+    s_rows = sorted(
+        (r["et"], str(r["bucket_start"]), r["n"], r["median"], r["mad"],
+         r["is_outlier"])
+        for r in streamed.collect()
+    )
+    b_rows = sorted(
+        (r["et"], str(r["bucket_start"]), r["n"], r["median"], r["mad"],
+         r["is_outlier"])
+        for r in batch.collect()
+    )
+    assert s_rows == b_rows
+    assert [r for r in s_rows if r[5]] == [
+        ("click", "2024-03-01 07:00:00", 400, s_rows[0][3], s_rows[0][4], True)
+    ] or sum(1 for r in s_rows if r[5]) == 1
