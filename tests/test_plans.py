@@ -551,3 +551,18 @@ def test_multimodal_features_plan_local_single_python_stage(spark):
     plan = plan_str(QUERIES["multimodal_features"](spark, SF), "simple")
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_no_python_in_new_ungated_oracled_queries(spark):
+    """The born-ungated oracle slots added after round 10 keep the same
+    JVM-only contract as the gated set (their DuckDB oracles run in
+    tests/test_ungated.py; this pins the hot path)."""
+    from eel_spark.queries import UNGATED_QUERIES
+
+    offenders = []
+    for name in ("sampling_leakage_split", "anomaly_hourly_events"):
+        plan = plan_str(UNGATED_QUERIES[name](spark, SF), "extended")
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            if marker in plan:
+                offenders.append((name, marker))
+    assert not offenders, f"python in hot path: {offenders}"
