@@ -101,10 +101,18 @@ mixed.groupBy("lang").count().orderBy("lang").show()
 
 # 7. composition: SPLIT FIRST on the document key (so every copy of a
 #    doc stays on one side — splitting after replication would leak
-#    training docs into validation), then upsample only the train side:
-#    2 epochs of the curated src1/src2 slices, 1.5 of everything else.
-#    Finally an epoch-interleaved deterministic global shuffle.
-split = sampling.hash_split(mixed, {"train": 0.95, "valid": 0.05}, ["doc_id"])
+#    training docs into validation), and split LEAKAGE-SAFE: the step-2
+#    near-dup pairs constrain near-identical docs to the same side, so
+#    a paraphrase of a training doc can't inflate validation scores.
+#    Then upsample only the train side: 2 epochs of the curated
+#    src1/src2 slices, 1.5 of everything else. Finally an
+#    epoch-interleaved deterministic global shuffle.
+split = sampling.leakage_safe_split(
+    mixed, {"train": 0.95, "valid": 0.05}, "doc_id", pairs=pairs
+)
+leaks = sampling.split_leakage_report(split, pairs, "doc_id")
+assert leaks.count() == 0, "near-dup pair straddles train/valid"
+print("split leakage audit: clean (no near-dup pair straddles splits)")
 train = split.filter("split = 'train'")
 weights = F.when(F.col("source").isin("src1", "src2"), F.lit(2.0)).otherwise(1.5)
 weighted = sampling.replicate_by_weight(
