@@ -401,6 +401,14 @@ def append_bm25_stats_batch(
     from eel_spark.caching import pin, pins_mark, release_pins_since
     from eel_spark.sources.hdfs import HdfsOps
 
+    if int(src_batch) < 0:
+        # -1 is compact_bm25_stats' collapsed-partition sentinel: an
+        # append landing under it would dynamic-overwrite (and its reap
+        # would delete) the compacted store (r11 advice)
+        raise ValueError(
+            f"src_batch must be non-negative (got {int(src_batch)}) — "
+            "negative ids are reserved for compacted partitions"
+        )
     mark = pins_mark()
     try:
         inc = pin(
@@ -483,7 +491,9 @@ def read_bm25_stats(
 
 def compact_bm25_stats(spark, path: str) -> None:
     """Collapse the per-batch increments into one ``__src_batch = -1``
-    partition. Run it OFFLINE (no active sink or appender on this
+    partition (``-1`` is RESERVED for this sentinel —
+    ``append_bm25_stats_batch`` rejects negative batch ids so an append
+    can never land inside the compacted partition). Run it OFFLINE (no active sink or appender on this
     store) and only once the streaming checkpoint's replay horizon has
     passed — a batch appended DURING compaction lands after the read
     and is destroyed by the swap, and one replayed AFTER compaction

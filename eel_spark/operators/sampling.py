@@ -519,8 +519,18 @@ def leakage_safe_split(
     rep = "__lss_rep"
     while rep in df.columns:
         rep = "_" + rep
-    cmap = clusters.select(
-        F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
+    # collapse to ONE representative per node before the join: a
+    # clusters table with repeated node rows would otherwise fan the
+    # left join out and silently duplicate corpus rows in the split
+    # output (r11 advice). MIN keeps the collapse deterministic when
+    # the duplicates disagree on the component; the aggregate runs on
+    # the slim map only, never the corpus.
+    cmap = (
+        clusters.select(
+            F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
+        )
+        .groupBy(id_col)
+        .agg(F.min(rep).alias(rep))
     )
     joined = df.join(cmap, on=id_col, how="left").withColumn(
         rep, F.coalesce(F.col(rep), F.col(id_col))

@@ -899,6 +899,14 @@ def append_ivf_batch(
     from eel_spark.caching import pin, pins_mark, release_pins_since
     from eel_spark.sources.hdfs import HdfsOps
 
+    if int(src_batch) < 0:
+        # -1 is compact_ivf_index's collapsed-partition sentinel: an
+        # append landing under it would dynamic-overwrite (and its reap
+        # would delete) most of a compacted corpus (r11 advice)
+        raise ValueError(
+            f"src_batch must be non-negative (got {int(src_batch)}) — "
+            "negative ids are reserved for compacted partitions"
+        )
     spark = batch_df.sparkSession
     root = path.rstrip("/")
     centroids = read_ivf_centroids(spark, path)
@@ -981,6 +989,24 @@ def append_ivf_batch(
         release_pins_since(mark)
 
 
+def _check_query_dim(queries_df: DataFrame, vec_col: str, dim: int) -> None:
+    """Reject wrong-dimension QUERY vectors with the same loud error the
+    append path gives wrong-dimension waves — without it, zip_with
+    silently scores by prefix truncation (r11 advice). One bounded job
+    over the query batch (limit(1) short-circuits)."""
+    bad = (
+        queries_df.where(F.coalesce(F.size(vec_col), F.lit(-1)) != dim)
+        .select(F.size(vec_col).alias("got"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"query vector dim {bad[0]['got']} != index dim {dim} — "
+            "wrong embedding model for this index"
+        )
+
+
 def read_ivf_postings(
     spark, path: str, cells: Sequence[int] | None = None,
     with_sig: bool = False, with_codes: bool = False,
@@ -1002,8 +1028,9 @@ def read_ivf_postings(
     )
     if with_sig and "sig" not in df.columns:
         raise ValueError(
-            f"index at {path} predates stored sign sketches — re-append "
-            "its batches (or rebuild) to use the BQ-prefiltered path"
+            f"index at {path} predates stored sign sketches — run "
+            "compact_ivf_index (it backfills sketches from the stored "
+            "vectors) to use the BQ-prefiltered path"
         )
     if with_codes and "codes" not in df.columns:
         raise ValueError(
@@ -1042,6 +1069,8 @@ def ivf_topk_against_index(
     double-cast arithmetic, same tie-breaks — tested), except no
     full-corpus re-assignment happens at query time."""
     centroids = read_ivf_centroids(spark, path)
+    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    _check_query_dim(queries_df, vec_col, dim)
     probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
     # bounded collect: ≤ n_cells distinct values (the centroid table is
     # broadcast-sized by design) — buys driver-side partition pruning
@@ -1084,6 +1113,7 @@ def ivf_bq_topk_against_index(
     ``refine`` or ``n_probe`` to trade cost for recall)."""
     centroids = read_ivf_centroids(spark, path)
     dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    _check_query_dim(queries_df, vec_col, dim)
     probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
     probed_cells = [
         r["cell_id"] for r in probes.select("cell_id").distinct().collect()
@@ -1161,6 +1191,7 @@ def ivf_pq_topk_against_index(
             "init a new index with pq_books= to use the ADC-scan path"
         )
     dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    _check_query_dim(queries_df, vec_col, dim)
     n_subs = books.select(F.countDistinct("sub_id").alias("n")).first()["n"]
     probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
     probed_cells = [
@@ -1241,31 +1272,59 @@ def ivf_index_report(spark, path: str) -> DataFrame:
 def compact_ivf_index(spark, path: str) -> None:
     """Collapse the per-batch postings into one ``__src_batch = -1``
     partition set (file count drops to ≤1 per kp dir; query reads stop
-    opening O(batches) files). Run OFFLINE, past the replay horizon —
+    opening O(batches) files). ``-1`` is RESERVED for this sentinel —
+    ``append_ivf_batch`` rejects negative batch ids so an append can
+    never land inside (and be destroyed with) the compacted partition. Run OFFLINE, past the replay horizon —
     the same contract and staged-rename crash recovery as
     ``compact_bm25_stats`` (retrieval.py:485): a batch appended during
     compaction is destroyed by the swap; one replayed after re-adds its
     rows (here: re-appends its postings — idempotent per batch id).
     Per-batch drift rows in assign_stats are kept (compaction does not
-    rewrite history's drift signal)."""
+    rewrite history's drift signal).
+
+    Compaction also BACKFILLS derived columns on legacy rows (r11
+    verdict #4): postings appended by a pre-sketch writer (``sig`` NULL
+    or absent) get their sign sketch computed from the stored vector in
+    the same rewrite, and on a books-bearing index NULL ``codes`` get
+    their PQ code array — one projection over rows already being
+    rewritten, so after compaction the degraded-legacy class is GONE
+    and the BQ/ADC paths rank every row at full fidelity."""
     from eel_spark.sources.hdfs import staged_swap
 
     store = f"{path.rstrip('/')}/postings"
+    dim = read_ivf_centroids(spark, path).select(
+        F.size("centroid").alias("d")
+    ).first()["d"]
+    books = read_ivf_pq_books(spark, path)
 
     def rewrite(tmp: str) -> None:
         # mergeSchema: a mixed pre-/post-sketch store must not lose the
         # sig column to a schema-inference coin flip — merged, legacy
-        # rows compact with sig = NULL (still degraded-not-poisonous in
-        # the BQ path; re-append them to backfill sketches)
+        # rows read sig = NULL deterministically and the backfill below
+        # fills them from the stored vectors
         raw = spark.read.option("mergeSchema", "true").parquet(store)
+        sig = vectors.pack_sign_bits(F.col("vec"), dim)
+        out = raw.withColumn(
+            "sig", F.coalesce(F.col("sig"), sig) if "sig" in raw.columns else sig
+        )
+        if books is not None:
+            n_subs = books.select(
+                F.countDistinct("sub_id").alias("n")
+            ).first()["n"]
+            out = _with_pq_codes(out, books, "vec", dim, n_subs, out="__bf_codes")
+            out = out.withColumn(
+                "codes",
+                F.coalesce(F.col("codes"), F.col("__bf_codes"))
+                if "codes" in raw.columns
+                else F.col("__bf_codes"),
+            ).drop("__bf_codes")
         keep = (
-            ["id", "vec"]
-            + (["sig"] if "sig" in raw.columns else [])
-            + (["codes"] if "codes" in raw.columns else [])
+            ["id", "vec", "sig"]
+            + (["codes"] if books is not None else [])
             + ["cell_id", "__cell_kp"]
         )
         (
-            raw.select(*keep)
+            out.select(*keep)
             .withColumn("__src_batch", F.lit(-1))
             .repartition("__cell_kp")
             .sortWithinPartitions("__cell_kp", "cell_id")

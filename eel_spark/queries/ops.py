@@ -315,7 +315,12 @@ GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
 """
 
 
-@query("ops_tumbling_window", _OPS_TUMBLING_SQL)
+# rotated to the ungated tier in round 12 (seventh rotation, directed by
+# the r11 verdict: the slot moved to anomaly_hourly_events). The
+# time-bucket aggregate shape stays gated via ops_sessionize and oracled
+# via ops_gapfill_hourly / rollup_quantile_daily; this query keeps its
+# 2-SF pytest oracle in tests/test_ungated.py.
+@query("ops_tumbling_window", _OPS_TUMBLING_SQL, gated=False)
 def ops_tumbling_window(spark: SparkSession, sf_dir: str) -> DataStream:
     """Tumbling aggregation at hour/day/month granularities in ONE pass —
     operators/rollups.py:time_rollup (native groupingSets over date_trunc

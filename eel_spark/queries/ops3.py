@@ -324,7 +324,14 @@ def rollup_quantile_daily(spark: SparkSession, sf_dir: str) -> DataStream:
 # single moved document — the split-leakage bug this operator exists to
 # prevent — flips the hash.
 
-_LEAKAGE_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# text is coalesced to '' BEFORE normalizing in both engines: DuckDB's
+# md5(NULL) is NULL (all NULL-text docs would cluster together under
+# MIN OVER h) while the Spark side's inner equi-join on a NULL hash
+# would drop the back-join and fall back to per-doc ids — coalescing
+# symmetrically removes the latent cross-engine divergence (r11 advice)
+_LEAKAGE_NORM = (
+    "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+)
 
 _LEAKAGE_SPLIT_SQL = f"""
 WITH h AS (
@@ -356,8 +363,15 @@ def sampling_leakage_split(spark: SparkSession, sf_dir: str) -> DataStream:
     from eel_spark.operators.sampling import leakage_safe_split
 
     docs = table(spark, sf_dir, "documents").df
+    # NULL text coalesces to '' before hashing — mirrors the oracle's
+    # coalesce so both engines agree on NULL-text cluster membership
     hdf = docs.select(
-        "doc_id", F.md5(normalized_text("text").cast("binary")).alias("__h")
+        "doc_id",
+        F.md5(
+            normalized_text(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).cast("binary")
+        ).alias("__h"),
     )
     clusters = hdf.join(
         hdf.groupBy("__h").agg(F.min("doc_id").alias("component")), on="__h"
@@ -374,11 +388,15 @@ def sampling_leakage_split(spark: SparkSession, sf_dir: str) -> DataStream:
 
 
 # -- robust time-series anomaly report (operators/anomaly) -------------------
-# Ungated (same pytest two-SF oracle discipline). §6 notes: medians of
-# integer counts are exact binary doubles (halves), MADs exact quarters
-# — dev4/mad4 ship them as exact BIGINTs; the flag compares
-# c·(dev/mad) > cutoff with the SAME operation order in both engines
-# (multiply after the divide), so the boolean itself is gated too.
+# GATED since round 12 (seventh rotation, directed by the r11 verdict —
+# born ungated in r11; the slot came from ops_tumbling_window). §6
+# notes: medians of integer counts are exact binary doubles (halves),
+# MADs exact quarters — dev4/mad4 ship them as exact BIGINTs; the flag
+# compares c·(dev/mad) > cutoff with the SAME operation order in both
+# engines (multiply after the divide), so the boolean itself is gated
+# too. The oracle's back-joins are NULL-SAFE (IS NOT DISTINCT FROM) to
+# mirror robust_outliers' eqNullSafe — a NULL-keyed series scores like
+# any other in both engines (r11 advice).
 
 _ANOMALY_SQL = """
 WITH b AS (
@@ -389,7 +407,7 @@ WITH b AS (
   FROM b GROUP BY 1
 ), d AS (
   SELECT b.event_type, b.bucket, b.n, abs(CAST(b.n AS DOUBLE) - m.med) AS dev
-  FROM b JOIN m USING (event_type)
+  FROM b JOIN m ON b.event_type IS NOT DISTINCT FROM m.event_type
 ), md AS (
   SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
 )
@@ -400,11 +418,11 @@ SELECT d.event_type,
        CAST(round(4 * md.mad) AS BIGINT) AS mad4,
        CASE WHEN md.mad = 0 THEN d.dev > 0
             ELSE 0.6745 * (d.dev / md.mad) > 3.5 END AS is_outlier
-FROM d JOIN md USING (event_type)
+FROM d JOIN md ON d.event_type IS NOT DISTINCT FROM md.event_type
 """
 
 
-@query("anomaly_hourly_events", _ANOMALY_SQL, gated=False)
+@query("anomaly_hourly_events", _ANOMALY_SQL)
 def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataStream:
     """Modified z-score ingest monitoring (operators/anomaly.
     timeseries_anomalies): hourly event counts per event_type scored

@@ -556,12 +556,15 @@ def test_multimodal_features_plan_local_single_python_stage(spark):
 def test_no_python_in_new_ungated_oracled_queries(spark):
     """The born-ungated oracle slots added after round 10 keep the same
     JVM-only contract as the gated set (their DuckDB oracles run in
-    tests/test_ungated.py; this pins the hot path)."""
+    tests/test_ungated.py; this pins the hot path).
+    anomaly_hourly_events rotated INTO the driver gate in r12 — its
+    plan pin rides along here unchanged."""
     from eel_spark.queries import UNGATED_QUERIES
 
     offenders = []
     for name in ("sampling_leakage_split", "anomaly_hourly_events"):
-        plan = plan_str(UNGATED_QUERIES[name](spark, SF), "extended")
+        reg = UNGATED_QUERIES if name in UNGATED_QUERIES else QUERIES
+        plan = plan_str(reg[name](spark, SF), "extended")
         for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
             if marker in plan:
                 offenders.append((name, marker))

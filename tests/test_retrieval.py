@@ -1135,3 +1135,14 @@ def test_append_survives_stale_kp_dir_and_reaps_on_rewrite(spark, tmp_path):
         ).collect()
     }
     assert got == {"badterm": 0, "goodterm": 1}
+
+
+def test_bm25_append_rejects_reserved_negative_batch(spark, stats_store):
+    """src_batch = -1 is compact_bm25_stats' sentinel partition — an
+    append under any negative id must fail loudly instead of silently
+    overwriting the compacted store (r11 advice)."""
+    from eel_spark.operators.retrieval import append_bm25_stats_batch
+
+    path, docs = stats_store
+    with pytest.raises(ValueError, match="non-negative"):
+        append_bm25_stats_batch(path, docs.limit(5), "text", src_batch=-1)

@@ -906,3 +906,122 @@ def test_ivf_pq_mixed_store_null_codes_degrade(spark, pq_index):
     assert before <= after  # coded winners never displaced by NULL codes
     ids = {r["id"] for r in read_ivf_postings(spark, path).collect()}
     assert {500, 501, 502, 503} <= ids
+
+
+def test_ivf_append_rejects_reserved_negative_batch(spark, ivf_index):
+    """src_batch = -1 is compact_ivf_index's sentinel partition — an
+    append under any negative id must fail loudly instead of silently
+    overwriting (and reaping) the compacted corpus (r11 advice)."""
+    from eel_spark.operators.similarity import append_ivf_batch
+
+    path, waves, _ = ivf_index
+    with pytest.raises(ValueError, match="non-negative"):
+        append_ivf_batch(path, waves[0], src_batch=-1)
+    with pytest.raises(ValueError, match="non-negative"):
+        append_ivf_batch(path, waves[0], src_batch=-7)
+
+
+def test_against_index_queries_reject_wrong_dimension(spark, ivf_index):
+    """Every against-index query path fails loudly on a wrong-dimension
+    query vector — the same guard the append path has; without it
+    zip_with silently scores by prefix truncation (r11 advice)."""
+    from eel_spark.operators.similarity import (
+        ivf_bq_topk_against_index,
+        ivf_topk_against_index,
+    )
+
+    path, _, _ = ivf_index
+    short_q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="query vector dim 3"):
+        ivf_topk_against_index(spark, path, short_q, k=3)
+    with pytest.raises(ValueError, match="query vector dim 3"):
+        ivf_bq_topk_against_index(spark, path, short_q, k=3)
+
+
+def test_pq_against_index_rejects_wrong_dimension(spark, pq_index):
+    from eel_spark.operators.similarity import ivf_pq_topk_against_index
+
+    path = pq_index[0]
+    short_q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="query vector dim 2"):
+        ivf_pq_topk_against_index(spark, path, short_q, k=3)
+
+
+def test_compact_backfills_legacy_sigs_full_fidelity(spark, ivf_index):
+    """Compaction eliminates the degraded-legacy class (r11 verdict #4):
+    sig-less rows get their sketch computed from the stored vector in
+    the rewrite — zero NULL sigs remain, and the BQ path then ranks
+    legacy rows at FULL fidelity (covering-refine top-k equals the
+    plain path exactly, legacy rows included)."""
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_bq_topk_against_index,
+        ivf_topk_against_index,
+    )
+
+    path, _, _ = ivf_index
+    legacy = spark.createDataFrame(
+        _wave_rows(range(400, 404), seeds=(1,)),
+        "id: long, vec: array<double>",
+    ).withColumn("cell_id", F.lit(0).cast("long")).withColumn(
+        "__src_batch", F.lit(90)
+    ).withColumn("__cell_kp", F.lit(0))
+    legacy.write.mode("append").partitionBy("__src_batch", "__cell_kp").parquet(
+        f"{path}/postings"
+    )
+    compact_ivf_index(spark, path)
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.where(F.col("sig").isNull()).count() == 0
+    q = _queries(spark)
+    plain = sorted(
+        map(tuple, ivf_topk_against_index(
+            spark, path, q, k=5, n_probe=3
+        ).collect())
+    )
+    bq = sorted(
+        map(tuple, ivf_bq_topk_against_index(
+            spark, path, q, k=5, n_probe=3, refine=50
+        ).collect())
+    )
+    assert bq == plain  # no degraded rows left to miss
+
+
+def test_compact_backfills_codes_on_books_index(spark, pq_index):
+    """On a books-bearing index the compaction rewrite also backfills
+    NULL PQ code arrays — the ADC path serves every row afterwards."""
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_pq_topk_against_index,
+        ivf_topk_against_index,
+    )
+
+    path = pq_index[0]
+    legacy = spark.createDataFrame(
+        _wave_rows(range(500, 504), seeds=(5,)),
+        "id: long, vec: array<double>",
+    ).withColumn("cell_id", F.lit(1).cast("long")).withColumn(
+        "__src_batch", F.lit(91)
+    ).withColumn("__cell_kp", F.lit(1))
+    legacy.write.mode("append").partitionBy("__src_batch", "__cell_kp").parquet(
+        f"{path}/postings"
+    )
+    compact_ivf_index(spark, path)
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.where(F.col("codes").isNull()).count() == 0
+    assert post.where(F.col("sig").isNull()).count() == 0
+    q = _queries(spark)
+    plain = sorted(
+        map(tuple, ivf_topk_against_index(
+            spark, path, q, k=5, n_probe=3
+        ).collect())
+    )
+    adc = sorted(
+        map(tuple, ivf_pq_topk_against_index(
+            spark, path, q, k=5, n_probe=3, refine=50
+        ).collect())
+    )
+    assert adc == plain  # covering refine: ADC prefilter misses nothing

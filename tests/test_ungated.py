@@ -44,6 +44,11 @@ ROTATED = {
     # union/intersect/except shape stays covered gated by the
     # q2/q16/q21/q22 anti/semi joins)
     "ops_set_operations",
+    # round-12 seventh rotation (directed by the r11 verdict): slot
+    # freed for anomaly_hourly_events; the groupingSets time-bucket
+    # aggregate shape stays gated via ops_sessionize and oracled via
+    # ops_gapfill_hourly / rollup_quantile_daily
+    "ops_tumbling_window",
 }
 
 # Registered ungated WITHOUT a DuckDB oracle: bench-visible companions
@@ -60,12 +65,11 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # ln()-bearing score formula is verified in tests/test_retrieval.py.
 # sampling_leakage_split gates leakage_safe_split per-doc: the oracle
 # re-derives exact-dup cluster reps AND the md5 split independently.
-# anomaly_hourly_events gates the modified-z-score report per bucket —
-# exact integer-scaled median/MAD deviations plus the flag itself.
+# (anomaly_hourly_events was born here in r11 and rotated INTO the
+# driver gate in r12, trading places with ops_tumbling_window.)
 EXTRA_ORACLED = {
     "text_bm25_stats",
     "sampling_leakage_split",
-    "anomaly_hourly_events",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
