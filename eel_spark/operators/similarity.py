@@ -1303,21 +1303,7 @@ def compact_ivf_index(spark, path: str) -> None:
         # rows read sig = NULL deterministically and the backfill below
         # fills them from the stored vectors
         raw = spark.read.option("mergeSchema", "true").parquet(store)
-        sig = vectors.pack_sign_bits(F.col("vec"), dim)
-        out = raw.withColumn(
-            "sig", F.coalesce(F.col("sig"), sig) if "sig" in raw.columns else sig
-        )
-        if books is not None:
-            n_subs = books.select(
-                F.countDistinct("sub_id").alias("n")
-            ).first()["n"]
-            out = _with_pq_codes(out, books, "vec", dim, n_subs, out="__bf_codes")
-            out = out.withColumn(
-                "codes",
-                F.coalesce(F.col("codes"), F.col("__bf_codes"))
-                if "codes" in raw.columns
-                else F.col("__bf_codes"),
-            ).drop("__bf_codes")
+        out = _backfill_postings(raw, dim, books)
         keep = (
             ["id", "vec", "sig"]
             + (["codes"] if books is not None else [])
@@ -1334,3 +1320,169 @@ def compact_ivf_index(spark, path: str) -> None:
         )
 
     staged_swap(spark, store, rewrite)
+
+
+def _backfill_postings(
+    raw: DataFrame, dim: int, books: DataFrame | None
+) -> DataFrame:
+    """Fill derived posting columns from the stored vectors: ``sig``
+    where NULL or absent, and (on a books-bearing index) ``codes`` where
+    NULL — shared by ``compact_ivf_index`` and ``reindex_ivf_index`` so
+    every store rewrite leaves zero degraded-legacy rows."""
+    sig = vectors.pack_sign_bits(F.col("vec"), dim)
+    out = raw.withColumn(
+        "sig", F.coalesce(F.col("sig"), sig) if "sig" in raw.columns else sig
+    )
+    if books is not None:
+        n_subs = books.select(
+            F.countDistinct("sub_id").alias("n")
+        ).first()["n"]
+        out = _with_pq_codes(out, books, "vec", dim, n_subs, out="__bf_codes")
+        out = out.withColumn(
+            "codes",
+            F.coalesce(F.col("codes"), F.col("__bf_codes"))
+            if "codes" in raw.columns
+            else F.col("__bf_codes"),
+        ).drop("__bf_codes")
+    return out
+
+
+def reindex_ivf_index(
+    spark,
+    path: str,
+    centroids: DataFrame | None = None,
+    n_cells: int | None = None,
+    iterations: int = 3,
+    sample_mod: int = 1,
+) -> None:
+    """Act on :func:`ivf_drift_report`'s retrain signal: retrain (or
+    accept) fresh centroids and rewrite the index around them — the
+    operator that closes the index lifecycle (init → append → drift →
+    REINDEX → append …). Frozen centroids are otherwise forever: after
+    enough distribution drift every new wave lands in a few hot cells
+    and probe pruning decays toward scanning everything
+    (``ivf_index_report``'s imbalance is the symptom).
+
+    ``centroids=None`` (default) retrains over the stored postings via
+    :func:`train_centroids`' sampled path (``sample_mod`` keeps the
+    k-means scans bounded on a large index; ``n_cells`` defaults to the
+    current cell count). An explicit ``centroids`` table is validated
+    exactly like ``init_ivf_index`` (non-negative cell ids, matching
+    dimension).
+
+    What is rewritten, in one staged build of a replacement index root
+    swapped in atomically (the ``staged_swap`` crash contract shared
+    with the compactors — run OFFLINE, past the replay horizon):
+
+    - ``centroids``: the new table (the new frozen epoch).
+    - ``postings``: every stored vector re-assigned to its nearest new
+      centroid (the shuffle-free broadcast argmin) with ``__cell_kp``
+      recomputed; the per-``__src_batch`` partitioning is PRESERVED, so
+      a checkpoint replaying an old batch after the reindex converges
+      exactly as before (the replayed append assigns against the new
+      centroids and overwrites only its own partition). Sketches and PQ
+      codes depend only on the vector and the frozen books — NOT on the
+      centroids — so they carry through unchanged (NULL legacy values
+      are backfilled in the same rewrite, as in compaction).
+    - ``pq_books``: copied verbatim — books stay frozen across a
+      reindex, which is exactly why the stored codes remain valid.
+    - ``assign_stats``: copied verbatim. Drift rows record each wave's
+      distance to the centroids IN FORCE AT APPEND TIME — history, kept
+      per batch (compacted stores keep their full per-batch history
+      too). Waves appended after the reindex measure against the new
+      centroids, so a fresh drift trend on the report is the signal for
+      the NEXT retrain.
+
+    Cost: one k-means over the (sampled) postings + one full postings
+    rewrite — the same order as a compaction plus the training scans.
+    Queries served from the reindexed store are bit-identical to
+    one-shot ``ivf_topk`` with the new centroids over the union of
+    appended waves (tested)."""
+    from eel_spark.sources.hdfs import HdfsOps, staged_swap
+
+    ops = HdfsOps(spark)
+    root = path.rstrip("/")
+    # a prior ROOT swap interrupted between its two renames leaves the
+    # staged copy authoritative — staged_swap restores it too, but this
+    # operator reads the store before calling it, so restore early
+    if not ops.exists(root) and ops.exists(root + "__old"):
+        if not ops.rename(root + "__old", root):
+            raise IOError(
+                f"reindex_ivf_index: could not restore staged index "
+                f"{root}__old after an interrupted swap"
+            )
+    old_cents = read_ivf_centroids(spark, path)
+    dim = old_cents.select(F.size("centroid").alias("d")).first()["d"]
+    books = read_ivf_pq_books(spark, path)
+    if centroids is None:
+        cells = int(n_cells) if n_cells is not None else old_cents.count()
+        centroids = train_centroids(
+            read_ivf_postings(spark, path),
+            vec_col="vec",
+            n_cells=cells,
+            iterations=iterations,
+            sample_mod=sample_mod,
+            id_col="id",
+        )
+    else:
+        if centroids.filter(F.col("cell_id") < 0).limit(1).count():
+            raise ValueError(
+                "cell_id must be non-negative (kp layout invariant)"
+            )
+        shape = centroids.agg(
+            F.min(F.size("centroid")).alias("lo"),
+            F.max(F.size("centroid")).alias("hi"),
+        ).first()
+        if shape["lo"] is None:
+            raise ValueError("centroids is empty")
+        if shape["lo"] != dim or shape["hi"] != dim:
+            raise ValueError(
+                f"centroid dim {shape['lo']}..{shape['hi']} != index dim "
+                f"{dim} — a reindex cannot change the embedding model"
+            )
+
+    def rewrite(tmp: str) -> None:
+        # a crashed earlier attempt leaves a half-built replacement root
+        # here — always rebuild from scratch (the store itself is still
+        # authoritative until the swap)
+        ops.delete(tmp, recursive=True)
+        if books is not None:
+            books.write.mode("overwrite").parquet(f"{tmp}/pq_books")
+        centroids.select("cell_id", "centroid").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/centroids")
+        # read the WRITTEN centroids back for the re-assignment: breaks
+        # the k-means lineage so training executes once, not once per
+        # downstream use
+        new_cents = spark.read.parquet(f"{tmp}/centroids")
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            f"{root}/postings"
+        )
+        filled = _backfill_postings(raw, dim, books)
+        keep = (
+            ["id", "vec", "sig"]
+            + (["codes"] if books is not None else [])
+            + ["__src_batch"]
+        )
+        assigned = _assign_cells(
+            filled.select(*keep), new_cents, "vec"
+        ).withColumn("__cell_kp", _cell_kp_col())
+        (
+            assigned.select(
+                *[c for c in keep if c != "__src_batch"],
+                "cell_id", "__src_batch", "__cell_kp",
+            )
+            .repartition("__src_batch", "__cell_kp")
+            .sortWithinPartitions("__cell_kp", "cell_id")
+            .write.mode("overwrite")
+            .partitionBy("__src_batch", "__cell_kp")
+            .parquet(f"{tmp}/postings")
+        )
+        (
+            spark.read.parquet(f"{root}/assign_stats")
+            .write.mode("overwrite")
+            .partitionBy("__src_batch")
+            .parquet(f"{tmp}/assign_stats")
+        )
+
+    staged_swap(spark, root, rewrite)

@@ -3,7 +3,9 @@ centroids + PQ codebooks on the first wave, freeze them in an index,
 append arrival waves (each wave's postings land in their own batch
 partition — no corpus re-encode, ever), query it three ways (exact IVF,
 BQ Hamming-prefiltered, PQ ADC-scan), watch the drift report for the
-retrain signal, and compact the accumulated batch files.
+retrain signal, ACT on it (reindex_ivf_index retrains the centroids and
+rewrites the postings around them under the staged-swap crash
+contract), and compact the accumulated batch files.
 
 This is the 100 TB shape: a crawling corpus appends embeddings daily;
 queries prune to probed cells' partitions and scan codes (bytes), not
@@ -29,6 +31,7 @@ from eel_spark.operators.similarity import (
     ivf_index_report,
     ivf_pq_topk_against_index,
     ivf_topk_against_index,
+    reindex_ivf_index,
     train_centroids,
     train_pq,
 )
@@ -94,10 +97,37 @@ with tempfile.TemporaryDirectory() as work:
     ).first()
     print(f"cell balance: largest {skew['mx']} vs smallest {skew['mn']}")
 
+    # --- act on the drift signal: retrain + rewrite -------------------------
+    # a drifted wave: vectors nowhere near the frozen centroids (the
+    # crawl found a new content region). Its drift row spikes; reindex
+    # retrains centroids over ALL stored postings and re-assigns every
+    # posting — sketches/codes carry through (they depend on the vector
+    # and the frozen books, not the centroids), per-batch partitions and
+    # drift history are preserved, and the swap is crash-safe.
+    drifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.reverse(F.transform(
+            "embedding", lambda x: F.lit(-3.0) * x.cast("double")
+        )).alias("embedding"),
+    ).where(F.col("vec_id") % 7 == 0)
+    append_ivf_batch(index, drifted, src_batch=3)
+    last = ivf_drift_report(spark, index).orderBy("src_batch").collect()[-1]
+    print(f"drifted batch {last['src_batch']}: "
+          f"mean_dist={last['mean_dist']:.4f} (spiked => retrain)")
+    reindex_ivf_index(spark, index, n_cells=8, iterations=2)
+    skew2 = ivf_index_report(spark, index).agg(
+        F.max("n_vectors").alias("mx"), F.min("n_vectors").alias("mn")
+    ).first()
+    print(f"post-reindex cell balance: largest {skew2['mx']} "
+          f"vs smallest {skew2['mn']}")
+    post = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
+    print(f"post-reindex query still serves {post.count()} result rows")
+
     # --- compact the per-batch file sets ------------------------------------
+    pre_compact = sorted(map(tuple, post.collect()))
     compact_ivf_index(spark, index)
     again = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
-    assert sorted(map(tuple, again.collect())) == exact_rows, (
+    assert sorted(map(tuple, again.collect())) == pre_compact, (
         "compaction must not change results"
     )
     print("compacted: results identical, one file set per kp partition")

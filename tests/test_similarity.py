@@ -1025,3 +1025,182 @@ def test_compact_backfills_codes_on_books_index(spark, pq_index):
         ).collect())
     )
     assert adc == plain  # covering refine: ADC prefilter misses nothing
+
+
+# -- reindex (drift-triggered retrain, r12) ----------------------------------
+
+
+def test_reindex_bit_exact_and_replay(spark, ivf_index):
+    """Post-reindex serving is bit-identical to one-shot ivf_topk with
+    the NEW centroids over the union of appended waves; drift history
+    is preserved verbatim; replaying an old batch id after the reindex
+    still converges to exactly its rows."""
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        ivf_drift_report,
+        ivf_topk,
+        ivf_topk_against_index,
+        read_ivf_centroids,
+        read_ivf_postings,
+        reindex_ivf_index,
+    )
+
+    path, waves, old_cents = ivf_index
+    drift_before = sorted(map(tuple, ivf_drift_report(spark, path).collect()))
+    reindex_ivf_index(spark, path, n_cells=3, iterations=2)
+    new_cents = read_ivf_centroids(spark, path)
+    # the retrain actually moved the centroids (trained on 36 appended
+    # vectors, not the 30-vector fixture corpus)
+    assert sorted(map(tuple, new_cents.collect())) != sorted(
+        map(tuple, old_cents.collect())
+    )
+    union = waves[0]
+    for w in waves[1:]:
+        union = union.unionByName(w)
+    q = _queries(spark)
+    want = ivf_topk(union, q, new_cents, k=5, n_probe=2)
+    got = ivf_topk_against_index(spark, path, q, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # drift history untouched by the rewrite
+    assert sorted(
+        map(tuple, ivf_drift_report(spark, path).collect())
+    ) == drift_before
+    # replay contract survives the new epoch
+    before = sorted(map(tuple, read_ivf_postings(spark, path).collect()))
+    append_ivf_batch(path, waves[1], src_batch=1)
+    assert sorted(
+        map(tuple, read_ivf_postings(spark, path).collect())
+    ) == before
+
+
+def test_reindex_recovers_drifted_recall(spark, ivf_index):
+    """The lifecycle's point: a drifted wave degrades probe recall under
+    the old frozen centroids; retraining recovers it (recall vs the
+    brute-force ground truth is >= pre-reindex, and the reindexed
+    store's drift report keeps the drifted batch's history row)."""
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        brute_force_topk,
+        ivf_drift_report,
+        ivf_topk_against_index,
+        read_ivf_postings,
+        reindex_ivf_index,
+    )
+
+    path, _, _ = ivf_index
+    drifted = spark.createDataFrame(
+        _wave_rows(range(300, 324), seeds=(23, 31)),
+        "vec_id: long, embedding: array<double>",
+    )
+    append_ivf_batch(path, drifted, src_batch=3)
+    corpus = read_ivf_postings(spark, path).select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    q = spark.createDataFrame(
+        [(0, _unit(23, jitter=0.01)), (1, _unit(31, jitter=0.02)),
+         (2, _unit(1, jitter=0.01))],
+        "query_id: long, embedding: array<double>",
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, q, k=5).collect()
+    }
+
+    def recall():
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk_against_index(
+                spark, path, q, k=5, n_probe=1
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    pre = recall()
+    reindex_ivf_index(spark, path, n_cells=5, iterations=3)
+    post = recall()
+    assert post >= pre
+    assert post >= 0.8, f"post-reindex recall {post}"
+    # the drifted batch's history row survives the rewrite
+    drift = {r["src_batch"] for r in ivf_drift_report(spark, path).collect()}
+    assert drift == {0, 1, 2, 3}
+
+
+def test_reindex_crash_windows_and_validation(spark, ivf_index, clustered):
+    """Both staged-swap crash windows recover: a half-built replacement
+    root is rebuilt from scratch, and an interrupt between the two
+    renames restores the staged store before reading. Explicit
+    centroids are validated like init."""
+    from eel_spark.operators.similarity import (
+        ivf_topk_against_index,
+        read_ivf_postings,
+        reindex_ivf_index,
+        train_centroids,
+    )
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path, _, _ = ivf_index
+    ops = HdfsOps(spark)
+    n_before = read_ivf_postings(spark, path).count()
+    # window 1: a crashed earlier attempt left garbage at the tmp root
+    garbage = spark.createDataFrame([(1,)], "x: int")
+    garbage.write.parquet(f"{path}__compacting/centroids")
+    reindex_ivf_index(spark, path, n_cells=3, iterations=1)
+    assert read_ivf_postings(spark, path).count() == n_before
+    assert not ops.exists(f"{path}__compacting")
+    # window 2: crash between the two renames — store staged aside
+    assert ops.rename(path, f"{path}__old")
+    reindex_ivf_index(spark, path, n_cells=3, iterations=1)
+    assert read_ivf_postings(spark, path).count() == n_before
+    assert ivf_topk_against_index(
+        spark, path, _queries(spark), k=3, n_probe=2
+    ).count() == 9
+    # validation: wrong dim / negative cell ids / empty
+    bad_dim = train_centroids(
+        clustered.select(
+            "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+        ),
+        n_cells=2, iterations=1,
+    )
+    with pytest.raises(ValueError, match="cannot change the embedding"):
+        reindex_ivf_index(spark, path, centroids=bad_dim)
+    neg = spark.createDataFrame(
+        [(-1, [0.0] * 8)], "cell_id: long, centroid: array<double>"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        reindex_ivf_index(spark, path, centroids=neg)
+    empty = neg.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        reindex_ivf_index(spark, path, centroids=empty)
+
+
+def test_reindex_pq_index_keeps_codes_valid(spark, pq_index):
+    """Books stay frozen across a reindex, so stored PQ codes remain
+    valid: the ADC path over the reindexed store equals the plain path
+    at covering refine, and the books round-trip byte-identical."""
+    from eel_spark.operators.similarity import (
+        ivf_pq_topk_against_index,
+        ivf_topk_against_index,
+        read_ivf_pq_books,
+        reindex_ivf_index,
+    )
+
+    path, _, _, books = pq_index
+    before_books = sorted(map(tuple, read_ivf_pq_books(spark, path).collect()))
+    reindex_ivf_index(spark, path, n_cells=4, iterations=2)
+    assert sorted(
+        map(tuple, read_ivf_pq_books(spark, path).collect())
+    ) == before_books
+    q = _queries(spark)
+    plain = sorted(
+        map(tuple, ivf_topk_against_index(
+            spark, path, q, k=5, n_probe=4
+        ).collect())
+    )
+    adc = sorted(
+        map(tuple, ivf_pq_topk_against_index(
+            spark, path, q, k=5, n_probe=4, refine=50
+        ).collect())
+    )
+    assert adc == plain
