@@ -920,3 +920,94 @@ def hybrid_topk(
         [lex, sem], id_col, query_id_col,
         k=k, k_rrf=k_rrf, weights=list(weights),
     )
+
+
+def hybrid_topk_against_stores(
+    spark,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    stats_path: str,
+    index_path: str,
+    queries: dict,
+    query_vecs_df: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    weights: Sequence[float] = (1.0, 1.0),
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pool: int | None = None,
+    n_probe: int = 4,
+    refine: int = 8,
+    dense: str = "bq",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`hybrid_topk` served from the MAINTAINED stores — the
+    actual 100 TB serving shape: the lexical arm scores against the
+    BM25 increment store at ``stats_path`` (``read_bm25_stats`` pruned
+    to the union of query terms — df/N/Σdl come from the store, tf/dl
+    from the scored ``docs`` wave; zero history rescans), the dense arm
+    probes the incremental IVF index at ``index_path`` (partition-pruned
+    postings, no corpus re-assignment), and the two per-query rankings
+    fuse by weighted RRF exactly as the one-shot path does.
+
+    ``docs`` is the wave the lexical arm ranks (tf comes from its text
+    — BM25 needs term frequencies, which the slim stats store by design
+    does not hold); the dense arm ranks the INDEX's stored vectors, so
+    the index must have been appended from the same documents (its
+    posting ids ARE the ``id_col`` values RRF fuses on — a mismatched
+    id space fuses garbage, exactly as mismatched ids would in
+    one-shot ``hybrid_topk``). ``dense`` picks the index query path:
+    ``"bq"`` (stored-sketch Hamming prefilter + exact rerank — the
+    default scale path), ``"pq"`` (ADC scan; requires a books-bearing
+    index), or ``"plain"`` (exact cosine inside probed cells).
+
+    Store-degraded inputs keep the documented degrade-never-drop
+    contracts of the underlying arms: a store-unseen term scores with
+    ``df = 0`` instead of dropping its matches, and (pre-compaction)
+    legacy postings without sketches/codes rank last in the prefilter
+    stage rather than displacing real candidates.
+
+    Equivalence: with stores covering the corpus and covering
+    ``n_probe``/``refine``, results are identical to one-shot
+    ``hybrid_topk`` over the same corpus (tested). Scale shape: one
+    match-bounded wave scan + one broadcast stats join (lexical), one
+    partition-pruned postings read bounded by probed cells (dense), two
+    salted top-(pool)s, one fusion groupBy + salted top-k."""
+    from eel_spark.operators import similarity as _sim
+
+    dense_fns = {
+        "bq": _sim.ivf_bq_topk_against_index,
+        "pq": _sim.ivf_pq_topk_against_index,
+        "plain": _sim.ivf_topk_against_index,
+    }
+    if dense not in dense_fns:
+        raise ValueError(
+            f"dense must be one of {sorted(dense_fns)}, got {dense!r}"
+        )
+    depth = int(pool) if pool is not None else 4 * k
+    if depth < k:
+        raise ValueError(f"pool ({depth}) must be >= k ({k})")
+    qmap = _normalize_queries(queries)
+    union_terms = sorted({t for ts in qmap.values() for t in ts})
+    stats = read_bm25_stats(spark, stats_path, terms=union_terms)
+    lex = bm25_topk_multi_against_stats(
+        docs, text_col, id_col, stats, qmap, k=depth, k1=k1, b=b
+    ).select(F.col("query_id").alias(query_id_col), id_col, "rank")
+    dense_kwargs = {} if dense == "plain" else {"refine": refine}
+    sem = dense_fns[dense](
+        spark,
+        index_path,
+        query_vecs_df,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=depth,
+        n_probe=n_probe,
+        **dense_kwargs,
+    ).select(query_id_col, id_col, "rank")
+    return reciprocal_rank_fusion(
+        [lex, sem], id_col, query_id_col,
+        k=k, k_rrf=k_rrf, weights=list(weights),
+    )

@@ -150,5 +150,32 @@ for r in ranked.orderBy("query_id", "rank").collect():
     print(f"new-wave {r['query_id']:15s} rank={r['rank']} doc={r['doc_id']} "
           f"score={r['score']:.3f}")
 
+# 7. the fully store-served hybrid (the 100 TB serving shape): BOTH
+#    arms come from maintained state — BM25 stats from the increment
+#    store above, dense candidates from an incremental IVF index —
+#    so ranking a query batch rescans NO corpus history. One call:
+#    hybrid_topk_against_stores.
+from eel_spark.operators.retrieval import hybrid_topk_against_stores
+from eel_spark.operators.similarity import (
+    append_ivf_batch,
+    init_ivf_index,
+    train_centroids,
+)
+
+index = tempfile.mkdtemp(prefix="eel_ivf_index_") + "/index"
+init_ivf_index(index, train_centroids(emb, n_cells=8, iterations=2))
+for i in range(2):
+    append_ivf_batch(
+        index, emb.where(F.col("vec_id") % 2 == i), id_col="vec_id",
+        src_batch=i,
+    )
+served = hybrid_topk_against_stores(
+    spark, docs, "text", "doc_id", store, index,
+    QUERIES, qvecs, k=K, n_probe=3, refine=8,
+)
+for r in served.orderBy("query_id", "rank").collect():
+    print(f"store-served {r['query_id']:15s} rank={r['rank']} "
+          f"doc={r['doc_id']} rrf={r['score']:.4f}")
+
 release_pins()  # standalone script: free the BM25 tokenize caches
 spark.stop()

@@ -1146,3 +1146,113 @@ def test_bm25_append_rejects_reserved_negative_batch(spark, stats_store):
     path, docs = stats_store
     with pytest.raises(ValueError, match="non-negative"):
         append_bm25_stats_batch(path, docs.limit(5), "text", src_batch=-1)
+
+
+@pytest.fixture()
+def hybrid_stores(spark, tmp_path):
+    """A corpus with text + embeddings folded into BOTH maintained
+    stores wave-by-wave (BM25 stats increments, IVF postings)."""
+    import math
+
+    from eel_spark.operators.retrieval import append_bm25_stats_batch
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        init_ivf_index,
+        train_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("merge scan " * (i % 3 + 1)) + ("window " * (i % 2)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [math.cos(i * 0.37), math.sin(i * 0.37), (i % 7) / 7.0])
+         for i in range(40)],
+        "doc_id long, embedding array<double>",
+    )
+    stats_path = str(tmp_path / "bm25_stats")
+    index_path = str(tmp_path / "ivf_index")
+    init_ivf_index(index_path, train_centroids(
+        vecs, id_col="doc_id", n_cells=2, iterations=2
+    ))
+    for w in range(2):
+        wave = F.col("doc_id") % 2 == w
+        append_bm25_stats_batch(
+            stats_path, docs.where(wave), "text", src_batch=w
+        )
+        append_ivf_batch(
+            index_path, vecs.where(wave), id_col="doc_id", src_batch=w
+        )
+    return docs, vecs, stats_path, index_path
+
+
+def test_hybrid_against_stores_equals_one_shot(spark, hybrid_stores):
+    """With stores covering the corpus and covering probe/refine depth,
+    serving from the maintained stores is identical to the one-shot
+    hybrid_topk over the raw corpus: the lexical arm's store fold is
+    bit-exact vs recompute, probing all cells makes the dense arm the
+    exact ranking, and RRF fuses identical lists identically."""
+    from eel_spark.operators.retrieval import (
+        hybrid_topk,
+        hybrid_topk_against_stores,
+    )
+
+    docs, vecs, stats_path, index_path = hybrid_stores
+    queries = {"qa": ["merge", "scan"], "qb": ["window"]}
+    qvecs = spark.createDataFrame(
+        [("qa", [1.0, 0.0, 0.5]), ("qb", [0.0, 1.0, 0.2])],
+        "query_id string, embedding array<double>",
+    )
+    want = sorted(map(tuple, hybrid_topk(
+        docs, "text", "doc_id", queries, vecs, qvecs,
+        k=5, pool=20, dense="brute",
+    ).collect()))
+    got = sorted(map(tuple, hybrid_topk_against_stores(
+        spark, docs, "text", "doc_id", stats_path, index_path,
+        queries, qvecs, k=5, pool=20, dense="plain", n_probe=2,
+    ).collect()))
+    assert got == want
+    # the BQ arm over the fully-sketched store matches at covering
+    # refine (stage-1 Hamming keeps everything the rerank needs)
+    bq = sorted(map(tuple, hybrid_topk_against_stores(
+        spark, docs, "text", "doc_id", stats_path, index_path,
+        queries, qvecs, k=5, pool=20, dense="bq", n_probe=2, refine=8,
+    ).collect()))
+    assert bq == want
+
+
+def test_hybrid_against_stores_degrades_and_validates(spark, hybrid_stores):
+    """A store-unseen query term keeps its arm alive (df = 0 — the
+    degrade-never-drop contract), a term-less dense-only query still
+    fuses from the dense arm alone, and misuse raises."""
+    from eel_spark.operators.retrieval import hybrid_topk_against_stores
+
+    docs, vecs, stats_path, index_path = hybrid_stores
+    qvecs = spark.createDataFrame(
+        [("qx", [1.0, 0.0, 0.5])], "query_id string, embedding array<double>"
+    )
+    out = hybrid_topk_against_stores(
+        spark, docs, "text", "doc_id", stats_path, index_path,
+        {"qx": ["merge", "zzznovelterm"]}, qvecs, k=5, n_probe=2,
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {"qx"}
+    assert len(rows) == 5
+    assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
+    with pytest.raises(ValueError, match="dense"):
+        hybrid_topk_against_stores(
+            spark, docs, "text", "doc_id", stats_path, index_path,
+            {"qx": ["merge"]}, qvecs, dense="ivf",
+        )
+    with pytest.raises(ValueError, match="pool"):
+        hybrid_topk_against_stores(
+            spark, docs, "text", "doc_id", stats_path, index_path,
+            {"qx": ["merge"]}, qvecs, k=10, pool=5,
+        )
+    # a books-less index refuses the ADC arm loudly
+    with pytest.raises(ValueError, match="pq_books"):
+        hybrid_topk_against_stores(
+            spark, docs, "text", "doc_id", stats_path, index_path,
+            {"qx": ["merge"]}, qvecs, dense="pq",
+        )
