@@ -28,7 +28,7 @@ def robust_outliers(
     by: Sequence[str] = (),
     cutoff: float = 3.5,
     c: float = 0.6745,
-    exact: bool = True,
+    exact: bool = False,
     z_col: str = "mod_z",
     flag_col: str = "is_outlier",
 ) -> DataFrame:
@@ -37,13 +37,18 @@ def robust_outliers(
 
     Two grouped aggregates (median of x, then median of |x − median|),
     each one exchange, each joined back to the rows (AQE broadcasts the
-    group tables when the group count is small). ``exact=True`` uses
-    ``percentile`` — exact interpolated order statistics, but the
-    aggregation buffers each group's values, so it wants bounded groups
-    (bucketed time series: thousands of rows per group — fine).
-    ``exact=False`` switches to ``percentile_approx`` — a fixed-size
-    sketch per group, the 100 TB path when single groups are unbounded
-    (the flag becomes approximate with it).
+    group tables when the group count is small). The DEFAULT
+    ``exact=False`` uses ``percentile_approx`` — a fixed-size sketch
+    per group, safe at ANY group cardinality (the 100 TB caller who
+    forgets the kwarg gets the bounded-memory plan; the flag becomes
+    approximate near the cutoff boundary — the approx path agrees with
+    exact on clear spikes, tested). ``exact=True`` opts into
+    ``percentile`` — exact interpolated order statistics whose
+    aggregation buffers each group's values, right for BOUNDED groups
+    only (bucketed time series: thousands of rows per group — fine;
+    that is the contract the gated oracle query pins with an explicit
+    ``exact=True``). Default flipped from exact in r12 (r11 verdict
+    #6: unbounded-group callers must not buffer by default).
 
     Degenerate groups: ``MAD = 0`` (over half the group identical)
     makes the score infinite for ANY deviation — those rows flag as
@@ -116,7 +121,7 @@ def timeseries_anomalies(
     measure=None,
     measure_name: str = "n",
     cutoff: float = 3.5,
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Bucket events to ``granularity``, aggregate a measure per
     (``by``, bucket) — row count by default, any aggregate Column via

@@ -432,7 +432,12 @@ def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataStream:
     from eel_spark.operators.anomaly import timeseries_anomalies
 
     ev = table(spark, sf_dir, "events").df
-    rep = timeseries_anomalies(ev, "ts", by=["event_type"], granularity="hour")
+    # exact=True OPT-IN: the oracle gates exact order statistics, and
+    # hourly buckets per event_type are bounded groups — the documented
+    # contract for the buffering path (the r12 default is the sketch)
+    rep = timeseries_anomalies(
+        ev, "ts", by=["event_type"], granularity="hour", exact=True
+    )
     return DataStream(
         rep.select(
             "event_type",

@@ -35,9 +35,12 @@ def test_robust_outliers_matches_python_reference(spark):
     }
     rows = [(g, i, v) for g, vs in groups.items() for i, v in enumerate(vs)]
     df = spark.createDataFrame(rows, "g string, i int, v double")
+    # exact=True: the Python reference computes INTERPOLATED medians
+    # (statistics.median), which is the `percentile` contract; the r12
+    # default is the sketch path, pinned by the approx-agrees test
     got = {
         (r["g"], r["i"]): (r["median"], r["mad"], r["mod_z"], r["is_outlier"])
-        for r in robust_outliers(df, "v", by=["g"]).collect()
+        for r in robust_outliers(df, "v", by=["g"], exact=True).collect()
     }
     for g, vs in groups.items():
         for i, (med, mad, z, flag) in enumerate(_py_modz(vs)):
@@ -101,8 +104,8 @@ def test_robust_outliers_approx_path_agrees_on_clear_spike(spark):
         [(i, 10.0 + (i % 5) * 0.1) for i in range(1000)] + [(1000, 9999.0)],
         "i long, v double",
     )
-    ex = robust_outliers(df, "v")
-    ap = robust_outliers(df, "v", exact=False)
+    ex = robust_outliers(df, "v", exact=True)
+    ap = robust_outliers(df, "v")  # exact=False is the r12 default
     assert [r["i"] for r in ex.filter("is_outlier").collect()] == [1000]
     assert [r["i"] for r in ap.filter("is_outlier").collect()] == [1000]
 
