@@ -128,6 +128,28 @@ def _banded_table(
     return _cap_buckets(banded, max_bucket_size)
 
 
+def _band_pairs(
+    tbl: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from the capped band
+    self-join of any table carrying (id, sig)."""
+    banded = _banded_table(
+        tbl, id_col, id_col, bands, num_hashes, max_bucket_size
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def _candidates_from_sigs(
     sig_tbl: DataFrame,
     id_col: str,
@@ -145,18 +167,7 @@ def _candidates_from_sigs(
     dedup_exact handles at Σ|bucket| cost — run it first (the documented
     pipeline order in queries/pipeline.py).
     """
-    banded = _banded_table(
-        sig_tbl, id_col, id_col, bands, num_hashes, max_bucket_size
-    )
-
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
-    pairs = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _band_pairs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
     # signatures rejoin only for the (bounded) candidate set
     sig_a = sig_tbl.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig_tbl.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -212,29 +223,55 @@ def minhash_near_duplicates(
     Verification joins the shingle sets back only for LSH candidates —
     the expensive exact Jaccard runs on a bounded pair set.
 
-    The (id, shingles) and (id, sig) tables are pinned (tracked persist,
-    eel_spark/caching.py): the plan uses each in 2-3 branches (band join,
-    both signature rejoins, both shingle rejoins), and recomputing
-    shingling per branch dominates runtime. Both tables are O(corpus)
-    narrow rows — at 100 TB you'd stage them to a table; MEMORY_AND_DISK
-    is the single-job equivalent. The caches are freed by
-    ``caching.release_pins()`` — which the query registry invokes on the
-    next query build — not by waiting on GC (cached plans are held by the
-    CacheManager until an explicit unpersist).
+    ONE pinned (id, shingles, sig) table feeds every branch (band join
+    + one combined rejoin per pair side): the r9 layout pinned shingles
+    and signatures separately and rejoined each separately — four
+    candidate joins where two suffice. Fusing them halves the rejoin
+    count and the AQE job count of the collect (measured 41 → 29
+    stages, ~0.4 s of pure scheduling overhead on the sf0.1 bench slot
+    — r11 verdict #5). The pin boundary still guarantees shingling
+    computes once (recomputing it per branch dominates runtime); the
+    table is O(corpus) narrow rows — at 100 TB you'd stage it to a
+    table; MEMORY_AND_DISK is the single-job equivalent. The cache is
+    freed by ``caching.release_pins()`` — which the query registry
+    invokes on the next query build — not by waiting on GC (cached
+    plans are held by the CacheManager until an explicit unpersist).
     """
-    shingled, sig_tbl = _shingle_sig_tables(
-        df, text_col, id_col, shingle_n, num_hashes, pinned=True
+    from eel_spark.caching import pin
+
+    # shingles in their own projection FIRST (the _shingle_sig_tables
+    # caveat): referenced twice and non-cheap, so CollapseProject keeps
+    # the boundary and the array is built once per row
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
     )
-    cands = _candidates_from_sigs(sig_tbl, id_col, num_hashes, bands, max_bucket_size)
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    combined = pin(
+        shingled.select(
+            id_col,
+            "__sh",
+            hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig"),
+        )
+    )
+    pairs = _band_pairs(combined, id_col, num_hashes, bands, max_bucket_size)
+    a = combined.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = combined.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
     return (
-        cands.join(a, "id_a")
+        pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            "est_jaccard",
+            hashes.estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias(
+                "est_jaccard"
+            ),
             hashes.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -267,52 +304,56 @@ def minhash_near_duplicates_against(
 
     Bucket caps apply per side before the join (a verbatim-dup flood in
     either corpus otherwise multiplies the other side's bucket).
+
+    Each side pins ONE combined (id, shingles, sig) table and rejoins
+    once — the same two-joins-not-four fusion as the self variant (r12).
     """
-    sh_new, sig_new = _shingle_sig_tables(
-        df, text_col, id_col, shingle_n, num_hashes, pinned=True
-    )
-    sh_ref, sig_ref = _shingle_sig_tables(
-        reference, text_col, id_col, shingle_n, num_hashes, pinned=True
-    )
+    from eel_spark.caching import pin
+
+    def combined_side(side: DataFrame) -> DataFrame:
+        shingled = ensure_parallelism(side).select(
+            F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
+        )
+        return pin(
+            shingled.select(
+                id_col,
+                "__sh",
+                hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig"),
+            )
+        )
+
+    new_tbl = combined_side(df)
+    ref_tbl = combined_side(reference)
     pairs = (
-        _banded_table(sig_new, id_col, "id_new", bands, num_hashes, max_bucket_size)
+        _banded_table(new_tbl, id_col, "id_new", bands, num_hashes, max_bucket_size)
         .join(
             _banded_table(
-                sig_ref, id_col, "id_ref", bands, num_hashes, max_bucket_size
+                ref_tbl, id_col, "id_ref", bands, num_hashes, max_bucket_size
             ),
             on=["band", "key"],
         )
         .select("id_new", "id_ref")
         .distinct()
     )
-    est = (
-        pairs.join(
-            sig_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_n")),
-            "id_new",
-        )
-        .join(
-            sig_ref.select(F.col(id_col).alias("id_ref"), F.col("sig").alias("sig_r")),
-            "id_ref",
-        )
-        .select(
-            "id_new",
-            "id_ref",
-            hashes.estimated_jaccard(F.col("sig_n"), F.col("sig_r")).alias("est_jaccard"),
-        )
+    a = new_tbl.select(
+        F.col(id_col).alias("id_new"),
+        F.col("__sh").alias("sh_n"),
+        F.col("sig").alias("sig_n"),
+    )
+    b = ref_tbl.select(
+        F.col(id_col).alias("id_ref"),
+        F.col("__sh").alias("sh_r"),
+        F.col("sig").alias("sig_r"),
     )
     return (
-        est.join(
-            sh_new.select(F.col(id_col).alias("id_new"), F.col("__sh").alias("sh_n")),
-            "id_new",
-        )
-        .join(
-            sh_ref.select(F.col(id_col).alias("id_ref"), F.col("__sh").alias("sh_r")),
-            "id_ref",
-        )
+        pairs.join(a, "id_new")
+        .join(b, "id_ref")
         .select(
             "id_new",
             "id_ref",
-            "est_jaccard",
+            hashes.estimated_jaccard(F.col("sig_n"), F.col("sig_r")).alias(
+                "est_jaccard"
+            ),
             hashes.jaccard(F.col("sh_n"), F.col("sh_r")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
