@@ -522,16 +522,33 @@ def leakage_safe_split(
     # collapse to ONE representative per node before the join: a
     # clusters table with repeated node rows would otherwise fan the
     # left join out and silently duplicate corpus rows in the split
-    # output (r11 advice). MIN keeps the collapse deterministic when
-    # the duplicates disagree on the component; the aggregate runs on
-    # the slim map only, never the corpus.
-    cmap = (
+    # output (r11 advice). Exact-duplicate rows dedupe; rows that
+    # DISAGREE on the component raise — (A,r1),(A,r2),(B,r2) means r1
+    # and r2 are transitively ONE cluster containing B, and quietly
+    # picking min(r1,r2) for A while B stays on r2 would split that
+    # cluster across splits: the precise leak this operator exists to
+    # prevent (r12 review). Run such maps through connected_components
+    # first. Both the aggregate and the bounded check touch only the
+    # slim map, never the corpus.
+    agg = (
         clusters.select(
             F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
         )
         .groupBy(id_col)
-        .agg(F.min(rep).alias(rep))
+        .agg(
+            F.min(rep).alias(rep),
+            F.countDistinct(rep).alias("__lss_nrep"),
+        )
     )
+    conflicted = agg.where(F.col("__lss_nrep") > 1).limit(1).collect()
+    if conflicted:
+        raise ValueError(
+            f"clusters maps node {conflicted[0][id_col]!r} to "
+            "multiple components — the map is not canonical (run "
+            "connected_components over it, or fix the producer) and "
+            "splitting on it would leak the merged cluster across splits"
+        )
+    cmap = agg.drop("__lss_nrep")
     joined = df.join(cmap, on=id_col, how="left").withColumn(
         rep, F.coalesce(F.col(rep), F.col(id_col))
     )

@@ -206,13 +206,17 @@ def _probe_cells(
     query_id_col: str,
     vec_col: str,
     n_probe: int,
+    with_dims: bool = False,
 ) -> DataFrame:
     """Per query, the ``n_probe`` nearest cells: (__qid, __qv, cell_id).
     One broadcast crossJoin against the n_cells-row centroid table plus a
     per-query window over n_cells rows — bounded by queries × n_cells.
     Shared by :func:`ivf_topk` and :func:`ivf_topk_against_index` so the
     one-shot and incremental-index paths cannot drift (their equivalence
-    is bit-exact, tested)."""
+    is bit-exact, tested). ``with_dims`` additionally carries each row's
+    query-vector and centroid sizes (``__qdim``/``__cdim``) so the
+    against-index paths can validate dimensions inside the probed-cells
+    collect they already pay for — see ``_collect_probed_cells``."""
     q = queries_df.select(
         F.col(query_id_col).alias("__qid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
@@ -221,11 +225,16 @@ def _probe_cells(
         "__dist", vectors.l2_distance(F.col("__qv"), F.col("centroid"))
     )
     wq = Window.partitionBy("__qid").orderBy(F.asc("__dist"), F.asc("cell_id"))
-    return (
-        qc.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select("__qid", "__qv", "cell_id")
+    ranked = qc.withColumn("__rn", F.row_number().over(wq)).filter(
+        F.col("__rn") <= n_probe
     )
+    if with_dims:
+        return ranked.select(
+            "__qid", "__qv", "cell_id",
+            F.size("__qv").alias("__qdim"),
+            F.size("centroid").alias("__cdim"),
+        )
+    return ranked.select("__qid", "__qv", "cell_id")
 
 
 def ivf_topk(
@@ -989,22 +998,38 @@ def append_ivf_batch(
         release_pins_since(mark)
 
 
-def _check_query_dim(queries_df: DataFrame, vec_col: str, dim: int) -> None:
-    """Reject wrong-dimension QUERY vectors with the same loud error the
-    append path gives wrong-dimension waves — without it, zip_with
-    silently scores by prefix truncation (r11 advice). One bounded job
-    over the query batch (limit(1) short-circuits)."""
-    bad = (
-        queries_df.where(F.coalesce(F.size(vec_col), F.lit(-1)) != dim)
-        .select(F.size(vec_col).alias("got"))
-        .limit(1)
-        .collect()
-    )
-    if bad:
+def _collect_probed_cells(probes: DataFrame) -> list[int]:
+    """The distinct probed cell ids (bounded ≤ n_cells — the driver-side
+    partition-pruning collect every against-index path pays), with query
+    dimension validation folded into the SAME job: wrong-dimension query
+    vectors fail as loudly as wrong-dimension waves do at append
+    (without this, zip_with silently scores by prefix truncation — r11
+    advice), and a NULL vector (a query id whose embedding row went
+    missing in the caller's join) gets its own diagnosis instead of a
+    misleading model-mismatch error. Zero extra Spark jobs (r12 review:
+    a separate limit(1) check added 1-2 driver round-trips per serve —
+    the cost class that dominates these paths at small scale)."""
+    row = probes.agg(
+        F.collect_set("cell_id").alias("cells"),
+        F.min("__qdim").alias("qlo"),
+        F.max("__qdim").alias("qhi"),
+        F.max("__cdim").alias("dim"),
+        F.sum(F.when(F.col("__qdim").isNull(), 1).otherwise(0)).alias("nulls"),
+    ).first()
+    if row["nulls"]:
         raise ValueError(
-            f"query vector dim {bad[0]['got']} != index dim {dim} — "
-            "wrong embedding model for this index"
+            "query batch contains a NULL vector — a query id without an "
+            "embedding (left-join artifact?); drop or backfill it before "
+            "serving"
         )
+    dim = row["dim"]
+    if row["qlo"] is not None and (row["qlo"] != dim or row["qhi"] != dim):
+        got = row["qlo"] if row["qlo"] != dim else row["qhi"]
+        raise ValueError(
+            f"query vector dim {got} != index dim {dim} — wrong "
+            "embedding model for this index"
+        )
+    return sorted(row["cells"])
 
 
 def read_ivf_postings(
@@ -1069,14 +1094,14 @@ def ivf_topk_against_index(
     double-cast arithmetic, same tie-breaks — tested), except no
     full-corpus re-assignment happens at query time."""
     centroids = read_ivf_centroids(spark, path)
-    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
-    _check_query_dim(queries_df, vec_col, dim)
-    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
+    probes = _probe_cells(
+        queries_df, centroids, query_id_col, vec_col, n_probe, with_dims=True
+    )
     # bounded collect: ≤ n_cells distinct values (the centroid table is
-    # broadcast-sized by design) — buys driver-side partition pruning
-    probed_cells = [
-        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
-    ]
+    # broadcast-sized by design) — buys driver-side partition pruning;
+    # dimension validation rides in the same job
+    probed_cells = _collect_probed_cells(probes)
+    probes = probes.drop("__qdim", "__cdim")
     corpus = ensure_parallelism(
         read_ivf_postings(spark, path, cells=probed_cells)
     ).select(F.col("id").alias("__id"), F.col("vec").alias("__v"), "cell_id")
@@ -1113,11 +1138,11 @@ def ivf_bq_topk_against_index(
     ``refine`` or ``n_probe`` to trade cost for recall)."""
     centroids = read_ivf_centroids(spark, path)
     dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
-    _check_query_dim(queries_df, vec_col, dim)
-    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
-    probed_cells = [
-        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
-    ]
+    probes = _probe_cells(
+        queries_df, centroids, query_id_col, vec_col, n_probe, with_dims=True
+    )
+    probed_cells = _collect_probed_cells(probes)
+    probes = probes.drop("__qdim", "__cdim")
     corpus = ensure_parallelism(
         read_ivf_postings(spark, path, cells=probed_cells, with_sig=True)
     ).select(
@@ -1191,12 +1216,12 @@ def ivf_pq_topk_against_index(
             "init a new index with pq_books= to use the ADC-scan path"
         )
     dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
-    _check_query_dim(queries_df, vec_col, dim)
     n_subs = books.select(F.countDistinct("sub_id").alias("n")).first()["n"]
-    probes = _probe_cells(queries_df, centroids, query_id_col, vec_col, n_probe)
-    probed_cells = [
-        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
-    ]
+    probes = _probe_cells(
+        queries_df, centroids, query_id_col, vec_col, n_probe, with_dims=True
+    )
+    probed_cells = _collect_probed_cells(probes)
+    probes = probes.drop("__qdim", "__cdim")
     lut_probes = F.broadcast(
         probes.withColumn("__qsv", _subvecs(F.col("__qv"), dim, n_subs))
         .crossJoin(F.broadcast(_packed_books(books)))
@@ -1238,16 +1263,36 @@ def ivf_pq_topk_against_index(
 
 def ivf_drift_report(spark, path: str) -> DataFrame:
     """Per appended batch: how far its vectors sat from their assigned
-    centroids — (src_batch, n_vectors, mean_dist). A rising mean_dist
-    across batches means the data has drifted off the frozen centroids
-    (cells unbalance, probes lose recall): train fresh centroids and
-    init a new index. One scan of the KB-scale stats table."""
+    centroids — (src_batch, n_vectors, mean_dist, stale_epoch). A
+    rising mean_dist across CURRENT-epoch batches means the data has
+    drifted off the frozen centroids (cells unbalance, probes lose
+    recall): run :func:`reindex_ivf_index`. Drift rows record the
+    distance to the centroids in force AT APPEND TIME; after a reindex
+    the pre-retrain rows keep their spike as history, so
+    ``stale_epoch = true`` marks batches whose centroids have since
+    been replaced (from the reindex log) — automation keyed on the
+    spike must filter to ``stale_epoch = false`` or it re-fires on the
+    very drift the retrain already absorbed (r12 review). One scan of
+    the KB-scale stats table + one KB-scale log probe."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    root = path.rstrip("/")
+    boundary = None
+    if HdfsOps(spark).exists(f"{root}/reindex_log"):
+        boundary = spark.read.parquet(f"{root}/reindex_log").agg(
+            F.max("boundary_batch")
+        ).first()[0]
     return (
-        spark.read.parquet(f"{path.rstrip('/')}/assign_stats")
+        spark.read.parquet(f"{root}/assign_stats")
         .select(
             F.col("__src_batch").alias("src_batch"),
             "n_vectors",
             F.try_divide(F.col("sum_dist"), F.col("n_vectors")).alias("mean_dist"),
+            (
+                F.col("__src_batch") <= F.lit(boundary)
+                if boundary is not None
+                else F.lit(False)
+            ).alias("stale_epoch"),
         )
         .orderBy("src_batch")
     )
@@ -1289,9 +1334,17 @@ def compact_ivf_index(spark, path: str) -> None:
     their PQ code array — one projection over rows already being
     rewritten, so after compaction the degraded-legacy class is GONE
     and the BQ/ADC paths rank every row at full fidelity."""
-    from eel_spark.sources.hdfs import staged_swap
+    from eel_spark.sources.hdfs import (
+        HdfsOps,
+        restore_interrupted_swap,
+        staged_swap,
+    )
 
     store = f"{path.rstrip('/')}/postings"
+    # heal a crashed reindex_ivf_index ROOT swap before reading the
+    # centroids/books it would have staged aside (r12 review — the
+    # mirror of reindex healing compaction's postings swap)
+    restore_interrupted_swap(HdfsOps(spark), path.rstrip("/"))
     dim = read_ivf_centroids(spark, path).select(
         F.size("centroid").alias("d")
     ).first()["d"]
@@ -1391,26 +1444,31 @@ def reindex_ivf_index(
       per batch (compacted stores keep their full per-batch history
       too). Waves appended after the reindex measure against the new
       centroids, so a fresh drift trend on the report is the signal for
-      the NEXT retrain.
+      the NEXT retrain — and a boundary row appended to ``reindex_log``
+      marks every batch present at this retrain ``stale_epoch`` in
+      :func:`ivf_drift_report`, so automation keyed on the spike sees
+      it as acted-on history, not fresh drift.
 
     Cost: one k-means over the (sampled) postings + one full postings
     rewrite — the same order as a compaction plus the training scans.
     Queries served from the reindexed store are bit-identical to
     one-shot ``ivf_topk`` with the new centroids over the union of
     appended waves (tested)."""
-    from eel_spark.sources.hdfs import HdfsOps, staged_swap
+    from eel_spark.sources.hdfs import (
+        HdfsOps,
+        restore_interrupted_swap,
+        staged_swap,
+    )
 
     ops = HdfsOps(spark)
     root = path.rstrip("/")
-    # a prior ROOT swap interrupted between its two renames leaves the
-    # staged copy authoritative — staged_swap restores it too, but this
-    # operator reads the store before calling it, so restore early
-    if not ops.exists(root) and ops.exists(root + "__old"):
-        if not ops.rename(root + "__old", root):
-            raise IOError(
-                f"reindex_ivf_index: could not restore staged index "
-                f"{root}__old after an interrupted swap"
-            )
+    # this operator READS the store before its own staged_swap runs, so
+    # heal interrupted prior swaps first — its own root swap AND a
+    # crashed compact_ivf_index's postings swap (r12 review: without
+    # the second restore, compact-crash → reindex failed on the
+    # missing postings dir that compact's own retry would have healed)
+    restore_interrupted_swap(ops, root)
+    restore_interrupted_swap(ops, f"{root}/postings")
     old_cents = read_ivf_centroids(spark, path)
     dim = old_cents.select(F.size("centroid").alias("d")).first()["d"]
     books = read_ivf_pq_books(spark, path)
@@ -1484,5 +1542,22 @@ def reindex_ivf_index(
             .partitionBy("__src_batch")
             .parquet(f"{tmp}/assign_stats")
         )
+        # epoch log: every batch id present at this retrain was measured
+        # against the now-replaced centroids — record the boundary so
+        # ivf_drift_report can mark those rows stale_epoch instead of
+        # letting the acted-on spike re-fire retrain automation
+        boundary = raw.agg(F.max("__src_batch").alias("b")).first()["b"]
+        log = (
+            spark.read.parquet(f"{root}/reindex_log")
+            if ops.exists(f"{root}/reindex_log")
+            else None
+        )
+        if boundary is not None:
+            row = spark.createDataFrame(
+                [(int(boundary),)], "boundary_batch long"
+            )
+            log = row if log is None else log.unionByName(row)
+        if log is not None:
+            log.write.mode("overwrite").parquet(f"{tmp}/reindex_log")
 
     staged_swap(spark, root, rewrite)

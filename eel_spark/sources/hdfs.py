@@ -208,6 +208,25 @@ class HdfsWatcher:
                 time.sleep(interval_sec)
 
 
+def restore_interrupted_swap(ops: HdfsOps, store: str) -> bool:
+    """If a prior :func:`staged_swap` of ``store`` was interrupted
+    between its two renames (store missing, ``<store>__old`` present),
+    the staged-aside copy is authoritative — move it back. Returns True
+    when a restore happened. Shared by ``staged_swap`` itself and by
+    operators that READ a store (or a sibling store under the same
+    root) before calling it, e.g. ``reindex_ivf_index`` /
+    ``compact_ivf_index``, so a crash in ANY of the swapping operators
+    is healed by whichever runs next."""
+    if not ops.exists(store) and ops.exists(store + "__old"):
+        if not ops.rename(store + "__old", store):
+            raise IOError(
+                f"staged_swap: could not restore staged store "
+                f"{store}__old after an interrupted swap"
+            )
+        return True
+    return False
+
+
 def staged_swap(spark: SparkSession, store: str, write_fn) -> None:
     """Crash-safe whole-store replacement, shared by the increment-store
     compactors (``compact_bm25_stats``, ``compact_ivf_index``): a static
@@ -228,12 +247,7 @@ def staged_swap(spark: SparkSession, store: str, write_fn) -> None:
     documented compactor contract)."""
     tmp = store + "__compacting"
     ops = HdfsOps(spark)
-    if not ops.exists(store) and ops.exists(store + "__old"):
-        if not ops.rename(store + "__old", store):
-            raise IOError(
-                f"staged_swap: could not restore staged store "
-                f"{store}__old after an interrupted swap"
-            )
+    restore_interrupted_swap(ops, store)
     write_fn(tmp)
     ops.delete(store + "__old", recursive=True)
     if not ops.rename(store, store + "__old"):

@@ -120,6 +120,11 @@ with tempfile.TemporaryDirectory() as work:
     ).first()
     print(f"post-reindex cell balance: largest {skew2['mx']} "
           f"vs smallest {skew2['mn']}")
+    # the acted-on spike is now history: stale_epoch marks every batch
+    # measured against the replaced centroids, so retrain automation
+    # watches only the fresh (stale_epoch = false) trend
+    stale = ivf_drift_report(spark, index).where("stale_epoch").count()
+    print(f"drift rows marked stale_epoch after retrain: {stale}")
     post = ivf_topk_against_index(spark, index, queries, k=5, n_probe=3)
     print(f"post-reindex query still serves {post.count()} result rows")
 

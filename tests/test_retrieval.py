@@ -1256,3 +1256,57 @@ def test_hybrid_against_stores_degrades_and_validates(spark, hybrid_stores):
             spark, docs, "text", "doc_id", stats_path, index_path,
             {"qx": ["merge"]}, qvecs, dense="pq",
         )
+
+
+def test_hybrid_against_stores_pq_arm(spark, tmp_path):
+    """The dense='pq' arm actually serves (not just the books-less
+    refusal — r12 review): on a books-bearing index the ADC-served
+    hybrid equals the plain-served hybrid at covering probe/refine."""
+    import math
+
+    from eel_spark.operators.retrieval import (
+        append_bm25_stats_batch,
+        hybrid_topk_against_stores,
+    )
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        init_ivf_index,
+        train_centroids,
+        train_pq,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("merge scan " * (i % 3 + 1)) + ("window " * (i % 2)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [math.cos(i * 0.37), math.sin(i * 0.37),
+              (i % 7) / 7.0, ((i * 3) % 5) / 5.0])
+         for i in range(40)],
+        "doc_id long, embedding array<double>",
+    )
+    stats_path = str(tmp_path / "stats")
+    index_path = str(tmp_path / "pq_index")
+    cents = train_centroids(vecs, id_col="doc_id", n_cells=2, iterations=2)
+    books = train_pq(
+        vecs, id_col="doc_id", dim=4, n_subs=2, n_codes=8, iterations=2
+    )
+    init_ivf_index(index_path, cents, pq_books=books)
+    append_bm25_stats_batch(stats_path, docs, "text", src_batch=0)
+    append_ivf_batch(index_path, vecs, id_col="doc_id", src_batch=0)
+    queries = {"qa": ["merge", "scan"], "qb": ["window"]}
+    qvecs = spark.createDataFrame(
+        [("qa", [1.0, 0.0, 0.5, 0.2]), ("qb", [0.0, 1.0, 0.2, 0.8])],
+        "query_id string, embedding array<double>",
+    )
+    kwargs = dict(k=5, pool=20, n_probe=2)
+    plain = sorted(map(tuple, hybrid_topk_against_stores(
+        spark, docs, "text", "doc_id", stats_path, index_path,
+        queries, qvecs, dense="plain", **kwargs,
+    ).collect()))
+    pq = sorted(map(tuple, hybrid_topk_against_stores(
+        spark, docs, "text", "doc_id", stats_path, index_path,
+        queries, qvecs, dense="pq", refine=50, **kwargs,
+    ).collect()))
+    assert pq == plain

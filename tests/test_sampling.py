@@ -536,15 +536,18 @@ def test_split_leakage_report_counts_by_split_pair(spark):
 
 def test_leakage_safe_split_dedupes_cluster_map(spark):
     """A clusters table with repeated node rows must not fan the join
-    out and duplicate corpus rows (r11 advice): the map collapses to
-    one deterministic (MIN) representative per node first."""
+    out and duplicate corpus rows (r11 advice): exact-duplicate rows
+    dedupe; rows that DISAGREE on the component raise — quietly
+    picking one representative would split a transitively-merged
+    cluster across splits, the exact leak the operator prevents
+    (r12 review)."""
+    import pytest as _pytest
+
     from eel_spark.operators.sampling import leakage_safe_split
 
     df, _, _ = _leak_corpus(spark, n=50, chains=((1, 2),))
     dup_clusters = spark.createDataFrame(
-        # node 1 mapped twice (identical), node 2 mapped twice with
-        # DISAGREEING components — MIN must win deterministically
-        [(1, 1), (1, 1), (2, 1), (2, 9)],
+        [(1, 1), (1, 1), (2, 1), (2, 1)],
         "node: long, component: long",
     )
     out = leakage_safe_split(
@@ -554,5 +557,14 @@ def test_leakage_safe_split_dedupes_cluster_map(spark):
     rows = out.collect()
     assert len(rows) == 50  # no fan-out
     splits = {r["doc_id"]: r["split"] for r in rows}
-    # both nodes hash on component MIN(1, 9) = 1 — same split
     assert splits[1] == splits[2]
+    # a map that disagrees on a node's component is not canonical —
+    # it must raise, never silently split the merged cluster
+    conflicted = spark.createDataFrame(
+        [(1, 1), (1, 9), (2, 9)], "node: long, component: long"
+    )
+    with _pytest.raises(ValueError, match="multiple components"):
+        leakage_safe_split(
+            df, {"train": 0.5, "test": 0.5}, "doc_id",
+            clusters=conflicted, seed=3,
+        )

@@ -1046,7 +1046,10 @@ def test_reindex_bit_exact_and_replay(spark, ivf_index):
     )
 
     path, waves, old_cents = ivf_index
-    drift_before = sorted(map(tuple, ivf_drift_report(spark, path).collect()))
+    drift_before = sorted(
+        (r["src_batch"], r["n_vectors"], r["mean_dist"])
+        for r in ivf_drift_report(spark, path).collect()
+    )
     reindex_ivf_index(spark, path, n_cells=3, iterations=2)
     new_cents = read_ivf_centroids(spark, path)
     # the retrain actually moved the centroids (trained on 36 appended
@@ -1063,10 +1066,15 @@ def test_reindex_bit_exact_and_replay(spark, ivf_index):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
-    # drift history untouched by the rewrite
+    # drift history untouched by the rewrite — but every batch present
+    # at the retrain is now marked stale_epoch (its rows were measured
+    # against the replaced centroids), so drift automation keyed on a
+    # spike does not re-fire on acted-on history
+    after = ivf_drift_report(spark, path).collect()
     assert sorted(
-        map(tuple, ivf_drift_report(spark, path).collect())
+        (r["src_batch"], r["n_vectors"], r["mean_dist"]) for r in after
     ) == drift_before
+    assert all(r["stale_epoch"] for r in after)
     # replay contract survives the new epoch
     before = sorted(map(tuple, read_ivf_postings(spark, path).collect()))
     append_ivf_batch(path, waves[1], src_batch=1)
@@ -1204,3 +1212,49 @@ def test_reindex_pq_index_keeps_codes_valid(spark, pq_index):
         ).collect())
     )
     assert adc == plain
+
+
+def test_against_index_queries_reject_null_vector(spark, ivf_index):
+    """A NULL query vector (a query id whose embedding went missing in
+    the caller's join) gets its own diagnosis — not the misleading
+    wrong-model error, and never silent NULL-cosine output (r12
+    review). The check rides the probed-cells collect: zero extra
+    jobs."""
+    from eel_spark.operators.similarity import ivf_topk_against_index
+
+    null_q = spark.createDataFrame(
+        [(0, [float(x) for x in _unit(1)]), (1, None)],
+        "query_id: long, embedding: array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL vector"):
+        ivf_topk_against_index(spark, path=ivf_index[0], queries_df=null_q, k=3)
+
+
+def test_cross_operator_interrupted_swap_recovery(spark, ivf_index):
+    """A compaction crash between its two renames (postings staged at
+    postings__old) is healed by the NEXT store operation even when that
+    operation is a reindex, and vice versa — the shared
+    restore_interrupted_swap contract (r12 review: reindex previously
+    only healed its own root-level stage)."""
+    from eel_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_topk_against_index,
+        read_ivf_postings,
+        reindex_ivf_index,
+    )
+    from eel_spark.sources.hdfs import HdfsOps
+
+    path, _, _ = ivf_index
+    ops = HdfsOps(spark)
+    n = read_ivf_postings(spark, path).count()
+    # crashed COMPACT: postings renamed aside, nothing swapped in
+    assert ops.rename(f"{path}/postings", f"{path}/postings__old")
+    reindex_ivf_index(spark, path, n_cells=3, iterations=1)
+    assert read_ivf_postings(spark, path).count() == n
+    # crashed REINDEX: the whole root renamed aside
+    assert ops.rename(path, f"{path}__old")
+    compact_ivf_index(spark, path)
+    assert read_ivf_postings(spark, path).count() == n
+    assert ivf_topk_against_index(
+        spark, path, _queries(spark), k=3, n_probe=2
+    ).count() == 9
