@@ -511,6 +511,7 @@ def leakage_safe_split(
     """
     if (clusters is None) == (pairs is None):
         raise ValueError("provide exactly one of clusters= or pairs=")
+    caller_map = clusters is not None
     if clusters is None:
         from eel_spark.operators.dedup import connected_components
 
@@ -528,9 +529,13 @@ def leakage_safe_split(
     # picking min(r1,r2) for A while B stays on r2 would split that
     # cluster across splits: the precise leak this operator exists to
     # prevent (r12 review). Run such maps through connected_components
-    # first. Both the aggregate and the bounded check touch only the
-    # slim map, never the corpus.
-    agg = (
+    # first. The check runs only on CALLER-supplied maps (the internal
+    # pairs path derives one row per node by construction), and the
+    # aggregated map is pinned so the eager conflict probe and the
+    # corpus join execute the caller's clusters lineage once, not
+    # twice (r12 review, second pass). Everything here touches only
+    # the slim map, never the corpus.
+    cmap = (
         clusters.select(
             F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
         )
@@ -540,15 +545,20 @@ def leakage_safe_split(
             F.countDistinct(rep).alias("__lss_nrep"),
         )
     )
-    conflicted = agg.where(F.col("__lss_nrep") > 1).limit(1).collect()
-    if conflicted:
-        raise ValueError(
-            f"clusters maps node {conflicted[0][id_col]!r} to "
-            "multiple components — the map is not canonical (run "
-            "connected_components over it, or fix the producer) and "
-            "splitting on it would leak the merged cluster across splits"
-        )
-    cmap = agg.drop("__lss_nrep")
+    if caller_map:
+        from eel_spark.caching import pin
+
+        cmap = pin(cmap)
+        conflicted = cmap.where(F.col("__lss_nrep") > 1).limit(1).collect()
+        if conflicted:
+            raise ValueError(
+                f"clusters maps node {conflicted[0][id_col]!r} to "
+                "multiple components — the map is not canonical (run "
+                "connected_components over it, or fix the producer) and "
+                "splitting on it would leak the merged cluster across "
+                "splits"
+            )
+    cmap = cmap.drop("__lss_nrep")
     joined = df.join(cmap, on=id_col, how="left").withColumn(
         rep, F.coalesce(F.col(rep), F.col(id_col))
     )

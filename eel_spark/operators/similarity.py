@@ -863,6 +863,19 @@ def init_ivf_index(
     )
 
 
+def _current_epoch(spark, path: str) -> int:
+    """How many reindexes this index has seen (0 for a fresh index):
+    one row per retrain in the KB-scale ``reindex_log``. Appends stamp
+    it on their drift row; ``ivf_drift_report`` compares the stamp to
+    the current value to tell fresh drift from acted-on history."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    root = path.rstrip("/")
+    if not HdfsOps(spark).exists(f"{root}/reindex_log"):
+        return 0
+    return spark.read.parquet(f"{root}/reindex_log").count()
+
+
 def read_ivf_centroids(spark, path: str) -> DataFrame:
     from eel_spark.sources.hdfs import HdfsOps
 
@@ -988,6 +1001,11 @@ def append_ivf_batch(
                 F.count(F.lit(1)).alias("n_vectors"),
                 F.coalesce(F.sum("__cdist"), F.lit(0.0)).alias("sum_dist"),
             )
+            # stamp the centroid epoch the distances were measured
+            # against: a batch replayed AFTER a reindex re-measures vs
+            # the new centroids, and the stamp (not its batch id) is
+            # what keeps its drift row counting as fresh (r12 review)
+            .withColumn("__epoch", F.lit(_current_epoch(spark, path)))
             .withColumn("__src_batch", F.lit(int(src_batch)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -998,17 +1016,19 @@ def append_ivf_batch(
         release_pins_since(mark)
 
 
-def _collect_probed_cells(probes: DataFrame) -> list[int]:
-    """The distinct probed cell ids (bounded ≤ n_cells — the driver-side
-    partition-pruning collect every against-index path pays), with query
-    dimension validation folded into the SAME job: wrong-dimension query
-    vectors fail as loudly as wrong-dimension waves do at append
+def _collect_probed_cells(probes: DataFrame) -> tuple[list[int], int | None]:
+    """(probed cell ids, index dim) — the driver-side partition-pruning
+    collect every against-index path pays (bounded ≤ n_cells), with
+    query dimension validation folded into the SAME job: wrong-dimension
+    query vectors fail as loudly as wrong-dimension waves do at append
     (without this, zip_with silently scores by prefix truncation — r11
     advice), and a NULL vector (a query id whose embedding row went
     missing in the caller's join) gets its own diagnosis instead of a
-    misleading model-mismatch error. Zero extra Spark jobs (r12 review:
-    a separate limit(1) check added 1-2 driver round-trips per serve —
-    the cost class that dominates these paths at small scale)."""
+    misleading model-mismatch error. The index dim rides back too so
+    the BQ/PQ paths skip their separate centroids probe — zero extra
+    Spark jobs for the validation AND one fewer for those serves (r12
+    review, both passes). ``dim`` is None only for an EMPTY query batch
+    (no probes to measure — the serve returns empty anyway)."""
     row = probes.agg(
         F.collect_set("cell_id").alias("cells"),
         F.min("__qdim").alias("qlo"),
@@ -1029,7 +1049,7 @@ def _collect_probed_cells(probes: DataFrame) -> list[int]:
             f"query vector dim {got} != index dim {dim} — wrong "
             "embedding model for this index"
         )
-    return sorted(row["cells"])
+    return sorted(row["cells"]), dim
 
 
 def read_ivf_postings(
@@ -1100,7 +1120,7 @@ def ivf_topk_against_index(
     # bounded collect: ≤ n_cells distinct values (the centroid table is
     # broadcast-sized by design) — buys driver-side partition pruning;
     # dimension validation rides in the same job
-    probed_cells = _collect_probed_cells(probes)
+    probed_cells, _ = _collect_probed_cells(probes)
     probes = probes.drop("__qdim", "__cdim")
     corpus = ensure_parallelism(
         read_ivf_postings(spark, path, cells=probed_cells)
@@ -1137,12 +1157,13 @@ def ivf_bq_topk_against_index(
     only stage-1 misses cost recall (recall-floor tested; raise
     ``refine`` or ``n_probe`` to trade cost for recall)."""
     centroids = read_ivf_centroids(spark, path)
-    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
     probes = _probe_cells(
         queries_df, centroids, query_id_col, vec_col, n_probe, with_dims=True
     )
-    probed_cells = _collect_probed_cells(probes)
+    probed_cells, dim = _collect_probed_cells(probes)
     probes = probes.drop("__qdim", "__cdim")
+    if dim is None:  # empty query batch: nothing to sketch or rank
+        dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
     corpus = ensure_parallelism(
         read_ivf_postings(spark, path, cells=probed_cells, with_sig=True)
     ).select(
@@ -1215,13 +1236,14 @@ def ivf_pq_topk_against_index(
             f"index at {path} was initialized without PQ codebooks — "
             "init a new index with pq_books= to use the ADC-scan path"
         )
-    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
     n_subs = books.select(F.countDistinct("sub_id").alias("n")).first()["n"]
     probes = _probe_cells(
         queries_df, centroids, query_id_col, vec_col, n_probe, with_dims=True
     )
-    probed_cells = _collect_probed_cells(probes)
+    probed_cells, dim = _collect_probed_cells(probes)
     probes = probes.drop("__qdim", "__cdim")
+    if dim is None:  # empty query batch: nothing to code or rank
+        dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
     lut_probes = F.broadcast(
         probes.withColumn("__qsv", _subvecs(F.col("__qv"), dim, n_subs))
         .crossJoin(F.broadcast(_packed_books(books)))
@@ -1269,30 +1291,31 @@ def ivf_drift_report(spark, path: str) -> DataFrame:
     recall): run :func:`reindex_ivf_index`. Drift rows record the
     distance to the centroids in force AT APPEND TIME; after a reindex
     the pre-retrain rows keep their spike as history, so
-    ``stale_epoch = true`` marks batches whose centroids have since
-    been replaced (from the reindex log) — automation keyed on the
-    spike must filter to ``stale_epoch = false`` or it re-fires on the
-    very drift the retrain already absorbed (r12 review). One scan of
+    ``stale_epoch = true`` marks rows measured against since-replaced
+    centroids — automation keyed on the spike must filter to
+    ``stale_epoch = false`` or it re-fires on the very drift the
+    retrain already absorbed (r12 review). Staleness compares each
+    row's stamped ``__epoch`` (appends record the reindex count in
+    force) to the current count — NOT batch ids, which collapse to the
+    -1 sentinel under compaction and get re-stamped FRESH when a batch
+    replays after a reindex (r12 review, second pass). Rows from
+    pre-r12 appenders carry no stamp and read as epoch 0. One scan of
     the KB-scale stats table + one KB-scale log probe."""
-    from eel_spark.sources.hdfs import HdfsOps
-
-    root = path.rstrip("/")
-    boundary = None
-    if HdfsOps(spark).exists(f"{root}/reindex_log"):
-        boundary = spark.read.parquet(f"{root}/reindex_log").agg(
-            F.max("boundary_batch")
-        ).first()[0]
+    current = _current_epoch(spark, path)
+    stats = spark.read.option("mergeSchema", "true").parquet(
+        f"{path.rstrip('/')}/assign_stats"
+    )
+    epoch = (
+        F.coalesce(F.col("__epoch"), F.lit(0))
+        if "__epoch" in stats.columns
+        else F.lit(0)
+    )
     return (
-        spark.read.parquet(f"{root}/assign_stats")
-        .select(
+        stats.select(
             F.col("__src_batch").alias("src_batch"),
             "n_vectors",
             F.try_divide(F.col("sum_dist"), F.col("n_vectors")).alias("mean_dist"),
-            (
-                F.col("__src_batch") <= F.lit(boundary)
-                if boundary is not None
-                else F.lit(False)
-            ).alias("stale_epoch"),
+            (epoch < F.lit(current)).alias("stale_epoch"),
         )
         .orderBy("src_batch")
     )
@@ -1536,28 +1559,33 @@ def reindex_ivf_index(
             .partitionBy("__src_batch", "__cell_kp")
             .parquet(f"{tmp}/postings")
         )
-        (
-            spark.read.parquet(f"{root}/assign_stats")
-            .write.mode("overwrite")
-            .partitionBy("__src_batch")
-            .parquet(f"{tmp}/assign_stats")
+        # mergeSchema: preserve the __epoch stamps across a mix of pre-
+        # and post-r12 appender rows
+        stats = spark.read.option("mergeSchema", "true").parquet(
+            f"{root}/assign_stats"
         )
-        # epoch log: every batch id present at this retrain was measured
-        # against the now-replaced centroids — record the boundary so
-        # ivf_drift_report can mark those rows stale_epoch instead of
-        # letting the acted-on spike re-fire retrain automation
-        boundary = raw.agg(F.max("__src_batch").alias("b")).first()["b"]
+        stats.write.mode("overwrite").partitionBy("__src_batch").parquet(
+            f"{tmp}/assign_stats"
+        )
+        # epoch log: one row per retrain. Appends stamp the log's row
+        # count (the epoch) on their drift rows; ivf_drift_report marks
+        # rows stamped below the current count stale_epoch, so the
+        # acted-on spike never re-fires retrain automation. The
+        # boundary batch id is informational — from assign_stats, NOT
+        # the postings (compaction collapses posting batch ids to the
+        # -1 sentinel while stats keep per-batch history — r12 review,
+        # second pass).
+        boundary = stats.agg(F.max("__src_batch").alias("b")).first()["b"]
         log = (
             spark.read.parquet(f"{root}/reindex_log")
             if ops.exists(f"{root}/reindex_log")
             else None
         )
-        if boundary is not None:
-            row = spark.createDataFrame(
-                [(int(boundary),)], "boundary_batch long"
-            )
-            log = row if log is None else log.unionByName(row)
-        if log is not None:
-            log.write.mode("overwrite").parquet(f"{tmp}/reindex_log")
+        row = spark.createDataFrame(
+            [(int(boundary) if boundary is not None else -1,)],
+            "boundary_batch long",
+        )
+        log = row if log is None else log.unionByName(row)
+        log.write.mode("overwrite").parquet(f"{tmp}/reindex_log")
 
     staged_swap(spark, root, rewrite)

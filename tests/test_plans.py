@@ -569,3 +569,51 @@ def test_no_python_in_new_ungated_oracled_queries(spark):
             if marker in plan:
                 offenders.append((name, marker))
     assert not offenders, f"python in hot path: {offenders}"
+
+
+def test_hybrid_against_stores_plan_jvm_only_and_pruned(spark, tmp_path):
+    """The store-served hybrid (r12) keeps the gated set's contracts:
+    zero Python stages anywhere in the plan, and the dense arm's
+    postings read is partition-pruned to the probed cells' kp dirs
+    (PartitionFilters on __cell_kp)."""
+    import math
+
+    from eel_spark.operators.retrieval import (
+        append_bm25_stats_batch,
+        hybrid_topk_against_stores,
+    )
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        init_ivf_index,
+        train_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "merge scan window " * (i % 3 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [math.cos(i * 0.41), math.sin(i * 0.41), (i % 5) / 5.0])
+         for i in range(30)],
+        "doc_id long, embedding array<double>",
+    )
+    stats_path = str(tmp_path / "stats")
+    index_path = str(tmp_path / "index")
+    init_ivf_index(index_path, train_centroids(
+        vecs, id_col="doc_id", n_cells=4, iterations=1
+    ))
+    append_bm25_stats_batch(stats_path, docs, "text", src_batch=0)
+    append_ivf_batch(index_path, vecs, id_col="doc_id", src_batch=0)
+    qvecs = spark.createDataFrame(
+        [("qa", [1.0, 0.0, 0.5])], "query_id string, embedding array<double>"
+    )
+    out = hybrid_topk_against_stores(
+        spark, docs, "text", "doc_id", stats_path, index_path,
+        {"qa": ["merge", "scan"]}, qvecs, k=5, n_probe=1,
+    )
+    plan = plan_str(out, "extended")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    simple = plan_str(out, "simple")
+    assert "PartitionFilters" in simple
+    assert "__cell_kp" in simple.split("PartitionFilters", 1)[1]

@@ -1258,3 +1258,50 @@ def test_cross_operator_interrupted_swap_recovery(spark, ivf_index):
     assert ivf_topk_against_index(
         spark, path, _queries(spark), k=3, n_probe=2
     ).count() == 9
+
+
+def test_drift_epoch_semantics_across_compact_and_replay(spark, ivf_index):
+    """stale_epoch is an EPOCH-STAMP comparison, not a batch-id one
+    (r12 review, second pass): it survives compaction (posting batch
+    ids collapse to -1 but stats keep history), a batch REPLAYED after
+    a reindex re-stamps fresh (it re-measured against the new
+    centroids), and new waves append fresh until the next retrain."""
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        compact_ivf_index,
+        ivf_drift_report,
+        reindex_ivf_index,
+    )
+
+    path, waves, _ = ivf_index
+    compact_ivf_index(spark, path)
+    reindex_ivf_index(spark, path, n_cells=3, iterations=1)
+    rep = {
+        r["src_batch"]: r["stale_epoch"]
+        for r in ivf_drift_report(spark, path).collect()
+    }
+    assert rep == {0: True, 1: True, 2: True}  # compaction didn't erase
+    # a replayed batch re-measures against the NEW centroids: fresh
+    append_ivf_batch(path, waves[1], src_batch=1)
+    rep = {
+        r["src_batch"]: r["stale_epoch"]
+        for r in ivf_drift_report(spark, path).collect()
+    }
+    assert rep == {0: True, 1: False, 2: True}
+    # a brand-new wave appends fresh; a second retrain stales everything
+    new = spark.createDataFrame(
+        _wave_rows(range(600, 606), seeds=(5,)),
+        "vec_id: long, embedding: array<double>",
+    )
+    append_ivf_batch(path, new, src_batch=3)
+    rep = {
+        r["src_batch"]: r["stale_epoch"]
+        for r in ivf_drift_report(spark, path).collect()
+    }
+    assert rep[3] is False
+    reindex_ivf_index(spark, path, n_cells=3, iterations=1)
+    rep = {
+        r["src_batch"]: r["stale_epoch"]
+        for r in ivf_drift_report(spark, path).collect()
+    }
+    assert all(rep.values())
