@@ -863,17 +863,25 @@ def init_ivf_index(
     )
 
 
-def _current_epoch(spark, path: str) -> int:
-    """How many reindexes this index has seen (0 for a fresh index):
-    one row per retrain in the KB-scale ``reindex_log``. Appends stamp
-    it on their drift row; ``ivf_drift_report`` compares the stamp to
-    the current value to tell fresh drift from acted-on history."""
+def _reindex_log_info(spark, path: str) -> tuple[int, int | None]:
+    """(epoch, max boundary batch) from the KB-scale ``reindex_log`` —
+    epoch is the retrain count (0 for a fresh index; appends stamp it
+    on their drift rows), the boundary is the highest batch id present
+    at any retrain (the staleness fallback for UN-stamped legacy
+    rows)."""
     from eel_spark.sources.hdfs import HdfsOps
 
     root = path.rstrip("/")
     if not HdfsOps(spark).exists(f"{root}/reindex_log"):
-        return 0
-    return spark.read.parquet(f"{root}/reindex_log").count()
+        return 0, None
+    row = spark.read.parquet(f"{root}/reindex_log").agg(
+        F.count(F.lit(1)).alias("n"), F.max("boundary_batch").alias("b")
+    ).first()
+    return row["n"], row["b"]
+
+
+def _current_epoch(spark, path: str) -> int:
+    return _reindex_log_info(spark, path)[0]
 
 
 def read_ivf_centroids(spark, path: str) -> DataFrame:
@@ -1299,23 +1307,33 @@ def ivf_drift_report(spark, path: str) -> DataFrame:
     force) to the current count — NOT batch ids, which collapse to the
     -1 sentinel under compaction and get re-stamped FRESH when a batch
     replays after a reindex (r12 review, second pass). Rows from
-    pre-r12 appenders carry no stamp and read as epoch 0. One scan of
-    the KB-scale stats table + one KB-scale log probe."""
-    current = _current_epoch(spark, path)
+    pre-r12 appenders carry no stamp and fall back to the boundary
+    rule — stale iff their batch id was present at a retrain — so an
+    upgraded-in-place store never flips its post-retrain legacy rows
+    to stale and silently suppresses the NEXT retrain signal (r12
+    review, third pass). One scan of the KB-scale stats table + one
+    KB-scale log probe."""
+    current, max_boundary = _reindex_log_info(spark, path)
     stats = spark.read.option("mergeSchema", "true").parquet(
         f"{path.rstrip('/')}/assign_stats"
     )
-    epoch = (
-        F.coalesce(F.col("__epoch"), F.lit(0))
-        if "__epoch" in stats.columns
-        else F.lit(0)
+    legacy_stale = (
+        F.col("__src_batch") <= F.lit(max_boundary)
+        if max_boundary is not None
+        else F.lit(False)
     )
+    if "__epoch" in stats.columns:
+        stale = F.when(
+            F.col("__epoch").isNotNull(), F.col("__epoch") < F.lit(current)
+        ).otherwise(legacy_stale)
+    else:
+        stale = legacy_stale
     return (
         stats.select(
             F.col("__src_batch").alias("src_batch"),
             "n_vectors",
             F.try_divide(F.col("sum_dist"), F.col("n_vectors")).alias("mean_dist"),
-            (epoch < F.lit(current)).alias("stale_epoch"),
+            stale.alias("stale_epoch"),
         )
         .orderBy("src_batch")
     )

@@ -614,6 +614,14 @@ def test_hybrid_against_stores_plan_jvm_only_and_pruned(spark, tmp_path):
     plan = plan_str(out, "extended")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+    # anchor INSIDE a PartitionFilters bracket: the plan has two pruned
+    # scans (stats on __term_kp, postings on __cell_kp), and a naive
+    # split on the first occurrence would accept __cell_kp appearing in
+    # the postings scan's column list even with its pruning lost (r12
+    # review, third pass)
+    import re
+
     simple = plan_str(out, "simple")
-    assert "PartitionFilters" in simple
-    assert "__cell_kp" in simple.split("PartitionFilters", 1)[1]
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*__cell_kp[^\]]*\]", simple
+    ), simple

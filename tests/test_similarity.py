@@ -1305,3 +1305,32 @@ def test_drift_epoch_semantics_across_compact_and_replay(spark, ivf_index):
         for r in ivf_drift_report(spark, path).collect()
     }
     assert all(rep.values())
+
+
+def test_drift_legacy_unstamped_rows_use_boundary_fallback(spark, ivf_index):
+    """Migration contract (r12 review, third pass): drift rows written
+    by a pre-stamp appender AFTER the last retrain must read FRESH via
+    the boundary fallback — coalescing their missing stamp to epoch 0
+    would mark un-acted-on drift as history and silently suppress the
+    next retrain signal on an upgraded-in-place store."""
+    from eel_spark.operators.similarity import (
+        ivf_drift_report,
+        reindex_ivf_index,
+    )
+
+    path, _, _ = ivf_index
+    reindex_ivf_index(spark, path, n_cells=3, iterations=1)  # boundary = 2
+    # a legacy appender writes an UN-stamped stats row for batch 7,
+    # after the retrain (pre-r12 schema: no __epoch column)
+    spark.createDataFrame(
+        [(6, 12.0)], "n_vectors long, sum_dist double"
+    ).withColumn("__src_batch", F.lit(7)).write.mode("append").partitionBy(
+        "__src_batch"
+    ).parquet(f"{path}/assign_stats")
+    rep = {
+        r["src_batch"]: r["stale_epoch"]
+        for r in ivf_drift_report(spark, path).collect()
+    }
+    # stamped pre-retrain rows stale; the legacy post-retrain row is
+    # fresh (7 > boundary 2) despite carrying no stamp
+    assert rep == {0: True, 1: True, 2: True, 7: False}
