@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from eel_spark.caching import pin, release_pins
 from eel_spark.operators import dedup
 from eel_spark.session import get_session
 
@@ -34,14 +35,21 @@ docs = docs.withColumn("text", normalize_unicode("text"))
 docs = docs.filter(gopher_keep("text", min_words=10, min_stopword_hits=1))
 print(f"raw docs: {n_raw} -> after normalize + gopher gate: {docs.count()}")
 
-# 1. exact dedup first (cheap, removes verbatim copies)
-survivors = dedup.dedup_exact(docs, "text", "doc_id")
+# 1. exact dedup first (cheap, removes verbatim copies).
+#    PIN the survivor table (tracked MEMORY_AND_DISK persist): every
+#    later stage reads it, and this script takes a dozen actions —
+#    without the pin each one re-executes the normalize+gate+dedup
+#    lineage from the raw scan (measured: the un-pinned script re-ran
+#    ~1100 stages and tripled its wall time). At 100 TB you'd stage
+#    these boundaries to parquet; pin() is the single-job equivalent
+#    (SURVEY §4 rule) and release_pins() at the end frees the caches.
+survivors = pin(dedup.dedup_exact(docs, "text", "doc_id"))
 print(f"-> exact-dedup survivors: {survivors.count()}")
 
 # 2. near-dup pairs among the survivors (LSH-bounded, bucket-capped)
-pairs = dedup.minhash_near_duplicates(
+pairs = pin(dedup.minhash_near_duplicates(
     survivors, "text", "doc_id", threshold=0.5, max_bucket_size=1000
-)
+).select("id_a", "id_b", "est_jaccard", "jaccard"))
 print("near-duplicate pairs (exact-Jaccard verified):")
 pairs.orderBy(F.desc("jaccard")).show(10)
 
@@ -88,14 +96,23 @@ from eel_spark.operators.quality_model import score_perplexity, train_unigram_lm
 vocab, oov_logp = train_unigram_lm(clean, min_count=2)
 ppl = score_perplexity(clean, vocab, oov_logp)
 lo, hi = ppl.approxQuantile("bits_per_token", [0.05, 0.95], 0.01)
+# STAGE the fully-cleaned corpus (same rationale as the train stage
+# below): seven operator families of lineage end here; steps 6-10 all
+# act on the result, and each should plan from a flat scan, not re-plan
+# the cleaning pipeline
+import tempfile
+
 clean = ppl.filter(F.col("bits_per_token").between(lo, hi)).drop("bits_per_token")
+_clean_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "clean_stage")
+clean.write.parquet(_clean_dir)
+clean = spark.read.parquet(_clean_dir)
 print(f"perplexity band [{lo:.2f}, {hi:.2f}] bits/token keeps {clean.count()}")
 
 # 6. language mixing: exact 300-doc budget, temperature-flattened toward
 #    rare languages (count^(1/2) weighting), deterministic by content hash
-mixed = sampling.proportional_budget_sample(
+mixed = pin(sampling.proportional_budget_sample(
     clean, "lang", 300, ["doc_id"], temperature=2.0
-)
+))
 print("language mix after temperature sampling:")
 mixed.groupBy("lang").count().orderBy("lang").show()
 
@@ -107,9 +124,12 @@ mixed.groupBy("lang").count().orderBy("lang").show()
 #    Then upsample only the train side: 2 epochs of the curated
 #    src1/src2 slices, 1.5 of everything else. Finally an
 #    epoch-interleaved deterministic global shuffle.
-split = sampling.leakage_safe_split(
+# the pairs path derives connected components INSIDE the split —
+# an iterative job whose every round would otherwise re-execute the
+# pair lineage; the pinned pairs table bounds it
+split = pin(sampling.leakage_safe_split(
     mixed, {"train": 0.95, "valid": 0.05}, "doc_id", pairs=pairs
-)
+))
 leaks = sampling.split_leakage_report(split, pairs, "doc_id")
 assert leaks.count() == 0, "near-dup pair straddles train/valid"
 print("split leakage audit: clean (no near-dup pair straddles splits)")
@@ -119,7 +139,18 @@ weighted = sampling.replicate_by_weight(
     train, weights, ["doc_id"], epoch_col="epoch"
 )
 train = sampling.shuffle_rows(weighted, ["doc_id", "epoch"], seed=1)
-print(f"split -> train docs upsampled to {train.count()} copies")
+# STAGE the finished train split to storage and re-read it: the
+# composition boundary. Ten operator families are stacked above the
+# raw scan by now; carrying that lineage into BPE + packing makes
+# every downstream action re-plan (and at 100 TB re-run) the whole
+# pipeline — and the plan itself grows until AQE's plan-change logging
+# OOMs the driver (observed at 8g). A pin caches DATA but keeps the
+# plan; writing the boundary truncates both. This is what a real
+# pipeline does between prep and tokenize/pack stages.
+stage_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "train_stage")
+train.write.parquet(stage_dir)
+train = spark.read.parquet(stage_dir)
+print(f"split -> train docs upsampled to {train.count()} copies (staged)")
 
 # 8. pack the shuffled training docs into 2048-token sequences, sized
 #    by a REAL trained tokenizer: BPE merges learned from the training
@@ -152,10 +183,10 @@ print("dataset card:", json.dumps(card, default=str)[:400], "...")
 #     the shuffle width, so the NEXT job's scan opens a bounded number
 #     of right-sized files (at 100 TB the default would write one shard
 #     per shuffle task — thousands of KB-scale files per directory)
-import tempfile
-
 from eel_spark.scale import write_sized_files
 
 out_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "train_packed")
 n_files = write_sized_files(packed, out_dir, target_mb=64.0)
 print(f"wrote packed training set as {n_files} size-targeted files -> {out_dir}")
+
+release_pins()  # standalone script: free the staged intermediates

@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "product_analytics.py",
         "retrieval_eval.py",
         "ann_index_lifecycle.py",
+        "ingest_monitoring.py",
     ],
 )
 def test_example_runs(script):
