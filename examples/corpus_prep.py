@@ -49,7 +49,7 @@ print(f"-> exact-dedup survivors: {survivors.count()}")
 # 2. near-dup pairs among the survivors (LSH-bounded, bucket-capped)
 pairs = pin(dedup.minhash_near_duplicates(
     survivors, "text", "doc_id", threshold=0.5, max_bucket_size=1000
-).select("id_a", "id_b", "est_jaccard", "jaccard"))
+))
 print("near-duplicate pairs (exact-Jaccard verified):")
 pairs.orderBy(F.desc("jaccard")).show(10)
 
@@ -95,17 +95,20 @@ from eel_spark.operators.quality_model import score_perplexity, train_unigram_lm
 
 vocab, oov_logp = train_unigram_lm(clean, min_count=2)
 ppl = score_perplexity(clean, vocab, oov_logp)
-lo, hi = ppl.approxQuantile("bits_per_token", [0.05, 0.95], 0.01)
-# STAGE the fully-cleaned corpus (same rationale as the train stage
-# below): seven operator families of lineage end here; steps 6-10 all
-# act on the result, and each should plan from a flat scan, not re-plan
-# the cleaning pipeline
+# STAGE the scored corpus (same rationale as the train stage below):
+# seven operator families of lineage end here; the quantile probe, the
+# band filter, and steps 6-10 all act on the result, and each should
+# plan from a flat scan, not re-execute the cleaning pipeline — so the
+# boundary lands BEFORE the first of those actions (approxQuantile),
+# making this the lineage's single execution.
+import shutil
 import tempfile
 
+_stage_root = tempfile.mkdtemp(prefix="corpus_prep_stage_")
+ppl.write.parquet(os.path.join(_stage_root, "clean_scored"))
+ppl = spark.read.parquet(os.path.join(_stage_root, "clean_scored"))
+lo, hi = ppl.approxQuantile("bits_per_token", [0.05, 0.95], 0.01)
 clean = ppl.filter(F.col("bits_per_token").between(lo, hi)).drop("bits_per_token")
-_clean_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "clean_stage")
-clean.write.parquet(_clean_dir)
-clean = spark.read.parquet(_clean_dir)
 print(f"perplexity band [{lo:.2f}, {hi:.2f}] bits/token keeps {clean.count()}")
 
 # 6. language mixing: exact 300-doc budget, temperature-flattened toward
@@ -147,7 +150,7 @@ train = sampling.shuffle_rows(weighted, ["doc_id", "epoch"], seed=1)
 # OOMs the driver (observed at 8g). A pin caches DATA but keeps the
 # plan; writing the boundary truncates both. This is what a real
 # pipeline does between prep and tokenize/pack stages.
-stage_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "train_stage")
+stage_dir = os.path.join(_stage_root, "train_stage")
 train.write.parquet(stage_dir)
 train = spark.read.parquet(stage_dir)
 print(f"split -> train docs upsampled to {train.count()} copies (staged)")
@@ -190,3 +193,4 @@ n_files = write_sized_files(packed, out_dir, target_mb=64.0)
 print(f"wrote packed training set as {n_files} size-targeted files -> {out_dir}")
 
 release_pins()  # standalone script: free the staged intermediates
+shutil.rmtree(_stage_root, ignore_errors=True)  # drop the stage copies

@@ -81,28 +81,43 @@ with tempfile.TemporaryDirectory() as work:
         granularities=["hour"],
         extra_keys=["event_type"],
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(400), "streaming rollup sink did not finish"
 
     # --- the monitoring read: re-merge partials, materialize silent
     # hours as zeros, score each series against its own median/MAD ---------
     counts = read_rollup(
         spark, store, merges={"n": F.sum("n")}, extra_keys=["event_type"]
     ).select("event_type", "bucket_start", "n")
+    # GLOBAL fill bounds, not each series' own min/max: a feed that
+    # stops emitting and STAYS dark has no buckets after its last event
+    # — per-series default bounds would never materialize the trailing
+    # zeros, and the ongoing outage (the most realistic one) would be
+    # invisible to the scorer. In production, end = wall clock.
+    lo, hi = counts.agg(
+        F.min("bucket_start"), F.max("bucket_start")
+    ).first()
     filled = fill_time_gaps(
         counts, "bucket_start", "1 hour", keys=["event_type"],
-        fill={"n": "zero"},
+        fill={"n": "zero"}, start=lo, end=hi,
     )
     scored = robust_outliers(filled, "n", by=["event_type"])
     # the production alert guard: on a SPARSE series (median ~0) the
     # MAD degenerates to 0 and ANY deviation flags (mod_z NULL — the
     # documented degenerate rule), so a 0→1 hour would page someone.
     # Keep scored spikes (mod_z set) and degenerate flags only when the
-    # jump is material (n at least 10x the series median).
+    # deviation is material IN EITHER DIRECTION: a 10x jump, or a drop
+    # to <=1/10 of a series that normally carries real volume (the
+    # dark-hour case — n=0 must page on a steady feed, not on one that
+    # was already near-silent).
     alerts = scored.where(
         F.col("is_outlier")
         & (
             F.col("mod_z").isNotNull()
             | (F.col("n") >= 10 * F.greatest(F.col("median"), F.lit(1.0)))
+            | (
+                (F.col("median") >= 10)
+                & (F.col("n") <= F.col("median") / 10)
+            )
         )
     ).select(
         "event_type", "bucket_start", "n", "median",
@@ -114,12 +129,10 @@ with tempfile.TemporaryDirectory() as work:
         print(f"  {r['event_type']:10s} {r['bucket_start']} "
               f"n={r['n']:6d} median={r['median']:.0f} mod_z={r['mod_z']}")
     # the planted double-ingest hour must be among the alerts for every
-    # event type that has events in that hour
+    # event type that has events in that hour (filtered driver-side —
+    # the alert feed is already collected)
     spiked_types = {
-        r["event_type"]
-        for r in alerts.where(
-            F.col("bucket_start") == spike_hour
-        ).collect()
+        r["event_type"] for r in rows if r["bucket_start"] == spike_hour
     }
     present_types = {
         r["event_type"]
