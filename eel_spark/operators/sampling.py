@@ -520,36 +520,35 @@ def leakage_safe_split(
     rep = "__lss_rep"
     while rep in df.columns:
         rep = "_" + rep
-    # collapse to ONE representative per node before the join: a
-    # clusters table with repeated node rows would otherwise fan the
-    # left join out and silently duplicate corpus rows in the split
-    # output (r11 advice). Exact-duplicate rows dedupe; rows that
-    # DISAGREE on the component raise — (A,r1),(A,r2),(B,r2) means r1
-    # and r2 are transitively ONE cluster containing B, and quietly
-    # picking min(r1,r2) for A while B stays on r2 would split that
-    # cluster across splits: the precise leak this operator exists to
-    # prevent (r12 review). Run such maps through connected_components
-    # first. The check runs only on CALLER-supplied maps (the internal
-    # pairs path derives one row per node by construction), and the
-    # aggregated map is pinned so the eager conflict probe and the
-    # corpus join execute the caller's clusters lineage once, not
-    # twice (r12 review, second pass). Everything here touches only
-    # the slim map, never the corpus.
-    cmap = (
-        clusters.select(
-            F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
-        )
-        .groupBy(id_col)
-        .agg(
-            F.min(rep).alias(rep),
-            F.countDistinct(rep).alias("__lss_nrep"),
-        )
+    cmap = clusters.select(
+        F.col(node_col).alias(id_col), F.col(component_col).alias(rep)
     )
     if caller_map:
-        from eel_spark.caching import pin
-
-        cmap = pin(cmap)
-        conflicted = cmap.where(F.col("__lss_nrep") > 1).limit(1).collect()
+        # collapse to ONE representative per node before the join: a
+        # clusters table with repeated node rows would otherwise fan the
+        # left join out and silently duplicate corpus rows in the split
+        # output (r11 advice). Exact-duplicate rows dedupe; rows that
+        # DISAGREE on the component raise — (A,r1),(A,r2),(B,r2) means
+        # r1 and r2 are transitively ONE cluster containing B, and
+        # quietly picking min(r1,r2) for A while B stays on r2 would
+        # split that cluster across splits: the precise leak this
+        # operator exists to prevent (r12 review). Run such maps through
+        # connected_components first. The conflict probe is its own
+        # eager pass over the SLIM map (never the corpus); the join's
+        # min-aggregate below is a second slim-map pass at action time.
+        # Un-pinned on purpose: r12 pinned the aggregate so both shared
+        # one execution, but the pin outlived the call — standalone
+        # callers accumulated cached tables until a global
+        # release_pins(), including on the raise path (r12 advice). Two
+        # passes over the slim map is the leak-free price of the eager
+        # ValueError contract.
+        conflicted = (
+            cmap.groupBy(id_col)
+            .agg(F.countDistinct(rep).alias("__lss_nrep"))
+            .where(F.col("__lss_nrep") > 1)
+            .limit(1)
+            .collect()
+        )
         if conflicted:
             raise ValueError(
                 f"clusters maps node {conflicted[0][id_col]!r} to "
@@ -558,7 +557,11 @@ def leakage_safe_split(
                 "splitting on it would leak the merged cluster across "
                 "splits"
             )
-    cmap = cmap.drop("__lss_nrep")
+        cmap = cmap.groupBy(id_col).agg(F.min(rep).alias(rep))
+    # the pairs-derived path skips the dedupe/conflict aggregation
+    # entirely: connected_components emits exactly one row per node by
+    # construction, so the groupBy would be a redundant exchange on the
+    # map before the corpus join (r12 advice).
     joined = df.join(cmap, on=id_col, how="left").withColumn(
         rep, F.coalesce(F.col(rep), F.col(id_col))
     )

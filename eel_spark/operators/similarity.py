@@ -888,7 +888,21 @@ def read_ivf_centroids(spark, path: str) -> DataFrame:
     from eel_spark.sources.hdfs import HdfsOps
 
     root = path.rstrip("/")
-    if not HdfsOps(spark).exists(f"{root}/centroids"):
+    ops = HdfsOps(spark)
+    if not ops.exists(f"{root}/centroids"):
+        # a reindex/compact that crashed between staged_swap's two root
+        # renames leaves the REAL corpus staged at <root>__old; telling
+        # the caller to init would create a fresh index beside it, and
+        # the next swap's __old cleanup would then destroy the corpus.
+        # Route readers (and appenders — they come through here) to the
+        # healing operators instead (r12 advice).
+        if ops.exists(root + "__old"):
+            raise ValueError(
+                f"interrupted reindex/compact at {path}: the index is "
+                f"staged aside at {root}__old — re-run reindex_ivf_index "
+                "or compact_ivf_index (either heals the swap) instead of "
+                "init_ivf_index"
+            )
         raise ValueError(f"no IVF index at {path} — call init_ivf_index first")
     return spark.read.parquet(f"{root}/centroids")
 
@@ -1311,7 +1325,13 @@ def ivf_drift_report(spark, path: str) -> DataFrame:
     rule — stale iff their batch id was present at a retrain — so an
     upgraded-in-place store never flips its post-retrain legacy rows
     to stale and silently suppresses the NEXT retrain signal (r12
-    review, third pass). One scan of the KB-scale stats table + one
+    review, third pass). Known asymmetry of that fallback: a PRE-r12
+    appender that replays a batch AFTER a reindex re-measures against
+    the new centroids but its un-stamped row still falls under the
+    boundary rule and reads stale — fresh drift slightly
+    under-reported on mixed-version deployments. Upgrade appenders
+    BEFORE replaying past a reindex to avoid the misclassification
+    (r12 advice). One scan of the KB-scale stats table + one
     KB-scale log probe."""
     current, max_boundary = _reindex_log_info(spark, path)
     stats = spark.read.option("mergeSchema", "true").parquet(

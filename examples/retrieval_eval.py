@@ -128,9 +128,11 @@ for r in m.orderBy("query_id").collect():
 #    streaming_bm25_stats_sink), then rank a NEW wave for the whole
 #    query batch against the maintained store — one wave scan, zero
 #    history rescans
+import shutil
 import tempfile
 
-store = tempfile.mkdtemp(prefix="eel_bm25_store_") + "/stats"
+_store_root = tempfile.mkdtemp(prefix="eel_bm25_store_")
+store = _store_root + "/stats"
 for i in range(2):
     append_bm25_stats_batch(
         store, docs.where(F.col("doc_id") % 2 == i), "text", src_batch=i
@@ -162,7 +164,8 @@ from eel_spark.operators.similarity import (
     train_centroids,
 )
 
-index = tempfile.mkdtemp(prefix="eel_ivf_index_") + "/index"
+_index_root = tempfile.mkdtemp(prefix="eel_ivf_index_")
+index = _index_root + "/index"
 init_ivf_index(index, train_centroids(emb, n_cells=8, iterations=2))
 for i in range(2):
     append_ivf_batch(
@@ -178,4 +181,7 @@ for r in served.orderBy("query_id", "rank").collect():
           f"doc={r['doc_id']} rrf={r['score']:.4f}")
 
 release_pins()  # standalone script: free the BM25 tokenize caches
+# drop the temp stores (r12 advice — corpus_prep.py's cleanup discipline)
+shutil.rmtree(_store_root, ignore_errors=True)
+shutil.rmtree(_index_root, ignore_errors=True)
 spark.stop()

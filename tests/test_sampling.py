@@ -568,3 +568,45 @@ def test_leakage_safe_split_dedupes_cluster_map(spark):
             df, {"train": 0.5, "test": 0.5}, "doc_id",
             clusters=conflicted, seed=3,
         )
+
+
+def test_leakage_safe_split_leaves_no_pins_and_lean_pairs_plan(spark):
+    """r12 advice pair: (a) the caller-map conflict probe must not leave
+    a pinned cache behind — standalone callers were accumulating cached
+    tables until a global release_pins(), including on the raise path;
+    (b) the pairs-derived path must not re-aggregate the component map
+    (connected_components emits one row per node by construction — the
+    groupBy was a redundant exchange)."""
+    import pytest as _pytest
+
+    from eel_spark.caching import pins_mark
+    from eel_spark.operators.sampling import leakage_safe_split
+
+    df, pairs, _ = _leak_corpus(spark, n=40, chains=((1, 2),))
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node: long, component: long"
+    )
+    before = pins_mark()
+    out = leakage_safe_split(
+        df, {"train": 0.5, "test": 0.5}, "doc_id", clusters=clusters, seed=3
+    )
+    out.collect()
+    assert pins_mark() == before  # success path pins nothing
+    conflicted = spark.createDataFrame(
+        [(1, 1), (1, 9)], "node: long, component: long"
+    )
+    with _pytest.raises(ValueError, match="multiple components"):
+        leakage_safe_split(
+            df, {"train": 0.5, "test": 0.5}, "doc_id",
+            clusters=conflicted, seed=3,
+        )
+    assert pins_mark() == before  # raise path pins nothing either
+    # caller-map path aggregates the map to one row per node; the
+    # pairs path joins the components table directly
+    via_clusters_plan = out._jdf.queryExecution().optimizedPlan().toString()
+    via_pairs = leakage_safe_split(
+        df, {"train": 0.5, "test": 0.5}, "doc_id", pairs=pairs, seed=3
+    )
+    via_pairs_plan = via_pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "min(__lss_rep" in via_clusters_plan
+    assert "min(__lss_rep" not in via_pairs_plan

@@ -1157,8 +1157,20 @@ def test_reindex_crash_windows_and_validation(spark, ivf_index, clustered):
     reindex_ivf_index(spark, path, n_cells=3, iterations=1)
     assert read_ivf_postings(spark, path).count() == n_before
     assert not ops.exists(f"{path}__compacting")
-    # window 2: crash between the two renames — store staged aside
+    # window 2: crash between the two renames — store staged aside.
+    # Readers and appenders must route to the healing operators, NOT
+    # suggest init (a fresh init beside __old would be destroyed with
+    # __old by the next swap's cleanup — r12 advice).
     assert ops.rename(path, f"{path}__old")
+    from eel_spark.operators.similarity import (
+        append_ivf_batch,
+        read_ivf_centroids,
+    )
+
+    with pytest.raises(ValueError, match="interrupted reindex/compact"):
+        read_ivf_centroids(spark, path)
+    with pytest.raises(ValueError, match="interrupted reindex/compact"):
+        append_ivf_batch(path, clustered, id_col="vec_id", src_batch=99)
     reindex_ivf_index(spark, path, n_cells=3, iterations=1)
     assert read_ivf_postings(spark, path).count() == n_before
     assert ivf_topk_against_index(
