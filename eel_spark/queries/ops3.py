@@ -316,9 +316,10 @@ def rollup_quantile_daily(spark: SparkSession, sf_dir: str) -> DataStream:
 
 
 # -- leakage-safe split (operators/sampling.leakage_safe_split) -------------
-# Registered with gated=False: the 50-slot driver registry is full; the
-# pytest ungated harness (tests/test_ungated.py) hash-compares this
-# against the oracle at sf0.001 AND sf0.01. The oracle derives the
+# GATED since round 13 (eighth rotation, directed by the r12 verdict —
+# born ungated in r11; the slot came from q4_order_priority, whose
+# EXISTS de-correlation shape stays covered gated by q21's anti/semi
+# chain and ungated-oracled at 2 SFs). The oracle derives the
 # exact-duplicate cluster representative (min doc_id per normalized
 # content md5) and the md5-bucket split assignment independently, so a
 # single moved document — the split-leakage bug this operator exists to
@@ -351,7 +352,7 @@ FROM b
 """
 
 
-@query("sampling_leakage_split", _LEAKAGE_SPLIT_SQL, gated=False)
+@query("sampling_leakage_split", _LEAKAGE_SPLIT_SQL)
 def sampling_leakage_split(spark: SparkSession, sf_dir: str) -> DataStream:
     """Leakage-safe 80/10/10 split (operators/sampling.
     leakage_safe_split, md5 mode): every document hashes on its

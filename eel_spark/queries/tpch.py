@@ -181,10 +181,15 @@ GROUP BY o_orderpriority
 """
 
 
-@query("q4_order_priority", _Q4_SQL)
+@query("q4_order_priority", _Q4_SQL, gated=False)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataStream:
     """EXISTS → left-semi join; Spark never materializes the subquery,
-    and the semi-join short-circuits per key."""
+    and the semi-join short-circuits per key.
+
+    Rotated to the ungated tier in round 13 (eighth rotation, directed
+    by the r12 verdict): the slot went to sampling_leakage_split; the
+    EXISTS de-correlation shape stays gated via q21's anti/semi chain,
+    and this query keeps its 2-SF pytest oracle in test_ungated.py."""
     orders = table(spark, sf_dir, "orders").filter(
         "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
         "o_orderdate < timestamp '1997-01-01 00:00:00'"

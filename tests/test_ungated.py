@@ -49,6 +49,10 @@ ROTATED = {
     # aggregate shape stays gated via ops_sessionize and oracled via
     # ops_gapfill_hourly / rollup_quantile_daily
     "ops_tumbling_window",
+    # round-13 eighth rotation (directed by the r12 verdict): slot
+    # freed for sampling_leakage_split; q4's EXISTS de-correlation is
+    # also exercised gated by q21's anti/semi chain
+    "q4_order_priority",
 }
 
 # Registered ungated WITHOUT a DuckDB oracle: bench-visible companions
@@ -63,13 +67,12 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # is capped at 50): same two-SF pytest oracle discipline as the rotated
 # set. text_bm25_stats gates BM25's integer sufficient statistics; the
 # ln()-bearing score formula is verified in tests/test_retrieval.py.
-# sampling_leakage_split gates leakage_safe_split per-doc: the oracle
-# re-derives exact-dup cluster reps AND the md5 split independently.
 # (anomaly_hourly_events was born here in r11 and rotated INTO the
-# driver gate in r12, trading places with ops_tumbling_window.)
+# driver gate in r12, trading places with ops_tumbling_window;
+# sampling_leakage_split likewise rotated INTO the gate in r13,
+# trading places with q4_order_priority.)
 EXTRA_ORACLED = {
     "text_bm25_stats",
-    "sampling_leakage_split",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
