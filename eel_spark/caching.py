@@ -1,4 +1,4 @@
-"""Tracked persist: pin multiply-read intermediates, release them later.
+"""Tracked persist + staged boundaries for multiply-read intermediates.
 
 Operators and gated queries cache intermediates that several plan
 branches read (LSH shingle/signature tables, recall-gate pair sets).
@@ -84,3 +84,116 @@ def release_pins_since(mark: int) -> int:
         except Exception:
             pass
     return n
+
+
+# ---------------------------------------------------------------------------
+# Staged pipeline boundaries (write/re-read with lineage truncation)
+# ---------------------------------------------------------------------------
+
+STAGE_DIR_CONF = "spark.eel_spark.stage.dir"
+
+_stage_counter = 0
+_stage_lock = threading.Lock()
+
+
+def _stages() -> list:
+    stages = getattr(_TL, "stages", None)
+    if stages is None:
+        stages = _TL.stages = []
+    return stages
+
+
+def _stage_root(spark) -> str:
+    """The session's staging root: the ``spark.eel_spark.stage.dir``
+    conf if set (at cluster scale point it at durable shared storage),
+    else a per-session local temp dir, created once and written back to
+    the conf so every stage of the session lands under one visible
+    root."""
+    root = spark.conf.get(STAGE_DIR_CONF, None)
+    if root:
+        return root
+    import tempfile
+
+    with _stage_lock:
+        root = spark.conf.get(STAGE_DIR_CONF, None)
+        if not root:
+            root = tempfile.mkdtemp(prefix="eel_spark_stage_")
+            spark.conf.set(STAGE_DIR_CONF, root)
+    return root
+
+
+def stage(df, path: str | None = None, *, track: bool = True):
+    """Write/re-read pipeline boundary: materialize ``df`` as parquet
+    and return a fresh scan of the files, truncating lineage.
+
+    WHY a storage boundary and not ``pin``: persist/cache never
+    truncates the LOGICAL plan — the analyzer still renders and
+    optimizes the full upstream lineage, and a pipeline that stacks
+    ~10 operator families grows its (AQE-exploded) plan strings past
+    driver memory long before the data is the problem (the measured
+    r12 corpus-prep failure: staging two boundaries took the example
+    from 15.5 to 3.6 min and un-OOM'd the driver). Real multi-family
+    pipelines should stage at their natural checkpoints — scored
+    survivors, trained model tables, the post-split corpus — exactly
+    what a 100 TB run does between jobs anyway.
+
+    ``path=None`` allocates a unique directory under the session's
+    staging root (``spark.eel_spark.stage.dir`` conf, else a
+    per-session temp dir). Every boundary is TRACKED on a thread-local
+    stack like pins: ``release_stages()`` / ``release_stages_since``
+    delete the staged files (the reap policy for standalone scripts;
+    ``track=False`` opts a boundary out, e.g. process-lifetime model
+    memos). CAUTION — releasing a stage is NOT like releasing a pin:
+    a pin release just recomputes; a stage release deletes files that
+    the returned DataFrame (and everything built on it) READS. Release
+    only after downstream plans are materialized or written out.
+
+    Scale shape: one extra write+scan of the boundary data in exchange
+    for O(1) plan size per stage and re-derivation-free fan-out (every
+    consumer of the boundary reads files instead of re-running the
+    upstream plan). Parquet keeps column pruning/pushdown across the
+    boundary.
+    """
+    global _stage_counter
+    spark = df.sparkSession
+    if path is None:
+        import uuid
+
+        with _stage_lock:
+            _stage_counter += 1
+            n = _stage_counter
+        path = f"{_stage_root(spark)}/stage_{n:05d}_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(path)
+    if track:
+        _stages().append((spark, path))
+    return spark.read.parquet(path)
+
+
+def stages_mark() -> int:
+    """Current depth of THIS thread's stage stack — pass to
+    :func:`release_stages_since` to reap only the boundaries a bounded
+    piece of work added."""
+    return len(_stages())
+
+
+def release_stages_since(mark: int) -> int:
+    """Delete every staged boundary THIS thread recorded after ``mark``;
+    returns how many. Only call once downstream consumers of those
+    boundaries have materialized (see :func:`stage`)."""
+    stages = _stages()
+    n = 0
+    while len(stages) > mark:
+        spark, path = stages.pop()
+        try:
+            from eel_spark.sources.hdfs import HdfsOps
+
+            HdfsOps(spark).delete(path, recursive=True)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def release_stages() -> int:
+    """Reap every boundary this thread staged; returns how many."""
+    return release_stages_since(0)

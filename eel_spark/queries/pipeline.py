@@ -1066,7 +1066,9 @@ def multimodal_selfcheck(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 # once-per-corpus trained unigram LM for pipeline_prepare_corpus's model
-# stage: {sf_dir: (vocab_rows, oov_logp)} — see the memo note in the query
+# stage: {sf_dir: (vocab_parquet_path, oov_logp)} — the vocab lives as a
+# staged parquet boundary, never driver rows (see the memo note in the
+# query)
 _LM_MEMO: dict = {}
 
 _PREP_SQL = f"""
@@ -1146,18 +1148,25 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
     )
     # train once per corpus, score on every call — the published contract
     # (score_quality/train_unigram_lm docstrings: persist the model so
-    # scoring jobs never retrain). The vocab after the min_count cut is
-    # tiny by construction, so the memo holds literal rows and rebuilds
-    # the DataFrame per call; the deterministic trainer makes the memo
-    # bit-identical to retraining.
+    # scoring jobs never retrain). The trained vocab is STAGED as a
+    # parquet boundary and the memo holds only its path: vocabulary
+    # grows ~Heaps-law with corpus size, so collecting it to driver
+    # literal rows was the one unbounded-in-principle driver hop left
+    # in the gated set (r12 verdict #2) — exactly the write/re-read
+    # discipline stage() exists for. track=False: the memo is
+    # process-lifetime (parquet doubles round-trip exactly, so the
+    # staged model is bit-identical to retraining).
     memo = _LM_MEMO.get(sf_dir)
     if memo is None:
+        import tempfile
+
+        from eel_spark.caching import stage
+
         vocab_df, oov_logp = train_unigram_lm(kept_docs, "text", min_count=5)
-        _LM_MEMO[sf_dir] = memo = (
-            [(r["tok"], r["logp"]) for r in vocab_df.collect()],
-            oov_logp,
-        )
-    vocab = spark.createDataFrame(memo[0], "tok string, logp double")
+        vpath = tempfile.mkdtemp(prefix="eel_lm_vocab_") + "/vocab"
+        stage(vocab_df, vpath, track=False)
+        _LM_MEMO[sf_dir] = memo = (vpath, oov_logp)
+    vocab = spark.read.parquet(memo[0])
     oov_logp = memo[1]
     # junk twin rides the SAME scoring pass as the clean corpus (one
     # explode + one vocab join, not two): negative ids tag the junk side

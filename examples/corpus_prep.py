@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from eel_spark.caching import pin, release_pins
+from eel_spark.caching import pin, release_pins, release_stages, stage
 from eel_spark.operators import dedup
 from eel_spark.session import get_session
 
@@ -100,13 +100,14 @@ ppl = score_perplexity(clean, vocab, oov_logp)
 # band filter, and steps 6-10 all act on the result, and each should
 # plan from a flat scan, not re-execute the cleaning pipeline — so the
 # boundary lands BEFORE the first of those actions (approxQuantile),
-# making this the lineage's single execution.
+# making this the lineage's single execution. stage() is the library's
+# tracked write/re-read boundary (eel_spark.caching) — it allocates
+# under the session staging root and release_stages() reaps the files
+# at the end.
 import shutil
 import tempfile
 
-_stage_root = tempfile.mkdtemp(prefix="corpus_prep_stage_")
-ppl.write.parquet(os.path.join(_stage_root, "clean_scored"))
-ppl = spark.read.parquet(os.path.join(_stage_root, "clean_scored"))
+ppl = stage(ppl)
 lo, hi = ppl.approxQuantile("bits_per_token", [0.05, 0.95], 0.01)
 clean = ppl.filter(F.col("bits_per_token").between(lo, hi)).drop("bits_per_token")
 print(f"perplexity band [{lo:.2f}, {hi:.2f}] bits/token keeps {clean.count()}")
@@ -150,9 +151,7 @@ train = sampling.shuffle_rows(weighted, ["doc_id", "epoch"], seed=1)
 # OOMs the driver (observed at 8g). A pin caches DATA but keeps the
 # plan; writing the boundary truncates both. This is what a real
 # pipeline does between prep and tokenize/pack stages.
-stage_dir = os.path.join(_stage_root, "train_stage")
-train.write.parquet(stage_dir)
-train = spark.read.parquet(stage_dir)
+train = stage(train)
 print(f"split -> train docs upsampled to {train.count()} copies (staged)")
 
 # 8. pack the shuffled training docs into 2048-token sequences, sized
@@ -192,5 +191,9 @@ out_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "train_packed")
 n_files = write_sized_files(packed, out_dir, target_mb=64.0)
 print(f"wrote packed training set as {n_files} size-targeted files -> {out_dir}")
 
-release_pins()  # standalone script: free the staged intermediates
-shutil.rmtree(_stage_root, ignore_errors=True)  # drop the stage copies
+release_pins()  # standalone script: free the pinned caches
+release_stages()  # reap the staged boundary files (downstream all done)
+# the per-session staging root itself (now empty) goes too
+from eel_spark.caching import STAGE_DIR_CONF
+
+shutil.rmtree(spark.conf.get(STAGE_DIR_CONF, ""), ignore_errors=True)

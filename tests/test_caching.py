@@ -51,3 +51,95 @@ def test_minhash_operator_pins_release(spark):
     release_pins()
     assert _n_cached_rdds(spark) == base
     assert _cache_manager_empty(spark)
+
+
+def test_stage_truncates_lineage_and_bounds_plan_growth(spark, tmp_path):
+    """stage() is the library form of the r12 corpus-prep lesson: a
+    pipeline stacking many operator families grows its logical plan
+    geometrically (self-referencing unions/joins render the upstream
+    subtree once per reference) until plan STRINGS, not data, OOM the
+    driver. A write/re-read boundary resets the plan to a flat scan —
+    interleaving growth with stage() must keep plan size bounded."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.caching import STAGE_DIR_CONF, release_stages, stage
+
+    spark.conf.set(STAGE_DIR_CONF, str(tmp_path / "stages"))
+    try:
+        df = spark.range(200).withColumn("v", F.col("id") % 7)
+        # plan-doubling growth with constant data: each round references
+        # the current plan twice (the filtered branch matches no rows
+        # but Catalyst cannot prove it empty)
+        for _ in range(4):
+            df = df.unionByName(df.filter(F.col("id") < 0))
+        plan_len_grown = len(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        staged = stage(df)
+        assert staged.count() == 200
+        assert sorted(r["v"] for r in staged.where("id < 3").collect()) == [
+            0, 1, 2,
+        ]
+        plan_len_staged = len(
+            staged._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan_len_staged < plan_len_grown / 4, (
+            plan_len_staged, plan_len_grown,
+        )
+        # bounded across N stacked families: grow, stage, repeat — the
+        # post-boundary plan length must stay flat, not compound
+        lengths = []
+        cur = staged
+        for _ in range(3):
+            for _ in range(4):
+                cur = cur.unionByName(cur.filter(F.col("id") < 0))
+            cur = stage(cur)
+            lengths.append(
+                len(cur._jdf.queryExecution().optimizedPlan().toString())
+            )
+        assert cur.count() == 200
+        assert max(lengths) <= min(lengths) + 200, lengths
+    finally:
+        release_stages()
+        spark.conf.unset(STAGE_DIR_CONF)
+
+
+def test_stage_reap_policy_and_tracking(spark, tmp_path):
+    """Boundaries are tracked like pins: stages_mark/release_stages_since
+    reap exactly the files a bounded piece of work staged; track=False
+    opts out (process-lifetime memos); explicit paths are honored."""
+    import os
+
+    from eel_spark.caching import (
+        STAGE_DIR_CONF,
+        release_stages,
+        release_stages_since,
+        stage,
+        stages_mark,
+    )
+
+    root = tmp_path / "stages2"
+    spark.conf.set(STAGE_DIR_CONF, str(root))
+    try:
+        df = spark.range(10)
+        before = stages_mark()
+        a = stage(df)
+        mark = stages_mark()
+        assert mark == before + 1
+        b = stage(df)
+        untracked = stage(df, str(tmp_path / "keepme"), track=False)
+        assert stages_mark() == mark + 1  # track=False not recorded
+        dirs = sorted(os.listdir(root))
+        assert len(dirs) == 2
+        a.count(), b.count(), untracked.count()
+        # reap only what came after the mark
+        assert release_stages_since(mark) == 1
+        assert len(os.listdir(root)) == 1
+        assert a.count() == 10  # earlier boundary still readable
+        assert release_stages() == 1
+        assert os.listdir(root) == []
+        assert untracked.count() == 10  # opted-out boundary survives
+        assert os.path.isdir(tmp_path / "keepme")
+    finally:
+        release_stages()
+        spark.conf.unset(STAGE_DIR_CONF)
