@@ -585,3 +585,179 @@ def canonical_url(
     return F.when(
         u0.isNotNull() & auth.isNotNull() & (auth != ""), out
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup → text extraction (jusText/trafilatura-style heuristics,
+# re-derived on Catalyst — public techniques: line link-density and
+# text-ratio scoring; see Pomikálek, "Removing boilerplate and duplicate
+# content from web corpora", 2011). The first stage of every web-crawl
+# LLM pipeline: everything downstream (dedup, quality, LM training)
+# assumes clean text. All patterns are ENGINE-NEUTRAL regex (the Java ∩
+# RE2 subset — no lookaround, no backreferences) so DuckDB oracles can
+# run the identical chain.
+# ---------------------------------------------------------------------------
+
+# script/style subtrees go first: their CONTENT is code, not text, and
+# may contain markup-looking strings ('var s = "</p>"') that would
+# corrupt tag stripping; legacy comment-hiding (<script><!-- ... -->
+# </script>) also parses correctly in this order. Comments are removed
+# after. Regex-based stripping is heuristic by design — a comment
+# containing an unbalanced <script> open is mis-parsed; real-world
+# extractors accept the same trade.
+HTML_SCRIPT_PATTERN = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE_PATTERN = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_PATTERN = r"(?s)<!--.*?-->"
+
+# block-level elements: each open/close boundary becomes a newline so
+# visually-separate content stays on separate lines; inline tags (<b>,
+# <span>, <a>, ...) strip to nothing, gluing their text to the line.
+HTML_BLOCK_TAG_PATTERN = (
+    r"(?is)</?(?:html|head|body|title|p|div|br|hr|li|ul|ol|dl|dt|dd|"
+    r"h[1-6]|tr|td|th|table|thead|tbody|tfoot|caption|blockquote|pre|"
+    r"section|article|aside|header|footer|nav|form|fieldset|figure|"
+    r"figcaption|main|address|center)\b[^>]*>"
+)
+HTML_TAG_PATTERN = r"(?s)<[^>]*>"
+
+# anchor inner HTML — group 1 feeds per-line link-density scoring
+HTML_ANCHOR_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+# the named/numeric core entity set, ORDERED: &amp; decodes LAST so
+# double-escaped text (&amp;lt;) yields the literal entity (&lt;), the
+# standard unescape order. Literal (non-regex) replaces — identical
+# semantics in every engine.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&#60;", "<"),
+    ("&gt;", ">"),
+    ("&#62;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+]
+
+
+def _strip_markup(c: Column) -> Column:
+    """Remove non-content subtrees, turn block boundaries into newlines,
+    drop remaining tags, decode the core entity set. No whitespace
+    normalization — callers line-split or collapse as they need."""
+    c = F.regexp_replace(c, HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
+    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_BLOCK_TAG_PATTERN, "\n")
+    c = F.regexp_replace(c, HTML_TAG_PATTERN, "")
+    return _decode_entities(c)
+
+
+def _decode_entities(c: Column) -> Column:
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _collapse_visible(c: Column) -> Column:
+    """Whitespace-normalize extracted text: horizontal runs → one
+    space, spaces trimmed around newlines, newline runs → one, ends
+    trimmed."""
+    c = F.regexp_replace(c, r"[^\S\n]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text of an HTML/markup document — pure Catalyst (one
+    projection, whole-stage codegen; zero Python).
+
+    Pipeline: script/style subtree removal → comment removal →
+    block-level tag boundaries become newlines → remaining tags strip
+    → core named/numeric entity decode → whitespace normalization
+    (one line per block, no blank lines, trimmed).
+
+    Scale shape: a per-row expression chain — no shuffle, no UDF; runs
+    inside the scan projection, so a 100 TB crawl pays exactly one
+    pass. Compose with :func:`extract_main_content` (link-density main
+    content) and
+    :func:`eel_spark.operators.dedup.remove_boilerplate_lines`
+    (cross-document frequent lines) for the full crawl-cleaning stack.
+    """
+    return _collapse_visible(_strip_markup(_c(html)))
+
+
+def extract_main_content(
+    html: Column | str,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+    min_text_ratio: float = 0.0,
+) -> Column:
+    """Main-content text of an HTML document: per-LINE link-density and
+    length heuristics over the block structure (the jusText/trafilatura
+    family of techniques, re-expressed as Catalyst higher-order
+    functions — no DOM, no Python).
+
+    A line (= block-level element's visible text) is KEPT iff:
+
+    - it has ≥ ``min_words`` whitespace words (drops titles, buttons,
+      copyright shards), and
+    - its anchor-text chars ≤ ``max_link_density`` × its visible chars
+      (drops nav bars, link farms, footers), and
+    - its visible chars ≥ ``min_text_ratio`` × its raw chars (0 = off;
+      raise to drop attribute-heavy widget soup). Raw chars count the
+      line AFTER block-tag splitting, so the ratio measures INLINE
+      markup density (spans/anchors/attributes inside the line) — the
+      block tag that delimits the line never counts against it.
+
+    Kept lines re-join with newlines in document order. Cross-document
+    boilerplate (repeated banners that pass per-line rules) is the
+    complementary corpus-level pass —
+    :func:`eel_spark.operators.dedup.remove_boilerplate_lines`.
+
+    Scale shape: per-row HOF chain over the line array — still one
+    scan-side projection, no shuffle. HOF lambdas evaluate outside
+    codegen (interpreted), so this costs more per row than
+    :func:`html_to_text`; each lambda touches only its own element
+    (the r4 projection-boundary rule), never re-evaluating the array.
+    """
+    c = _c(html)
+    c = F.regexp_replace(c, HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
+    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
+    lines_arr = F.split(F.regexp_replace(c, HTML_BLOCK_TAG_PATTERN, "\n"), "\n")
+
+    def _visible(x: Column) -> Column:
+        v = F.regexp_replace(x, HTML_TAG_PATTERN, "")
+        v = _decode_entities(v)
+        return F.trim(F.regexp_replace(v, r"\s+", " "))
+
+    scored = F.transform(
+        lines_arr,
+        lambda x: F.struct(
+            _visible(x).alias("txt"),
+            F.length(F.trim(x)).alias("raw_len"),
+            F.aggregate(
+                F.regexp_extract_all(x, F.lit(HTML_ANCHOR_PATTERN), 1),
+                F.lit(0),
+                lambda acc, a: acc + F.length(_visible(a)),
+            ).alias("link_chars"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (s["txt"] != "")
+        & (F.size(F.split(s["txt"], " ")) >= F.lit(int(min_words)))
+        & (
+            s["link_chars"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["txt"])
+        )
+        & (
+            F.length(s["txt"]).cast("double")
+            >= F.lit(float(min_text_ratio)) * s["raw_len"]
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")

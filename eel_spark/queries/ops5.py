@@ -621,3 +621,98 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") * F.lit(_RRF_L)).cast("long")
         .alias("score_num"),
     )
+
+
+# -- HTML → text extraction (functions/text.html_to_text,
+#    extract_main_content) ---------------------------------------------------
+# Born ungated (the 50-slot driver registry is full; tests/test_ungated.py
+# hash-compares at sf0.001 AND sf0.01). CONSTRUCTION-BASED oracle — rather
+# than mirror the regexp chain in DuckDB, the query PLANTS a deterministic
+# HTML wrapper (script with markup-in-string + legacy comment hiding,
+# style, comments, block/inline tags, the named+numeric entity core set,
+# padding whitespace, a link-dense nav and footer) around each document's
+# text, runs the REAL extractors, and the oracle independently BUILDS the
+# exact expected output from the original text: title line + decoded h1 +
+# nav anchor text + normalized body + footer for html_to_text; the body
+# alone (iff ≥ 5 words — the nav/footer/title fail the word-count and
+# link-density rules by construction) for extract_main_content. Any
+# deviation anywhere in the strip → decode → normalize → line-score chain
+# flips a per-doc md5. Text is pre-sanitized of <>& on BOTH sides so
+# arbitrary corpora can't inject markup into the plant.
+
+_HTML_EXTRACT_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(coalesce(text, ''), '<', ''), '>', ''),
+                   '&', ''),
+           '\s+', ' ', 'g')) AS nt
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         'Extraction Test' || chr(10) ||
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' & it''s' || chr(10) ||
+         'Home Next page' || chr(10) ||
+         CASE WHEN nt = '' THEN '' ELSE nt || chr(10) END ||
+         'About' AS full_t,
+         CASE WHEN nt <> '' AND len(string_split(nt, ' ')) >= 5
+              THEN nt ELSE '' END AS main_t
+  FROM s
+)
+SELECT doc_id, md5(full_t) AS full_md5, md5(main_t) AS main_md5,
+       CAST(length(full_t) AS BIGINT) AS full_chars
+FROM e
+"""
+
+
+@query("text_html_extract", _HTML_EXTRACT_SQL, gated=False)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl first stage: strip a full HTML wrapper down to visible
+    text (html_to_text) and to main content (extract_main_content —
+    per-line word-count + link-density heuristics drop the planted
+    title, nav and footer). Scan-side Catalyst expressions only; the
+    plan is one projection over the parquet scan."""
+    from eel_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents").df
+    san = F.replace(
+        F.replace(
+            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("<"), F.lit("")),
+            F.lit(">"),
+            F.lit(""),
+        ),
+        F.lit("&"),
+        F.lit(""),
+    )
+    nt = F.trim(F.regexp_replace(san, r"\s+", " "))
+    wrapped = F.concat(
+        F.lit(
+            "<html><head><title>Extraction Test</title>\n"
+            '<script type="text/javascript">var s="</p>"; if (a<b) { b(); }'
+            "<!-- hide --></script>\n"
+            "<style>p { color: red; }</style></head>\n"
+            "<body><!-- header comment with <p>markup</p> inside -->\n"
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; it&#39;s</h1>\n"
+            '<div id="nav"><a href="/">Home</a>&nbsp;'
+            '<a href="/next">Next page</a></div>\n'
+            "<p>  "
+        ),
+        nt,
+        F.lit(
+            " \t </p>\n"
+            '<div class="footer"><a href="/about">About</a></div>\n'
+            "</body></html>"
+        ),
+    )
+    full = TX.html_to_text(wrapped)
+    main = TX.extract_main_content(wrapped)
+    return docs.select(
+        "doc_id",
+        F.md5(full.cast("binary")).alias("full_md5"),
+        F.md5(main.cast("binary")).alias("main_md5"),
+        F.length(full).cast("long").alias("full_chars"),
+    )

@@ -427,3 +427,137 @@ def test_canonical_url_null_and_garbage(spark):
 def test_canonical_url_keep_www(spark):
     got = _canon(spark, ["http://www.example.com/x"], strip_www=False)
     assert got == ["http://www.example.com/x"]
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup → text extraction
+# ---------------------------------------------------------------------------
+
+
+def _h2t(spark, html):
+    return spark.createDataFrame([(html,)], "h string").select(
+        TX.html_to_text("h").alias("t")
+    ).first()["t"]
+
+
+def _main(spark, html, **kw):
+    return spark.createDataFrame([(html,)], "h string").select(
+        TX.extract_main_content("h", **kw).alias("t")
+    ).first()["t"]
+
+
+def test_html_script_subtree_removed(spark):
+    # content is code, not text — including markup-looking strings and
+    # legacy comment hiding; attributes and case don't matter
+    assert _h2t(
+        spark,
+        '<p>a</p><SCRIPT type="x">var s="</p>"; if (i<9) {}<!-- hide --></SCRIPT><p>b</p>',
+    ) == "a\nb"
+
+
+def test_html_style_subtree_removed(spark):
+    assert _h2t(spark, "<style>p { color: red; }\n.x>div{}</style><p>kept</p>") == "kept"
+
+
+def test_html_comments_removed(spark):
+    assert _h2t(spark, "x<!-- multi\nline <p>markup</p> inside -->y") == "xy"
+
+
+def test_html_block_tags_become_lines_inline_tags_glue(spark):
+    assert _h2t(
+        spark,
+        "<h1>Title</h1><div>one <b>bold</b> line</div><ul><li>i1</li><li>i2</li></ul>"
+        "<span>glued</span><em>together</em>",
+    ) == "Title\none bold line\ni1\ni2\ngluedtogether"
+    # <br> and self-closing forms break lines too
+    assert _h2t(spark, "a<br/>b<BR >c") == "a\nb\nc"
+
+
+def test_html_entity_decode_core_set_and_order(spark):
+    assert _h2t(
+        spark,
+        "&lt;tag&gt; &quot;q&quot; &#34;n&#34; it&apos;s it&#39;s a&nbsp;b x&#160;y &amp; &#38;",
+    ) == "<tag> \"q\" \"n\" it's it's a b x y & &"
+    # &amp; decodes LAST: double-escaped text yields the literal entity
+    assert _h2t(spark, "&amp;lt;still-escaped&amp;gt;") == "&lt;still-escaped&gt;"
+
+
+def test_html_whitespace_normalization(spark):
+    assert _h2t(
+        spark, "<p>  a\t\tb   c  </p>\n\n\n<p>   </p><p>d</p>"
+    ) == "a b c\nd"
+    # NULL propagates (scan-side expression, no special-casing)
+    row = spark.createDataFrame([(None,)], "h string").select(
+        TX.html_to_text("h").alias("t")
+    ).first()
+    assert row["t"] is None
+
+
+def test_extract_main_content_heuristics(spark):
+    html = (
+        "<h1>Short Title</h1>"
+        '<div id="nav"><a href="/">Home</a>&nbsp;<a href="/n">Next page</a></div>'
+        "<p>This line has plenty of words and no links at all today.</p>"
+        '<p>Mostly <a href="x">a very long anchor text body here</a> link.</p>'
+        '<div class="footer"><a href="/a">About</a></div>'
+    )
+    # keeps only the long low-link-density line, in document order
+    assert _main(spark, html) == (
+        "This line has plenty of words and no links at all today."
+    )
+    # min_words loosened: the title and link-light lines come back
+    assert _main(spark, html, min_words=2).splitlines()[0] == "Short Title"
+    # link density loosened to 1.0: anchor-heavy lines survive
+    assert "Mostly a very long anchor text body here link." in _main(
+        spark, html, max_link_density=1.0
+    )
+    # attribute-heavy INLINE widget soup drops under a text-ratio floor
+    # (block-tag markup is consumed by the line split — the ratio
+    # measures inline markup density within a line)
+    soup = (
+        '<p><span data-a="1" data-b="2" data-widget="xxxxxxxxxxxxxxxxxxxxxx">'
+        "tiny words here now ok</span></p>"
+        "<p>normal paragraph with enough plain words to be kept</p>"
+    )
+    kept = _main(spark, soup, min_words=3, min_text_ratio=0.5)
+    assert kept == "normal paragraph with enough plain words to be kept"
+    assert _main(spark, "<p>too short</p>") == ""
+
+
+def test_extract_main_content_composes_with_boilerplate_removal(spark):
+    """The crawl-cleaning stack: per-doc main content first, then the
+    corpus-level frequent-line pass."""
+    from eel_spark.operators.dedup import remove_boilerplate_lines
+
+    banner = "Subscribe to our newsletter for great offers every week"
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"<h1>T{i}</h1><p>{banner}</p>"
+                f"<p>unique body {i} with several plain words kept</p>"
+                '<div><a href="/">Home</a> <a href="/x">More links</a></div>',
+            )
+            for i in range(6)
+        ],
+        "doc_id: long, html: string",
+    )
+    main = docs.select(
+        "doc_id", TX.extract_main_content("html").alias("text")
+    )
+    out = remove_boilerplate_lines(main, "text", "doc_id", min_docs=3)
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert texts[2] == "unique body 2 with several plain words kept"
+    assert all(banner not in t for t in texts.values())
+
+
+def test_html_extraction_plan_jvm_only(spark):
+    """Both extractors are scan-side Catalyst expressions — zero Python
+    stages (the gated set's standing contract)."""
+    df = spark.createDataFrame([("<p>x</p>",)], "h string").select(
+        TX.html_to_text("h").alias("a"),
+        TX.extract_main_content("h").alias("b"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -71,8 +71,13 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # driver gate in r12, trading places with ops_tumbling_window;
 # sampling_leakage_split likewise rotated INTO the gate in r13,
 # trading places with q4_order_priority.)
+# text_html_extract gates the full HTML→text chain (r13): the oracle
+# BUILDS the expected extraction from the original text around the
+# planted wrapper, so the strip/decode/normalize/line-score pipeline
+# must be exact — no regex mirroring, per-doc md5s.
 EXTRA_ORACLED = {
     "text_bm25_stats",
+    "text_html_extract",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
