@@ -1,0 +1,251 @@
+"""Unified maintenance for the incremental stores.
+
+Five store families share the per-batch increment discipline
+(``__src_batch``/``batch_id`` partitions, -1 reserved as the compacted
+sentinel, dynamic overwrite + staged-swap compaction): the BM25 stats
+store (operators/retrieval.py), the IVF ANN index
+(operators/similarity.py), the incremental-dedup history
+(streaming/streams.py), the SCD2 closed history (operators/scd2.py) and
+the rollup store (operators/rollups.py). Each documents "compact every
+O(100) batches", but nothing measured it — this module closes the loop
+the way ``ivf_drift_report`` → ``reindex_ivf_index`` does for centroid
+drift, for file/batch depth instead (r12 verdict #4):
+
+- :func:`store_maintenance_report` — ONE report shape across all five
+  stores: store type, batch depth, file/byte/dir counts, the
+  max-files-per-leaf listing lever, whether a compacted generation
+  exists and when it was written.
+- :func:`maintain` — threshold policy that triggers the store's OWN
+  compactor when the measured depth exceeds it.
+
+Scale shape: the report is driver-side file-listing over the store
+tree — an ADMIN operation, O(store files), never touching row data
+(except the rollup store, whose batch ids are data columns: one slim
+aggregate). Run it from the ingest scheduler, not inside queries.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+STORE_TYPES = ("bm25_stats", "ivf_index", "dedup_history", "scd2", "rollup")
+
+_REPORT_SCHEMA = (
+    "path string, store_type string, n_batches long, "
+    "has_compacted_generation boolean, n_files long, n_bytes long, "
+    "n_dirs long, max_files_per_leaf long, last_compaction_ms long"
+)
+
+
+def detect_store_type(spark: SparkSession, path: str) -> str:
+    """Identify which store family lives at ``path`` from its on-disk
+    layout markers (each family's layout is disjoint by construction):
+    IVF keeps a ``centroids/`` table, SCD2 ``scd_current=`` partitions,
+    the dedup history a ``<path>__bands`` sibling, the BM25 store
+    ``__src_batch=`` partition dirs at the root, the rollup store
+    ``granularity=`` partition dirs."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    root = path.rstrip("/")
+    if ops.exists(f"{root}/centroids"):
+        return "ivf_index"
+    if ops.list_status(f"{root}/scd_current=*"):
+        return "scd2"
+    if ops.exists(root + "__bands"):
+        return "dedup_history"
+    if ops.list_status(f"{root}/__src_batch=*"):
+        return "bm25_stats"
+    if ops.list_status(f"{root}/granularity=*"):
+        return "rollup"
+    raise ValueError(
+        f"no recognizable incremental store at {path} — expected one of "
+        f"{STORE_TYPES} (IVF centroids/, scd_current=, a __bands sibling, "
+        "__src_batch= or granularity= partitions)"
+    )
+
+
+def _walk(ops, root: str):
+    """Driver-side recursive listing: (n_files, n_bytes, n_dirs,
+    max_files_per_leaf). Bounded by the store's file count — the very
+    thing compaction exists to keep small."""
+    n_files = n_bytes = n_dirs = 0
+    max_leaf = 0
+    stack = [root.rstrip("/")]
+    while stack:
+        d = stack.pop()
+        leaf = 0
+        for st in ops.list_status(d + "/*"):
+            if st["is_dir"]:
+                n_dirs += 1
+                stack.append(st["path"])
+            else:
+                n_files += 1
+                n_bytes += st["length"]
+                if not st["name"].startswith(("_", ".")):
+                    leaf += 1
+        max_leaf = max(max_leaf, leaf)
+    return n_files, n_bytes, n_dirs, max_leaf
+
+
+def _batch_dirs(ops, pattern: str):
+    """(non-negative batch count, sentinel mtime or None) from the
+    ``<col>=<id>`` partition dirs matching ``pattern``."""
+    n = 0
+    sentinel_ms = None
+    for st in ops.list_status(pattern):
+        bid = st["name"].split("=", 1)[1]
+        if bid == "-1":
+            sentinel_ms = st["modification_time"]
+        else:
+            n += 1
+    return n, sentinel_ms
+
+
+def store_maintenance_report(
+    spark: SparkSession, path: str, store_type: str | None = None
+) -> DataFrame:
+    """One-row report over any incremental store — the same shape for
+    all five families so a fleet of stores unions into one dashboard
+    table: ``(path, store_type, n_batches, has_compacted_generation,
+    n_files, n_bytes, n_dirs, max_files_per_leaf,
+    last_compaction_ms)``.
+
+    ``n_batches`` counts live (non-sentinel) increment generations —
+    the read-side file-listing cost driver; NULL for SCD2, whose depth
+    lever is ``max_files_per_leaf`` (files per closed bucket, what its
+    compactor collapses to 1). ``last_compaction_ms`` is the compacted
+    generation's directory mtime where the layout records one (BM25 /
+    IVF / dedup sentinels), NULL otherwise."""
+    from pyspark.sql import functions as F
+
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    root = path.rstrip("/")
+    st = store_type or detect_store_type(spark, path)
+    n_batches: int | None
+    compacted_ms = None
+    if st == "ivf_index":
+        n_batches, compacted_ms = _batch_dirs(
+            ops, f"{root}/postings/__src_batch=*"
+        )
+        files = _walk(ops, root)
+    elif st == "bm25_stats":
+        n_batches, compacted_ms = _batch_dirs(ops, f"{root}/__src_batch=*")
+        files = _walk(ops, root)
+    elif st == "dedup_history":
+        n_batches, compacted_ms = _batch_dirs(ops, f"{root}/batch_id=*")
+        fa = _walk(ops, root)
+        fb = _walk(ops, root + "__bands")
+        files = tuple(
+            max(a, b) if i == 3 else a + b for i, (a, b) in enumerate(zip(fa, fb))
+        )
+    elif st == "rollup":
+        # batch ids are DATA columns here — one slim aggregate over the
+        # store (partials are one row per bucket per batch)
+        row = (
+            spark.read.parquet(root)
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("__src_batch") >= 0, F.col("__src_batch"))
+                ).alias("n"),
+                F.max((F.col("__src_batch") == -1).cast("int")).alias("c"),
+            )
+            .first()
+        )
+        n_batches = int(row["n"])
+        compacted_ms = None
+        files = _walk(ops, root)
+        if row["c"]:
+            compacted_ms = -1  # present, mtime unknowable from data rows
+    elif st == "scd2":
+        n_batches = None
+        files = _walk(ops, root)
+    else:
+        raise ValueError(f"unknown store_type {st!r} — one of {STORE_TYPES}")
+    n_files, n_bytes, n_dirs, max_leaf = files
+    has_compacted = compacted_ms is not None
+    return spark.createDataFrame(
+        [
+            (
+                root,
+                st,
+                n_batches,
+                has_compacted if st != "scd2" else None,
+                n_files,
+                n_bytes,
+                n_dirs,
+                max_leaf,
+                compacted_ms if (compacted_ms or 0) > 0 else None,
+            )
+        ],
+        _REPORT_SCHEMA,
+    )
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    max_batches: int = 32,
+    max_files_per_leaf: int = 64,
+    merges=None,
+    extra_keys: Sequence[str] = (),
+    store_type: str | None = None,
+) -> dict:
+    """Threshold-triggered compaction: measure the store, run its own
+    compactor iff the depth policy is exceeded, measure again.
+
+    Policy: batch-partitioned stores compact when live ``n_batches >
+    max_batches``; SCD2 compacts when any closed bucket holds more
+    than ``max_files_per_leaf`` files. The rollup store's compactor
+    needs the caller's ``merges`` dict (its merge semantics are data,
+    not layout) — calling ``maintain`` on a too-deep rollup store
+    without one raises rather than guessing.
+
+    Inherits each compactor's OFFLINE contract: no active appenders or
+    sinks on the store, replay horizon passed (see the per-store
+    docstrings). Returns ``{"store_type", "action", "before",
+    "after"}`` with the report rows as dicts; ``action`` is
+    ``"compacted"`` or ``"none"``."""
+    st = store_type or detect_store_type(spark, path)
+    before = store_maintenance_report(spark, path, store_type=st).first().asDict()
+    needs = (
+        before["max_files_per_leaf"] > int(max_files_per_leaf)
+        if st == "scd2"
+        else (before["n_batches"] or 0) > int(max_batches)
+    )
+    if not needs:
+        return {"store_type": st, "action": "none", "before": before,
+                "after": before}
+    if st == "bm25_stats":
+        from eel_spark.operators.retrieval import compact_bm25_stats
+
+        compact_bm25_stats(spark, path)
+    elif st == "ivf_index":
+        from eel_spark.operators.similarity import compact_ivf_index
+
+        compact_ivf_index(spark, path)
+    elif st == "dedup_history":
+        from eel_spark.streaming.streams import compact_dedup_history
+
+        compact_dedup_history(spark, path)
+    elif st == "rollup":
+        if not merges:
+            raise ValueError(
+                "rollup store at depth needs compact_rollup's merges= "
+                "dict (how each aggregate column re-merges) — pass it "
+                "through maintain(merges=...)"
+            )
+        from eel_spark.operators.rollups import compact_rollup
+
+        compact_rollup(spark, path, merges, list(extra_keys))
+    elif st == "scd2":
+        from eel_spark.operators.scd2 import compact_scd2_history
+
+        compact_scd2_history(spark, path)
+    after = store_maintenance_report(spark, path, store_type=st).first().asDict()
+    return {"store_type": st, "action": "compacted", "before": before,
+            "after": after}

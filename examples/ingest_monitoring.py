@@ -83,6 +83,23 @@ with tempfile.TemporaryDirectory() as work:
     )
     assert q.awaitTermination(400), "streaming rollup sink did not finish"
 
+    # --- store upkeep: the same scheduler that runs this monitor owns
+    # the store's depth. store_maintenance_report is the one dashboard
+    # shape every incremental store emits; maintain() triggers the
+    # store's own compactor once the measured batch depth crosses the
+    # policy (the 4 ingest waves above exceed max_batches=2 here, so
+    # the compaction actually fires) ---------------------------------------
+    from eel_spark.operators.maintenance import maintain, store_maintenance_report
+
+    store_maintenance_report(spark, store).show(truncate=False)
+    res = maintain(spark, store, max_batches=2, merges={"n": F.sum("n")},
+                   extra_keys=["event_type"])
+    print(f"store maintenance: {res['action']} "
+          f"(batches {res['before']['n_batches']} -> "
+          f"{res['after']['n_batches']}, files "
+          f"{res['before']['n_files']} -> {res['after']['n_files']})")
+    assert res["action"] == "compacted"
+
     # --- the monitoring read: re-merge partials, materialize silent
     # hours as zeros, score each series against its own median/MAD ---------
     counts = read_rollup(
