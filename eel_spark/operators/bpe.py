@@ -244,3 +244,52 @@ def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
 def load_merges(spark, path: str) -> list[tuple[str, str]]:
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+def save_merges_txt(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table in the PUBLIC text format (subword-nmt's
+    merges.txt / GPT-2's vocab.bpe shape): an optional ``#version``
+    header, then one merge per line as two space-separated symbols,
+    rank = line order. Interop lever: encodings and token budgets can
+    be checked against (or driven by) a released tokenizer's merge
+    file, and merges trained here load into any public BPE encoder.
+
+    Driver-side plain file I/O on purpose: the merge table is bounded
+    by ``num_merges`` (KBs — it is already a driver list), and the
+    public format is a single flat text file, not a part-file
+    directory. Symbols containing spaces cannot be represented (the
+    pre-tokenizer never produces them; refused loudly rather than
+    written corruptly — use the parquet format for exotic symbol
+    sets)."""
+    for i, (a, b) in enumerate(merges):
+        if " " in a or " " in b or not a or not b:
+            raise ValueError(
+                f"merge {i} ({a!r}, {b!r}) has a space or empty symbol — "
+                "not representable in merges.txt; use save_merges "
+                "(parquet) instead"
+            )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
+def load_merges_txt(path: str) -> list[tuple[str, str]]:
+    """Read a public merges.txt / vocab.bpe file: ``#``-prefixed header
+    and blank lines skipped, every other line must be exactly two
+    space-separated symbols (rank = line order; malformed lines are an
+    error naming the line, never silently dropped — a missing merge
+    silently changes every downstream segmentation)."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, start=1):
+            line = raw.rstrip("\n")
+            if not line.strip() or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'left right', got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges

@@ -102,3 +102,58 @@ def test_save_load_merges(spark, tmp_path):
     p = str(tmp_path / "merges")
     save_merges(spark, merges, p)
     assert load_merges(spark, p) == merges
+
+
+def test_merges_txt_public_format_roundtrip_and_parity(spark, tmp_path):
+    """Public merges.txt interop (subword-nmt / GPT-2 vocab.bpe shape):
+    a HAND-WRITTEN file in the released format loads with rank = line
+    order; encoding under it reproduces the canonical paper example's
+    segmentation; and both persistence formats round-trip to the same
+    merge list (so a store can migrate either way)."""
+    from eel_spark.operators.bpe import load_merges_txt, save_merges_txt
+
+    # hand-written, as a released tokenizer ships it: version header,
+    # blank line, the canonical Sennrich merges in order
+    p = tmp_path / "vocab.bpe"
+    p.write_text(
+        "#version: 0.2\n"
+        "\n"
+        "e s\n"
+        "es t\n"
+        f"est {EOW}\n"
+        "l o\n"
+        "lo w\n",
+        encoding="utf-8",
+    )
+    merges = load_merges_txt(str(p))
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", EOW), ("l", "o"), ("lo", "w"),
+    ]
+    # encode parity: the paper's words segment exactly as the learned
+    # merges dictate ("lowest" shares the 'low' stem and the 'est</w>'
+    # suffix; "widest" only the suffix)
+    df = spark.createDataFrame([("lowest widest",)], ["text"])
+    toks = df.select(bpe_encode("text", merges).alias("t")).first()["t"]
+    assert toks == ["low", "est</w>", "w", "i", "d", "est</w>"]
+
+    # round-trip BOTH formats: txt -> txt and txt -> parquet -> txt
+    out_txt = tmp_path / "out.bpe"
+    save_merges_txt(merges, str(out_txt))
+    assert load_merges_txt(str(out_txt)) == merges
+    assert out_txt.read_text().startswith("#version")
+    pq = str(tmp_path / "merges_pq")
+    save_merges(spark, merges, pq)
+    assert load_merges(spark, pq) == merges
+    save_merges_txt(load_merges(spark, pq), str(tmp_path / "again.bpe"))
+    assert load_merges_txt(str(tmp_path / "again.bpe")) == merges
+
+    # malformed lines fail loudly with the line number
+    bad = tmp_path / "bad.bpe"
+    bad.write_text("e s\nthree part line\n", encoding="utf-8")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad.bpe:2"):
+        load_merges_txt(str(bad))
+    # unrepresentable symbols are refused, not corrupted
+    with _pytest.raises(ValueError, match="save_merges"):
+        save_merges_txt([("a b", "c")], str(tmp_path / "x.bpe"))
