@@ -275,16 +275,23 @@ def save_merges_txt(merges: list[tuple[str, str]], path: str) -> None:
 
 
 def load_merges_txt(path: str) -> list[tuple[str, str]]:
-    """Read a public merges.txt / vocab.bpe file: ``#``-prefixed header
-    and blank lines skipped, every other line must be exactly two
-    space-separated symbols (rank = line order; malformed lines are an
-    error naming the line, never silently dropped — a missing merge
-    silently changes every downstream segmentation)."""
+    """Read a public merges.txt / vocab.bpe file: a FIRST-line
+    ``#version`` header and blank lines are skipped, every other line
+    must be exactly two space-separated symbols (rank = line order;
+    malformed lines are an error naming the line, never silently
+    dropped — a missing merge silently changes every downstream
+    segmentation). Only the first line can be a header in the public
+    format — ``#`` is a legitimate merge SYMBOL (the pre-tokenizer
+    emits punctuation runs), so later ``#``-leading lines are merges,
+    not comments. Line endings are normalized (a CRLF checkout must
+    not load every right symbol with an invisible trailing CR)."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
         for lineno, raw in enumerate(f, start=1):
-            line = raw.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            line = raw.rstrip("\r\n")
+            if not line.strip():
+                continue
+            if lineno == 1 and line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:

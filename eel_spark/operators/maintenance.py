@@ -59,7 +59,16 @@ def detect_store_type(spark: SparkSession, path: str) -> str:
     if ops.list_status(f"{root}/__src_batch=*"):
         return "bm25_stats"
     if ops.list_status(f"{root}/granularity=*"):
-        return "rollup"
+        # merge_time_rollup-maintained tables share this layout but
+        # carry no __src_batch column — they are already-merged final
+        # tables, not incremental stores, and have no compactor to run
+        if "__src_batch" in spark.read.parquet(root).columns:
+            return "rollup"
+        raise ValueError(
+            f"table at {path} has a rollup layout but no __src_batch "
+            "column — a merge_time_rollup table, not an incremental "
+            "store (only append_rollup_batch stores are maintainable)"
+        )
     raise ValueError(
         f"no recognizable incremental store at {path} — expected one of "
         f"{STORE_TYPES} (IVF centroids/, scd_current=, a __bands sibling, "
@@ -164,6 +173,13 @@ def store_maintenance_report(
     elif st == "scd2":
         n_batches = None
         files = _walk(ops, root)
+        # the depth LEVER must be what the compactor actually moves:
+        # compact_scd2_history rewrites only the CLOSED subtree (the
+        # open scd_current=1 buckets are the merge's to manage), so a
+        # whole-store max would trip the policy forever on a store
+        # whose open side is fragmented (r13 review)
+        closed_leaf = _walk(ops, f"{root}/scd_current=0")[3]
+        files = (files[0], files[1], files[2], closed_leaf)
     else:
         raise ValueError(f"unknown store_type {st!r} — one of {STORE_TYPES}")
     n_files, n_bytes, n_dirs, max_leaf = files

@@ -638,14 +638,15 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 # link-density rules by construction) for extract_main_content. Any
 # deviation anywhere in the strip → decode → normalize → line-score chain
 # flips a per-doc md5. Text is pre-sanitized of <>& on BOTH sides so
-# arbitrary corpora can't inject markup into the plant.
+# arbitrary corpora can't inject markup into the plant — and of U+000B,
+# the one char Java's \s matches but RE2's does not (r13 review).
 
 _HTML_EXTRACT_SQL = r"""
 WITH s AS (
   SELECT doc_id,
          trim(regexp_replace(
-           replace(replace(replace(coalesce(text, ''), '<', ''), '>', ''),
-                   '&', ''),
+           replace(replace(replace(replace(coalesce(text, ''),
+                   '<', ''), '>', ''), '&', ''), chr(11), ''),
            '\s+', ' ', 'g')) AS nt
   FROM documents
 ), e AS (
@@ -675,15 +676,12 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eel_spark.functions import text as TX
 
     docs = table(spark, sf_dir, "documents").df
-    san = F.replace(
-        F.replace(
-            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("<"), F.lit("")),
-            F.lit(">"),
-            F.lit(""),
-        ),
-        F.lit("&"),
-        F.lit(""),
-    )
+    # sanitize <>& (markup injection) AND U+000B: Java's \s includes
+    # vertical tab, RE2's does not, so it is the one whitespace char
+    # the dual-side normalizer would disagree on (r13 review)
+    san = F.coalesce(F.col("text"), F.lit(""))
+    for ch in ("<", ">", "&", "\x0b"):
+        san = F.replace(san, F.lit(ch), F.lit(""))
     nt = F.trim(F.regexp_replace(san, r"\s+", " "))
     wrapped = F.concat(
         F.lit(

@@ -1164,10 +1164,11 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
 
         vocab_df, oov_logp = train_unigram_lm(kept_docs, "text", min_count=5)
         vpath = tempfile.mkdtemp(prefix="eel_lm_vocab_") + "/vocab"
-        stage(vocab_df, vpath, track=False)
-        _LM_MEMO[sf_dir] = memo = (vpath, oov_logp)
-    vocab = spark.read.parquet(memo[0])
-    oov_logp = memo[1]
+        vocab = stage(vocab_df, vpath, track=False)
+        _LM_MEMO[sf_dir] = (vpath, oov_logp)
+    else:
+        vocab = spark.read.parquet(memo[0])
+        oov_logp = memo[1]
     # junk twin rides the SAME scoring pass as the clean corpus (one
     # explode + one vocab join, not two): negative ids tag the junk side
     # (testdata ids are non-negative, so -id-1 never collides)

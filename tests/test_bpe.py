@@ -157,3 +157,25 @@ def test_merges_txt_public_format_roundtrip_and_parity(spark, tmp_path):
     # unrepresentable symbols are refused, not corrupted
     with _pytest.raises(ValueError, match="save_merges"):
         save_merges_txt([("a b", "c")], str(tmp_path / "x.bpe"))
+
+
+def test_merges_txt_hash_symbols_crlf_and_header_scope(tmp_path):
+    """r13 review regressions: '#' is a legitimate merge SYMBOL (the
+    pre-tokenizer emits punctuation runs) — only a FIRST-line #version
+    header is skipped; CRLF files must not load right symbols with an
+    invisible trailing CR."""
+    from eel_spark.operators.bpe import load_merges_txt, save_merges_txt
+
+    # '#'-leading merge survives a save -> load round-trip
+    merges = [("#", EOW), ("e", "s")]
+    p = tmp_path / "hash.bpe"
+    save_merges_txt(merges, str(p))
+    assert load_merges_txt(str(p)) == merges
+    # a '#'-leading line past line 1 is a merge, not a comment
+    p2 = tmp_path / "nohdr.bpe"
+    p2.write_text("e s\n# </w>\n", encoding="utf-8")
+    assert load_merges_txt(str(p2)) == [("e", "s"), ("#", EOW)]
+    # CRLF endings load clean (no trailing \r on the right symbol)
+    p3 = tmp_path / "crlf.bpe"
+    p3.write_bytes(b"#version: 0.2\r\ne s\r\nes t\r\n")
+    assert load_merges_txt(str(p3)) == [("e", "s"), ("es", "t")]

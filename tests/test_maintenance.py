@@ -240,3 +240,58 @@ def test_reports_union_across_store_types(spark, tmp_path):
     rows = {r["store_type"]: r for r in fleet.collect()}
     assert set(rows) == {"bm25_stats", "rollup"}
     assert all(r["n_batches"] == 1 for r in rows.values())
+
+
+def test_scd2_threshold_scopes_to_closed_subtree(spark, tmp_path):
+    """r13 review: the depth lever must be what compact_scd2_history
+    actually moves — the CLOSED subtree. A fragmented OPEN side
+    (scd_current=1, the merge's to manage) must not trip the policy
+    forever ('compacted' every run with nothing to compact)."""
+    import shutil as _shutil
+
+    from eel_spark.operators.scd2 import scd2_merge
+
+    schema = "k long, seg string, d date, seq long"
+    path = str(tmp_path / "dim2")
+    scd2_merge(spark, path,
+               spark.createDataFrame([(1, "A", date(2024, 1, 1), 1)], schema),
+               "k", ["seg"], "d", ["seq"], n_buckets=2)
+    scd2_merge(spark, path,
+               spark.createDataFrame([(1, "B", date(2024, 2, 1), 2)], schema),
+               "k", ["seg"], "d", ["seq"], n_buckets=2)
+    # compact the closed side to 1 file per bucket, then fragment the
+    # OPEN side by duplicating a current part file
+    res = maintain(spark, path, max_files_per_leaf=1)
+    assert res["after"]["max_files_per_leaf"] <= 1
+    import glob as _glob
+
+    cur = _glob.glob(f"{path}/scd_current=1/scd_bucket=*/part-*.parquet")
+    assert cur
+    _shutil.copy(cur[0], cur[0].replace("part-", "part-copy-"))
+    row = _report_row(spark, path)
+    assert row["max_files_per_leaf"] <= 1  # lever sees CLOSED buckets only
+    assert maintain(spark, path, max_files_per_leaf=1)["action"] == "none"
+
+
+def test_detect_rejects_merge_time_rollup_tables(spark, tmp_path):
+    """r13 review: merge_time_rollup tables share the rollup LAYOUT but
+    have no __src_batch column (already-merged finals, no compactor) —
+    detection must refuse with the module's own error, not crash with
+    an unresolved-column AnalysisException in the report."""
+    from datetime import datetime as _dt
+
+    from eel_spark.operators.rollups import merge_time_rollup
+
+    events = spark.createDataFrame(
+        [(1, _dt(2024, 1, 1, 3), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    path = str(tmp_path / "final_rollup")
+    merge_time_rollup(
+        spark, path, events, "ts",
+        {"n": F.count(F.lit(1))}, {"n": F.sum("n")}, ["day"],
+    )
+    with pytest.raises(ValueError, match="merge_time_rollup"):
+        detect_store_type(spark, path)
+    with pytest.raises(ValueError, match="merge_time_rollup"):
+        store_maintenance_report(spark, path)

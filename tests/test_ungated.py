@@ -131,3 +131,41 @@ def test_no_oracle_ungated_self_gate(spark, name):
     over natural text, zero rows otherwise)."""
     df = UNGATED_QUERIES[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_html_extract_oracle_parity_on_hostile_text(spark, tmp_path):
+    """r13 review: the slot's premise is 'arbitrary corpora cannot
+    break the plant' — markup chars, U+000B (the one char Java's \\s
+    matches but RE2's does not), CRs, NULL and empty text must all
+    keep the construction oracle string-exact."""
+    import duckdb
+
+    rows = [
+        (0, "plain words enough to pass the five word floor"),
+        (1, "markup <b>bold</b> & <script>x</script> injected here ok"),
+        (2, "vertical\x0btab and\rcarriage returns \t tabs   runs"),
+        (3, None),
+        (4, ""),
+        (5, "   \t  "),
+        (6, "short one"),
+    ]
+    sf = tmp_path / "sf_hostile"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    df = UNGATED_QUERIES["text_html_extract"](spark, str(sf))
+    cols = sorted(df.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(UNGATED_ORACLE["text_html_extract"])
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in sorted(names)]
+    drows = sorted(tuple(str(row[i]) for i in idx) for row in res.fetchall())
+    con.close()
+    assert sorted(names) == cols
+    assert srows == drows
