@@ -761,3 +761,64 @@ def extract_main_content(
         ),
     )
     return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+
+
+# anchor href in its three attribute-quoting forms — separate patterns
+# (not a backreference, which RE2 lacks); attribute order inside the
+# tag doesn't matter ([^>]*? scans to the first href)
+HTML_HREF_PATTERNS = (
+    r"(?is)<a\b[^>]*?\bhref\s*=\s*\"([^\"]*)\"",
+    r"(?is)<a\b[^>]*?\bhref\s*=\s*'([^']*)'",
+    r"(?is)<a\b[^>]*?\bhref\s*=\s*([^\s\"'>]+)",
+)
+HTML_TITLE_PATTERN = r"(?is)<title\b[^>]*>(.*?)</title>"
+HTML_LANG_PATTERN = r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']?([A-Za-z-]+)"
+
+
+def html_links(html: Column | str) -> Column:
+    """Outlink harvest: every anchor ``href`` value in the document, as
+    ``array<string>`` — the crawl-frontier stage (extract → canonicalize
+    → dedup → schedule). Entity-decoded (hrefs legally carry ``&amp;``
+    between query params); relative URLs returned verbatim — resolve
+    against the page URL downstream, where the page URL column lives.
+
+    Compose: ``explode(html_links(h))`` → :func:`canonical_url` →
+    ``dedup.dedup_by_url`` builds a deduplicated frontier in three
+    scan-side steps; :func:`filter_blocked_hosts` prunes it by domain.
+    Scale shape: per-row regexp extraction inside the scan projection —
+    the corpus never shuffles to discover its outlinks.
+    """
+    c = _c(html)
+    # comments/scripts can contain markup-looking anchor text
+    c = F.regexp_replace(c, HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
+    parts = [
+        F.regexp_extract_all(c, F.lit(p), 1) for p in HTML_HREF_PATTERNS
+    ]
+    return F.transform(
+        F.concat(*parts), lambda u: _decode_entities(F.trim(u))
+    )
+
+
+def html_title(html: Column | str) -> Column:
+    """The document's ``<title>`` text (first one), entity-decoded and
+    whitespace-collapsed; NULL when absent. Scan-side expression."""
+    c = F.regexp_replace(_c(html), HTML_COMMENT_PATTERN, "")
+    raw = F.regexp_extract(c, HTML_TITLE_PATTERN, 1)
+    out = F.trim(
+        F.regexp_replace(
+            _decode_entities(F.regexp_replace(raw, HTML_TAG_PATTERN, "")),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.when(out != "", out)
+
+
+def html_lang(html: Column | str) -> Column:
+    """The ``<html lang=...>`` declaration, lowercased; NULL when
+    absent. The cheap pre-filter BEFORE content language-ID (declared
+    lang prunes the obvious cases; :func:`lang_id` / the trained
+    Cavnar-Trenkle model adjudicate the rest)."""
+    out = F.lower(F.regexp_extract(_c(html), HTML_LANG_PATTERN, 1))
+    return F.when(out != "", out)

@@ -561,3 +561,61 @@ def test_html_extraction_plan_jvm_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_html_links_three_quote_forms_and_entities(spark):
+    html = (
+        '<a href="https://a.example/x?p=1&amp;q=2">one</a>'
+        "<A HREF='https://b.example/y'>two</A>"
+        "<a class='z' href=https://c.example/raw>three</a>"
+        "<a name='anchor-without-href'>skip</a>"
+        "<script>var a = '<a href=\"https://fake.example\">';</script>"
+        "<!-- <a href='https://commented.example'>no</a> -->"
+    )
+    row = spark.createDataFrame([(html,)], "h string").select(
+        TX.html_links("h").alias("l")
+    ).first()
+    assert row["l"] == [
+        "https://a.example/x?p=1&q=2",   # entity-decoded
+        "https://b.example/y",           # single-quoted, case-insensitive
+        "https://c.example/raw",         # unquoted
+    ]
+
+
+def test_html_links_frontier_composition(spark):
+    """The crawl-frontier stack: extract → canonicalize → URL-dedup."""
+    from eel_spark.operators.dedup import dedup_by_url
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<a href="http://Site.example/p/">x</a>'),
+            (2, "<a href='http://site.example/p?utm_source=f'>y</a>"),
+            (3, '<a href="http://other.example/q">z</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    frontier = docs.select(
+        F.explode(TX.html_links("html")).alias("url")
+    ).select(F.lit(0).alias("id"), "url")
+    out = dedup_by_url(
+        frontier.withColumn("id", F.monotonically_increasing_id()), "url", "id"
+    )
+    # the two site.example variants canonicalize together
+    assert out.count() == 2
+
+
+def test_html_title_and_lang(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, '<html lang="EN-us"><head><title> A &amp; B </title></head></html>'),
+            (2, "<html><head></head><body>no title</body></html>"),
+            (3, "<html lang=fr><title>T1</title><title>T2</title></html>"),
+        ],
+        "i long, h string",
+    ).select(
+        "i", TX.html_title("h").alias("t"), TX.html_lang("h").alias("l")
+    )
+    got = {r["i"]: (r["t"], r["l"]) for r in rows.collect()}
+    assert got[1] == ("A & B", "en-us")
+    assert got[2] == (None, None)
+    assert got[3] == ("T1", "fr")  # first title wins
