@@ -346,3 +346,46 @@ def test_y4m_planes_round_trip_any_shape(n, h, w, seed, fps):
 
     with _pytest.raises(ValueError):
         mm.parse_y4m(payload[:-1])
+
+
+# -- HTML extraction: wrapping plain text must round-trip -------------------
+
+_plain_word = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=8,
+)
+_plain_text = st.lists(_plain_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_plain_text, min_size=1, max_size=6))
+def test_html_to_text_inverts_markup_wrap(spark, texts):
+    """For ANY markup-free text, wrapping it in tags/entities/script
+    noise and extracting must recover the whitespace-normalized text:
+    html_to_text(wrap(t)) == normalize(t). The property the
+    construction-based oracle slot relies on, over generated inputs."""
+    from eel_spark.functions.text import html_to_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    wrapped = F.concat(
+        F.lit("<html><head><script>var x = '</p>';</script></head>"
+              "<body><!-- c --><p>  "),
+        F.col("t"),
+        F.lit(" </p></body></html>"),
+    )
+    out = {
+        r["i"]: r["x"]
+        for r in df.select(
+            "i", html_to_text(wrapped).alias("x")
+        ).collect()
+    }
+    import re as _re
+
+    for i, t in rows:
+        expect = _re.sub(r"\s+", " ", t).strip()
+        assert out[i] == expect, (t, out[i])
