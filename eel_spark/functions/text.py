@@ -765,14 +765,23 @@ def extract_main_content(
 
 # anchor href in its three attribute-quoting forms — separate patterns
 # (not a backreference, which RE2 lacks); attribute order inside the
-# tag doesn't matter ([^>]*? scans to the first href)
+# tag doesn't matter. Two r13-review hardenings: (a) the prefix scans
+# attributes QUOTE-AWARE (alternation of non-quote chars and whole
+# quoted spans — still RE2-legal), so a legal '>' inside an earlier
+# quoted attribute (title="a > b") can't truncate the scan and drop
+# the href; (b) href must follow a whitespace/quote boundary, so
+# data-href/ng-href/xlink:href values are NOT harvested as outlinks
+# ('-' and ':' are word boundaries, which \bhref happily matched).
+_HREF_PREFIX = r"(?is)<a\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?[\s\"']"
 HTML_HREF_PATTERNS = (
-    r"(?is)<a\b[^>]*?\bhref\s*=\s*\"([^\"]*)\"",
-    r"(?is)<a\b[^>]*?\bhref\s*=\s*'([^']*)'",
-    r"(?is)<a\b[^>]*?\bhref\s*=\s*([^\s\"'>]+)",
+    _HREF_PREFIX + r"href\s*=\s*\"([^\"]*)\"",
+    _HREF_PREFIX + r"href\s*=\s*'([^']*)'",
+    _HREF_PREFIX + r"href\s*=\s*([^\s\"'>]+)",
 )
 HTML_TITLE_PATTERN = r"(?is)<title\b[^>]*>(.*?)</title>"
-HTML_LANG_PATTERN = r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']?([A-Za-z-]+)"
+# digits included: BCP 47 region subtags are numeric (es-419) — the
+# letter-only class truncated them to a malformed 'es-' (r13 review)
+HTML_LANG_PATTERN = r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']?([A-Za-z0-9-]+)"
 
 
 def html_links(html: Column | str) -> Column:
@@ -789,8 +798,11 @@ def html_links(html: Column | str) -> Column:
     the corpus never shuffles to discover its outlinks.
     """
     c = _c(html)
-    # comments/scripts can contain markup-looking anchor text
+    # script/style/comment subtrees can contain markup-looking anchor
+    # text (JS strings, CSS content:, commented-out nav) — strip all
+    # three, same as html_to_text (r13 review: style was the omission)
     c = F.regexp_replace(c, HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
     c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
     parts = [
         F.regexp_extract_all(c, F.lit(p), 1) for p in HTML_HREF_PATTERNS
@@ -802,8 +814,12 @@ def html_links(html: Column | str) -> Column:
 
 def html_title(html: Column | str) -> Column:
     """The document's ``<title>`` text (first one), entity-decoded and
-    whitespace-collapsed; NULL when absent. Scan-side expression."""
-    c = F.regexp_replace(_c(html), HTML_COMMENT_PATTERN, "")
+    whitespace-collapsed; NULL when absent. Scan-side expression.
+    Script/style subtrees strip first — a '<title>' inside a JS
+    template string must not supply the title (r13 review)."""
+    c = F.regexp_replace(_c(html), HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
+    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
     raw = F.regexp_extract(c, HTML_TITLE_PATTERN, 1)
     out = F.trim(
         F.regexp_replace(

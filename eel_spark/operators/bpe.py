@@ -286,13 +286,20 @@ def load_merges_txt(path: str) -> list[tuple[str, str]]:
     not comments. Line endings are normalized (a CRLF checkout must
     not load every right symbol with an invisible trailing CR)."""
     merges: list[tuple[str, str]] = []
-    with open(path, encoding="utf-8") as f:
+    # utf-8-sig: a BOM would otherwise make the header line fail the
+    # #version check and load as a rank-0 merge, silently shifting
+    # every downstream rank (r13 review, second pass). The header skip
+    # keys on the first NON-BLANK line for the same reason.
+    first_content = True
+    with open(path, encoding="utf-8-sig") as f:
         for lineno, raw in enumerate(f, start=1):
             line = raw.rstrip("\r\n")
             if not line.strip():
                 continue
-            if lineno == 1 and line.startswith("#version"):
-                continue
+            if first_content:
+                first_content = False
+                if line.startswith("#version"):
+                    continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
                 raise ValueError(

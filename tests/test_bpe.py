@@ -179,3 +179,17 @@ def test_merges_txt_hash_symbols_crlf_and_header_scope(tmp_path):
     p3 = tmp_path / "crlf.bpe"
     p3.write_bytes(b"#version: 0.2\r\ne s\r\nes t\r\n")
     assert load_merges_txt(str(p3)) == [("e", "s"), ("es", "t")]
+
+
+def test_merges_txt_bom_and_blank_before_header(tmp_path):
+    """r13 review (second pass): a UTF-8 BOM or a leading blank line
+    must not turn the #version header into a rank-0 merge (which would
+    silently shift every downstream rank)."""
+    from eel_spark.operators.bpe import load_merges_txt
+
+    bom = tmp_path / "bom.bpe"
+    bom.write_bytes("﻿#version: 0.2\ne s\n".encode("utf-8"))
+    assert load_merges_txt(str(bom)) == [("e", "s")]
+    blank = tmp_path / "blank.bpe"
+    blank.write_text("\n#version: 0.2\ne s\n", encoding="utf-8")
+    assert load_merges_txt(str(blank)) == [("e", "s")]

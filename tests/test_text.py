@@ -619,3 +619,34 @@ def test_html_title_and_lang(spark):
     assert got[1] == ("A & B", "en-us")
     assert got[2] == (None, None)
     assert got[3] == ("T1", "fr")  # first title wins
+
+
+def test_html_links_hardened_attribute_parsing(spark):
+    """r13 review (second pass): quote-aware attribute scanning and a
+    real attribute boundary before href."""
+    html = (
+        # legal '>' inside an earlier quoted attribute must not lose href
+        '<a title="a > b" href="https://real.example/page">x</a>'
+        # data-href/ng-href are NOT outlinks; the anchor's real href is
+        '<a data-href="https://tracker.example/t" href=/real>y</a>'
+        # CSS content strings must not inject frontier entries
+        "<style>a:after { content: '<a href=\"https://fake.example\">' }</style>"
+    )
+    row = spark.createDataFrame([(html,)], "h string").select(
+        TX.html_links("h").alias("l")
+    ).first()
+    assert row["l"] == ["https://real.example/page", "/real"]
+
+
+def test_html_title_ignores_script_strings_and_lang_keeps_digits(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, '<script>var t="<title>Loading</title>";</script>'
+                "<title>Real</title>"),
+            (2, '<html lang="es-419"><title>T</title></html>'),
+        ],
+        "i long, h string",
+    ).select("i", TX.html_title("h").alias("t"), TX.html_lang("h").alias("l"))
+    got = {r["i"]: (r["t"], r["l"]) for r in rows.collect()}
+    assert got[1][0] == "Real"
+    assert got[2] == ("T", "es-419")  # BCP 47 numeric region subtag
