@@ -1,0 +1,141 @@
+"""Crawl frontier + content extraction — the web-crawl FRONT of the
+LLM-data pipeline, composed from scan-side extractors and bounded-state
+streaming:
+
+pages (HTML) ──┬─ content arm: extract_main_content → title/lang →
+               │  quality-gated clean-text corpus (what corpus_prep.py
+               │  consumes as its input)
+               └─ frontier arm: html_links → explode → canonical_url
+                  keyed streaming URL dedup → deduplicated frontier of
+                  never-seen-this-window URLs (what the fetcher crawls
+                  next), with domain blocking on top
+
+Scale shape: both arms are per-row Catalyst expressions over the page
+stream (no shuffle to discover outlinks or strip markup); the only
+stateful step is the watermark-bounded canonical-URL dedup, whose state
+is O(urls per watermark window), never O(urls ever seen). At 100 TB the
+frontier sink feeds the fetch scheduler and the content sink feeds
+corpus_prep — this script is the missing first stage stitched onto the
+existing pipeline examples.
+
+Usage: python examples/crawl_frontier.py [sf_dir]
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eel_spark.functions.text import (
+    extract_main_content,
+    filter_blocked_hosts,
+    gopher_keep,
+    html_lang,
+    html_links,
+    html_title,
+)
+from eel_spark.session import get_session
+from eel_spark.streaming import streaming_url_dedup
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+spark = get_session("crawl-frontier-example")
+work = tempfile.mkdtemp(prefix="crawl_frontier_")
+
+# --- synthesize a crawl: each document becomes an HTML page whose
+# outlinks point at neighbor "pages" in several decorated variants that
+# all canonicalize to the same URL (tracking params, case, trailing
+# slash) plus one blocked-domain link — the exact noise a frontier
+# must fold away -----------------------------------------------------------
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+page = F.concat(
+    F.lit('<html lang="en-US"><head><title>Page '),
+    F.col("doc_id").cast("string"),
+    F.lit("</title><script>var x = '<a href=\"https://js.example/no\">';"
+          "</script></head><body><nav>"),
+    # three variants of the SAME next-page link + one distinct + one blocked
+    F.lit('<a href="http://Crawl.example/p/'),
+    ((F.col("doc_id") + 1) % 500).cast("string"),
+    F.lit('/">next</a> <a href="http://crawl.example/p/'),
+    ((F.col("doc_id") + 1) % 500).cast("string"),
+    F.lit('?utm_source=feed">next-tracked</a> <a href="http://crawl.example/p/'),
+    ((F.col("doc_id") + 2) % 500).cast("string"),
+    F.lit('">skip</a> <a href="http://ads.example/click">ad</a></nav><p>'),
+    F.coalesce(F.col("text"), F.lit("")),
+    F.lit("</p></body></html>"),
+)
+pages = docs.select(
+    "doc_id",
+    F.lit("2024-01-01 00:00:00").cast("timestamp").alias("fetched_ts"),
+    page.alias("html"),
+)
+src = os.path.join(work, "pages")
+for i in range(3):  # three crawl waves
+    pages.where(F.col("doc_id") % 3 == i).write.parquet(f"{src}/w{i}")
+
+stream = (
+    spark.readStream.schema("doc_id BIGINT, fetched_ts TIMESTAMP, html STRING")
+    .option("maxFilesPerTrigger", 1)
+    .parquet(f"{src}/*")
+)
+
+# --- content arm: clean text + metadata, quality-gated ---------------------
+content = stream.select(
+    "doc_id",
+    html_title("html").alias("title"),
+    html_lang("html").alias("lang"),
+    extract_main_content("html").alias("text"),
+).where(gopher_keep("text", min_words=10, min_stopword_hits=1))
+content_q = (
+    content.writeStream.format("parquet")
+    .option("path", os.path.join(work, "corpus"))
+    .option("checkpointLocation", os.path.join(work, "ck_corpus"))
+    .trigger(availableNow=True)
+    .start()
+)
+
+# --- frontier arm: outlinks → canonical streaming dedup --------------------
+links = stream.select(
+    "fetched_ts", F.explode(html_links("html")).alias("url")
+)
+frontier = streaming_url_dedup(links, "url", ts_col="fetched_ts")
+frontier_q = (
+    frontier.writeStream.format("parquet")
+    .option("path", os.path.join(work, "frontier"))
+    .option("checkpointLocation", os.path.join(work, "ck_frontier"))
+    .trigger(availableNow=True)
+    .start()
+)
+assert content_q.awaitTermination(400), "content arm did not finish"
+assert frontier_q.awaitTermination(400), "frontier arm did not finish"
+
+# --- audit the frontier ----------------------------------------------------
+out = spark.read.parquet(os.path.join(work, "frontier"))
+n_raw = spark.read.parquet(f"{src}/*").select(
+    F.explode(html_links("html"))
+).count()
+n_frontier = out.count()
+print(f"outlinks: {n_raw} raw -> {n_frontier} after canonical dedup")
+# decorated variants of the same page folded; the js-string link never
+# entered (html_links strips script subtrees)
+assert n_frontier < n_raw
+assert out.where(F.col("url").contains("js.example")).count() == 0
+crawlable = filter_blocked_hosts(out, "url", ["ads.example"])
+n_crawl = crawlable.count()
+print(f"frontier after domain blocking: {n_crawl} urls")
+assert crawlable.where(F.col("url").contains("ads.example")).count() == 0
+
+corpus = spark.read.parquet(os.path.join(work, "corpus"))
+n_docs = corpus.count()
+langs = sorted(
+    r["lang"] for r in corpus.select("lang").distinct().collect()
+)
+print(f"clean corpus: {n_docs} docs, declared langs {langs}")
+assert langs == ["en-us"]
+assert corpus.where(F.col("title").isNull()).count() == 0
+
+shutil.rmtree(work, ignore_errors=True)
+spark.stop()

@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "retrieval_eval.py",
         "ann_index_lifecycle.py",
         "ingest_monitoring.py",
+        "crawl_frontier.py",
     ],
 )
 def test_example_runs(script):
