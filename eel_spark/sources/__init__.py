@@ -27,6 +27,7 @@ from eel_spark.sources.files import (
     TextSource,
 )
 from eel_spark.sources.hive import HiveSink, HiveSource, HiveTable
+from eel_spark.sources.warc import WarcSource, write_warc
 from eel_spark.sources.jdbc import (
     BucketPartitionStrategy,
     HashPartitionStrategy,
@@ -47,6 +48,7 @@ __all__ = [
     "HashPartitionStrategy", "BucketPartitionStrategy",
     "SinglePartitionStrategy",
     "KafkaSource", "KafkaSink",
+    "WarcSource", "write_warc",
     "HBaseSource", "HBaseSink", "KuduSource", "KuduSink",
     "ElasticsearchSource", "ElasticsearchSink", "ConnectorMissing",
 ]

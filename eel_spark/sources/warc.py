@@ -1,0 +1,214 @@
+"""WARC (Web ARChive, ISO 28500) source — the container format web
+crawls actually ship in (Common Crawl, Internet Archive, every fetcher
+derived from Heritrix/wget). The crawl-pipeline ingestion edge: WARC →
+records → (html_to_text / extract_main_content / html_links) → the rest
+of the corpus pipeline.
+
+Format (public spec, ISO 28500 / IIPC WARC 1.0–1.1): a file is a
+sequence of records; each record is a header block
+(``WARC/1.x`` version line + ``Name: value`` lines, CRLF-terminated,
+blank-line-terminated) followed by exactly ``Content-Length`` payload
+bytes and the ``\\r\\n\\r\\n`` record separator. ``.warc.gz`` files gzip
+each record as its OWN member (so readers can seek member boundaries);
+Python's ``gzip.GzipFile`` reads concatenated members transparently,
+which is all a whole-file reader needs.
+
+Spark shape: files load through the ``binaryFile`` datasource (one row
+per file: path + bytes) and a ``mapInPandas`` kernel parses records out
+of each file — an Arrow-batched generator, so one task holds one file's
+bytes plus the records of the batch being yielded, never the whole
+corpus. WARC convention caps files at ~1 GiB (Common Crawl: ~1 GiB
+gzipped members), which is the per-task memory bound; set
+``payload_limit`` to drop pathological single records. Parsing is pure
+Python by necessity (binary record framing has no Catalyst expression)
+— this is an INGESTION boundary, run once per crawl wave and staged to
+parquet, not a per-query path.
+
+HTTP response records carry the HTTP message as payload;
+``http_parse=True`` (default) splits status/headers/body so consumers
+get the body bytes directly (`content_type`/`http_status` columns),
+matching what warcio-based readers expose.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from eel_spark.datastream import DataStream
+from eel_spark.sources.files import Source
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("truncated", T.BooleanType()),
+    ]
+)
+
+
+def _split_headers(block: bytes) -> dict[str, str]:
+    """WARC/HTTP header block → {lower-name: value}; malformed lines
+    are skipped (crawl archives contain them; a hard error on one line
+    would poison a whole file)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            name, _, value = line.partition(b":")
+            headers[name.strip().lower().decode("latin-1")] = (
+                value.strip().decode("latin-1", "replace")
+            )
+    return headers
+
+
+def parse_warc_stream(stream, path: str, http_parse: bool = True,
+                      payload_limit: int | None = None):
+    """Yield record dicts from a readable binary stream of WARC bytes.
+    Driver-free, file-at-a-time — the kernel both the batch source and
+    tests share. Stops (never raises) at a malformed record boundary:
+    a torn tail is a truncated fetch, and the records before it are
+    good."""
+    offset = 0
+    while True:
+        version = stream.readline()
+        start = offset
+        offset += len(version)
+        if not version:
+            return
+        if version.strip() == b"":  # stray separator tolerance
+            continue
+        if not version.startswith(b"WARC/"):
+            return  # torn record / trailing garbage: keep what we have
+        header_block = b""
+        while True:
+            line = stream.readline()
+            offset += len(line)
+            if not line:
+                return
+            if line == b"\r\n" or line == b"\n":
+                break
+            header_block += line
+        headers = _split_headers(header_block)
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = stream.read(length)
+        offset += len(payload)
+        if len(payload) < length:
+            return  # truncated tail
+        stream.readline(), stream.readline()  # record separator CRLFs
+        offset += 4
+        content_type = headers.get("content-type")
+        http_status = None
+        if http_parse and payload[:5] in (b"HTTP/", b"HTTP "):
+            head, sep, body = payload.partition(b"\r\n\r\n")
+            if sep:
+                status_line = head.split(b"\r\n", 1)[0].split(b" ")
+                if len(status_line) >= 2 and status_line[1].isdigit():
+                    http_status = int(status_line[1])
+                http_headers = _split_headers(head)
+                content_type = http_headers.get("content-type", content_type)
+                payload = body
+        truncated = False
+        if payload_limit is not None and len(payload) > payload_limit:
+            payload = payload[: int(payload_limit)]
+            truncated = True
+        yield {
+            "warc_file": path,
+            "record_offset": start,
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": content_type,
+            "http_status": http_status,
+            "payload": payload,
+            "truncated": truncated,
+        }
+
+
+@dataclass
+class WarcSource(Source):
+    """WARC files (plain or ``.warc.gz``) as a DataStream of records.
+
+    ``pattern`` follows the binaryFile datasource's glob rules. Filter
+    early on the slim columns (``warc_type = 'response'``,
+    ``http_status = 200``, a ``content_type`` prefix) before touching
+    payloads — the parse yields every record, but Arrow batches keep
+    only what survives downstream projection. ``payload_limit`` bounds
+    any single record's bytes (flagged in ``truncated``).
+    """
+
+    pattern: str
+    http_parse: bool = True
+    payload_limit: int | None = None
+
+    def to_datastream(self, spark: SparkSession) -> DataStream:
+        http_parse, payload_limit = self.http_parse, self.payload_limit
+
+        def parse(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    raw = row["content"]
+                    stream: io.BufferedIOBase = io.BytesIO(raw)
+                    if raw[:2] == b"\x1f\x8b":
+                        stream = gzip.GzipFile(fileobj=stream)  # multi-member
+                    rows = []
+                    for rec in parse_warc_stream(
+                        stream, row["path"], http_parse, payload_limit
+                    ):
+                        rows.append(rec)
+                        if len(rows) >= 256:  # bound the Arrow batch
+                            yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
+                            rows = []
+                    if rows:
+                        yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
+
+        files = spark.read.format("binaryFile").load(self.pattern)
+        return DataStream(
+            files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+        )
+
+
+def write_warc(records: list[dict], path: str, compress: bool = False) -> None:
+    """Write records as a spec-shaped WARC file (driver-side, for tests
+    and fixtures — a crawler writes its own archives). Each record dict:
+    ``warc_type``, ``payload`` bytes, optional ``target_uri`` /
+    ``record_id`` / ``warc_date`` / ``content_type``. ``compress=True``
+    gzips each record as its own member, the ``.warc.gz`` convention."""
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        head = [b"WARC/1.0"]
+        head.append(f"WARC-Type: {rec.get('warc_type', 'resource')}".encode())
+        head.append(
+            f"WARC-Record-ID: {rec.get('record_id', f'<urn:uuid:rec-{i}>')}".encode()
+        )
+        if rec.get("target_uri"):
+            head.append(f"WARC-Target-URI: {rec['target_uri']}".encode())
+        head.append(
+            f"WARC-Date: {rec.get('warc_date', '2024-01-01T00:00:00Z')}".encode()
+        )
+        if rec.get("content_type"):
+            head.append(f"Content-Type: {rec['content_type']}".encode())
+        payload = rec["payload"]
+        head.append(f"Content-Length: {len(payload)}".encode())
+        member = (
+            b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+        out.write(gzip.compress(member) if compress else member)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
