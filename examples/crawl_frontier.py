@@ -2,6 +2,9 @@
 LLM-data pipeline, composed from scan-side extractors and bounded-state
 streaming:
 
+.warc.gz archives → WarcSource → staged parquet pages (parse each wave
+once — the WARC ingestion contract), then:
+
 pages (HTML) ──┬─ content arm: extract_main_content → title/lang →
                │  quality-gated clean-text corpus (what corpus_prep.py
                │  consumes as its input)
@@ -72,9 +75,51 @@ pages = docs.select(
     F.lit("2024-01-01 00:00:00").cast("timestamp").alias("fetched_ts"),
     page.alias("html"),
 )
-src = os.path.join(work, "pages")
+
+# the fetcher delivers the waves as .warc.gz archives (the format real
+# crawls ship in — Common Crawl, Heritrix): pack each wave into one
+# archive of HTTP response records
+from eel_spark.sources.warc import WarcSource, write_warc
+
+warc_dir = os.path.join(work, "warc")
+os.makedirs(warc_dir)
 for i in range(3):  # three crawl waves
-    pages.where(F.col("doc_id") % 3 == i).write.parquet(f"{src}/w{i}")
+    wave = pages.where(F.col("doc_id") % 3 == i).collect()  # example-scale
+    write_warc(
+        [
+            {
+                "warc_type": "response",
+                "target_uri": f"http://crawl.example/p/{r['doc_id']}",
+                "content_type": "application/http;msgtype=response",
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + r["html"].encode()
+                ),
+            }
+            for r in wave
+        ],
+        os.path.join(warc_dir, f"wave{i}.warc.gz"),
+        compress=True,
+    )
+
+# --- ingest: WARC records → staged parquet pages (the documented WARC
+# contract: parse each wave ONCE, stage to parquet, stream downstream
+# from the boundary — caching.stage's write/re-read discipline applied
+# at the ingestion edge) ----------------------------------------------------
+records = WarcSource(f"{warc_dir}/*.warc.gz").to_datastream(spark).df
+parsed = records.where(
+    (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    & (F.col("content_type") == "text/html")
+).select(
+    F.regexp_extract("target_uri", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+    F.lit("2024-01-01 00:00:00").cast("timestamp").alias("fetched_ts"),
+    F.decode("payload", "UTF-8").alias("html"),
+)
+src = os.path.join(work, "pages")
+for i in range(3):  # keep the wave layout for maxFilesPerTrigger pacing
+    parsed.where(F.col("doc_id") % 3 == i).write.parquet(f"{src}/w{i}")
+print(f"ingested {spark.read.parquet(f'{src}/*').count()} pages "
+      f"from {len(os.listdir(warc_dir))} WARC archives")
 
 stream = (
     spark.readStream.schema("doc_id BIGINT, fetched_ts TIMESTAMP, html STRING")
