@@ -61,9 +61,12 @@ WARC_SCHEMA = T.StructType(
 def _split_headers(block: bytes) -> dict[str, str]:
     """WARC/HTTP header block → {lower-name: value}; malformed lines
     are skipped (crawl archives contain them; a hard error on one line
-    would poison a whole file)."""
+    would poison a whole file). splitlines, not split(CRLF): the
+    record loop tolerates LF-terminated writers, so the header split
+    must too — CRLF-only splitting collapsed an LF block into one
+    pseudo-header and silently emptied the file (r13 review)."""
     headers: dict[str, str] = {}
-    for line in block.split(b"\r\n"):
+    for line in block.splitlines():
         if b":" in line:
             name, _, value = line.partition(b":")
             headers[name.strip().lower().decode("latin-1")] = (
@@ -77,66 +80,98 @@ def parse_warc_stream(stream, path: str, http_parse: bool = True,
     """Yield record dicts from a readable binary stream of WARC bytes.
     Driver-free, file-at-a-time — the kernel both the batch source and
     tests share. Stops (never raises) at a malformed record boundary:
-    a torn tail is a truncated fetch, and the records before it are
-    good."""
+    a torn tail is a truncated fetch — including a truncated GZIP
+    member, which raises mid-read and is caught here — and the records
+    before it are good. A missing inter-record separator resyncs on
+    the next version line instead of eating it (r13 review)."""
     offset = 0
-    while True:
-        version = stream.readline()
-        start = offset
-        offset += len(version)
-        if not version:
-            return
-        if version.strip() == b"":  # stray separator tolerance
-            continue
-        if not version.startswith(b"WARC/"):
-            return  # torn record / trailing garbage: keep what we have
-        header_block = b""
+    pending: bytes | None = None  # a line read past a short separator
+    try:
         while True:
-            line = stream.readline()
-            offset += len(line)
-            if not line:
+            if pending is not None:
+                version, pending = pending, None
+                start = offset - len(version)
+            else:
+                version = stream.readline()
+                start = offset
+                offset += len(version)
+            if not version:
                 return
-            if line == b"\r\n" or line == b"\n":
-                break
-            header_block += line
-        headers = _split_headers(header_block)
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        payload = stream.read(length)
-        offset += len(payload)
-        if len(payload) < length:
-            return  # truncated tail
-        stream.readline(), stream.readline()  # record separator CRLFs
-        offset += 4
-        content_type = headers.get("content-type")
-        http_status = None
-        if http_parse and payload[:5] in (b"HTTP/", b"HTTP "):
-            head, sep, body = payload.partition(b"\r\n\r\n")
-            if sep:
-                status_line = head.split(b"\r\n", 1)[0].split(b" ")
-                if len(status_line) >= 2 and status_line[1].isdigit():
-                    http_status = int(status_line[1])
-                http_headers = _split_headers(head)
-                content_type = http_headers.get("content-type", content_type)
-                payload = body
-        truncated = False
-        if payload_limit is not None and len(payload) > payload_limit:
-            payload = payload[: int(payload_limit)]
-            truncated = True
-        yield {
-            "warc_file": path,
-            "record_offset": start,
-            "warc_type": headers.get("warc-type"),
-            "record_id": headers.get("warc-record-id"),
-            "target_uri": headers.get("warc-target-uri"),
-            "warc_date": headers.get("warc-date"),
-            "content_type": content_type,
-            "http_status": http_status,
-            "payload": payload,
-            "truncated": truncated,
-        }
+            if version.strip() == b"":  # stray separator tolerance
+                continue
+            if not version.startswith(b"WARC/"):
+                return  # torn record / trailing garbage: keep what we have
+            header_block = b""
+            while True:
+                line = stream.readline()
+                offset += len(line)
+                if not line:
+                    return
+                if line == b"\r\n" or line == b"\n":
+                    break
+                header_block += line
+            headers = _split_headers(header_block)
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            if length < 0:
+                # stream.read(-1) would swallow the whole remaining file
+                # into this record's payload (r13 review)
+                return
+            payload = stream.read(length)
+            offset += len(payload)
+            if len(payload) < length:
+                return  # truncated tail
+            # record separator: two blank lines by spec, but measure what
+            # is actually there — LF-only writers use 2 bytes not 4, and
+            # a MISSING separator means the line just read belongs to the
+            # next record (push it back rather than destroying it)
+            for _ in range(2):
+                line = stream.readline()
+                offset += len(line)
+                if line.strip():
+                    pending = line
+                    break
+            content_type = headers.get("content-type")
+            http_status = None
+            # split the HTTP message only for records DECLARED to carry
+            # one — a resource/conversion record whose text happens to
+            # start with 'HTTP/' must pass through intact (r13 review)
+            is_http_record = (content_type or "").lower().startswith(
+                "application/http"
+            ) or headers.get("warc-type") == "response"
+            if http_parse and is_http_record and payload[:5] == b"HTTP/":
+                head, sep, body = payload.partition(b"\r\n\r\n")
+                if sep:
+                    status_line = head.split(b"\r\n", 1)[0].split(b" ")
+                    if len(status_line) >= 2 and status_line[1].isdigit():
+                        http_status = int(status_line[1])
+                    http_headers = _split_headers(head)
+                    content_type = http_headers.get(
+                        "content-type", content_type
+                    )
+                    payload = body
+            truncated = False
+            if payload_limit is not None and len(payload) > payload_limit:
+                payload = payload[: int(payload_limit)]
+                truncated = True
+            yield {
+                "warc_file": path,
+                "record_offset": start,
+                "warc_type": headers.get("warc-type"),
+                "record_id": headers.get("warc-record-id"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": content_type,
+                "http_status": http_status,
+                "payload": payload,
+                "truncated": truncated,
+            }
+    except (EOFError, OSError):
+        # torn gzip member / unreadable tail: keep the records already
+        # yielded — same contract as a torn plain-file tail
+        return
 
 
 @dataclass

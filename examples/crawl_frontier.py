@@ -116,9 +116,17 @@ parsed = records.where(
     F.decode("payload", "UTF-8").alias("html"),
 )
 src = os.path.join(work, "pages")
-for i in range(3):  # keep the wave layout for maxFilesPerTrigger pacing
-    parsed.where(F.col("doc_id") % 3 == i).write.parquet(f"{src}/w{i}")
-print(f"ingested {spark.read.parquet(f'{src}/*').count()} pages "
+# ONE action writes all waves (partitionBy keeps the per-wave dir
+# layout for maxFilesPerTrigger pacing): a per-wave filter loop would
+# re-run the binaryFile scan + Python parse once per wave — the exact
+# parse-N-times cost the staging contract exists to avoid (r13 review)
+(
+    parsed.withColumn("w", F.col("doc_id") % 3)
+    .repartition(3, "w")
+    .write.partitionBy("w")
+    .parquet(src)
+)
+print(f"ingested {spark.read.parquet(f'{src}/w=*').count()} pages "
       f"from {len(os.listdir(warc_dir))} WARC archives")
 
 stream = (

@@ -138,3 +138,59 @@ def test_warc_glob_and_multifile(spark, tmp_path):
     out = WarcSource(str(tmp_path / "*.warc*")).to_datastream(spark).df
     assert out.count() == 4
     assert out.select("warc_file").distinct().count() == 2
+
+
+def test_warc_malformed_input_tolerance(spark, tmp_path):
+    """r13 review (third pass): torn GZIP members, negative
+    Content-Length, LF-only writers, HTTP-looking resource payloads and
+    missing inter-record separators must all degrade per the documented
+    contract — keep what is intact, never raise, never mangle."""
+    import gzip as _gzip
+    import io
+
+    # torn .warc.gz: first member intact, second truncated mid-member
+    rec1 = (b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 5\r\n"
+            b"\r\nhello\r\n\r\n")
+    rec2 = (b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 400\r\n"
+            b"\r\n" + b"x" * 400 + b"\r\n\r\n")
+    torn_gz = tmp_path / "torn.warc.gz"
+    torn_gz.write_bytes(_gzip.compress(rec1) + _gzip.compress(rec2)[:-30])
+    out = WarcSource(str(torn_gz)).to_datastream(spark).df.collect()
+    assert len(out) == 1 and bytes(out[0]["payload"]) == b"hello"
+
+    # negative Content-Length must not swallow the rest of the stream
+    neg = (b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: -1\r\n"
+           b"\r\n" + rec1)
+    assert list(parse_warc_stream(io.BytesIO(neg), "x")) == []
+
+    # LF-only writer: headers split and record parses
+    lf = (b"WARC/1.0\nWARC-Type: resource\nContent-Length: 5\n\nhello\n\n")
+    recs = list(parse_warc_stream(io.BytesIO(lf), "x"))
+    assert len(recs) == 1
+    assert recs[0]["warc_type"] == "resource"
+    assert recs[0]["payload"] == b"hello"
+
+    # a resource record whose TEXT starts with HTTP/ passes through
+    # intact (only records declared application/http or responses split)
+    doc = b"HTTP/1.1 is a protocol\r\n\r\nbody text"
+    res = (b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Type: text/plain\r\n"
+           + f"Content-Length: {len(doc)}".encode() + b"\r\n\r\n"
+           + doc + b"\r\n\r\n")
+    recs = list(parse_warc_stream(io.BytesIO(res), "x"))
+    assert recs[0]["payload"] == doc
+    assert recs[0]["http_status"] is None
+    assert recs[0]["content_type"] == "text/plain"
+
+    # missing inter-record separator: the next record is resynced from
+    # its version line, not destroyed
+    glued = (b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 5\r\n"
+             b"\r\nhello" + rec1)
+    recs = list(parse_warc_stream(io.BytesIO(glued), "x"))
+    assert len(recs) == 2
+    assert [r["payload"] for r in recs] == [b"hello", b"hello"]
+
+    # LF-only separators keep record_offset exact (4-byte assumption
+    # would drift by 2 per record)
+    two_lf = lf + lf
+    recs = list(parse_warc_stream(io.BytesIO(two_lf), "x"))
+    assert [r["record_offset"] for r in recs] == [0, len(lf)]
