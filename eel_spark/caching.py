@@ -94,6 +94,10 @@ STAGE_DIR_CONF = "spark.eel_spark.stage.dir"
 
 _stage_counter = 0
 _stage_lock = threading.Lock()
+# roots mkdtemp'd by THIS process — the only roots release_stage_root
+# will delete (a user-preset STAGE_DIR_CONF may be shared durable
+# storage; deleting it would take other runs' stages with it)
+_auto_roots: set = set()
 
 
 def _stages() -> list:
@@ -118,8 +122,40 @@ def _stage_root(spark) -> str:
         root = spark.conf.get(STAGE_DIR_CONF, None)
         if not root:
             root = tempfile.mkdtemp(prefix="eel_spark_stage_")
+            _auto_roots.add(root)
             spark.conf.set(STAGE_DIR_CONF, root)
     return root
+
+
+def release_stage_root(spark) -> bool:
+    """Delete the session staging root — ONLY when this process
+    auto-allocated it (mkdtemp). A pre-set ``spark.eel_spark.stage.dir``
+    pointing at shared durable storage is left untouched (it may hold
+    other runs' stages); returns whether a root was removed. Standalone
+    scripts pair this with :func:`release_stages` at exit."""
+    root = spark.conf.get(STAGE_DIR_CONF, None)
+    if not root or root not in _auto_roots:
+        return False
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    _auto_roots.discard(root)
+    return True
+
+
+def allocate_stage_path(spark, label: str = "stage") -> str:
+    """A fresh unique directory path under the session staging root —
+    for callers that memoize the path themselves (``track=False`` model
+    memos): the boundary lands under the configured root (shared durable
+    storage on a cluster), never a driver-local tempdir that would
+    silently diverge from the default FS."""
+    import uuid
+
+    global _stage_counter
+    with _stage_lock:
+        _stage_counter += 1
+        n = _stage_counter
+    return f"{_stage_root(spark)}/{label}_{n:05d}_{uuid.uuid4().hex[:8]}"
 
 
 def stage(df, path: str | None = None, *, track: bool = True):
@@ -154,15 +190,9 @@ def stage(df, path: str | None = None, *, track: bool = True):
     upstream plan). Parquet keeps column pruning/pushdown across the
     boundary.
     """
-    global _stage_counter
     spark = df.sparkSession
     if path is None:
-        import uuid
-
-        with _stage_lock:
-            _stage_counter += 1
-            n = _stage_counter
-        path = f"{_stage_root(spark)}/stage_{n:05d}_{uuid.uuid4().hex[:8]}"
+        path = allocate_stage_path(spark)
     df.write.parquet(path)
     if track:
         _stages().append((spark, path))
@@ -178,8 +208,11 @@ def stages_mark() -> int:
 
 def release_stages_since(mark: int) -> int:
     """Delete every staged boundary THIS thread recorded after ``mark``;
-    returns how many. Only call once downstream consumers of those
-    boundaries have materialized (see :func:`stage`)."""
+    returns how many were deleted. A failed delete is WARNED with the
+    path, not swallowed — on shared storage a silently-leaked boundary
+    is stranded bytes with no signal (the path is popped either way, so
+    a retry storm never builds). Only call once downstream consumers of
+    those boundaries have materialized (see :func:`stage`)."""
     stages = _stages()
     n = 0
     while len(stages) > mark:
@@ -189,8 +222,15 @@ def release_stages_since(mark: int) -> int:
 
             HdfsOps(spark).delete(path, recursive=True)
             n += 1
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 — reap must keep going
+            import warnings
+
+            warnings.warn(
+                f"release_stages: failed to delete staged boundary "
+                f"{path!r}: {exc!r} (files may be stranded)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return n
 
 

@@ -835,6 +835,12 @@ def html_lang(html: Column | str) -> Column:
     """The ``<html lang=...>`` declaration, lowercased; NULL when
     absent. The cheap pre-filter BEFORE content language-ID (declared
     lang prunes the obvious cases; :func:`lang_id` / the trained
-    Cavnar-Trenkle model adjudicate the rest)."""
-    out = F.lower(F.regexp_extract(_c(html), HTML_LANG_PATTERN, 1))
+    Cavnar-Trenkle model adjudicate the rest). Script/style/comment
+    subtrees strip first, same as html_title — a commented-out or
+    JS-string '<html lang=...>' before the real tag must not supply
+    the language (r13 advice)."""
+    c = F.regexp_replace(_c(html), HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
+    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
+    out = F.lower(F.regexp_extract(c, HTML_LANG_PATTERN, 1))
     return F.when(out != "", out)

@@ -1158,12 +1158,13 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
     # staged model is bit-identical to retraining).
     memo = _LM_MEMO.get(sf_dir)
     if memo is None:
-        import tempfile
-
-        from eel_spark.caching import stage
+        from eel_spark.caching import allocate_stage_path, stage
 
         vocab_df, oov_logp = train_unigram_lm(kept_docs, "text", min_count=5)
-        vpath = tempfile.mkdtemp(prefix="eel_lm_vocab_") + "/vocab"
+        # under the session staging root (NOT a driver-local mkdtemp):
+        # on a cluster with a non-local default FS the memo path and the
+        # parquet write must name the same filesystem
+        vpath = allocate_stage_path(spark, "lm_vocab")
         vocab = stage(vocab_df, vpath, track=False)
         _LM_MEMO[sf_dir] = (vpath, oov_logp)
     else:

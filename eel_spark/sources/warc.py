@@ -28,6 +28,13 @@ HTTP response records carry the HTTP message as payload;
 ``http_parse=True`` (default) splits status/headers/body so consumers
 get the body bytes directly (`content_type`/`http_status` columns),
 matching what warcio-based readers expose.
+
+``record_offset`` is the LOGICAL offset: the record's start in the
+DECOMPRESSED byte stream (for ``.warc.gz`` too — this reader inflates
+the whole file). It orders records and keys them stably within a file,
+but it is NOT the CDX-convention compressed member offset, so do not
+feed it to range-request/seek tooling that expects ``warc-record-offset``
+from a CDX index.
 """
 
 from __future__ import annotations
@@ -184,14 +191,27 @@ class WarcSource(Source):
     payloads — the parse yields every record, but Arrow batches keep
     only what survives downstream projection. ``payload_limit`` bounds
     any single record's bytes (flagged in ``truncated``).
+
+    The parallelism unit is the FILE (binaryFile rows don't split), so
+    one file's bytes is the per-task memory bound. That matches the
+    WARC convention (~1 GiB archives: Common Crawl ships thousands of
+    them), but ONE giant archive would be one task and a likely OOM —
+    ``max_file_bytes`` (default 4 GiB) fails LOUDLY with the file name
+    and size instead. Raise it deliberately for bigger archives (and
+    note the binaryFile datasource itself caps rows at
+    ``spark.sql.sources.binaryFile.maxLength``, default ~2 GiB), or
+    better: split the archive — WARC records are self-framing, any
+    record boundary is a legal split point.
     """
 
     pattern: str
     http_parse: bool = True
     payload_limit: int | None = None
+    max_file_bytes: int = 4 << 30
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
         http_parse, payload_limit = self.http_parse, self.payload_limit
+        max_file_bytes = self.max_file_bytes
 
         def parse(batches):
             import pandas as pd
@@ -199,6 +219,16 @@ class WarcSource(Source):
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     raw = row["content"]
+                    if max_file_bytes is not None and len(raw) > max_file_bytes:
+                        raise ValueError(
+                            f"WARC archive {row['path']!r} is "
+                            f"{len(raw)} bytes > max_file_bytes="
+                            f"{max_file_bytes}: one archive is one task "
+                            f"(binaryFile rows don't split), so a file "
+                            f"this size risks an executor OOM. Split the "
+                            f"archive at record boundaries or raise "
+                            f"max_file_bytes deliberately."
+                        )
                     stream: io.BufferedIOBase = io.BytesIO(raw)
                     if raw[:2] == b"\x1f\x8b":
                         stream = gzip.GzipFile(fileobj=stream)  # multi-member

@@ -104,7 +104,6 @@ ppl = score_perplexity(clean, vocab, oov_logp)
 # tracked write/re-read boundary (eel_spark.caching) — it allocates
 # under the session staging root and release_stages() reaps the files
 # at the end.
-import shutil
 import tempfile
 
 ppl = stage(ppl)
@@ -193,7 +192,9 @@ print(f"wrote packed training set as {n_files} size-targeted files -> {out_dir}"
 
 release_pins()  # standalone script: free the pinned caches
 release_stages()  # reap the staged boundary files (downstream all done)
-# the per-session staging root itself (now empty) goes too
-from eel_spark.caching import STAGE_DIR_CONF
+# the per-session staging root itself (now empty) goes too — but ONLY
+# if it was auto-allocated: a user-preset stage.dir may be shared
+# durable storage holding other runs' stages
+from eel_spark.caching import release_stage_root
 
-shutil.rmtree(spark.conf.get(STAGE_DIR_CONF, ""), ignore_errors=True)
+release_stage_root(spark)

@@ -143,3 +143,88 @@ def test_stage_reap_policy_and_tracking(spark, tmp_path):
     finally:
         release_stages()
         spark.conf.unset(STAGE_DIR_CONF)
+
+
+def test_stage_root_release_and_allocate_path(spark, tmp_path):
+    """r13 advice pair: (a) release_stage_root deletes ONLY a root this
+    process auto-allocated — a user-preset stage.dir (shared durable
+    storage) is never rmtree'd; (b) allocate_stage_path lands memoized
+    boundaries under the session root, not a driver-local tempdir."""
+    import os
+
+    from eel_spark.caching import (
+        STAGE_DIR_CONF,
+        allocate_stage_path,
+        release_stage_root,
+        release_stages,
+        stage,
+    )
+
+    # (b) explicit root: allocated paths live under it
+    root = tmp_path / "preset_root"
+    spark.conf.set(STAGE_DIR_CONF, str(root))
+    try:
+        p = allocate_stage_path(spark, "lm_vocab")
+        assert p.startswith(str(root)) and "lm_vocab" in p
+        memo = stage(spark.range(5), p, track=False)
+        assert memo.count() == 5
+        # (a) preset root: release refuses (not auto-allocated)
+        assert release_stage_root(spark) is False
+        assert os.path.isdir(root)
+    finally:
+        release_stages()
+        spark.conf.unset(STAGE_DIR_CONF)
+
+    # auto-allocated root: release removes it
+    df = stage(spark.range(3))
+    auto_root = spark.conf.get(STAGE_DIR_CONF)
+    assert df.count() == 3 and os.path.isdir(auto_root)
+    release_stages()
+    assert release_stage_root(spark) is True
+    assert not os.path.exists(auto_root)
+    spark.conf.unset(STAGE_DIR_CONF)
+
+
+def test_release_stages_warns_on_failed_delete(spark, tmp_path):
+    """A failed boundary delete is a warning naming the path (stranded
+    bytes need a signal), and the reap keeps going past it."""
+    import warnings
+
+    from eel_spark.caching import (
+        STAGE_DIR_CONF,
+        release_stages,
+        stage,
+        stages_mark,
+    )
+
+    root = tmp_path / "warn_root"
+    spark.conf.set(STAGE_DIR_CONF, str(root))
+    try:
+        mark = stages_mark()
+        assert mark == 0
+        df = stage(spark.range(4))
+        df.count()
+        # sabotage: replace the staged dir with a bare file so the
+        # recursive delete path errors
+        import shutil
+
+        staged = [e.path for e in __import__("os").scandir(root)]
+        assert len(staged) == 1
+        shutil.rmtree(staged[0])
+        with open(staged[0], "w") as f:
+            f.write("not a dir")
+        import os
+
+        os.chmod(root, 0o555)  # deny unlink within the root
+        try:
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                n = release_stages()
+        finally:
+            os.chmod(root, 0o755)
+        if n == 0:  # delete failed as arranged -> warned with the path
+            assert any(staged[0] in str(x.message) for x in w)
+        assert stages_mark() == 0  # popped either way: no retry storm
+    finally:
+        release_stages()
+        spark.conf.unset(STAGE_DIR_CONF)

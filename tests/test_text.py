@@ -650,3 +650,18 @@ def test_html_title_ignores_script_strings_and_lang_keeps_digits(spark):
     got = {r["i"]: (r["t"], r["l"]) for r in rows.collect()}
     assert got[1][0] == "Real"
     assert got[2] == ("T", "es-419")  # BCP 47 numeric region subtag
+
+
+def test_html_lang_ignores_script_and_comment_decoys(spark):
+    """r13 advice: a commented-out or JS-string '<html lang=...>' that
+    precedes the real tag must not supply the language."""
+    rows = spark.createDataFrame(
+        [
+            (1, '<!-- <html lang="xx"> --><html lang="de"><title>T</title>'),
+            (2, '<script>var h=\'<html lang="yy">\';</script><html lang=pt-br>'),
+            (3, '<!-- <html lang="xx"> --><html><body>no real lang</body></html>'),
+        ],
+        "i long, h string",
+    ).select("i", TX.html_lang("h").alias("l"))
+    got = {r["i"]: r["l"] for r in rows.collect()}
+    assert got == {1: "de", 2: "pt-br", 3: None}

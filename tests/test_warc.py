@@ -194,3 +194,18 @@ def test_warc_malformed_input_tolerance(spark, tmp_path):
     two_lf = lf + lf
     recs = list(parse_warc_stream(io.BytesIO(two_lf), "x"))
     assert [r["record_offset"] for r in recs] == [0, len(lf)]
+
+
+def test_warc_oversized_archive_guard(spark, tmp_path):
+    """One archive is one task (binaryFile rows don't split): a file
+    past max_file_bytes must fail LOUDLY with the file name and the
+    remedy, not silently risk an executor OOM (r13 verdict)."""
+    p = tmp_path / "big.warc"
+    write_warc(_records(), str(p))
+    src = WarcSource(str(p), max_file_bytes=64)
+    with pytest.raises(Exception) as ei:
+        src.to_datastream(spark).df.count()
+    msg = str(ei.value)
+    assert "max_file_bytes=64" in msg and "big.warc" in msg
+    # the same file parses fine at the default bound
+    assert WarcSource(str(p)).to_datastream(spark).df.count() == len(_records())
