@@ -587,6 +587,182 @@ def canonical_url(
     )
 
 
+def _url_parts(u: Column) -> dict[str, Column]:
+    """Split a (sanitized) URL string into RFC 3986 components —
+    scheme / netloc / path / query / fragment — by successive
+    delimiter cuts (fragment first, then query, scheme, authority),
+    the appendix-B decomposition without its regex. All engine-neutral
+    Catalyst string ops; missing parts come back as ''."""
+    frag = F.when(
+        F.instr(u, "#") > 0,
+        F.substring(u, F.instr(u, "#") + F.lit(1), F.length(u)),
+    ).otherwise(F.lit(""))
+    u = F.substring_index(u, "#", 1)
+    query = F.when(
+        F.instr(u, "?") > 0,
+        F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u)),
+    ).otherwise(F.lit(""))
+    u = F.substring_index(u, "?", 1)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*:", "")
+    has_slashes = u.startswith("//")
+    after = F.substring(u, F.lit(3), F.length(u))
+    netloc = F.when(has_slashes, F.substring_index(after, "/", 1)).otherwise(
+        F.lit("")
+    )
+    path = F.when(
+        has_slashes,
+        F.substring(after, F.length(netloc) + F.lit(1), F.length(after)),
+    ).otherwise(u)
+    return {
+        "scheme": scheme,
+        "netloc": netloc,
+        "path": path,
+        "query": query,
+        "fragment": frag,
+    }
+
+
+def _remove_dot_segments(segs: Column) -> Column:
+    """RFC 3986 §5.2.4 over a '/'-split path whose first element is ''
+    (absolute path): fold the remaining segments with an array as the
+    stack — '.' skips, '..' pops (never past the root marker), anything
+    else pushes; a trailing '.'/'..' leaves a trailing slash. Pure
+    Catalyst (``aggregate`` is the loop), no Python."""
+    folded = F.aggregate(
+        F.slice(segs, 2, F.size(segs) - 1),
+        F.array(F.lit("")),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.when(
+                F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+            ).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    folded = F.when(
+        F.element_at(segs, -1).isin(".", ".."),
+        F.concat(folded, F.array(F.lit(""))),
+    ).otherwise(folded)
+    joined = F.array_join(folded, "/")
+    return F.when(joined == "", F.lit("/")).otherwise(joined)
+
+
+def resolve_url(base: Column | str, ref: Column | str) -> Column:
+    """Resolve a relative URL reference against a base URL — RFC 3986
+    §5 as one pure-Catalyst expression, behavior-matched to Python's
+    ``urllib.parse.urljoin`` (the de-facto reference implementation,
+    WHATWG quirks included: ``\\t``/``\\r``/``\\n`` removed anywhere,
+    leading C0-control/space stripped, same-scheme references treated
+    as relative, excess ``..`` clamped at the root).
+
+    The missing link of the crawl-frontier chain: :func:`html_links`
+    harvests hrefs VERBATIM — overwhelmingly relative on real pages —
+    and :func:`canonical_url` needs absolutes, so the frontier stage is
+    ``explode(html_links(h))`` → ``resolve_url(page_url, href)`` →
+    :func:`canonical_url` → ``dedup_by_url``, all inside one scan-side
+    projection (no shuffle to discover or absolutize outlinks).
+
+    Handles: absolute refs (returned verbatim when the scheme differs;
+    re-rooted when it matches, mirroring urljoin's legacy relative
+    treatment), protocol-relative ``//host/p``, absolute-path ``/p``,
+    relative paths with ``./``/``../`` segment normalization,
+    query-only ``?q`` (empty query inherits the base's), fragment-only
+    ``#f``, and the empty reference (base returned verbatim).
+
+    Scope: hierarchical http(s)-style bases (absolute, with authority)
+    — what a crawl pipeline resolves against. Legacy ``;params`` are
+    treated as opaque path characters (RFC 3986 has no params concept;
+    urllib's last-segment ';' split is not mirrored). NULL in → NULL
+    out.
+
+    COMPOSITION NOTE: materialize this column in its own projection
+    before feeding it to another expression-heavy function —
+    ``df.select(resolve_url(...).alias("abs")).select(
+    canonical_url("abs"))`` — NOT ``canonical_url(resolve_url(...))``.
+    Catalyst has no let-binding: nesting clones this (large) expression
+    tree once per reference inside the outer function, and optimizer
+    time explodes. Separate projections stay one scan-side stage (no
+    exchange, no Python) because CollapseProject declines to inline a
+    multiply-referenced non-trivial alias.
+    """
+    b_raw, r_raw = _c(base), _c(ref)
+    # urljoin's (WHATWG-aligned) sanitization: the raw string decides
+    # emptiness, then \t\r\n vanish anywhere + leading C0/space strip
+    def _sanitize(u: Column) -> Column:
+        u = F.regexp_replace(u, "[\\t\\r\\n]", "")
+        return F.regexp_replace(u, "^[\\x00-\\x20]+", "")
+
+    b = _sanitize(b_raw)
+    r = _sanitize(r_raw)
+    bp = _url_parts(b)
+    rp = _url_parts(r)
+    eff_scheme = bp["scheme"]
+
+    def _tail(query: Column, frag: Column) -> Column:
+        return F.concat(
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(
+                F.lit("")
+            ),
+            F.when(frag != "", F.concat(F.lit("#"), frag)).otherwise(
+                F.lit("")
+            ),
+        )
+
+    head = F.concat(eff_scheme, F.lit("://"))
+    # same-document / inherit branch: empty ref path keeps the base
+    # path; an empty ref query inherits the base query too (§5.3)
+    inherit_q = F.when(rp["query"] != "", rp["query"]).otherwise(bp["query"])
+    inherit = F.concat(
+        head, bp["netloc"], bp["path"], _tail(inherit_q, rp["fragment"])
+    )
+    # absolute-path ref: normalize the ref path alone
+    abs_path = _remove_dot_segments(F.split(rp["path"], "/", -1))
+    absolute = F.concat(
+        head, bp["netloc"], abs_path, _tail(rp["query"], rp["fragment"])
+    )
+    # relative-path ref: merge onto the base directory (§5.3 merge),
+    # dropping empty INTERIOR segments the way urljoin does, then
+    # normalize
+    bsegs = F.split(bp["path"], "/", -1)
+    bdir = F.when(
+        F.element_at(bsegs, -1) != "",
+        F.slice(bsegs, 1, F.size(bsegs) - 1),
+    ).otherwise(bsegs)
+    merged = F.concat(bdir, F.split(rp["path"], "/", -1))
+    # urljoin drops empty INTERIOR segments of the merged list (first
+    # and last survive); size(merged) >= 2 always — bdir and the ref
+    # split each contribute at least one element
+    merged = F.concat(
+        F.slice(merged, 1, 1),
+        F.filter(F.slice(merged, 2, F.size(merged) - 2), lambda s: s != ""),
+        F.slice(merged, F.size(merged), 1),
+    )
+    relative = F.concat(
+        head,
+        bp["netloc"],
+        _remove_dot_segments(merged),
+        _tail(rp["query"], rp["fragment"]),
+    )
+    return (
+        F.when(r_raw == "", b_raw)
+        .when((rp["scheme"] != "") & (rp["scheme"] != eff_scheme), r_raw)
+        .when(
+            rp["netloc"] != "",
+            F.concat(
+                head,
+                rp["netloc"],
+                rp["path"],
+                _tail(rp["query"], rp["fragment"]),
+            ),
+        )
+        .when(rp["path"] == "", inherit)
+        .when(rp["path"].startswith("/"), absolute)
+        .otherwise(relative)
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTML / markup → text extraction (jusText/trafilatura-style heuristics,
 # re-derived on Catalyst — public techniques: line link-density and

@@ -8,10 +8,12 @@ once — the WARC ingestion contract), then:
 pages (HTML) ──┬─ content arm: extract_main_content → title/lang →
                │  quality-gated clean-text corpus (what corpus_prep.py
                │  consumes as its input)
-               └─ frontier arm: html_links → explode → canonical_url
-                  keyed streaming URL dedup → deduplicated frontier of
-                  never-seen-this-window URLs (what the fetcher crawls
-                  next), with domain blocking on top
+               └─ frontier arm: html_links → explode → resolve_url
+                  (relative hrefs absolutized against the page URL) →
+                  canonical_url-keyed streaming URL dedup →
+                  deduplicated frontier of never-seen-this-window URLs
+                  (what the fetcher crawls next), with domain blocking
+                  on top
 
 Scale shape: both arms are per-row Catalyst expressions over the page
 stream (no shuffle to discover outlinks or strip markup); the only
@@ -40,6 +42,7 @@ from eel_spark.functions.text import (
     html_lang,
     html_links,
     html_title,
+    resolve_url,
 )
 from eel_spark.session import get_session
 from eel_spark.streaming import streaming_url_dedup
@@ -49,22 +52,27 @@ spark = get_session("crawl-frontier-example")
 work = tempfile.mkdtemp(prefix="crawl_frontier_")
 
 # --- synthesize a crawl: each document becomes an HTML page whose
-# outlinks point at neighbor "pages" in several decorated variants that
-# all canonicalize to the same URL (tracking params, case, trailing
-# slash) plus one blocked-domain link — the exact noise a frontier
-# must fold away -----------------------------------------------------------
+# outlinks point at neighbor "pages" the way real pages do — RELATIVE
+# hrefs (dir-relative with ../, ./-decorated, protocol-relative) in
+# several decorated variants that all canonicalize to the same URL
+# (tracking params, trailing slash) plus one blocked-domain absolute
+# link — the exact noise a frontier must resolve and fold away ---------------
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 page = F.concat(
     F.lit('<html lang="en-US"><head><title>Page '),
     F.col("doc_id").cast("string"),
     F.lit("</title><script>var x = '<a href=\"https://js.example/no\">';"
           "</script></head><body><nav>"),
-    # three variants of the SAME next-page link + one distinct + one blocked
-    F.lit('<a href="http://Crawl.example/p/'),
+    # four variants of the SAME next-page link (relative-with-../,
+    # ./-relative + tracking, protocol-relative + tracking) + one
+    # distinct + one blocked; page URL is http://crawl.example/p/{id}
+    F.lit('<a href="../p/'),
     ((F.col("doc_id") + 1) % 500).cast("string"),
-    F.lit('/">next</a> <a href="http://crawl.example/p/'),
+    F.lit('/">next</a> <a href="./'),
     ((F.col("doc_id") + 1) % 500).cast("string"),
-    F.lit('?utm_source=feed">next-tracked</a> <a href="http://crawl.example/p/'),
+    F.lit('?utm_source=feed">next-tracked</a> <a href="//crawl.example/p/'),
+    ((F.col("doc_id") + 1) % 500).cast("string"),
+    F.lit('?utm_campaign=x">next-proto-rel</a> <a href="'),
     ((F.col("doc_id") + 2) % 500).cast("string"),
     F.lit('">skip</a> <a href="http://ads.example/click">ad</a></nav><p>'),
     F.coalesce(F.col("text"), F.lit("")),
@@ -112,6 +120,7 @@ parsed = records.where(
     & (F.col("content_type") == "text/html")
 ).select(
     F.regexp_extract("target_uri", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+    F.col("target_uri").alias("url"),  # the resolve base for outlinks
     F.lit("2024-01-01 00:00:00").cast("timestamp").alias("fetched_ts"),
     F.decode("payload", "UTF-8").alias("html"),
 )
@@ -130,7 +139,9 @@ print(f"ingested {spark.read.parquet(f'{src}/w=*').count()} pages "
       f"from {len(os.listdir(warc_dir))} WARC archives")
 
 stream = (
-    spark.readStream.schema("doc_id BIGINT, fetched_ts TIMESTAMP, html STRING")
+    spark.readStream.schema(
+        "doc_id BIGINT, url STRING, fetched_ts TIMESTAMP, html STRING"
+    )
     .option("maxFilesPerTrigger", 1)
     .parquet(f"{src}/*")
 )
@@ -150,9 +161,16 @@ content_q = (
     .start()
 )
 
-# --- frontier arm: outlinks → canonical streaming dedup --------------------
+# --- frontier arm: outlinks → resolve against the page URL →
+# canonical streaming dedup. resolve_url gets its OWN projection (see
+# its composition note) — still one scan-side stage, no shuffle to
+# absolutize the frontier --------------------------------------------------
 links = stream.select(
-    "fetched_ts", F.explode(html_links("html")).alias("url")
+    "fetched_ts",
+    F.col("url").alias("page_url"),
+    F.explode(html_links("html")).alias("href"),
+).select(
+    "fetched_ts", resolve_url("page_url", F.col("href")).alias("url")
 )
 frontier = streaming_url_dedup(links, "url", ts_col="fetched_ts")
 frontier_q = (
@@ -171,11 +189,13 @@ n_raw = spark.read.parquet(f"{src}/*").select(
     F.explode(html_links("html"))
 ).count()
 n_frontier = out.count()
-print(f"outlinks: {n_raw} raw -> {n_frontier} after canonical dedup")
+print(f"outlinks: {n_raw} raw -> {n_frontier} after resolve + canonical dedup")
 # decorated variants of the same page folded; the js-string link never
-# entered (html_links strips script subtrees)
+# entered (html_links strips script subtrees); every frontier entry is
+# ABSOLUTE — the relative hrefs resolved against their page URL
 assert n_frontier < n_raw
 assert out.where(F.col("url").contains("js.example")).count() == 0
+assert out.where(~F.col("url").startswith("http://")).count() == 0
 crawlable = filter_blocked_hosts(out, "url", ["ads.example"])
 n_crawl = crawlable.count()
 print(f"frontier after domain blocking: {n_crawl} urls")

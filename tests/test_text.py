@@ -665,3 +665,81 @@ def test_html_lang_ignores_script_and_comment_decoys(spark):
     ).select("i", TX.html_lang("h").alias("l"))
     got = {r["i"]: r["l"] for r in rows.collect()}
     assert got == {1: "de", 2: "pt-br", 3: None}
+
+
+RESOLVE_CASES = [
+    # (base, ref) — expectations computed from urllib.parse.urljoin at
+    # test time, so the table asserts PARITY, not a frozen snapshot
+    ("http://h/a/b", ""), ("http://h/a/b#bf", ""), ("http://h/a/b", "#f"),
+    ("http://h/a/b?q", "#f"), ("http://h/a/b?q", "?x"), ("http://h/a/b?q", "?"),
+    ("http://h/a/b", "c"), ("http://h/a/b/", "c"), ("http://h/a/b", "./c"),
+    ("http://h/a/b", "../c"), ("http://h/a/b", "../../../c"),
+    ("http://h/a/b", "//x/y"), ("http://h/a/b", "/c/./d/../e"),
+    ("http://h/a/b", "c/../../d"), ("http://h/a/b", "HTTP:c"),
+    ("http://h/a/b", "HTTPS://x/y"), ("http://h/a/b", "mailto:x@y"),
+    ("http://h/a/b", "http://x/./y?q#f"), ("http://h", "a"),
+    ("http://h?bq", "a"), ("http://h/a/", ".."), ("http://h/a/b", "../.."),
+    ("http://h/a/b", "."), ("http://h/a/b", "a//b"), ("http://h/a/", "a//b"),
+    ("http://h/a/b", "/a//b"), ("http://h/a/b", "///y"),
+    ("http://h/a/b", "//"), ("http://h/a/b", "http://"),
+    ("HTTP://H/a/b", "c"), ("http://h/a/b", "b\nc"), ("http://h/a/b", "\tc"),
+    ("http://h/a/b", " c"), ("http://h/a/b", "c "),
+    ("http://h/a/b", "?x#f"), ("http://h/a/b/", "../../../../x"),
+    ("http://h/", "c"), ("http://h/a/b", "c."), ("http://h/a/b", "..."),
+    ("http://h/a/b", "./"), ("http://h/a/b", "../"),
+    ("http://u:p@h:8080/a/b?q#f", "c?z"),
+    ("https://site.example/dir/page.html", "../img/x.png?v=2#top"),
+    ("https://site.example/dir/", "sub/./a/../b"),
+]
+
+
+def test_resolve_url_parity_with_urljoin(spark):
+    """resolve_url must agree with urllib.parse.urljoin on the hostile
+    case table (r13 verdict #1) — dot-segments, protocol-relative,
+    query/fragment-only refs, scheme quirks, WHATWG char stripping."""
+    from urllib.parse import urljoin
+
+    df = spark.createDataFrame(
+        [(i, b, r) for i, (b, r) in enumerate(RESOLVE_CASES)],
+        "i long, base string, ref string",
+    ).select("i", TX.resolve_url("base", "ref").alias("got"))
+    got = {r["i"]: r["got"] for r in df.collect()}
+    for i, (b, r) in enumerate(RESOLVE_CASES):
+        assert got[i] == urljoin(b, r), (b, r, got[i], urljoin(b, r))
+
+
+def test_resolve_url_null_and_chain_plan(spark):
+    """NULL propagates; the full frontier chain html_links →
+    resolve_url → canonical_url stays ONE scan-side projection —
+    zero exchanges, zero Python evals."""
+    from eel_spark.session import get_session  # noqa: F401 (session fixture)
+
+    nulls = spark.createDataFrame(
+        [(None, "a"), ("http://h/x", None)], "base string, ref string"
+    ).select(TX.resolve_url("base", "ref").alias("got"))
+    assert [r["got"] for r in nulls.collect()] == [None, None]
+
+    pages = spark.createDataFrame(
+        [
+            ("http://site.example/dir/page",
+             '<a href="../up">u</a><a href="other">o</a>'
+             '<a href="//cdn.example/x">c</a>'),
+        ],
+        "url string, html string",
+    )
+    frontier = (
+        pages.select("url", F.explode(TX.html_links("html")).alias("href"))
+        # per the docstring: resolve in its OWN projection, then
+        # canonicalize the attribute — one scan-side stage, no tree
+        # duplication
+        .select(TX.resolve_url("url", F.col("href")).alias("abs"))
+        .select(TX.canonical_url("abs").alias("u"))
+    )
+    assert sorted(r["u"] for r in frontier.collect()) == [
+        "http://cdn.example/x",
+        "http://site.example/dir/other",
+        "http://site.example/up",
+    ]
+    plan = frontier._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
