@@ -38,15 +38,18 @@ WHERE p_size >= 25 AND p_type <> 'PROMO'
 """
 
 
-@query("ops_project_derive", _OPS_DERIVE_SQL)
+@query("ops_project_derive", _OPS_DERIVE_SQL, gated=False)
 def ops_project_derive(spark: SparkSession, sf_dir: str) -> DataStream:
     """projection + filter + add_field + rename_field + remove_fields —
     all column pruning/pushdown-friendly (scan reads 5 columns only).
 
-    Input deliberately flows through the ORC layer (``table_via_orc``):
-    every other oracled query scans parquet, so this row is the
-    correctness gate's coverage of the ORC source/sink — pushdown and
-    pruning apply identically (ORC SearchArguments)."""
+    Rotated to the ungated tier in r14 (ninth rotation, directed by the
+    r13 verdict) to free a gate slot for text_html_extract: the
+    projection/derive shape is exercised by literally every gated
+    query. The ORC-source correctness duty this row carries
+    (``table_via_orc`` — every other oracled query scans parquet)
+    moves with it to the 2-SF pytest oracle in test_ungated.py, plus
+    the ORC plan assert in test_plans.py."""
     return (
         table_via_orc(spark, sf_dir, "part")
         .filter("p_size >= 25 AND p_type <> 'PROMO'")

@@ -666,13 +666,17 @@ FROM e
 """
 
 
-@query("text_html_extract", _HTML_EXTRACT_SQL, gated=False)
+@query("text_html_extract", _HTML_EXTRACT_SQL)
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl first stage: strip a full HTML wrapper down to visible
     text (html_to_text) and to main content (extract_main_content —
     per-line word-count + link-density heuristics drop the planted
     title, nav and footer). Scan-side Catalyst expressions only; the
-    plan is one projection over the parquet scan."""
+    plan is one projection over the parquet scan.
+
+    Gated in r14 (ninth rotation, directed by the r13 verdict): the
+    crawl pipeline's first stage pins a driver slot; ops_project_derive
+    (whose shape every gated query covers) moved to the ungated tier."""
     from eel_spark.functions import text as TX
 
     docs = table(spark, sf_dir, "documents").df

@@ -348,9 +348,12 @@ def test_ordered_take_drop_no_payload_offset_funnel(spark):
 
 def test_ops_project_derive_scans_orc_with_pushdown(spark):
     """This oracled query deliberately reads through the ORC layer (the
-    format-coverage row of the correctness gate): the scan must be ORC
-    and still carry pushed filters + pruned columns."""
-    plan = plan_str(QUERIES["ops_project_derive"](spark, SF))
+    format-coverage row of the oracle set — ungated since the r14
+    rotation): the scan must be ORC and still carry pushed filters +
+    pruned columns."""
+    from eel_spark.queries import UNGATED_QUERIES
+
+    plan = plan_str(UNGATED_QUERIES["ops_project_derive"](spark, SF))
     assert "orc" in plan.lower(), plan
     assert "PushedFilters: [" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]

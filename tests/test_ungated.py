@@ -53,6 +53,12 @@ ROTATED = {
     # freed for sampling_leakage_split; q4's EXISTS de-correlation is
     # also exercised gated by q21's anti/semi chain
     "q4_order_priority",
+    # round-14 ninth rotation (directed by the r13 verdict): slot freed
+    # for text_html_extract (the crawl pipeline's first stage);
+    # ops_project_derive's projection/derive shape is exercised by
+    # every gated query, and its ORC-source duty stays oracled here at
+    # 2 SFs plus the ORC pushdown plan assert in test_plans.py
+    "ops_project_derive",
 }
 
 # Registered ungated WITHOUT a DuckDB oracle: bench-visible companions
@@ -70,14 +76,11 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # (anomaly_hourly_events was born here in r11 and rotated INTO the
 # driver gate in r12, trading places with ops_tumbling_window;
 # sampling_leakage_split likewise rotated INTO the gate in r13,
-# trading places with q4_order_priority.)
-# text_html_extract gates the full HTML→text chain (r13): the oracle
-# BUILDS the expected extraction from the original text around the
-# planted wrapper, so the strip/decode/normalize/line-score pipeline
-# must be exact — no regex mirroring, per-doc md5s.
+# trading places with q4_order_priority; text_html_extract was born
+# here in r13 and rotated INTO the gate in r14, trading places with
+# ops_project_derive.)
 EXTRA_ORACLED = {
     "text_bm25_stats",
-    "text_html_extract",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
