@@ -718,3 +718,156 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(main.cast("binary")).alias("main_md5"),
         F.length(full).cast("long").alias("full_chars"),
     )
+
+
+# -- WARC → extraction end-to-end (sources/warc.WarcSource +
+#    functions/text.html_to_text) --------------------------------------------
+# Born ungated (registry capped at 50; tests/test_ungated.py
+# hash-compares at sf0.001 AND sf0.01). The ONLY ingestion edge with a
+# Python kernel (binary WARC framing has no Catalyst expression) gets the
+# same construction-based oracle as text_html_extract, extended one layer
+# DOWN: each document is wrapped in the identical deterministic HTML
+# plant, packed into spec-shaped .warc.gz archives (write_warc — its
+# documented fixture purpose; at production scale the crawler writes the
+# archives), and the query runs the REAL read path — binaryFile →
+# mapInPandas record parse → HTTP payload split → decode → html_to_text —
+# while DuckDB independently BUILDS the expected extraction from the
+# original text. A per-doc md5 therefore gates the WARC record framing,
+# gzip member handling, HTTP status/content-type split, payload byte
+# fidelity, UTF-8 decode AND the extraction chain in one compare; the
+# target_uri round-trips as a second gated column (header plumbing).
+# Fixture construction collects `documents` once per (process, sf_dir) —
+# bounded at oracle SFs and NOT the measured path; the read side stays
+# fully distributed (one task per archive, plan-asserted 1 MapInPandas /
+# 0 Exchange in test_warc.py).
+
+_WARC_EXTRACT_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(coalesce(text, ''),
+                   '<', ''), '>', ''), '&', ''), chr(11), ''),
+           '\s+', ' ', 'g')) AS nt
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         'Extraction Test' || chr(10) ||
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' & it''s' || chr(10) ||
+         'Home Next page' || chr(10) ||
+         CASE WHEN nt = '' THEN '' ELSE nt || chr(10) END ||
+         'About' AS full_t
+  FROM s
+)
+SELECT doc_id,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(full_t) AS full_md5,
+       CAST(length(full_t) AS BIGINT) AS full_chars
+FROM e
+"""
+
+# the EXACT plant text_html_extract uses in Catalyst, as Python strings
+# (the archives must carry byte-identical HTML so the two slots gate the
+# same extraction chain)
+_WARC_PLANT_HEAD = (
+    "<html><head><title>Extraction Test</title>\n"
+    '<script type="text/javascript">var s="</p>"; if (a<b) { b(); }'
+    "<!-- hide --></script>\n"
+    "<style>p { color: red; }</style></head>\n"
+    "<body><!-- header comment with <p>markup</p> inside -->\n"
+    "<h1>Doc "
+)
+_WARC_PLANT_MID = (
+    " &amp; it&#39;s</h1>\n"
+    '<div id="nav"><a href="/">Home</a>&nbsp;'
+    '<a href="/next">Next page</a></div>\n'
+    "<p>  "
+)
+_WARC_PLANT_TAIL = (
+    " \t </p>\n"
+    '<div class="footer"><a href="/about">About</a></div>\n'
+    "</body></html>"
+)
+
+_WARC_MEMO: dict[str, str] = {}
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Pack `documents` into 4 spec-shaped .warc.gz archives under a
+    memoized temp dir (one build per process+SF). Sanitization mirrors
+    the oracle's s CTE exactly: <>& and U+000B removed, whitespace
+    collapsed with the ASCII class both Java and RE2 agree on."""
+    root = _WARC_MEMO.get(sf_dir)
+    if root is not None:
+        return root
+    import os
+    import re
+    import tempfile
+
+    from eel_spark.sources.warc import write_warc
+
+    rows = (
+        table(spark, sf_dir, "documents")
+        .df.select("doc_id", "text")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="eel_warc_slot_")
+    waves: dict[int, list[dict]] = {i: [] for i in range(4)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        t = (r["text"] or "")
+        for ch in "<>&\x0b":
+            t = t.replace(ch, "")
+        nt = re.sub("[ \t\n\f\r]+", " ", t).strip()
+        html = (
+            _WARC_PLANT_HEAD + str(r["doc_id"]) + _WARC_PLANT_MID
+            + nt + _WARC_PLANT_TAIL
+        )
+        waves[r["doc_id"] % 4].append(
+            {
+                "warc_type": "response",
+                "target_uri": f"http://corpus.example/doc/{r['doc_id']}",
+                "content_type": "application/http;msgtype=response",
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode("utf-8")
+                ),
+            }
+        )
+    for i, recs in waves.items():
+        write_warc(
+            recs, os.path.join(root, f"wave{i}.warc.gz"), compress=True
+        )
+    _WARC_MEMO[sf_dir] = root
+    return root
+
+
+@query("warc_html_extract", _WARC_EXTRACT_SQL, gated=False)
+def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingestion end-to-end: .warc.gz archives → WarcSource
+    (binary record framing + HTTP split in ONE mapInPandas) → UTF-8
+    decode → html_to_text, hash-compared against a DuckDB oracle that
+    builds the expected text from the original documents. Cites the
+    parse-once-stage-to-parquet contract (sources/warc.py module doc);
+    this slot IS the parse step, measured on its own."""
+    from eel_spark.functions import text as TX
+    from eel_spark.sources.warc import WarcSource
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    records = WarcSource(f"{root}/*.warc.gz").to_datastream(spark).df
+    pages = records.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("content_type") == "text/html")
+    ).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    full = TX.html_to_text(F.col("html"))
+    return pages.select(
+        "doc_id",
+        "url",
+        F.md5(full.cast("binary")).alias("full_md5"),
+        F.length(full).cast("long").alias("full_chars"),
+    )

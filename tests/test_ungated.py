@@ -79,8 +79,15 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # trading places with q4_order_priority; text_html_extract was born
 # here in r13 and rotated INTO the gate in r14, trading places with
 # ops_project_derive.)
+# warc_html_extract (born r14): the WARC ingestion edge end-to-end —
+# archives built from `documents` with the text_html_extract plant,
+# read through the REAL binaryFile→mapInPandas→HTTP-split→decode→
+# html_to_text chain, DuckDB building the expected extraction from the
+# original text (framing, gzip members, payload fidelity, UTF-8 decode
+# and the extractor all gated by one per-doc md5).
 EXTRA_ORACLED = {
     "text_bm25_stats",
+    "warc_html_extract",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED

@@ -209,3 +209,17 @@ def test_warc_oversized_archive_guard(spark, tmp_path):
     assert "max_file_bytes=64" in msg and "big.warc" in msg
     # the same file parses fine at the default bound
     assert WarcSource(str(p)).to_datastream(spark).df.count() == len(_records())
+
+
+def test_warc_html_extract_slot_plan(spark):
+    """The born-ungated WARC→extraction slot keeps the ingestion-edge
+    plan shape: exactly ONE MapInPandas (the record parse), ZERO
+    Exchanges — filter, HTTP-split projection and html_to_text all ride
+    the scan."""
+    from eel_spark.queries.ops5 import warc_html_extract
+
+    df = warc_html_extract(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
