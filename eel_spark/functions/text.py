@@ -17,22 +17,70 @@ def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: Unicode ranges of scripts written WITHOUT word-separating spaces —
+#: Han (unified + extension A + compatibility), Hiragana, Katakana
+#: (+ phonetic extensions), Thai. Hangul is deliberately absent:
+#: Korean separates words with spaces, so char-splitting it would
+#: DISTORT real segmentation rather than repair a missing one.
+NO_SPACE_SCRIPT_CLASS = (
+    "一-鿿㐀-䶿豈-﫿"  # Han: unified, ext A, compatibility
+    "぀-ゟ゠-ヿㇰ-ㇿ"  # Hiragana, Katakana (+ phonetic ext)
+    "฀-๿"  # Thai
+)
+
+
+def segment_no_space_scripts(text: Column | str) -> Column:
+    """Insert spaces around every Han/Hiragana/Katakana/Thai codepoint
+    so downstream ``\\s+`` splitters see one token per character — the
+    public char-level fallback (what BERT's basic tokenizer does for
+    CJK) that keeps token counts, chunk sizes and quality stats SANE on
+    whitespace-free scripts instead of silently treating a whole
+    document as ~1 giant token. A character is an over-segmentation of
+    real words (proper Thai/Japanese segmentation needs a dictionary
+    model); it is the honest bound, and it is pure regexp — identical
+    in Java and RE2, so oracles can mirror it. Identity on text with
+    no such codepoints; apply UPSTREAM of any ``\\s+``-splitting
+    operator (LM quality scorers, BPE pre-tokenization, chunking) to
+    fix all of them at once — train and score with the SAME
+    segmentation."""
+    return F.regexp_replace(
+        _c(text), f"([{NO_SPACE_SCRIPT_CLASS}])", " $1 "
+    )
+
+
 def tokens(text: Column | str, pattern: str = " ") -> Column:
-    """Whitespace tokenization (array of tokens, empties removed)."""
+    """Whitespace tokenization (array of tokens, empties removed).
+    Splits on the pattern ONLY — whitespace-free scripts (Han, kana,
+    Thai) come back as one giant run; wrap the input in
+    :func:`segment_no_space_scripts` (or pass ``script_aware=True`` on
+    the counting wrappers) when the corpus can contain them."""
     return F.filter(F.split(_c(text), pattern), lambda t: t != "")
 
 
-def token_count(text: Column | str) -> Column:
-    """Number of whitespace tokens."""
+def token_count(text: Column | str, script_aware: bool = False) -> Column:
+    """Number of whitespace tokens. ``script_aware=True`` segments
+    Han/Hiragana/Katakana/Thai codepoints first (one token per char —
+    see :func:`segment_no_space_scripts`), so a CJK document counts
+    its characters instead of collapsing to ~1 token; the default
+    stays pure-``\\s`` for oracle-mirroring and English-corpus speed."""
+    if script_aware:
+        return F.size(tokens(segment_no_space_scripts(text), r"\s+"))
     return F.size(tokens(text))
 
 
-def bpe_ish_token_count(text: Column | str) -> Column:
+def bpe_ish_token_count(
+    text: Column | str, script_aware: bool = False
+) -> Column:
     """BPE-ish token estimate: word-piece chunks of ≤4 chars — counts
     ceil(len/4) per word, a cheap deterministic proxy for a subword
-    tokenizer (real BPE would be a broadcast-vocab pandas UDF)."""
+    tokenizer (real BPE would be a broadcast-vocab pandas UDF).
+    ``script_aware=True``: char-segment no-space scripts first, so a
+    CJK doc estimates ~1 token/char (the realistic subword rate there)
+    instead of ceil(doc_len/4) of one run."""
+    src = segment_no_space_scripts(text) if script_aware else _c(text)
+    pat = r"\s+" if script_aware else " "
     return F.aggregate(
-        tokens(text),
+        tokens(src, pat),
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("long"),
     )
@@ -415,9 +463,24 @@ def gopher_quality_flags(
     min_stopword_hits: int = 2,
     max_duplicate_line_fraction: float = 0.3,
     max_top_bigram_fraction: float = 0.18,
+    script_aware: bool = False,
 ) -> Column:
     """Struct of named per-rule booleans (true = rule satisfied) for the
-    Gopher/MassiveText heuristic filter. NULL/empty documents fail the
+    Gopher/MassiveText heuristic filter.
+
+    ``script_aware=True`` char-segments Han/kana/Thai runs before the
+    word split (:func:`segment_no_space_scripts`) so a CJK document
+    gets a sane word count / mean word length instead of ~1 giant
+    token silently failing every word rule. The paper's thresholds
+    stay ANGLOCENTRIC either way: mean word length lands at ~1.0 on
+    char-segmented text (below the 3.0 default), the stopword list is
+    English, and alpha-word requires [A-Za-z] — tune
+    ``min_mean_word_len`` / ``min_alpha_word_ratio`` down and
+    ``min_stopword_hits=0`` (or a per-language stopword gate upstream)
+    for non-Latin corpora; the flags make the failure VISIBLE rather
+    than auto-passing it.
+
+    NULL/empty documents fail the
     two count-threshold rules (``word_count_ok``, ``stopword_ok`` — an
     empty doc genuinely has too few words/stopwords) and PASS the
     vacuous line/ratio rules (a ratio over zero words or zero lines
@@ -431,7 +494,11 @@ def gopher_quality_flags(
     projection-boundary rule).
     """
     t = _c(text)
-    toks = tokens(t, r"\s+")
+    # word stats see the segmented text; line stats (bullets, ellipsis,
+    # duplicate lines) keep the ORIGINAL text — segmentation inserts
+    # spaces, never newlines, so line identity must not shift
+    wsrc = segment_no_space_scripts(t) if script_aware else t
+    toks = tokens(wsrc, r"\s+")
     n = F.size(toks)
     nd = n.cast("double")
     ls = lines(t)

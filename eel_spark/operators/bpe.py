@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 #: GPT-2-ish pre-tokenizer: runs of letters, runs of digits, runs of
 #: other non-space symbols. Training and encoding MUST share this split.
+#: Whitespace-free scripts (Han/kana/Thai) land in the third
+#: alternative as ONE pre-token per run — a spaceless paragraph becomes
+#: a single giant "word", which is both a merge-quality and an O(n²
+#: per word) cost problem. For such corpora apply
+#: ``functions.text.segment_no_space_scripts`` to the text UPSTREAM of
+#: train_bpe AND bpe_encode (same segmentation both sides, same
+#: contract as sharing this pattern); the char-level pre-tokens then
+#: merge back into frequent multi-char units exactly the way BPE is
+#: meant to.
 PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 #: end-of-word marker (Sennrich's </w>): lets merges distinguish

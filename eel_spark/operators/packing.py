@@ -130,6 +130,8 @@ def chunk_documents(
     id_col: str,
     chunk_tokens: int,
     overlap_tokens: int = 0,
+    tokenizer=None,
+    joiner: str = " ",
 ) -> DataFrame:
     """Split documents into ≤ ``chunk_tokens``-token chunks with
     ``overlap_tokens`` of context carried between consecutive chunks —
@@ -143,12 +145,27 @@ def chunk_documents(
     chunk_index)). Whitespace inside chunks is normalized to single
     spaces. Documents at or under ``chunk_tokens`` yield exactly one
     chunk 0. Output: ``id_col``, chunk_index, n_tokens, ``text_col``.
+
+    The default ``\\s+`` split treats a whitespace-free-script (Han,
+    kana, Thai) document as ~ONE giant token — a CJK novel would come
+    back as a single "chunk" of any length. ``tokenizer`` hooks the
+    split: a callable ``Column -> Column(array<string>)`` (must stay a
+    Catalyst expression, e.g. ``lambda c: TX.tokens(
+    TX.segment_no_space_scripts(c), r"\\s+")`` for char-level CJK
+    segmentation); ``joiner`` is the string chunks are rebuilt with —
+    pass ``joiner=""`` with a char-level tokenizer so no-space-script
+    chunks reassemble WITHOUT inserted separators (mixed-script text
+    loses its original inter-word spaces then; chunk the scripts
+    separately when that matters).
     """
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be positive")
     if not (0 <= overlap_tokens < chunk_tokens):
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     step = chunk_tokens - overlap_tokens
+    if tokenizer is None:
+        def tokenizer(c):  # noqa: E306 — the documented default split
+            return F.split(F.trim(c), r"\s+")
     # NULL/blank text must still yield one (empty, n_tokens=0) chunk —
     # split("") returns [""], a phantom token, and split(NULL) is NULL,
     # which posexplode would silently DROP the document on
@@ -156,7 +173,7 @@ def chunk_documents(
         F.col(id_col),
         F.when(
             F.length(F.trim(F.col(text_col))) > 0,
-            F.split(F.trim(F.col(text_col)), r"\s+"),
+            F.filter(tokenizer(F.col(text_col)), lambda t: t != ""),
         ).otherwise(F.array().cast("array<string>")).alias("__t"),
     )
     n = F.size("__t")
@@ -184,5 +201,5 @@ def chunk_documents(
         id_col,
         "chunk_index",
         F.size(piece).alias("n_tokens"),
-        F.concat_ws(" ", piece).alias(text_col),
+        F.concat_ws(joiner, piece).alias(text_col),
     )

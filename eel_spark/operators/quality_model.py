@@ -140,7 +140,14 @@ def score_quality(
 def _token_array(text_col: str):
     """THE LM tokenization, in array form — the single definition all
     train/score paths derive from, so a model can never be scored with
-    a different tokenizer than it was trained with."""
+    a different tokenizer than it was trained with.
+
+    ``\\s+``-based: a whitespace-free-script document (Han/kana/Thai)
+    degenerates to ~1 giant always-OOV token and a meaningless
+    perplexity. For such corpora apply
+    ``functions.text.segment_no_space_scripts`` to the TEXT COLUMN
+    before BOTH train_* and score_* calls (same segmentation both
+    sides — the same invariant this helper exists to enforce)."""
     return F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: F.length(t) > 0,

@@ -743,3 +743,82 @@ def test_resolve_url_null_and_chain_plan(spark):
     plan = frontier._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cjk_script_aware_token_counts(spark):
+    """r13 verdict #4: whitespace-free scripts must get SANE counts via
+    the script-aware fallback, not silently collapse to ~1 token —
+    and the default stays byte-identical for oracle-mirroring."""
+    ja = "国境の長いトンネルを抜けると雪国であった"  # 20 CJK chars, no spaces
+    th = "ภาษาไทยไม่มีช่องว่าง"  # Thai, no spaces
+    mixed = "Spark で 分散処理"  # latin word + spaced CJK runs
+    en = "plain english text"
+    df = spark.createDataFrame(
+        [(1, ja), (2, th), (3, mixed), (4, en), (5, None)],
+        "i long, t string",
+    ).select(
+        "i",
+        TX.token_count("t").alias("plain"),
+        TX.token_count("t", script_aware=True).alias("aware"),
+        TX.bpe_ish_token_count("t", script_aware=True).alias("bpe"),
+    )
+    got = {r["i"]: r for r in df.collect()}
+    assert got[1]["plain"] == 1 and got[1]["aware"] == len(ja)
+    assert got[2]["plain"] == 1 and got[2]["aware"] == len(th)
+    # mixed: 'Spark' + 1 char each for で and the run 分散処理 (4 chars)
+    assert got[3]["aware"] == 1 + 1 + 4
+    # latin text identical under both modes; NULL propagates
+    assert got[4]["plain"] == got[4]["aware"] == 3
+    assert got[5]["plain"] is None or got[5]["plain"] == -1  # size(null)
+    # char-level BPE estimate ~1 token/char on the pure-CJK doc
+    assert got[1]["bpe"] == len(ja)
+
+
+def test_cjk_gopher_flags_script_aware(spark):
+    """A 60-char CJK doc passes word_count with script_aware=True
+    (fails it silently under the default \\s split); the anglocentric
+    rules stay VISIBLE failures, per the docstring contract."""
+    doc = "雪国の夜は長く静かである" * 5  # 60 Han/kana chars, no spaces
+    df = spark.createDataFrame([(doc,)], "t string").select(
+        TX.gopher_quality_flags("t").alias("plain"),
+        TX.gopher_quality_flags(
+            "t", script_aware=True, min_mean_word_len=1.0,
+            min_alpha_word_ratio=0.0, min_stopword_hits=0,
+        ).alias("aware"),
+    )
+    row = df.first()
+    assert row["plain"]["word_count_ok"] is False  # 1 giant token
+    assert row["aware"]["word_count_ok"] is True   # 60 char-tokens
+    assert row["aware"]["mean_word_length_ok"] is True
+    # untuned anglocentric rules fail loudly, not silently pass
+    df2 = spark.createDataFrame([(doc,)], "t string").select(
+        TX.gopher_quality_flags("t", script_aware=True).alias("s")
+    )
+    s = df2.first()["s"]
+    assert s["mean_word_length_ok"] is False  # mean len 1.0 < 3.0 default
+    assert s["stopword_ok"] is False
+
+
+def test_cjk_chunking_tokenizer_hook(spark):
+    """chunk_documents with the char-level tokenizer + joiner='' keeps
+    chunk sizes honest on CJK and reassembles text without inserted
+    separators."""
+    from eel_spark.operators.packing import chunk_documents
+
+    doc = "".join("春夏秋冬雨雪風雷山川海空"[i % 12] for i in range(25))
+    df = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    out = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=10,
+        tokenizer=lambda c: TX.tokens(
+            TX.segment_no_space_scripts(c), r"\s+"
+        ),
+        joiner="",
+    ).orderBy("chunk_index").collect()
+    assert [r["n_tokens"] for r in out] == [10, 10, 5]
+    assert "".join(r["text"] for r in out) == doc
+    # default split is unchanged for latin corpora
+    latin = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    base = chunk_documents(latin, "text", "doc_id", 3).collect()
+    assert sorted(r["text"] for r in base) == ["a b c", "d e"]
