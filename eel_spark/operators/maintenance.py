@@ -26,11 +26,101 @@ aggregate). Run it from the ingest scheduler, not inside queries.
 
 from __future__ import annotations
 
+import functools
+import inspect
+from contextlib import contextmanager
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 STORE_TYPES = ("bm25_stats", "ivf_index", "dedup_history", "scd2", "rollup")
+
+#: single-writer lease, SIBLING of the store root (``<root>__maint_lease``)
+#: so a staged-swap compaction that renames the root never moves the
+#: lock out from under its holder. SCD2 keeps its own in-root
+#: ``_scd_lease`` (richer: batch-fingerprint self-adoption for replay).
+MAINT_LEASE_SUFFIX = "__maint_lease"
+
+
+def acquire_store_lease(spark: SparkSession, path: str, op: str) -> str:
+    """Acquire the store's single-writer maintenance lease (atomic
+    create-if-absent — the ``_scd_lease`` pattern, r13 verdict #3):
+    every appender and compactor takes it, so concurrent
+    maintain-vs-append (or append-vs-append) FAILS LOUDLY at
+    acquisition instead of relying on the documented offline contract.
+    Returns the lease path for :func:`release_store_lease`; the loser
+    raises RuntimeError naming the holder's recorded operation. A
+    lease stranded by a hard-killed process needs
+    :func:`break_store_lease` after confirming the holder is dead
+    (the file records op name; its mtime is the acquisition time)."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    lease = path.rstrip("/") + MAINT_LEASE_SUFFIX
+    if not ops.create_atomic(lease, content=op + "\n"):
+        try:
+            holder = ops.read_text(lease).strip()
+        except Exception:
+            holder = "<unreadable>"
+        raise RuntimeError(
+            f"store at {path} has an active writer/maintainer (lease "
+            f"{lease} held by {holder!r}) — appends, compaction and "
+            f"maintain() are mutually exclusive per store; if the "
+            f"holder is a dead process, break_store_lease() releases it"
+        )
+    return lease
+
+
+def release_store_lease(spark: SparkSession, lease: str) -> None:
+    from eel_spark.sources.hdfs import HdfsOps
+
+    HdfsOps(spark).delete(lease)
+
+
+def break_store_lease(spark: SparkSession, path: str) -> bool:
+    """Remove a stranded maintenance lease left by a hard-killed holder
+    (every Python-level exit releases it automatically). Only break a
+    lease after confirming the holder is dead."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    return HdfsOps(spark).delete(path.rstrip("/") + MAINT_LEASE_SUFFIX)
+
+
+@contextmanager
+def store_write_lease(spark: SparkSession, path: str, op: str):
+    lease = acquire_store_lease(spark, path, op)
+    try:
+        yield
+    finally:
+        release_store_lease(spark, lease)
+
+
+def locked_store_write(path_arg: str, session_from: str):
+    """Decorator for store write/compaction entry points: hold the
+    store's maintenance lease for the duration of the call.
+    ``path_arg`` names the store-path parameter; ``session_from`` names
+    a parameter that is either a SparkSession or a DataFrame (the
+    session is taken from it). Lives at the appender/compactor layer —
+    a superset of "maintain() takes a lease": direct compactor calls
+    racing an appender fail loudly too, and ``maintain`` itself needs
+    no lock of its own (its measure is read-only; its compact step is
+    the decorated compactor)."""
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            ba = sig.bind(*args, **kwargs)
+            ba.apply_defaults()
+            src = ba.arguments[session_from]
+            spark = src.sparkSession if isinstance(src, DataFrame) else src
+            with store_write_lease(spark, ba.arguments[path_arg], fn.__name__):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 _REPORT_SCHEMA = (
     "path string, store_type string, n_batches long, "
@@ -111,6 +201,47 @@ def _batch_dirs(ops, pattern: str):
         else:
             n += 1
     return n, sentinel_ms
+
+
+def max_live_batch_id(
+    spark: SparkSession, path: str, store_type: str | None = None
+) -> int | None:
+    """Largest non-sentinel batch id present in the store, or None when
+    there are none (or the family has no batch ids — SCD2). The
+    streaming sinks' REPLAY-HORIZON check: at the start of micro-batch
+    N every batch < N is committed (Structured Streaming commits batch
+    N-1 before planning N), so compaction is safe iff the store's max
+    live id is < N — a max id == N means a torn prior attempt of THIS
+    batch already wrote partitions, and compacting them would fold rows
+    the replay is about to re-append (double count)."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    root = path.rstrip("/")
+    st = store_type or detect_store_type(spark, path)
+    if st == "scd2":
+        return None
+    if st == "rollup":
+        from pyspark.sql import functions as F
+
+        row = (
+            spark.read.parquet(root)
+            .agg(F.max(F.when(F.col("__src_batch") >= 0,
+                              F.col("__src_batch"))).alias("m"))
+            .first()
+        )
+        return None if row["m"] is None else int(row["m"])
+    pattern = {
+        "ivf_index": f"{root}/postings/__src_batch=*",
+        "bm25_stats": f"{root}/__src_batch=*",
+        "dedup_history": f"{root}/batch_id=*",
+    }[st]
+    ids = [
+        int(st_["name"].split("=", 1)[1])
+        for st_ in ops.list_status(pattern)
+        if st_["name"].split("=", 1)[1] != "-1"
+    ]
+    return max(ids) if ids else None
 
 
 def store_maintenance_report(
@@ -221,10 +352,16 @@ def maintain(
     not layout) — calling ``maintain`` on a too-deep rollup store
     without one raises rather than guessing.
 
-    Inherits each compactor's OFFLINE contract: no active appenders or
-    sinks on the store, replay horizon passed (see the per-store
-    docstrings). Returns ``{"store_type", "action", "before",
-    "after"}`` with the report rows as dicts; ``action`` is
+    The no-active-appenders half of the compactors' offline contract is
+    MECHANICAL since r14: every appender and compactor of the four
+    batch-partitioned families holds the store's single-writer lease
+    (:func:`acquire_store_lease`; SCD2's own ``_scd_lease`` plays the
+    same role), so a maintain racing an append fails loudly at the
+    compact step instead of corrupting state. The REPLAY-HORIZON half
+    stays the caller's to honor — except inside the streaming sinks'
+    ``maintain_every`` cadence, which proves it from the batch id
+    (streams._maybe_maintain). Returns ``{"store_type", "action",
+    "before", "after"}`` with the report rows as dicts; ``action`` is
     ``"compacted"`` or ``"none"``."""
     st = store_type or detect_store_type(spark, path)
     before = store_maintenance_report(spark, path, store_type=st).first().asDict()

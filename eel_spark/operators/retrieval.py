@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eel_spark.functions.text import normalized_text, tokens
+from eel_spark.operators.maintenance import locked_store_write
 
 
 def _tokens_col(text_col: str):
@@ -373,6 +374,7 @@ def _term_kps(terms) -> list[int]:
     return sorted({zlib.crc32(t.encode("utf-8")) % _TERM_KP for t in terms})
 
 
+@locked_store_write("path", "batch_df")
 def append_bm25_stats_batch(
     path: str,
     batch_df: DataFrame,
@@ -489,6 +491,7 @@ def read_bm25_stats(
     return dfreq.crossJoin(F.broadcast(totals))
 
 
+@locked_store_write("path", "spark")
 def compact_bm25_stats(spark, path: str) -> None:
     """Collapse the per-batch increments into one ``__src_batch = -1``
     partition (``-1`` is RESERVED for this sentinel —

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eel_spark.operators.maintenance import locked_store_write
+
 #: granularity name → date_trunc unit (coarse → fine)
 GRANULARITIES = {
     "year": "year",
@@ -432,6 +434,7 @@ def with_distinct_estimates(df: DataFrame, distinct_cols: list[str] | tuple[str,
 # ---------------------------------------------------------------------------
 
 
+@locked_store_write("path", "spark")
 def append_rollup_batch(
     spark,
     path: str,
@@ -490,6 +493,7 @@ def read_rollup(
     )
 
 
+@locked_store_write("path", "spark")
 def compact_rollup(
     spark,
     path: str,

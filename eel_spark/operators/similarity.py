@@ -19,6 +19,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from eel_spark.operators.maintenance import locked_store_write
 from eel_spark.functions import vectors
 from eel_spark.scale import ensure_parallelism
 
@@ -926,6 +927,7 @@ def read_ivf_pq_books(spark, path: str) -> DataFrame | None:
     return spark.read.parquet(f"{root}/pq_books")
 
 
+@locked_store_write("path", "batch_df")
 def append_ivf_batch(
     path: str,
     batch_df: DataFrame,
@@ -1375,6 +1377,7 @@ def ivf_index_report(spark, path: str) -> DataFrame:
     )
 
 
+@locked_store_write("path", "spark")
 def compact_ivf_index(spark, path: str) -> None:
     """Collapse the per-batch postings into one ``__src_batch = -1``
     partition set (file count drops to ≤1 per kp dir; query reads stop
@@ -1461,6 +1464,7 @@ def _backfill_postings(
     return out
 
 
+@locked_store_write("path", "spark")
 def reindex_ivf_index(
     spark,
     path: str,

@@ -871,3 +871,80 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(full.cast("binary")).alias("full_md5"),
         F.length(full).cast("long").alias("full_chars"),
     )
+
+
+# -- crawl-frontier fold (html_links → resolve_url → canonical_url) ----------
+# Born ungated. Construction-based like text_html_extract, one layer UP:
+# each document becomes a synthetic page at http://crawl.example/p/{id}
+# whose outlinks are RELATIVE in all three dialects a real page uses —
+# dir-relative with ../ and a trailing slash, ./-relative with a tracking
+# param, protocol-relative with a different tracking param — plus a bare
+# relative "skip" link, an absolute cross-domain ad link, and a JS-string
+# decoy that must never be harvested. The Spark side runs the REAL chain
+# (quote-aware href harvest → RFC 3986 resolution in its own projection →
+# canonicalization → reference counts); DuckDB constructs the expected
+# canonical frontier ARITHMETICALLY from doc_id (no regex mirroring):
+# the three decorated next-page variants and the skip link all fold to
+# 'http://crawl.example/p/{k}', so any slip anywhere — a dropped href
+# form, a wrong dot-segment fold, an unstripped tracking param, a
+# trailing slash surviving — shifts a count and flips the hash.
+
+_FRONTIER_SQL = """
+WITH refs AS (
+  SELECT 'http://crawl.example/p/' || CAST(doc_id + 1 AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT 'http://crawl.example/p/' || CAST(doc_id + 1 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'http://crawl.example/p/' || CAST(doc_id + 1 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'http://crawl.example/p/' || CAST(doc_id + 2 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'http://ads.example/click' FROM documents
+)
+SELECT url, COUNT(*) AS n_refs FROM refs GROUP BY url
+"""
+
+
+@query("crawl_frontier_fold", _FRONTIER_SQL, gated=False)
+def crawl_frontier_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier stage end-to-end: synthetic pages with
+    RELATIVE outlinks → html_links → resolve_url (own projection, per
+    its composition contract) → canonical_url → per-URL reference
+    counts. All scan-side Catalyst; the only exchange is the final
+    count aggregate."""
+    from eel_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents").df
+    nxt = (F.col("doc_id") + 1).cast("string")
+    skip = (F.col("doc_id") + 2).cast("string")
+    html = F.concat(
+        F.lit("<html><head><script>var x = '<a href=\"https://js.example/no\">';"
+              "</script></head><body><nav><a href=\"../p/"),
+        nxt,
+        F.lit("/\">next</a> <a href='./"),
+        nxt,
+        F.lit("?utm_source=feed'>tracked</a> <a href=//crawl.example/p/"),
+        nxt,
+        F.lit("?utm_campaign=x>proto</a> <a href=\""),
+        skip,
+        F.lit("\">skip</a> <a href=\"http://ads.example/click\">ad</a>"
+              "</nav></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://crawl.example/p/"),
+                 F.col("doc_id").cast("string")).alias("page_url"),
+        html.alias("html"),
+    )
+    return (
+        pages.select(
+            "page_url", F.explode(TX.html_links("html")).alias("href")
+        )
+        .select(TX.resolve_url("page_url", F.col("href")).alias("abs"))
+        .select(TX.canonical_url(F.col("abs")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )

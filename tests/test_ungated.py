@@ -85,9 +85,16 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # html_to_text chain, DuckDB building the expected extraction from the
 # original text (framing, gzip members, payload fidelity, UTF-8 decode
 # and the extractor all gated by one per-doc md5).
+# crawl_frontier_fold (born r14): the frontier stage end-to-end —
+# synthetic pages with relative hrefs in all three quoting dialects,
+# html_links → resolve_url → canonical_url → per-URL counts, vs a
+# DuckDB oracle that constructs the expected canonical frontier
+# ARITHMETICALLY from doc_id (harvest, RFC 3986 fold, tracking strip
+# and trailing-slash normalization all gated by one count hash).
 EXTRA_ORACLED = {
     "text_bm25_stats",
     "warc_html_extract",
+    "crawl_frontier_fold",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
