@@ -140,6 +140,12 @@ def release_stage_root(spark) -> bool:
 
     shutil.rmtree(root, ignore_errors=True)
     _auto_roots.discard(root)
+    # unset the conf too: leaving it pointing at the deleted path would
+    # make a LATER stage() in the same session silently recreate an
+    # untracked (unreleasable) root — unsetting makes the allocate →
+    # release cycle idempotent (the next stage() mkdtemps a fresh
+    # tracked root)
+    spark.conf.unset(STAGE_DIR_CONF)
     return True
 
 

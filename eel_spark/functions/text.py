@@ -60,9 +60,13 @@ def tokens(text: Column | str, pattern: str = " ") -> Column:
 def token_count(text: Column | str, script_aware: bool = False) -> Column:
     """Number of whitespace tokens. ``script_aware=True`` segments
     Han/Hiragana/Katakana/Thai codepoints first (one token per char —
-    see :func:`segment_no_space_scripts`), so a CJK document counts
-    its characters instead of collapsing to ~1 token; the default
-    stays pure-``\\s`` for oracle-mirroring and English-corpus speed."""
+    see :func:`segment_no_space_scripts`) AND widens the delimiter to
+    ``\\s+`` — segmentation requires it (an inserted space next to a
+    tab would otherwise leave the tab as a phantom token), so
+    tab/newline-separated Latin words also count as separate tokens in
+    this mode, where the default's literal-single-space split counts
+    ``'a\\nb'`` as ONE. The default stays the single-space split,
+    byte-identical for oracle-mirroring."""
     if script_aware:
         return F.size(tokens(segment_no_space_scripts(text), r"\s+"))
     return F.size(tokens(text))
@@ -76,7 +80,8 @@ def bpe_ish_token_count(
     tokenizer (real BPE would be a broadcast-vocab pandas UDF).
     ``script_aware=True``: char-segment no-space scripts first, so a
     CJK doc estimates ~1 token/char (the realistic subword rate there)
-    instead of ceil(doc_len/4) of one run."""
+    instead of ceil(doc_len/4) of one run; the delimiter also widens
+    to ``\\s+`` (same caveat as :func:`token_count`)."""
     src = segment_no_space_scripts(text) if script_aware else _c(text)
     pat = r"\s+" if script_aware else " "
     return F.aggregate(
@@ -1027,6 +1032,23 @@ HTML_TITLE_PATTERN = r"(?is)<title\b[^>]*>(.*?)</title>"
 HTML_LANG_PATTERN = r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']?([A-Za-z0-9-]+)"
 
 
+def strip_html_noise(html: Column | str) -> Column:
+    """Remove script/style/comment subtrees — the shared pre-pass of
+    :func:`html_links` / :func:`html_title` / :func:`html_lang` (their
+    content is code or hidden markup that must never supply links,
+    titles or languages). Each extractor strips internally, so they
+    are correct standalone; in a projection computing SEVERAL of them
+    over the same column, materialize this ONCE in its own select and
+    feed the stripped column to all of them — three full-document
+    regex passes instead of nine (stripping twice is idempotent, so
+    the composition stays correct either way; whole-stage codegen's
+    common-subexpression elimination often dedups the inline form, but
+    the explicit boundary is guaranteed)."""
+    c = F.regexp_replace(_c(html), HTML_SCRIPT_PATTERN, "")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
+    return F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
+
+
 def html_links(html: Column | str) -> Column:
     """Outlink harvest: every anchor ``href`` value in the document, as
     ``array<string>`` — the crawl-frontier stage (extract → canonicalize
@@ -1040,13 +1062,10 @@ def html_links(html: Column | str) -> Column:
     Scale shape: per-row regexp extraction inside the scan projection —
     the corpus never shuffles to discover its outlinks.
     """
-    c = _c(html)
     # script/style/comment subtrees can contain markup-looking anchor
     # text (JS strings, CSS content:, commented-out nav) — strip all
     # three, same as html_to_text (r13 review: style was the omission)
-    c = F.regexp_replace(c, HTML_SCRIPT_PATTERN, "")
-    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
-    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
+    c = strip_html_noise(html)
     parts = [
         F.regexp_extract_all(c, F.lit(p), 1) for p in HTML_HREF_PATTERNS
     ]
@@ -1060,10 +1079,7 @@ def html_title(html: Column | str) -> Column:
     whitespace-collapsed; NULL when absent. Scan-side expression.
     Script/style subtrees strip first — a '<title>' inside a JS
     template string must not supply the title (r13 review)."""
-    c = F.regexp_replace(_c(html), HTML_SCRIPT_PATTERN, "")
-    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
-    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
-    raw = F.regexp_extract(c, HTML_TITLE_PATTERN, 1)
+    raw = F.regexp_extract(strip_html_noise(html), HTML_TITLE_PATTERN, 1)
     out = F.trim(
         F.regexp_replace(
             _decode_entities(F.regexp_replace(raw, HTML_TAG_PATTERN, "")),
@@ -1081,9 +1097,8 @@ def html_lang(html: Column | str) -> Column:
     Cavnar-Trenkle model adjudicate the rest). Script/style/comment
     subtrees strip first, same as html_title — a commented-out or
     JS-string '<html lang=...>' before the real tag must not supply
-    the language (r13 advice)."""
-    c = F.regexp_replace(_c(html), HTML_SCRIPT_PATTERN, "")
-    c = F.regexp_replace(c, HTML_STYLE_PATTERN, "")
-    c = F.regexp_replace(c, HTML_COMMENT_PATTERN, "")
-    out = F.lower(F.regexp_extract(c, HTML_LANG_PATTERN, 1))
+    the language (r13 advice). In a multi-extractor projection,
+    pre-strip once with :func:`strip_html_noise` and pass the clean
+    column (see its docstring)."""
+    out = F.lower(F.regexp_extract(strip_html_noise(html), HTML_LANG_PATTERN, 1))
     return F.when(out != "", out)

@@ -42,38 +42,88 @@ STORE_TYPES = ("bm25_stats", "ivf_index", "dedup_history", "scd2", "rollup")
 MAINT_LEASE_SUFFIX = "__maint_lease"
 
 
-def acquire_store_lease(spark: SparkSession, path: str, op: str) -> str:
+import threading as _threading
+
+_LEASE_TL = _threading.local()
+
+
+def _held_leases() -> set:
+    held = getattr(_LEASE_TL, "held", None)
+    if held is None:
+        held = _LEASE_TL.held = set()
+    return held
+
+
+def acquire_store_lease(
+    spark: SparkSession, path: str, op: str, token: str | None = None
+) -> str | None:
     """Acquire the store's single-writer maintenance lease (atomic
     create-if-absent — the ``_scd_lease`` pattern, r13 verdict #3):
     every appender and compactor takes it, so concurrent
     maintain-vs-append (or append-vs-append) FAILS LOUDLY at
     acquisition instead of relying on the documented offline contract.
-    Returns the lease path for :func:`release_store_lease`; the loser
-    raises RuntimeError naming the holder's recorded operation. A
-    lease stranded by a hard-killed process needs
-    :func:`break_store_lease` after confirming the holder is dead
-    (the file records op name; its mtime is the acquisition time)."""
+    Returns the lease path for :func:`release_store_lease` (or None
+    when THIS THREAD already holds it — re-entrant for the sink →
+    maintain → compactor call chain; the outermost acquisition owns
+    the release).
+
+    ``token`` is the SELF-ADOPTION identity (SCD2's batch-fingerprint
+    pattern): a lease stranded by a hard-killed holder whose recorded
+    token EQUALS the token being acquired is adopted — the only caller
+    that can retry a checkpointed batch id is the one stream that owns
+    the checkpoint, so a crash mid-batch self-heals on replay instead
+    of wedging the sink until a human runs :func:`break_store_lease`.
+    Tokenless acquisitions (ad-hoc compaction, offline maintain) never
+    adopt; the loser raises RuntimeError naming the holder's recorded
+    operation (the file's mtime is the acquisition time)."""
     from eel_spark.sources.hdfs import HdfsOps
 
     ops = HdfsOps(spark)
     lease = path.rstrip("/") + MAINT_LEASE_SUFFIX
-    if not ops.create_atomic(lease, content=op + "\n"):
+    held = _held_leases()
+    if lease in held:
+        return None
+    content = f"{op} [{token}]\n" if token is not None else op + "\n"
+    if not ops.create_atomic(lease, content=content):
         try:
             holder = ops.read_text(lease).strip()
         except Exception:
             holder = "<unreadable>"
-        raise RuntimeError(
-            f"store at {path} has an active writer/maintainer (lease "
-            f"{lease} held by {holder!r}) — appends, compaction and "
-            f"maintain() are mutually exclusive per store; if the "
-            f"holder is a dead process, break_store_lease() releases it"
+        adopt = (
+            token is not None
+            and holder.endswith(f"[{token}]")
         )
+        if not adopt:
+            raise RuntimeError(
+                f"store at {path} has an active writer/maintainer (lease "
+                f"{lease} held by {holder!r}) — appends, compaction and "
+                f"maintain() are mutually exclusive per store; if the "
+                f"holder is a dead process, break_store_lease() releases it"
+            )
+        # stale lease from a crashed attempt of the SAME work unit:
+        # re-stamp it (delete+create is not atomic, but only the
+        # checkpoint owner can present this token — single writer per
+        # checkpoint is already the sinks' contract)
+        ops.delete(lease)
+        if not ops.create_atomic(lease, content=content):
+            raise RuntimeError(
+                f"store at {path}: lost the adoption race on {lease} — "
+                "two writers presented the same token, which violates "
+                "the single-writer-per-checkpoint contract"
+            )
+    held.add(lease)
     return lease
 
 
-def release_store_lease(spark: SparkSession, lease: str) -> None:
+def release_store_lease(spark: SparkSession, lease: str | None) -> None:
+    """Release a lease returned by :func:`acquire_store_lease`; a None
+    handle (re-entrant acquisition) is a no-op — the outermost holder
+    releases."""
+    if lease is None:
+        return
     from eel_spark.sources.hdfs import HdfsOps
 
+    _held_leases().discard(lease)
     HdfsOps(spark).delete(lease)
 
 
@@ -87,24 +137,32 @@ def break_store_lease(spark: SparkSession, path: str) -> bool:
 
 
 @contextmanager
-def store_write_lease(spark: SparkSession, path: str, op: str):
-    lease = acquire_store_lease(spark, path, op)
+def store_write_lease(
+    spark: SparkSession, path: str, op: str, token: str | None = None
+):
+    lease = acquire_store_lease(spark, path, op, token=token)
     try:
         yield
     finally:
         release_store_lease(spark, lease)
 
 
-def locked_store_write(path_arg: str, session_from: str):
+def locked_store_write(
+    path_arg: str, session_from: str, token_arg: str | None = None
+):
     """Decorator for store write/compaction entry points: hold the
     store's maintenance lease for the duration of the call.
     ``path_arg`` names the store-path parameter; ``session_from`` names
     a parameter that is either a SparkSession or a DataFrame (the
-    session is taken from it). Lives at the appender/compactor layer —
-    a superset of "maintain() takes a lease": direct compactor calls
-    racing an appender fail loudly too, and ``maintain`` itself needs
-    no lock of its own (its measure is read-only; its compact step is
-    the decorated compactor)."""
+    session is taken from it); ``token_arg`` optionally names the
+    batch-id parameter, making a crashed attempt's stranded lease
+    SELF-ADOPTABLE on checkpoint replay of the same batch (see
+    :func:`acquire_store_lease`). Lives at the appender/compactor
+    layer — a superset of "maintain() takes a lease": direct compactor
+    calls racing an appender fail loudly too, and ``maintain`` itself
+    needs no lock of its own (its measure is read-only; its compact
+    step is the decorated compactor). Re-entrant per thread, so the
+    sink → maintain → compactor chain under one held lease works."""
 
     def deco(fn):
         sig = inspect.signature(fn)
@@ -115,7 +173,14 @@ def locked_store_write(path_arg: str, session_from: str):
             ba.apply_defaults()
             src = ba.arguments[session_from]
             spark = src.sparkSession if isinstance(src, DataFrame) else src
-            with store_write_lease(spark, ba.arguments[path_arg], fn.__name__):
+            token = (
+                f"batch={ba.arguments[token_arg]}"
+                if token_arg is not None
+                else None
+            )
+            with store_write_lease(
+                spark, ba.arguments[path_arg], fn.__name__, token=token
+            ):
                 return fn(*args, **kwargs)
 
         return wrapper

@@ -374,7 +374,7 @@ def _term_kps(terms) -> list[int]:
     return sorted({zlib.crc32(t.encode("utf-8")) % _TERM_KP for t in terms})
 
 
-@locked_store_write("path", "batch_df")
+@locked_store_write("path", "batch_df", token_arg="src_batch")
 def append_bm25_stats_batch(
     path: str,
     batch_df: DataFrame,

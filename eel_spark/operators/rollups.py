@@ -434,7 +434,7 @@ def with_distinct_estimates(df: DataFrame, distinct_cols: list[str] | tuple[str,
 # ---------------------------------------------------------------------------
 
 
-@locked_store_write("path", "spark")
+@locked_store_write("path", "spark", token_arg="src_batch")
 def append_rollup_batch(
     spark,
     path: str,

@@ -927,7 +927,7 @@ def read_ivf_pq_books(spark, path: str) -> DataFrame | None:
     return spark.read.parquet(f"{root}/pq_books")
 
 
-@locked_store_write("path", "batch_df")
+@locked_store_write("path", "batch_df", token_arg="src_batch")
 def append_ivf_batch(
     path: str,
     batch_df: DataFrame,

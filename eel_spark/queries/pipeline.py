@@ -1157,6 +1157,16 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
     # process-lifetime (parquet doubles round-trip exactly, so the
     # staged model is bit-identical to retraining).
     memo = _LM_MEMO.get(sf_dir)
+    if memo is not None:
+        # the memo lives under the session staging root, which
+        # release_stage_root() may have deleted since (track=False
+        # protects it from release_stages, not from a root teardown) —
+        # a hit must revalidate or the read crashes on a dangling path
+        from eel_spark.sources.hdfs import HdfsOps
+
+        if not HdfsOps(spark).exists(memo[0]):
+            memo = None
+            _LM_MEMO.pop(sf_dir, None)
     if memo is None:
         from eel_spark.caching import allocate_stage_path, stage
 

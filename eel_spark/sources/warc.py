@@ -196,18 +196,21 @@ class WarcSource(Source):
     one file's bytes is the per-task memory bound. That matches the
     WARC convention (~1 GiB archives: Common Crawl ships thousands of
     them), but ONE giant archive would be one task and a likely OOM —
-    ``max_file_bytes`` (default 4 GiB) fails LOUDLY with the file name
-    and size instead. Raise it deliberately for bigger archives (and
-    note the binaryFile datasource itself caps rows at
-    ``spark.sql.sources.binaryFile.maxLength``, default ~2 GiB), or
-    better: split the archive — WARC records are self-framing, any
-    record boundary is a legal split point.
+    ``max_file_bytes`` (default 1 GiB, the convention) fails LOUDLY
+    with the file name and size instead. The default must sit BELOW
+    the binaryFile datasource's own row cap
+    (``spark.sql.sources.binaryFile.maxLength``, default ~2 GiB): a
+    guard above it would be dead code — the scan layer rejects bigger
+    files first with its own (less helpful) error, so files past ~2 GiB
+    never reach this check. Raise both deliberately for bigger
+    archives, or better: split the archive — WARC records are
+    self-framing, any record boundary is a legal split point.
     """
 
     pattern: str
     http_parse: bool = True
     payload_limit: int | None = None
-    max_file_bytes: int = 4 << 30
+    max_file_bytes: int = 1 << 30
 
     def to_datastream(self, spark: SparkSession) -> DataStream:
         http_parse, payload_limit = self.http_parse, self.payload_limit

@@ -819,19 +819,24 @@ def _incremental_dedup_sink(
         if batch_df.isEmpty():
             return
         # the store's single-writer lease for the append (the same lock
-        # the compactor takes — maintain-vs-append fails loudly); taken
-        # AFTER _maybe_maintain, which runs the (lease-holding)
-        # compactor on this same thread
+        # the compactor takes — maintain-vs-append fails loudly). The
+        # batch-id token makes a crashed attempt's stranded lease
+        # self-adoptable on checkpoint replay; NOTHING that can raise
+        # sits between the acquisition and the try whose finally
+        # releases (r14 review: fp_fn used to run in that gap — a
+        # schema-drift AnalysisException stranded the lease with the
+        # process alive)
         __lease = acquire_store_lease(
-            spark, survivor_path, "incremental_dedup_append"
+            spark, survivor_path, "incremental_dedup_append",
+            token=f"batch={batch_id}",
         )
         # connected-components tracks its label table as a pin; scope the
         # release to THIS batch's pins so a long-running stream holds O(1)
         # executor storage without evicting concurrent queries' caches
         __mark = pins_mark()
-        fp = fp_fn(batch_df).persist()
-        surv_pinned = None
+        fp = surv_pinned = None
         try:
+            fp = fp_fn(batch_df).persist()
             b = band_fn(fp, id_col)
             left = b.select(
                 F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key"
@@ -1293,7 +1298,21 @@ def _maybe_maintain(
         # increments at each cadence point, so the threshold must sit
         # just under it (callers can still override via maintain_kwargs)
         kw.setdefault("max_batches", max(int(maintain_every) - 1, 1))
-    maintain(spark, path, store_type=st, **kw)
+    # hold the lease with THIS batch's adoption token across the whole
+    # maintain (the inner compactor's acquisition is re-entrant): a
+    # hard kill mid-compaction strands a lease the REPLAY of this batch
+    # adopts, so the unattended cadence self-heals instead of wedging
+    # the sink until a human breaks the lock (scd2's compactor keeps
+    # its own in-root lease — not wrapped, same as before)
+    from eel_spark.operators.maintenance import store_write_lease
+
+    if st == "scd2":
+        maintain(spark, path, store_type=st, **kw)
+    else:
+        with store_write_lease(
+            spark, path, "maintain_every", token=f"batch={batch_id}"
+        ):
+            maintain(spark, path, store_type=st, **kw)
 
 
 def streaming_scd2_sink(

@@ -175,14 +175,23 @@ def test_stage_root_release_and_allocate_path(spark, tmp_path):
         release_stages()
         spark.conf.unset(STAGE_DIR_CONF)
 
-    # auto-allocated root: release removes it
+    # auto-allocated root: release removes it AND unsets the conf, so
+    # the next stage() allocates a fresh TRACKED root (r14 review: a
+    # dangling conf made later boundaries land under an unreleasable
+    # recreated root)
     df = stage(spark.range(3))
     auto_root = spark.conf.get(STAGE_DIR_CONF)
     assert df.count() == 3 and os.path.isdir(auto_root)
     release_stages()
     assert release_stage_root(spark) is True
     assert not os.path.exists(auto_root)
-    spark.conf.unset(STAGE_DIR_CONF)
+    assert spark.conf.get(STAGE_DIR_CONF, None) is None
+    df2 = stage(spark.range(2))
+    root2 = spark.conf.get(STAGE_DIR_CONF)
+    assert root2 != auto_root and df2.count() == 2
+    release_stages()
+    assert release_stage_root(spark) is True  # fresh root is tracked too
+    assert spark.conf.get(STAGE_DIR_CONF, None) is None
 
 
 def test_release_stages_warns_on_failed_delete(spark, tmp_path):

@@ -305,39 +305,37 @@ def test_store_lease_loser_raises_bm25_and_break(spark, tmp_path):
     store lease held (an active writer), both the appender and the
     compactor FAIL LOUDLY naming the holder; after release (or a
     break of a stranded lease) the winner proceeds."""
-    from eel_spark.operators.maintenance import (
-        acquire_store_lease,
-        break_store_lease,
-        release_store_lease,
-    )
+    from eel_spark.operators.maintenance import break_store_lease
     from eel_spark.operators.retrieval import (
         append_bm25_stats_batch,
         compact_bm25_stats,
     )
 
+    from eel_spark.operators.maintenance import MAINT_LEASE_SUFFIX
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
     path = str(tmp_path / "bm25")
     append_bm25_stats_batch(path, _docs(spark, 0, 5), "text", src_batch=0)
-    lease = acquire_store_lease(spark, path, "holder_op")
+    # a FOREIGN holder (another process): plant its lease file directly —
+    # same-thread acquire would be re-entrant by design
+    assert ops.create_atomic(path + MAINT_LEASE_SUFFIX, content="holder_op\n")
     with pytest.raises(RuntimeError, match="holder_op"):
         append_bm25_stats_batch(path, _docs(spark, 5, 10), "text", src_batch=1)
     with pytest.raises(RuntimeError, match="active writer"):
         compact_bm25_stats(spark, path)
     with pytest.raises(RuntimeError, match="active writer"):
         maintain(spark, path, max_batches=0)
-    release_store_lease(spark, lease)
+    ops.delete(path + MAINT_LEASE_SUFFIX)
     append_bm25_stats_batch(path, _docs(spark, 5, 10), "text", src_batch=1)
     # stranded lease (hard-killed holder): break, then proceed
-    acquire_store_lease(spark, path, "dead_process")
+    assert ops.create_atomic(path + MAINT_LEASE_SUFFIX, content="dead_process\n")
     assert break_store_lease(spark, path) is True
     compact_bm25_stats(spark, path)
     assert _report_row(spark, path)["n_batches"] == 0
 
 
 def test_store_lease_loser_raises_ivf(spark, tmp_path):
-    from eel_spark.operators.maintenance import (
-        acquire_store_lease,
-        release_store_lease,
-    )
     from eel_spark.operators.similarity import (
         append_ivf_batch,
         compact_ivf_index,
@@ -349,23 +347,24 @@ def test_store_lease_loser_raises_ivf(spark, tmp_path):
         [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(12)],
         "vec_id long, embedding array<double>",
     )
+    from eel_spark.operators.maintenance import MAINT_LEASE_SUFFIX
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
     path = str(tmp_path / "ivf")
     init_ivf_index(path, train_centroids(emb, n_cells=2, iterations=1))
     append_ivf_batch(path, emb, src_batch=0)
-    lease = acquire_store_lease(spark, path, "appender_elsewhere")
+    assert ops.create_atomic(path + MAINT_LEASE_SUFFIX,
+                             content="appender_elsewhere\n")
     with pytest.raises(RuntimeError, match="appender_elsewhere"):
         append_ivf_batch(path, emb, src_batch=1)
     with pytest.raises(RuntimeError, match="active writer"):
         compact_ivf_index(spark, path)
-    release_store_lease(spark, lease)
+    ops.delete(path + MAINT_LEASE_SUFFIX)
     compact_ivf_index(spark, path)
 
 
 def test_store_lease_loser_raises_rollup(spark, tmp_path):
-    from eel_spark.operators.maintenance import (
-        acquire_store_lease,
-        release_store_lease,
-    )
     from eel_spark.operators.rollups import append_rollup_batch, compact_rollup
 
     events = spark.createDataFrame(
@@ -374,15 +373,20 @@ def test_store_lease_loser_raises_rollup(spark, tmp_path):
     )
     aggs = {"n": F.count(F.lit(1))}
     merges = {"n": F.sum("n")}
+    from eel_spark.operators.maintenance import MAINT_LEASE_SUFFIX
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
     path = str(tmp_path / "roll")
     append_rollup_batch(spark, path, events, "ts", aggs, ["day"], src_batch=0)
-    lease = acquire_store_lease(spark, path, "concurrent_sink")
+    assert ops.create_atomic(path + MAINT_LEASE_SUFFIX,
+                             content="concurrent_sink\n")
     with pytest.raises(RuntimeError, match="concurrent_sink"):
         append_rollup_batch(spark, path, events, "ts", aggs, ["day"],
                             src_batch=1)
     with pytest.raises(RuntimeError, match="active writer"):
         compact_rollup(spark, path, merges)
-    release_store_lease(spark, lease)
+    ops.delete(path + MAINT_LEASE_SUFFIX)
     compact_rollup(spark, path, merges)
 
 
@@ -391,10 +395,6 @@ def test_store_lease_loser_raises_dedup_and_scd2(spark, tmp_path):
     batch (query error carries the lease message) and the compactor
     raises. SCD2 pair: its own ``_scd_lease`` plays the maintenance-
     lease role — a held lease fails the compactor loudly."""
-    from eel_spark.operators.maintenance import (
-        acquire_store_lease,
-        release_store_lease,
-    )
     from eel_spark.streaming import (
         compact_dedup_history,
         incremental_near_dedup_sink,
@@ -408,8 +408,12 @@ def test_store_lease_loser_raises_dedup_and_scd2(spark, tmp_path):
         [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(3)],
         schema,
     ).coalesce(1).write.parquet(str(in_dir / "w0"))
+    from eel_spark.operators.maintenance import MAINT_LEASE_SUFFIX
+    from eel_spark.sources.hdfs import HdfsOps as _Ops
+
     docs = spark.readStream.schema(schema).parquet(str(in_dir / "*"))
-    lease = acquire_store_lease(spark, surv, "foreign_appender")
+    assert _Ops(spark).create_atomic(surv + MAINT_LEASE_SUFFIX,
+                                     content="foreign_appender\n")
     q = incremental_near_dedup_sink(
         docs, surv, str(tmp_path / "l_ck"), max_hamming=7, bands=8
     )
@@ -417,7 +421,7 @@ def test_store_lease_loser_raises_dedup_and_scd2(spark, tmp_path):
         q.awaitTermination(120)  # the append loses the lease race loudly
     with pytest.raises(RuntimeError, match="foreign_appender"):
         compact_dedup_history(spark, surv)
-    release_store_lease(spark, lease)
+    _Ops(spark).delete(surv + MAINT_LEASE_SUFFIX)
 
     # scd2: the in-root _scd_lease gates compaction the same way
     from eel_spark.operators.scd2 import LEASE_FILE, compact_scd2_history, scd2_merge
@@ -688,3 +692,75 @@ def test_maintain_every_scd2_and_ivf_sinks(spark, tmp_path):
 
     assert topk(kept) == topk(plain)
     assert _report_row(spark, kept)["n_batches"] < 4
+
+
+def test_store_lease_self_adoption_and_reentrancy(spark, tmp_path):
+    """r14 review #1/#2: a lease stranded by a hard-killed holder is
+    ADOPTED when the acquirer presents the same batch token (checkpoint
+    replay of the same batch — the sinks' self-healing path), refused
+    otherwise; re-entrant acquisition within one thread returns a
+    no-op handle so sink → maintain → compactor chains never
+    self-deadlock."""
+    from eel_spark.operators.maintenance import (
+        MAINT_LEASE_SUFFIX,
+        acquire_store_lease,
+        release_store_lease,
+    )
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    path = str(tmp_path / "store")
+    lease_file = path + MAINT_LEASE_SUFFIX
+    # simulate a hard-killed batch-2 append: lease file left behind
+    assert ops.create_atomic(lease_file, content="some_append [batch=2]\n")
+    # a different batch (or a tokenless compactor) must NOT adopt
+    with pytest.raises(RuntimeError, match="active writer"):
+        acquire_store_lease(spark, path, "op", token="batch=3")
+    with pytest.raises(RuntimeError, match="active writer"):
+        acquire_store_lease(spark, path, "op")
+    # the replay of batch 2 adopts and proceeds
+    lease = acquire_store_lease(spark, path, "op", token="batch=2")
+    assert lease == lease_file
+    # re-entrant acquisition on the same thread: no-op handle
+    inner = acquire_store_lease(spark, path, "inner_op")
+    assert inner is None
+    release_store_lease(spark, inner)  # no-op
+    assert ops.exists(lease_file)  # still held by the outer acquisition
+    release_store_lease(spark, lease)
+    assert not ops.exists(lease_file)
+
+
+def test_stranded_lease_self_heals_on_checkpoint_restart(spark, tmp_path):
+    """End-to-end self-healing: a bm25 sink whose process died holding
+    the lease mid-batch restarts from the SAME checkpoint and the
+    replayed batch adopts the stale lease instead of wedging."""
+    from eel_spark.operators.maintenance import MAINT_LEASE_SUFFIX
+    from eel_spark.operators.retrieval import read_bm25_stats
+    from eel_spark.sources.hdfs import HdfsOps
+    from eel_spark.streaming import streaming_bm25_stats_sink
+
+    schema = "doc_id long, text string"
+    waves = [[(w * 10 + j, f"tok{w} common word{j}") for j in range(3)]
+             for w in range(3)]
+    src = _wave_files(spark, tmp_path, "h_in", waves, schema)
+    store, ck = str(tmp_path / "h_store"), str(tmp_path / "h_ck")
+    streaming_bm25_stats_sink(
+        _stream(spark, src, schema), store, ck, "text"
+    ).awaitTermination(120)
+    # "crash" holding the lease during batch 3, then a new wave arrives
+    HdfsOps(spark).create_atomic(
+        store + MAINT_LEASE_SUFFIX,
+        content="append_bm25_stats_batch [batch=3]\n",
+    )
+    spark.createDataFrame(
+        [(100, "tok9 common fresh")], schema
+    ).coalesce(1).write.parquet(str(src / "wave9"))
+    streaming_bm25_stats_sink(
+        _stream(spark, src, schema), store, ck, "text"
+    ).awaitTermination(120)
+    assert not HdfsOps(spark).exists(store + MAINT_LEASE_SUFFIX)
+    got = {
+        r["term"]: r["df"]
+        for r in read_bm25_stats(spark, store, ["common", "fresh"]).collect()
+    }
+    assert got["common"] == 10 and got["fresh"] == 1
