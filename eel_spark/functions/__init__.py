@@ -1,3 +1,3 @@
-from eel_spark.functions import hashes, text, vectors
+from eel_spark.functions import hashes, robots, text, vectors
 
-__all__ = ["hashes", "text", "vectors"]
+__all__ = ["hashes", "robots", "text", "vectors"]

@@ -948,3 +948,76 @@ def crawl_frontier_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_refs"))
     )
+
+
+# -- robots.txt politeness gate (RFC 9309 over the frontier) ----------------
+# Born ungated. One layer up from crawl_frontier_fold: the frontier's
+# last stage before the fetch scheduler. Every document becomes a
+# frontier URL whose host and path shard derive from doc_id; a 3-host
+# robots dimension plants the protocol's hard cases — prefix Disallow,
+# wildcard+anchored Allow overriding a shorter Disallow (longest-octet
+# precedence), an exact eelbot group suppressing a deny-all * group,
+# a * -group fallback when only a foreign bot is named exactly, and a
+# host with no robots row at all (allow by default). The Spark side
+# runs the REAL chain (robots_rules fold → broadcast dimension join →
+# per-URL longest-match verdict); DuckDB constructs the expected
+# surviving set ARITHMETICALLY from doc_id's decimal digits — no
+# pattern matching at all on the oracle side — so any slip in parsing,
+# group selection, wildcard compilation or precedence shifts the
+# surviving row set and flips the hash.
+
+_ROBOTS_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 3 AS site,
+         (doc_id // 10) % 10 AS shard
+  FROM documents
+)
+SELECT doc_id,
+       'http://site' || site || '.example/p' || shard || '/d' || doc_id
+         AS url
+FROM f
+WHERE CASE site
+  WHEN 0 THEN NOT (shard = 1 OR (shard = 2 AND doc_id % 10 <> 4))
+  WHEN 1 THEN NOT (shard = 3 AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
+  ELSE TRUE END
+"""
+
+
+@query("crawl_robots_filter", _ROBOTS_SQL, gated=False)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 politeness over a synthetic frontier: per-host robots
+    bodies → robots_rules fold (once per host) → broadcast join →
+    longest-match verdict per URL. site0 names eelbot exactly
+    (wildcard+anchor Allow carves doc_ids ending in 4 out of the /p2
+    Disallow; the deny-all * group must NOT apply); site1 names only
+    otherbot, so eelbot falls back to its * group (/p3 blocked except
+    d1… ids); site2 has no robots.txt (kept wholesale)."""
+    from eel_spark.functions.robots import filter_by_robots
+
+    docs = table(spark, sf_dir, "documents").df
+    site = (F.col("doc_id") % 3).cast("string")
+    shard = (F.floor(F.col("doc_id") / 10) % 10).cast("string")
+    frontier = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), site, F.lit(".example/p"), shard,
+            F.lit("/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots_dim = spark.createDataFrame(
+        [
+            (
+                "site0.example",
+                "User-agent: eelbot\nDisallow: /p1/\nDisallow: /p2\n"
+                "Allow: /p2/d*4$\nUser-agent: *\nDisallow: /\n",
+            ),
+            (
+                "site1.example",
+                "User-agent: otherbot\nDisallow: /\nUser-agent: *\n"
+                "Disallow: /p3/\nAllow: /p3/d1*\n",
+            ),
+        ],
+        "host: string, robots_body: string",
+    )
+    return filter_by_robots(frontier, "url", robots_dim, agent="eelbot")

@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from eel_spark.functions.robots import filter_by_robots, robots_crawl_delay
 from eel_spark.functions.text import (
+    canonical_url,
     extract_main_content,
     filter_blocked_hosts,
     gopher_keep,
@@ -200,6 +202,38 @@ crawlable = filter_blocked_hosts(out, "url", ["ads.example"])
 n_crawl = crawlable.count()
 print(f"frontier after domain blocking: {n_crawl} urls")
 assert crawlable.where(F.col("url").contains("ads.example")).count() == 0
+
+# --- robots gate: the per-host robots.txt dimension (fetched alongside
+# the crawl) filters the frontier by RFC 9309 rules before scheduling —
+# crawl.example's robots disallows the /p/4* shard for everyone but
+# allows eelbot the exact pages ending in 0 (wildcard + anchor rules,
+# group precedence: the exact eelbot group overrides the * group) -----------
+robots_dim = spark.createDataFrame(
+    [
+        (
+            "crawl.example",
+            "User-agent: eelbot\nDisallow: /p/4\nAllow: /p/4*0$\n"
+            "Crawl-delay: 1\nSitemap: http://crawl.example/sitemap.xml\n"
+            "User-agent: *\nDisallow: /\n",
+        ),
+    ],
+    "host: string, robots_body: string",
+)
+# schedule the CANONICAL form (robots patterns match the literal path,
+# so decoration must fold before the verdict — the module's documented
+# percent-encoding/normalization contract)
+sched = crawlable.select(canonical_url("url").alias("url"))
+polite = filter_by_robots(sched, "url", robots_dim, agent="eelbot")
+n_polite = polite.count()
+print(f"frontier after robots.txt: {n_polite} urls")
+assert n_polite == 400  # /p/4-shard blocked except the *0$ allows
+blocked_shard = polite.where(F.col("url").rlike(r"/p/4\d*$"))
+assert blocked_shard.where(~F.col("url").rlike("0$")).count() == 0
+assert n_polite < n_crawl
+delay = robots_dim.select(
+    robots_crawl_delay("robots_body", "eelbot").alias("d")
+).first()["d"]
+assert delay == 1.0  # feeds the fetch scheduler's per-host pacing
 
 corpus = spark.read.parquet(os.path.join(work, "corpus"))
 n_docs = corpus.count()

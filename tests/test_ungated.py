@@ -91,10 +91,17 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # DuckDB oracle that constructs the expected canonical frontier
 # ARITHMETICALLY from doc_id (harvest, RFC 3986 fold, tracking strip
 # and trailing-slash normalization all gated by one count hash).
+# crawl_robots_filter (born r14): the frontier's politeness gate —
+# per-host RFC 9309 robots bodies folded to rule arrays, broadcast
+# onto a synthetic frontier, longest-match verdict per URL; DuckDB
+# derives the expected surviving set arithmetically from doc_id's
+# decimal digits (group selection, wildcard/anchor compilation and
+# precedence all gated by the surviving row set).
 EXTRA_ORACLED = {
     "text_bm25_stats",
     "warc_html_extract",
     "crawl_frontier_fold",
+    "crawl_robots_filter",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
@@ -171,7 +178,12 @@ def test_html_extract_oracle_parity_on_hostile_text(spark, tmp_path):
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
         str(sf / "documents.parquet")
     )
-    df = UNGATED_QUERIES["text_html_extract"](spark, str(sf))
+    # the ninth rotation moved text_html_extract INTO the gated
+    # registry — resolve it from there (the hostile-corpus duty stays
+    # in this suite either way)
+    from eel_spark.queries import ORACLE, QUERIES
+
+    df = QUERIES["text_html_extract"](spark, str(sf))
     cols = sorted(df.columns)
     srows = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
     con = duckdb.connect()
@@ -179,7 +191,7 @@ def test_html_extract_oracle_parity_on_hostile_text(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf}/documents.parquet/*.parquet')"
     )
-    res = con.execute(UNGATED_ORACLE["text_html_extract"])
+    res = con.execute(ORACLE["text_html_extract"])
     names = [d[0] for d in res.description]
     idx = [names.index(c) for c in sorted(names)]
     drows = sorted(tuple(str(row[i]) for i in idx) for row in res.fetchall())
