@@ -309,7 +309,19 @@ def filter_by_robots(
     """
     rules_dim = (
         robots.groupBy(F.lower(F.col(host_col)).alias("__robots_host"))
-        .agg(F.first(F.col(body_col), ignorenulls=True).alias("__body"))
+        # duplicate hosts are a data bug; collapse DETERMINISTICALLY
+        # (longest body, lexicographic tiebreak — F.first under groupBy
+        # is partition-order-dependent and would make the verdict for a
+        # duplicated host flap between runs)
+        .agg(
+            F.max_by(
+                F.col(body_col),
+                F.struct(
+                    F.octet_length(F.col(body_col)).alias("n"),
+                    F.col(body_col).alias("b"),
+                ),
+            ).alias("__body")
+        )
         .select(
             "__robots_host",
             robots_rules(F.col("__body"), agent).alias("__rules"),

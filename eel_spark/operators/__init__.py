@@ -1,4 +1,5 @@
 from eel_spark.operators import (
+    crawl,
     dedup,
     frequency,
     multimodal,
@@ -12,6 +13,7 @@ from eel_spark.operators import (
 )
 
 __all__ = [
+    "crawl",
     "dedup",
     "frequency",
     "multimodal",

@@ -1021,3 +1021,58 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host: string, robots_body: string",
     )
     return filter_by_robots(frontier, "url", robots_dim, agent="eelbot")
+
+
+# -- per-host polite fetch planning (window + broadcast delays) --------------
+# Born ungated. The frontier's LAST stage: deterministic per-host fetch
+# order + pacing offsets. DuckDB re-derives the whole plan with its own
+# window function over the same synthetic frontier — host derivation,
+# the broadcast delay join (one host paced at 2.0 s, one at 0.5 s, the
+# rest defaulting), the running row_number, the offset arithmetic and
+# the per-host wave budget (fetch_seq ≤ 100, exercised at every SF)
+# are all gated by the full surviving row set.
+
+_FETCH_PLAN_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 5 AS site,
+         'http://site' || (doc_id % 5) || '.example/p/' || doc_id AS url
+  FROM documents
+), ranked AS (
+  SELECT doc_id, url,
+         'site' || site || '.example' AS host,
+         ROW_NUMBER() OVER (PARTITION BY site ORDER BY url) AS fetch_seq,
+         CASE site WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay
+  FROM f
+)
+SELECT doc_id, url, host,
+       CAST(fetch_seq AS INTEGER) AS fetch_seq,
+       CAST((fetch_seq - 1) * delay AS DOUBLE) AS fetch_offset_s
+FROM ranked
+WHERE fetch_seq <= 100
+"""
+
+
+@query("crawl_fetch_plan", _FETCH_PLAN_SQL, gated=False)
+def crawl_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite fetch scheduling end-to-end: synthetic frontier (5 hosts
+    from doc_id) → fetch_plan with a 2-host delay dimension (broadcast)
+    + default pacing + a 100-fetch per-host wave budget. One frontier
+    shuffle (hash by host), running row_number, offsets JVM-side."""
+    from eel_spark.operators.crawl import fetch_plan
+
+    docs = table(spark, sf_dir, "documents").df
+    frontier = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    delays = spark.createDataFrame(
+        [("site0.example", 2.0), ("site1.example", 0.5)],
+        "host: string, crawl_delay: double",
+    )
+    return fetch_plan(
+        frontier, "url", delays=delays, default_delay=1.0, max_per_host=100
+    )

@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from eel_spark.functions.robots import filter_by_robots, robots_crawl_delay
+from eel_spark.functions.robots import (
+    filter_by_robots,
+    robots_crawl_delay,
+    robots_sitemaps,
+)
+from eel_spark.operators.crawl import fetch_plan, sitemap_entries
 from eel_spark.functions.text import (
     canonical_url,
     extract_main_content,
@@ -234,6 +239,49 @@ delay = robots_dim.select(
     robots_crawl_delay("robots_body", "eelbot").alias("d")
 ).first()["d"]
 assert delay == 1.0  # feeds the fetch scheduler's per-host pacing
+
+# --- sitemap discovery: robots.txt advertised a sitemap; the fetcher
+# retrieves it and its <loc> entries union into the frontier (same
+# canonical-dedup treatment as outlinks) ------------------------------------
+sitemap_url = robots_dim.select(
+    F.explode(robots_sitemaps("robots_body")).alias("u")
+).first()["u"]
+assert sitemap_url == "http://crawl.example/sitemap.xml"
+sitemap_xml = (
+    '<?xml version="1.0"?><urlset '
+    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    + "".join(
+        f"<url><loc>http://crawl.example/p/{i}?utm_source=map</loc>"
+        f"<lastmod>2024-01-0{1 + i % 9}</lastmod></url>"
+        for i in range(500, 510)  # 10 pages the outlink arm never saw
+    )
+    + "</urlset>"
+)
+mapped = (
+    spark.createDataFrame([(sitemap_xml,)], "xml: string")
+    .select(F.explode(sitemap_entries("xml")).alias("e"))
+    .select(canonical_url(F.col("e.loc")).alias("url"))
+)
+n_map = mapped.count()
+assert n_map == 10
+frontier_all = polite.union(mapped).distinct()
+print(f"frontier after sitemap union: {frontier_all.count()} urls")
+
+# --- fetch plan: per-host polite ordering + pacing offsets, budgeted ------
+delays_dim = robots_dim.select(
+    "host", robots_crawl_delay("robots_body", "eelbot").alias("crawl_delay")
+)
+plan = fetch_plan(
+    frontier_all, "url", delays=delays_dim, default_delay=0.5,
+    max_per_host=50,
+)
+waves = plan.collect()
+assert len(waves) == 50  # one host, budget caps the wave
+assert {r["host"] for r in waves} == {"crawl.example"}
+for r in waves:  # Crawl-delay: 1 → offsets are 0,1,2,… in URL order
+    assert r["fetch_offset_s"] == float(r["fetch_seq"] - 1)
+print(f"fetch plan: {len(waves)} fetches this wave, "
+      f"last at +{max(r['fetch_offset_s'] for r in waves):.0f}s")
 
 corpus = spark.read.parquet(os.path.join(work, "corpus"))
 n_docs = corpus.count()

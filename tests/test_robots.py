@@ -215,7 +215,9 @@ def test_filter_by_robots_end_to_end(spark, frontier):
         [
             ("site0.example", "User-agent: eelbot\nDisallow: /p1/\n"),
             ("SITE1.example", "User-agent: *\nDisallow: /\nAllow: /p2/\n"),
-            ("site1.example", "dup host row: collapsed, not multiplied"),
+            # duplicate host row: collapsed deterministically (longest
+            # body wins), never multiplied through the join
+            ("site1.example", "# stale dup"),
             ("dead.example", None),  # fetched, no body -> allow-all
         ],
         "host: string, robots_body: string",

@@ -97,11 +97,16 @@ NO_ORACLE_UNGATED = {"dedup_minhash_realtext"}
 # derives the expected surviving set arithmetically from doc_id's
 # decimal digits (group selection, wildcard/anchor compilation and
 # precedence all gated by the surviving row set).
+# crawl_fetch_plan (born r14): the frontier's last stage — per-host
+# polite fetch ordering; DuckDB re-derives host, broadcast-joined
+# delays, running row_number, offset arithmetic and the per-host wave
+# budget with its own window function over the same synthetic frontier.
 EXTRA_ORACLED = {
     "text_bm25_stats",
     "warc_html_extract",
     "crawl_frontier_fold",
     "crawl_robots_filter",
+    "crawl_fetch_plan",
 }
 
 ORACLED_UNGATED = ROTATED | EXTRA_ORACLED
