@@ -32,13 +32,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eel_spark.functions.text import _c, _decode_entities, url_host
+from eel_spark.operators.maintenance import locked_store_write
 
 __all__ = [
     "sitemap_entries",
     "sitemap_index_locs",
     "is_sitemap_index",
     "fetch_plan",
+    "frontier_url_key",
+    "frontier_unseen",
+    "frontier_admit_batch",
+    "compact_frontier_store",
 ]
+
+#: key-space buckets of the frontier store — the partition-pruning
+#: lever: each wave's history probe reads at most this many partition
+#: buckets per live batch, never the whole accumulated table
+N_FRONTIER_KP = 64
 
 #: a <url> entry's interior — the \b-free open-tag guard ([\s>/]) keeps
 #: <urlset> from matching as <url>
@@ -172,3 +182,188 @@ def fetch_plan(
     if max_per_host is not None:
         planned = planned.where(F.col("fetch_seq") <= int(max_per_host))
     return planned
+
+
+# ---------------------------------------------------------------------------
+# Frontier store: the persistent visited-URL set. streaming_url_dedup
+# bounds its state by the WATERMARK — a URL re-discovered after the
+# horizon re-emits, which is the right trade for in-window feeds but
+# wrong for a crawl that must never re-fetch a page it saw weeks ago.
+# The frontier store is the sixth incremental-store family: EXACT
+# membership over every URL ever admitted, as a parquet table
+# partitioned by (batch_id, kp) with kp = pmod(xxhash64(key),
+# N_FRONTIER_KP), maintained by the same lease/compaction/maintain()
+# discipline as the other five (operators/maintenance.py).
+# ---------------------------------------------------------------------------
+
+
+def frontier_url_key(url: Column | str) -> Column:
+    """The store's identity key for a URL: its canonical form
+    (:func:`~eel_spark.functions.text.canonical_url` — decoration must
+    not split identity), falling back to the raw string tagged
+    ``__raw::`` for unparseable values (equal garbage dedups, distinct
+    garbage survives — streaming_url_dedup's rule). NULL url → NULL
+    key; callers drop those rows (a frontier row without a URL is
+    nothing)."""
+    from eel_spark.functions.text import canonical_url
+
+    u = _c(url)
+    return F.coalesce(
+        canonical_url(u), F.concat(F.lit("__raw::"), u)
+    )
+
+
+def _frontier_kp(key: Column) -> Column:
+    return F.pmod(F.xxhash64(key), F.lit(N_FRONTIER_KP)).cast("int")
+
+
+#: AnalysisException fragments that mean "no store materialized yet" —
+#: anything else (permissions, corruption, drift) must fail loudly
+_NO_STORE_TAGS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _read_store(spark, store_path: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        if not any(tag in str(e) for tag in _NO_STORE_TAGS):
+            raise
+        return None
+
+
+def frontier_unseen(
+    candidates: DataFrame,
+    store_path: str,
+    url_col: str = "url",
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """Filter ``candidates`` to URLs the frontier store has never
+    admitted — the batch-side membership probe (the streaming sink uses
+    the same machinery per micro-batch). Rows whose ``url_col`` is NULL
+    are dropped (no identity, nothing to fetch); candidates are NOT
+    deduped against each other here (that is the admitter's job — a
+    probe must not silently collapse its input).
+
+    Scale shape: the candidate set maps to its kp buckets, the store
+    read prunes to those partitions (the probe predicate enumerates at
+    most ``N_FRONTIER_KP`` values — bounded by the layout, never by
+    data), and membership is an exact-string anti-join on the key —
+    the 64-bit kp hash only routes, it never decides (a hash collision
+    must not suppress a never-seen URL). ``exclude_batch_id`` is the
+    replay-safety hook: a restarted micro-batch must not match the
+    failed attempt's own partial write.
+    """
+    spark = candidates.sparkSession
+    keyed = candidates.where(F.col(url_col).isNotNull()).withColumn(
+        "__fkey", frontier_url_key(F.col(url_col))
+    )
+    store = _read_store(spark, store_path)
+    if store is None:
+        return keyed.drop("__fkey")
+    probe = [
+        r["kp"]
+        for r in keyed.select(_frontier_kp(F.col("__fkey")).alias("kp"))
+        .distinct()
+        .collect()
+    ]
+    hist = store.where(F.col("kp").isin(probe))
+    if exclude_batch_id is not None:
+        hist = hist.where(F.col("batch_id") != exclude_batch_id)
+    return (
+        keyed.join(
+            hist.select(F.col("url_key").alias("__fkey")).distinct(),
+            "__fkey",
+            "left_anti",
+        ).drop("__fkey")
+    )
+
+
+@locked_store_write("store_path", "batch_df", token_arg="batch_id")
+def frontier_admit_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    url_col: str = "url",
+    ts_col: str | None = None,
+) -> None:
+    """Admit one wave into the frontier store (the sink's per-batch
+    body, also usable directly from a batch scheduler): intra-wave
+    dedup (one row per key — MIN url representative, MIN ``ts_col`` as
+    ``first_seen`` when given: deterministic, order-independent) →
+    exact anti-join against the pruned history (excluding this
+    batch_id — replay safety) → append under the wave's own
+    ``batch_id=N`` partitions with dynamic overwrite (a replayed batch
+    overwrites itself; exactly-once).
+
+    Holds the store's single-writer lease itself (batch-token
+    self-adoption — a crashed attempt's stranded lease is adopted by
+    the same batch's retry); the streaming sink's outer acquisition
+    composes through per-thread re-entrancy.
+    """
+    keyed = batch_df.where(F.col(url_col).isNotNull()).select(
+        frontier_url_key(F.col(url_col)).alias("url_key"),
+        F.col(url_col).alias("url"),
+        *([F.col(ts_col)] if ts_col else []),
+    )
+    aggs = [F.min("url").alias("url")]
+    if ts_col:
+        aggs.append(F.min(ts_col).alias("first_seen"))
+    wave = keyed.groupBy("url_key").agg(*aggs)
+    spark = batch_df.sparkSession
+    store = _read_store(spark, store_path)
+    if store is not None:
+        wave = wave.withColumn("__kp", _frontier_kp(F.col("url_key")))
+        probe = [
+            r["__kp"] for r in wave.select("__kp").distinct().collect()
+        ]
+        hist = store.where(
+            (F.col("batch_id") != batch_id) & F.col("kp").isin(probe)
+        )
+        wave = wave.join(
+            hist.select(F.col("url_key")).distinct(),
+            "url_key",
+            "left_anti",
+        ).drop("__kp")
+    (
+        wave.withColumn("kp", _frontier_kp(F.col("url_key")))
+        .withColumn("batch_id", F.lit(batch_id))
+        # one task per kp bucket → one file per partition dir
+        .repartition("kp")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "kp")
+        .parquet(store_path)
+    )
+
+
+@locked_store_write("store_path", "spark")
+def compact_frontier_store(spark, store_path: str) -> None:
+    """Collapse the frontier store's per-wave ``batch_id=N`` partition
+    trees into one ``batch_id=-1`` generation, preserving the kp
+    layout so the membership probe's partition pruning keeps working —
+    the directory-listing lever, same contract as the other five
+    compactors: run past the replay horizon with no active appender
+    (the store lease enforces the latter mechanically; a pre-horizon
+    replay finds its rows in the ``-1`` generation and correctly
+    admits nothing, but its exactly-once overwrite is spent).
+
+    Staged swap: rewrite into a ``__compact_tmp`` sibling, then
+    delete+rename — a crash between the renames leaves the tmp tree
+    intact for manual completion, never a half-deleted store."""
+    from eel_spark.sources.hdfs import HdfsOps
+
+    ops = HdfsOps(spark)
+    root = store_path.rstrip("/")
+    tmp = root + "__compact_tmp"
+    src = spark.read.parquet(root).drop("batch_id")
+    (
+        src.withColumn("batch_id", F.lit(-1))
+        .repartition("kp")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "kp")
+        .parquet(tmp)
+    )
+    ops.delete(root, recursive=True)
+    ops.rename(tmp, root)

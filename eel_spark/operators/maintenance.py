@@ -1,17 +1,18 @@
 """Unified maintenance for the incremental stores.
 
-Five store families share the per-batch increment discipline
+Six store families share the per-batch increment discipline
 (``__src_batch``/``batch_id`` partitions, -1 reserved as the compacted
 sentinel, dynamic overwrite + staged-swap compaction): the BM25 stats
 store (operators/retrieval.py), the IVF ANN index
 (operators/similarity.py), the incremental-dedup history
-(streaming/streams.py), the SCD2 closed history (operators/scd2.py) and
-the rollup store (operators/rollups.py). Each documents "compact every
+(streaming/streams.py), the SCD2 closed history (operators/scd2.py), the rollup store
+(operators/rollups.py) and the crawl frontier store
+(operators/crawl.py). Each documents "compact every
 O(100) batches", but nothing measured it — this module closes the loop
 the way ``ivf_drift_report`` → ``reindex_ivf_index`` does for centroid
 drift, for file/batch depth instead (r12 verdict #4):
 
-- :func:`store_maintenance_report` — ONE report shape across all five
+- :func:`store_maintenance_report` — ONE report shape across all six
   stores: store type, batch depth, file/byte/dir counts, the
   max-files-per-leaf listing lever, whether a compacted generation
   exists and when it was written.
@@ -33,7 +34,10 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-STORE_TYPES = ("bm25_stats", "ivf_index", "dedup_history", "scd2", "rollup")
+STORE_TYPES = (
+    "bm25_stats", "ivf_index", "dedup_history", "scd2", "rollup",
+    "frontier",
+)
 
 #: single-writer lease, SIBLING of the store root (``<root>__maint_lease``)
 #: so a staged-swap compaction that renames the root never moves the
@@ -200,7 +204,9 @@ def detect_store_type(spark: SparkSession, path: str) -> str:
     IVF keeps a ``centroids/`` table, SCD2 ``scd_current=`` partitions,
     the dedup history a ``<path>__bands`` sibling, the BM25 store
     ``__src_batch=`` partition dirs at the root, the rollup store
-    ``granularity=`` partition dirs."""
+    ``granularity=`` partition dirs, the frontier store ``batch_id=``
+    partition dirs WITHOUT a ``__bands`` sibling (the sibling check
+    runs first, so reaching the frontier branch implies its absence)."""
     from eel_spark.sources.hdfs import HdfsOps
 
     ops = HdfsOps(spark)
@@ -213,6 +219,8 @@ def detect_store_type(spark: SparkSession, path: str) -> str:
         return "dedup_history"
     if ops.list_status(f"{root}/__src_batch=*"):
         return "bm25_stats"
+    if ops.list_status(f"{root}/batch_id=*"):
+        return "frontier"
     if ops.list_status(f"{root}/granularity=*"):
         # merge_time_rollup-maintained tables share this layout but
         # carry no __src_batch column — they are already-merged final
@@ -300,6 +308,7 @@ def max_live_batch_id(
         "ivf_index": f"{root}/postings/__src_batch=*",
         "bm25_stats": f"{root}/__src_batch=*",
         "dedup_history": f"{root}/batch_id=*",
+        "frontier": f"{root}/batch_id=*",
     }[st]
     ids = [
         int(st_["name"].split("=", 1)[1])
@@ -313,7 +322,7 @@ def store_maintenance_report(
     spark: SparkSession, path: str, store_type: str | None = None
 ) -> DataFrame:
     """One-row report over any incremental store — the same shape for
-    all five families so a fleet of stores unions into one dashboard
+    all six families so a fleet of stores unions into one dashboard
     table: ``(path, store_type, n_batches, has_compacted_generation,
     n_files, n_bytes, n_dirs, max_files_per_leaf,
     last_compaction_ms)``.
@@ -340,6 +349,9 @@ def store_maintenance_report(
         files = _walk(ops, root)
     elif st == "bm25_stats":
         n_batches, compacted_ms = _batch_dirs(ops, f"{root}/__src_batch=*")
+        files = _walk(ops, root)
+    elif st == "frontier":
+        n_batches, compacted_ms = _batch_dirs(ops, f"{root}/batch_id=*")
         files = _walk(ops, root)
     elif st == "dedup_history":
         n_batches, compacted_ms = _batch_dirs(ops, f"{root}/batch_id=*")
@@ -418,7 +430,7 @@ def maintain(
     without one raises rather than guessing.
 
     The no-active-appenders half of the compactors' offline contract is
-    MECHANICAL since r14: every appender and compactor of the four
+    MECHANICAL since r14: every appender and compactor of the five
     batch-partitioned families holds the store's single-writer lease
     (:func:`acquire_store_lease`; SCD2's own ``_scd_lease`` plays the
     same role), so a maintain racing an append fails loudly at the
@@ -450,6 +462,10 @@ def maintain(
         from eel_spark.streaming.streams import compact_dedup_history
 
         compact_dedup_history(spark, path)
+    elif st == "frontier":
+        from eel_spark.operators.crawl import compact_frontier_store
+
+        compact_frontier_store(spark, path)
     elif st == "rollup":
         if not merges:
             raise ValueError(

@@ -1127,6 +1127,68 @@ class EventStream:
         return normalize_ts(df)
 
 
+def frontier_store_sink(
+    urls: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
+):
+    """Streaming admission into the persistent FRONTIER STORE — the
+    crawl twin of the incremental dedup sinks, and the no-horizon
+    complement of :func:`streaming_url_dedup`: each wave of discovered
+    URLs is deduped within itself (canonical key, MIN-url
+    representative) and against EVERY URL ever admitted — a page seen
+    weeks ago is still suppressed, because the state is the store's
+    parquet table (storage, not the state store).
+
+    Per micro-batch: ``operators/crawl.frontier_admit_batch`` under the
+    store's single-writer lease with the batch-id adoption token (a
+    crash mid-batch self-heals on checkpoint replay). Membership is an
+    exact-string anti-join against the (batch_id, kp)-partitioned
+    history, pruned to the batch's own kp buckets; the wave appends
+    under its ``batch_id=N`` partitions with dynamic overwrite —
+    replays overwrite themselves and never match their own partial
+    write (exactly-once). ``maintain_every`` wires the in-stream
+    maintenance cadence (maintenance.maintain → the frontier
+    compactor) exactly like the other five store-backed sinks.
+    ``ts_col`` (optional) records MIN-per-key as ``first_seen``.
+    """
+    spark = urls.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from eel_spark.operators.crawl import frontier_admit_batch
+        from eel_spark.operators.maintenance import (
+            acquire_store_lease,
+            release_store_lease,
+        )
+
+        _maybe_maintain(
+            spark, store_path, batch_id, maintain_every, maintain_kwargs
+        )
+        if batch_df.isEmpty():
+            return
+        __lease = acquire_store_lease(
+            spark, store_path, "frontier_append", token=f"batch={batch_id}"
+        )
+        try:
+            frontier_admit_batch(
+                batch_df, store_path, batch_id, url_col=url_col,
+                ts_col=ts_col,
+            )
+        finally:
+            release_store_lease(spark, __lease)
+
+    return (
+        urls.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_url_dedup(
     docs: DataFrame,
     url_col: str,

@@ -283,6 +283,24 @@ for r in waves:  # Crawl-delay: 1 → offsets are 0,1,2,… in URL order
 print(f"fetch plan: {len(waves)} fetches this wave, "
       f"last at +{max(r['fetch_offset_s'] for r in waves):.0f}s")
 
+# --- frontier STORE: persist this wave's scheduled URLs so the NEXT
+# crawl round never re-fetches them — the no-horizon complement of the
+# in-window streaming dedup above (watermark state forgets; the store
+# is parquet and does not). A re-offer of the same pages (decorated
+# differently) admits zero new rows. --------------------------------------
+from eel_spark.operators.crawl import frontier_admit_batch, frontier_unseen
+
+store = os.path.join(work, "frontier_store")
+frontier_admit_batch(polite, store, batch_id=0)
+admitted = spark.read.parquet(store).count()
+assert admitted == n_polite
+reoffer = polite.select(
+    F.concat(F.col("url"), F.lit("?utm_source=recrawl")).alias("url")
+)
+fresh = frontier_unseen(reoffer, store)
+assert fresh.count() == 0  # everything already visited
+print(f"frontier store: {admitted} urls persisted; re-offer admits 0")
+
 corpus = spark.read.parquet(os.path.join(work, "corpus"))
 n_docs = corpus.count()
 langs = sorted(

@@ -131,3 +131,219 @@ def test_fetch_plan_single_shuffle_and_broadcast(spark, frontier):
     # window needs (the delay dim has its own tiny pre-broadcast
     # aggregate exchange, which never touches frontier rows)
     assert plan.count("hashpartitioning(host") == 1, plan
+
+
+# --- frontier store: persistent visited-URL set (sixth store family) --------
+
+
+def _add_wave(spark, in_dir, name, urls, ts="2024-01-01 00:00:00"):
+    rows = [(u, ts) for u in urls]
+    spark.createDataFrame(rows, "url string, ts string").selectExpr(
+        "url", "cast(ts as timestamp) as ts"
+    ).coalesce(1).write.parquet(str(in_dir / name))
+
+
+def _run_frontier(spark, in_dir, store, ckpt, **kw):
+    from eel_spark.streaming import frontier_store_sink
+
+    urls = (
+        spark.readStream.schema("url string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = frontier_store_sink(urls, store, ckpt, ts_col="ts", **kw)
+    q.awaitTermination(120)
+
+
+def test_frontier_store_cross_wave_and_replay(spark, tmp_path):
+    import os
+
+    in_dir = tmp_path / "fs_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "fs_store")
+    ckpt = str(tmp_path / "fs_ckpt")
+
+    wave1 = [
+        "http://a.example/p/1",
+        "http://a.example/p/1?utm_source=x",   # same canonical key
+        "http://a.example/p/2/",               # folds to /p/2
+        "not a url at all",                    # raw-keyed, still admitted
+    ]
+    _add_wave(spark, in_dir, "w1", wave1)
+    _run_frontier(spark, in_dir, store, ckpt)
+    got = spark.read.parquet(store)
+    keys1 = {r["url_key"] for r in got.collect()}
+    assert len(keys1) == 3  # decorated variant folded
+    # MIN-url representative: deterministic intra-wave pick
+    rep = {r["url_key"]: r["url"] for r in got.collect()}
+    assert rep["http://a.example/p/1"] == "http://a.example/p/1"
+    assert got.where("first_seen is null").count() == 0
+
+    wave2 = [
+        "http://a.example/p/2?utm_medium=y",   # seen in wave1 -> suppressed
+        "http://a.example/p/3",                # fresh
+        "not a url at all",                    # raw re-offer -> suppressed
+        "also not a url",                      # distinct garbage -> admitted
+    ]
+    _add_wave(spark, in_dir, "w2", wave2)
+    _run_frontier(spark, in_dir, store, ckpt)
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 5
+    assert {r["url"] for r in rows if r["batch_id"] == 1} == {
+        "http://a.example/p/3", "also not a url",
+    }
+
+    # replay: drop the latest commit marker -> batch re-runs; the store
+    # must neither lose nor duplicate rows (dynamic overwrite + the
+    # exclude-own-batch history rule)
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_frontier(spark, in_dir, store, ckpt)
+    replayed = spark.read.parquet(store).collect()
+    assert len(replayed) == 5
+    assert {r["url"] for r in replayed} == {
+        "http://a.example/p/1", "http://a.example/p/2/", "not a url at all",
+        "http://a.example/p/3", "also not a url",
+    }
+
+
+def test_frontier_unseen_batch_probe(spark, tmp_path):
+    from eel_spark.operators.crawl import frontier_admit_batch, frontier_unseen
+
+    store = str(tmp_path / "fu_store")
+    seed = spark.createDataFrame(
+        [(f"http://h.example/p/{i}",) for i in range(50)], "url: string"
+    )
+    frontier_admit_batch(seed, store, 0)
+    cand = spark.createDataFrame(
+        [(f"http://h.example/p/{i}?utm_source=x",) for i in range(40, 60)]
+        + [(None,)],
+        "url: string",
+    )
+    out = frontier_unseen(cand, store)
+    got = sorted(r["url"] for r in out.collect())
+    # 40..49 seen (decoration folds), 50..59 fresh, NULL dropped
+    assert got == sorted(
+        f"http://h.example/p/{i}?utm_source=x" for i in range(50, 60)
+    )
+    # empty store: everything (non-NULL) passes
+    out2 = frontier_unseen(cand, str(tmp_path / "absent"))
+    assert out2.count() == 21 - 1
+
+
+def test_frontier_exact_string_membership_not_hash(spark, tmp_path):
+    # kp buckets (64) MUST collide across 300 distinct URLs; every URL
+    # is still admitted — the hash routes, the string decides
+    from eel_spark.operators.crawl import frontier_admit_batch
+
+    store = str(tmp_path / "fx_store")
+    a = spark.createDataFrame(
+        [(f"http://h.example/a/{i}",) for i in range(150)], "url: string"
+    )
+    b = spark.createDataFrame(
+        [(f"http://h.example/b/{i}",) for i in range(150)], "url: string"
+    )
+    frontier_admit_batch(a, store, 0)
+    frontier_admit_batch(b, store, 1)
+    df = spark.read.parquet(store)
+    assert df.count() == 300
+    assert df.select("kp").distinct().count() < 100  # buckets really shared
+
+
+def test_frontier_store_maintenance_family(spark, tmp_path):
+    from eel_spark.operators.crawl import frontier_admit_batch
+    from eel_spark.operators.maintenance import (
+        detect_store_type,
+        maintain,
+        store_maintenance_report,
+    )
+
+    store = str(tmp_path / "fm_store")
+    for b in range(4):
+        wave = spark.createDataFrame(
+            [(f"http://h.example/w{b}/{i}",) for i in range(20)],
+            "url: string",
+        )
+        frontier_admit_batch(wave, store, b)
+    assert detect_store_type(spark, store) == "frontier"
+    rep = store_maintenance_report(spark, store).first()
+    assert rep["store_type"] == "frontier"
+    assert rep["n_batches"] == 4
+    assert rep["has_compacted_generation"] is False
+
+    res = maintain(spark, store, max_batches=2)
+    assert res["action"] == "compacted"
+    assert res["after"]["n_batches"] == 0
+    assert res["after"]["has_compacted_generation"] is True
+    df = spark.read.parquet(store)
+    assert df.count() == 80
+    assert df.select("batch_id").distinct().collect()[0]["batch_id"] == -1
+
+    # post-compaction: old URLs still suppressed, fresh admitted
+    mixed = spark.createDataFrame(
+        [("http://h.example/w0/0",), ("http://h.example/new/1",)],
+        "url: string",
+    )
+    frontier_admit_batch(mixed, store, 4)
+    assert spark.read.parquet(store).count() == 81
+
+
+def test_frontier_sink_maintain_every_cadence(spark, tmp_path):
+    in_dir = tmp_path / "fc_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "fc_store")
+    ckpt = str(tmp_path / "fc_ckpt")
+    for b in range(4):
+        _add_wave(
+            spark, in_dir, f"w{b}",
+            [f"http://h.example/w{b}/{i}" for i in range(10)],
+        )
+    _run_frontier(spark, in_dir, store, ckpt, maintain_every=2)
+    df = spark.read.parquet(store)
+    assert df.count() == 40
+    # the cadence fired at least once: a compacted generation exists
+    # and the live batch depth stayed under the wave count
+    gens = {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
+    assert -1 in gens
+    assert len(gens - {-1}) < 4
+
+
+def test_frontier_compactor_lease_loser_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from eel_spark.operators.crawl import (
+        compact_frontier_store,
+        frontier_admit_batch,
+    )
+    from eel_spark.operators.maintenance import (
+        acquire_store_lease,
+        release_store_lease,
+    )
+
+    store = str(tmp_path / "fl_store")
+    frontier_admit_batch(
+        spark.createDataFrame([("http://h.example/x",)], "url: string"),
+        store, 0,
+    )
+    lease = None
+    try:
+        import threading
+
+        holder_err = []
+
+        def hold():
+            nonlocal lease
+            lease = acquire_store_lease(spark, store, "other_writer")
+
+        t = threading.Thread(target=hold)
+        t.start(); t.join()
+        with _pytest.raises(RuntimeError, match="active writer"):
+            compact_frontier_store(spark, store)
+    finally:
+        release_store_lease(spark, lease)
