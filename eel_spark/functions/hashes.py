@@ -31,6 +31,46 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes_from_tokens(token_hash_arr: Column, n: int = 3) -> Column:
+    """array<long> of distinct n-shingle hashes from a PRE-PROJECTED
+    token-hash array (``token_hashes`` across its own select boundary —
+    inlining the token-hash transform here re-evaluates it per shingle,
+    measured 4× slower than the two-projection layout at sf0.1).
+
+    The 64-bit shingle proxy replaces the shingle STRING everywhere in
+    the minhash hot path (guide §2.3 "shuffle keys and metadata instead
+    of payloads"): building per-shingle strings (concat_ws over a token
+    slice) cost 2.5× the whole hashed front at sf0.1, and the string
+    arrays then rode the pin + both candidate rejoins. Set semantics are
+    identical to string shingles modulo xxhash64 collisions between
+    DISTINCT token n-grams (2⁻⁶⁴ per in-corpus pair — the same class the
+    signature pre-hash already accepts); exact Jaccard over the hash
+    sets equals Jaccard over the string sets under that assumption
+    (verified string-exact vs the DuckDB brute-force oracle at 3 SFs).
+
+    Docs with fewer than ``n`` tokens degrade to ONE whole-doc shingle,
+    exactly like ``shingles``: an order-sensitive chained hash over all
+    token hashes stands in for the joined-string shingle (two short docs
+    compare equal iff their full token sequences match)."""
+    whole_doc = F.aggregate(
+        token_hash_arr,
+        F.lit(2**61 - 1),  # fixed seed; empty docs all fold to it (≙ [""])
+        lambda acc, h: F.xxhash64(acc, h),
+    )
+    idx = F.sequence(F.lit(0), F.size(token_hash_arr) - n)
+    return F.array_distinct(
+        F.when(
+            F.size(token_hash_arr) >= n,
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(token_hash_arr, i + k + 1) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(whole_doc))
+    )
+
+
 def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
     """array<long> of ``num_hashes`` minima: min over shingles of
     xxhash64(shingle, seed). Empty input → MAX_LONG sentinels.
@@ -48,11 +88,18 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
     signature job; the rest of the cost is interpreted-HOF overhead,
     not hash input width).
     """
+    hashed = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+    return minhash_signature_from_hashes(hashed, num_hashes)
+
+
+def minhash_signature_from_hashes(hash_arr: Column, num_hashes: int = 64) -> Column:
+    """``minhash_signature`` over PRE-HASHED shingles (array<long> from
+    ``shingle_hashes_from_tokens``): the per-slot family is
+    ``xxhash64(h, seed)`` directly — no per-shingle string pre-hash."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.array_repeat(F.lit(2**63 - 1), num_hashes)
-    hashed = F.transform(shingle_arr, lambda s: F.xxhash64(s))
     return F.aggregate(
-        hashed,
+        hash_arr,
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -64,13 +111,23 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, key:long>> — LSH band keys: hash of each
-    band's slice. Two docs sharing any band key are candidate pairs."""
+    band's slice. Two docs sharing any band key are candidate pairs.
+
+    The key hashes the band's signature slots DIRECTLY (static
+    element_at indices — no lambda, no re-evaluation trap): the previous
+    concat_ws(",") form stringified every slot of every band per row
+    (64 long→string renders + 16 string builds) just to feed xxhash64.
+    Key equality is still implied by slice equality, and hash collisions
+    only add false candidates that the exact-Jaccard verify rejects."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band))
+                    *[
+                        F.element_at(signature, b * rows_per_band + k + 1)
+                        for k in range(rows_per_band)
+                    ]
                 ).alias("key"),
             )
             for b in range(bands)
@@ -97,9 +154,13 @@ def row_digest(cols: list[str]) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two shingle arrays (arrays pre-distinct)."""
+    """Exact Jaccard over two shingle arrays (arrays pre-distinct).
+
+    ONE array_intersect: interpreted expressions get no common-subtree
+    elimination, so spelling the union as |a|+|b|-|a∩b| with a second
+    intersect evaluated the set operation twice per pair."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 

@@ -84,25 +84,42 @@ def _shingle_sig_tables(
     num_hashes: int,
     pinned: bool,
 ) -> tuple[DataFrame, DataFrame]:
-    """(id, shingles) and (id, sig) tables — the shared front of every
-    minhash path (self- and cross-corpus). The shingle array is
-    projected through its own select FIRST: inlining the shingle
-    expression into the 64 per-slot transforms makes Catalyst
-    re-evaluate shingling per slot (measured 20× slower at sf0.01).
+    """(id, shingle-hashes) and (id, sig) tables — the shared front of
+    every minhash path (self- and cross-corpus). Shingles are 64-bit
+    hashes, not strings (``hashes.shingle_hashes_from_tokens`` — the
+    string front cost 2.5× as much and rode every downstream shuffle);
+    each array is projected through its own select boundary FIRST:
+    inlining a referenced-again HOF expression makes Catalyst
+    re-evaluate it per consumer slot (measured 20× slower at sf0.01 for
+    shingles-in-signature, 4× for token-hashes-in-shingles).
     ``pinned`` tracks both through caching.pin for multi-branch plans."""
     from eel_spark.caching import pin
 
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-    )
+    shingled = _shingle_hash_table(df, text_col, id_col, shingle_n)
     if pinned:
         shingled = pin(shingled)
     sig_tbl = shingled.select(
-        id_col, hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig")
+        id_col,
+        hashes.minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias("sig"),
     )
     if pinned:
         sig_tbl = pin(sig_tbl)
     return shingled, sig_tbl
+
+
+def _shingle_hash_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, __sh: array<long>) — distinct n-shingle hashes per doc, built
+    through TWO projection boundaries (tokenize+hash, then shingle) so
+    neither HOF re-evaluates inside its consumer."""
+    token_tbl = ensure_parallelism(df).select(
+        F.col(id_col), hashes.token_hashes(text_col).alias("__th")
+    )
+    return token_tbl.select(
+        id_col,
+        hashes.shingle_hashes_from_tokens(F.col("__th"), shingle_n).alias("__sh"),
+    )
 
 
 def _banded_table(
@@ -249,17 +266,17 @@ def minhash_near_duplicates(
     """
     from eel_spark.caching import pin
 
-    # shingles in their own projection FIRST (the _shingle_sig_tables
-    # caveat): referenced twice and non-cheap, so CollapseProject keeps
-    # the boundary and the array is built once per row
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-    )
+    # shingle hashes in their own projection FIRST (the
+    # _shingle_sig_tables caveat): referenced twice and non-cheap, so
+    # CollapseProject keeps the boundary and the array is built once
+    shingled = _shingle_hash_table(df, text_col, id_col, shingle_n)
     combined = pin(
         shingled.select(
             id_col,
             "__sh",
-            hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig"),
+            hashes.minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias(
+                "sig"
+            ),
         )
     )
     pairs = _band_pairs(combined, id_col, num_hashes, bands, max_bucket_size)
@@ -321,14 +338,14 @@ def minhash_near_duplicates_against(
     from eel_spark.caching import pin
 
     def combined_side(side: DataFrame) -> DataFrame:
-        shingled = ensure_parallelism(side).select(
-            F.col(id_col), hashes.shingles(text_col, shingle_n).alias("__sh")
-        )
+        shingled = _shingle_hash_table(side, text_col, id_col, shingle_n)
         return pin(
             shingled.select(
                 id_col,
                 "__sh",
-                hashes.minhash_signature(F.col("__sh"), num_hashes).alias("sig"),
+                hashes.minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias(
+                    "sig"
+                ),
             )
         )
 
