@@ -153,26 +153,48 @@ def _band_pairs(
     max_bucket_size: int | None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from the capped band
-    self-join of any table carrying (id, sig).
+    buckets of any table carrying (id, sig).
 
-    The capped banded table is PINNED: it feeds both sides of the
-    self-join (and, uncached, each side would re-run the band explode,
-    the bucket-count aggregate AND its broadcast anti-join — the explode
-    executed 4× and the cap 2× in the r13 plan). Caching the narrow
-    (id, band, key) rows computes that chain once; measured 2.44→1.97 s
-    on the sf0.1 minhash slot. O(corpus × bands) narrow rows — the same
-    stage-it-at-100-TB note as the combined (id, shingles, sig) pin."""
-    from eel_spark.caching import pin
-
-    banded = pin(_banded_table(
-        tbl, id_col, id_col, bands, num_hashes, max_bucket_size
-    ))
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    ONE aggregation replaces the former pin + cap anti-join + band
+    self-join: groupBy(band, key) → collect_list(id) shuffles the banded
+    rows once, the cap is a size() filter on the bucket row (identical
+    drop-over-cap semantics to _cap_buckets), and the Σ|bucket|² pairs
+    are generated in place by a nested transform over the sorted member
+    array — no second shuffle of the banded table, no cache write, no
+    broadcast anti-join (the r14 first-wave pin, measured 2.44→1.97 s,
+    papered over the duplicated subtrees; this removes them outright).
+    array_sort makes id_a < id_b structural. Bucket buffers are bounded
+    by the cap (uncapped callers accept Σ|bucket|² by contract — the
+    documented dedup_exact-first pipeline order)."""
+    banded = _banded_table(tbl, id_col, id_col, bands, num_hashes, None)
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # sorted members behind their own projection boundary: array_sort
+    # inlined into the nested transform would re-sort per element (the
+    # re-evaluation trap _shingle_sig_tables documents)
+    buckets = buckets.select(F.array_sort("__ids").alias("__ids"))
+    ids = F.col("__ids")
+    n = F.size("__ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"),
+                    F.element_at(ids, j).alias("id_b"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
 

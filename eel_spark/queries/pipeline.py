@@ -9,7 +9,7 @@ correctness-tested against planted duplicates in tests/test_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from eel_spark.datastream import DataStream
@@ -366,20 +366,24 @@ def _gate_on_planted_recall(
     ``orig_col`` names the side holding the original id (the planting
     schemes differ between the text and embedding corpora).
 
-    ``pairs`` feeds two plan branches (the recall aggregate and the
-    output crossJoin); it is pinned (persist + registry-tracked release —
-    registry.pin) so the LSH pipeline behind it runs once, not once per
-    branch — the pair set is tiny, the pipeline is not — and the cache is
-    freed when the next registry query is built."""
-    pairs = pin(pairs)
+    ONE unbounded-window pass instead of the former pin + recall
+    aggregate + crossJoin(broadcast): collect_set over the global window
+    counts distinct planted originals on the same rows that are being
+    emitted, so the LSH pipeline behind ``pairs`` has a single consumer
+    — no persist write, no second plan branch, no broadcast-subquery
+    job. The SinglePartition exchange the window needs moves only the
+    final pair set (tiny by construction); the values are identical
+    (collect_set drops the NULLs the when() leaves on non-planted
+    rows)."""
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     recall = (
-        pairs.filter(planted_pair)
-        .select(orig_col).distinct()
-        .agg((F.count(F.lit(1)) / float(n_planted)).alias("planted_recall"))
-    )
-    return (
-        pairs.crossJoin(F.broadcast(recall))
-        .filter(F.col("planted_recall") >= min_recall)
+        F.size(
+            F.collect_set(F.when(planted_pair, F.col(orig_col))).over(w)
+        ).cast("double")
+        / float(n_planted)
+    ).alias("planted_recall")
+    return pairs.select("*", recall).filter(
+        F.col("planted_recall") >= min_recall
     )
 
 

@@ -159,16 +159,19 @@ def test_ordered_ops_have_no_global_window(spark):
 
 
 def test_lsh_bucket_cap_is_aggregate_not_window(spark):
-    """The minhash bucket cap must be a groupBy + anti-join (map-side
-    partial agg, broadcastable), not a count-over-window that shuffles
-    and sorts every band row."""
+    """The minhash candidate stage must be ONE aggregation over
+    (band, key) — collect_list buckets with the cap as a size filter —
+    never a count-over-window that shuffles and sorts every band row,
+    and never a second shuffle of the banded table (the pre-r14 band
+    self-join + anti-join cap layout)."""
     from eel_spark.operators.dedup import minhash_candidates
 
     docs = spark.read.parquet(SF + "/documents.parquet")
     cands = minhash_candidates(docs, "text", "doc_id", max_bucket_size=100)
     plan = plan_str(cands)
     assert "Window" not in plan
-    assert "LeftAnti" in plan
+    assert "collect_list" in plan  # bucket aggregation present
+    assert "LeftAnti" not in plan  # cap is a size filter, not an anti-join
 
 
 def test_quality_metrics_projection_boundary_holds(spark):
@@ -530,10 +533,12 @@ def test_funnel_latency_exchange_budget(spark):
 
 def test_minhash_deterministic_corpus_plan_bounded(spark):
     """The oracled minhash slot keeps the LSH scale invariants: bucket
-    cap enforced by aggregate + anti-join (never a window over the band
-    table) and a JVM-only plan."""
+    cap enforced inside the single (band, key) aggregation (never a
+    window over the band table, never a second shuffle of it) and a
+    JVM-only plan."""
     plan = plan_str(QUERIES["dedup_minhash_pairs"](spark, SF), "extended")
-    assert "LeftAnti" in plan  # bucket cap path present
+    assert "collect_list" in plan  # bucket cap path present
+    assert "Window" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
 
