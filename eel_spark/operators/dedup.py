@@ -52,30 +52,6 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(survivors.select(id_col), on=id_col, how="left_semi")
 
 
-def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Drop (band, key) buckets larger than ``max_bucket_size``.
-
-    Band-join work is Σ|bucket|²: one bucket of verbatim duplicates can
-    dominate the whole job (measured 15× on an 8×-replica corpus). Members
-    of an over-cap bucket are near-certain *exact* duplicates, which
-    dedup_exact handles at Σ|bucket| cost — run it first (the documented
-    pipeline order in queries/pipeline.py).
-    """
-    if max_bucket_size is None:
-        return banded
-    # aggregate + anti-join, NOT a count-over-window: the window would
-    # shuffle AND sort every band row; the groupBy partial-aggregates
-    # map-side and the over-cap key set is tiny, so AQE broadcasts the
-    # anti-join — no second full shuffle of the banded table
-    over = (
-        banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") > max_bucket_size)
-        .select("band", "key")
-    )
-    return banded.join(over, on=["band", "key"], how="left_anti")
-
-
 def _shingle_sig_tables(
     df: DataFrame,
     text_col: str,
@@ -128,21 +104,71 @@ def _banded_table(
     out_id: str,
     bands: int,
     num_hashes: int,
-    max_bucket_size: int | None,
 ) -> DataFrame:
-    """(out_id, band, key) rows from a signature table, bucket-capped.
-    Band rows stay narrow: carrying the 64-slot signature through the
-    explode + join would multiply shuffle width ×bands."""
+    """(out_id, band, key) rows from a signature table. Band rows stay
+    narrow: carrying the 64-slot signature through the explode + join
+    would multiply shuffle width ×bands. Bucket capping happens in the
+    consumer's (band, key) aggregation (``_bucket_pairs``)."""
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} must divide evenly into bands={bands}"
         )
     rows = num_hashes // bands
-    banded = sig_tbl.select(
+    return sig_tbl.select(
         F.col(id_col).alias(out_id),
         F.explode(hashes.minhash_bands(F.col("sig"), bands, rows)).alias("b"),
     ).select(out_id, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    return _cap_buckets(banded, max_bucket_size)
+
+
+def _bucket_pairs(
+    banded: DataFrame, member_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """(``__a``, ``__b``) member pairs within each (band, key) bucket of
+    a banded table, via ONE aggregation — the shared candidate stage of
+    every LSH family (minhash / simhash / embedding).
+
+    groupBy(band, key) → collect_list shuffles the banded rows once; the
+    bucket cap is a size() filter on the aggregated row (identical
+    drop-over-cap semantics to the former _cap_buckets anti-join); the
+    Σ|bucket|² pairs are generated in place by chained explodes over
+    the sorted member array — no second shuffle of the banded table, no
+    cache write, no broadcast anti-join. ``member_cols`` lists the
+    columns each member carries; the FIRST must be the orderable id
+    (array_sort orders struct members field-by-field, so id_a < id_b is
+    structural). Bucket buffers are bounded by the cap (uncapped callers
+    accept Σ|bucket|² by contract — the documented dedup_exact-first
+    pipeline order)."""
+    member = (
+        F.struct(*[F.col(c) for c in member_cols])
+        if len(member_cols) > 1
+        else F.col(member_cols[0])
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(member).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # sorted members behind their own projection boundary: array_sort
+    # inlined into the downstream explodes would re-sort per element (the
+    # re-evaluation trap _shingle_sig_tables documents)
+    buckets = buckets.select(F.array_sort("__ids").alias("__ids"))
+    ids = F.col("__ids")
+    n = F.size("__ids")
+    # TWO chained generates, not flatten(nested transform): building the
+    # full |bucket|² pair array per bucket row would hold it in memory at
+    # once; explode(sequence) then explode(slice) streams the same pairs
+    # with O(|bucket|) peak allocation per generated row
+    anchored = buckets.select(
+        ids, F.explode(F.sequence(F.lit(1), n - 1)).alias("__i")
+    )
+    return anchored.select(
+        F.element_at(ids, F.col("__i")).alias("__a"),
+        F.explode(
+            F.slice(ids, F.col("__i") + 1, F.size(ids) - F.col("__i"))
+        ).alias("__b"),
+    )
 
 
 def _band_pairs(
@@ -153,48 +179,15 @@ def _band_pairs(
     max_bucket_size: int | None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from the capped band
-    buckets of any table carrying (id, sig).
-
-    ONE aggregation replaces the former pin + cap anti-join + band
-    self-join: groupBy(band, key) → collect_list(id) shuffles the banded
-    rows once, the cap is a size() filter on the bucket row (identical
-    drop-over-cap semantics to _cap_buckets), and the Σ|bucket|² pairs
-    are generated in place by a nested transform over the sorted member
-    array — no second shuffle of the banded table, no cache write, no
-    broadcast anti-join (the r14 first-wave pin, measured 2.44→1.97 s,
-    papered over the duplicated subtrees; this removes them outright).
-    array_sort makes id_a < id_b structural. Bucket buffers are bounded
-    by the cap (uncapped callers accept Σ|bucket|² by contract — the
-    documented dedup_exact-first pipeline order)."""
-    banded = _banded_table(tbl, id_col, id_col, bands, num_hashes, None)
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list(id_col).alias("__ids"))
-        .filter(F.size("__ids") >= 2)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
-    # sorted members behind their own projection boundary: array_sort
-    # inlined into the nested transform would re-sort per element (the
-    # re-evaluation trap _shingle_sig_tables documents)
-    buckets = buckets.select(F.array_sort("__ids").alias("__ids"))
-    ids = F.col("__ids")
-    n = F.size("__ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"),
-                    F.element_at(ids, j).alias("id_b"),
-                ),
-            ),
-        )
-    )
+    buckets of any table carrying (id, sig) — ``_bucket_pairs`` over the
+    minhash banded table (see its docstring for the one-aggregation
+    layout; the r14 first-wave pin, measured 2.44→1.97 s, papered over
+    the duplicated self-join subtrees; the fusion removes them
+    outright)."""
+    banded = _banded_table(tbl, id_col, id_col, bands, num_hashes)
     return (
-        buckets.select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        _bucket_pairs(banded, [id_col], max_bucket_size)
+        .select(F.col("__a").alias("id_a"), F.col("__b").alias("id_b"))
         .distinct()
     )
 
@@ -373,15 +366,26 @@ def minhash_near_duplicates_against(
 
     new_tbl = combined_side(df)
     ref_tbl = combined_side(reference)
-    pairs = (
-        _banded_table(new_tbl, id_col, "id_new", bands, num_hashes, max_bucket_size)
-        .join(
-            _banded_table(
-                ref_tbl, id_col, "id_ref", bands, num_hashes, max_bucket_size
-            ),
-            on=["band", "key"],
+
+    # each side's bucket cap fused into its (band, key) aggregation (the
+    # _bucket_pairs layout, two-sided): the bucket-list join replaces the
+    # raw band-row join, so the per-side cap needs no anti-join and the
+    # banded rows shuffle once per side — the join of the two aggregated
+    # tables reuses their groupBy partitioning
+    def bucket_side(tbl: DataFrame, out_id: str) -> DataFrame:
+        banded = _banded_table(tbl, id_col, out_id, bands, num_hashes)
+        b = banded.groupBy("band", "key").agg(
+            F.collect_list(out_id).alias(f"__{out_id}s")
         )
-        .select("id_new", "id_ref")
+        if max_bucket_size is not None:
+            b = b.filter(F.size(f"__{out_id}s") <= max_bucket_size)
+        return b
+
+    pairs = (
+        bucket_side(new_tbl, "id_new")
+        .join(bucket_side(ref_tbl, "id_ref"), on=["band", "key"])
+        .select(F.explode("__id_news").alias("id_new"), "__id_refs")
+        .select("id_new", F.explode("__id_refs").alias("id_ref"))
         .distinct()
     )
     a = new_tbl.select(
@@ -486,13 +490,18 @@ def simhash_pairs_from_fingerprints(
     banded = fp.select(
         id_col, "fp", F.explode(hashes.simhash_bands(F.col("fp"), bands)).alias("b")
     ).select(id_col, "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    banded = _cap_buckets(banded, max_bucket_size)
-    left = banded.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
+    # fingerprints ride the bucket members (one long each), so candidate
+    # pairs emerge with both fps attached — no rejoin; the _bucket_pairs
+    # fusion replaces the former cap anti-join + band self-join (id first
+    # in the member struct keeps id_a < id_b structural)
     return (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        _bucket_pairs(banded, [id_col, "fp"], max_bucket_size)
+        .select(
+            F.col(f"__a.{id_col}").alias("id_a"),
+            F.col(f"__b.{id_col}").alias("id_b"),
+            F.col("__a.fp").alias("fp_a"),
+            F.col("__b.fp").alias("fp_b"),
+        )
         .distinct()
         .select(
             "id_a",
@@ -575,14 +584,11 @@ def embedding_near_duplicates(
     banded = sig_tbl.select(
         id_col, F.explode(band_keys).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    banded = _cap_buckets(banded, max_bucket_size)
+    # _bucket_pairs fusion: one (band, key) aggregation replaces the cap
+    # anti-join + band self-join (see its docstring)
     pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), on=["band", "key"])
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(banded, [id_col], max_bucket_size)
+        .select(F.col("__a").alias("id_a"), F.col("__b").alias("id_b"))
         .distinct()
     )
     # vectors rejoin only for the (bounded) candidate set

@@ -24,7 +24,11 @@ Scale shape at 100 TB: training touches a hash-sample; assignment is one
 broadcast join over the corpus; the only shuffle keyed on data volume is
 the cell_id self-join, and ``max_cell_size`` hard-caps its worst cell
 (an over-cap cell is excluded per side BEFORE the join — the same
-flood-protection contract as ``dedup._cap_buckets``). n_cells should
+flood-protection contract as the size-filtered bucket aggregation in
+``dedup._bucket_pairs``; the join layout stays here because semdedup
+members carry full vectors and cells run to 10k, where aggregating a
+cell into one row would buffer |cell|·dim doubles at once). n_cells
+should
 grow with the corpus (the paper uses ~0.1% of |corpus|) so cells stay
 small; the within-cell join then broadcasts nothing and shuffles each
 vector exactly once.

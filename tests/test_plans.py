@@ -545,9 +545,11 @@ def test_minhash_deterministic_corpus_plan_bounded(spark):
 
 def test_embedding_pairs_plan_bounded_and_jvm_only(spark):
     """The oracled embedding-LSH slot keeps the same scale invariants as
-    minhash: bucket cap via aggregate + anti-join, JVM-only plan."""
+    minhash: bucket cap inside the single (band, key) aggregation,
+    JVM-only plan."""
     plan = plan_str(QUERIES["dedup_embedding_pairs"](spark, SF), "extended")
-    assert "LeftAnti" in plan  # bucket cap path present
+    assert "collect_list" in plan  # bucket cap path present
+    assert "Window" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
 
