@@ -125,6 +125,28 @@ def _fuzzy_slim(df, col, idc, side):
     ).filter(F.col(col).isNotNull())
 
 
+def _capped_bucket_join(
+    lk: DataFrame, rk: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """(``__l``, ``__r``) member pairs per blocking key across two key
+    tables, each carrying its members in column ``__m`` — the bipartite
+    twin of ``dedup._bucket_pairs``: each side aggregates its key's
+    members ONCE (collect_list), the join matches bucket rows (reusing
+    the groupBy partitioning), the flooded-key cap is a size filter on
+    the joined row's COMBINED population (identical drop semantics to
+    the former union-count + double anti-join: a key on only one side
+    never produced candidates), and the |L|·|R| pairs explode in place
+    with O(|bucket|) peak allocation per generated row."""
+    la = lk.groupBy(*keys).agg(F.collect_list("__m").alias("__ls"))
+    ra = rk.groupBy(*keys).agg(F.collect_list("__m").alias("__rs"))
+    return (
+        la.join(ra, keys)
+        .filter(F.size("__ls") + F.size("__rs") <= max_bucket_size)
+        .select(F.explode("__ls").alias("__l"), "__rs")
+        .select("__l", F.explode("__rs").alias("__r"))
+    )
+
+
 def _fuzzy_candidates(
     l: DataFrame, r: DataFrame, d: int, q: int, max_bucket_size: int
 ) -> DataFrame:
@@ -148,24 +170,21 @@ def _fuzzy_candidates(
         )
 
     gl, gr = _gram_keys(l, "l"), _gram_keys(r, "r")
-    # cap flooded grams: population counted across BOTH sides, over-cap
-    # keys anti-joined away (tiny set -> AQE broadcast)
-    over = (
-        gl.select("__g").unionAll(gr.select("__g"))
-        .groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
-        .select("__g")
-    )
-    gl = gl.join(over, "__g", "left_anti")
-    gr = gr.join(over, "__g", "left_anti")
+    # capped bipartite bucket join (the dedup._bucket_pairs layout,
+    # two-sided): each side aggregates its key's members once, the
+    # flooded-key cap becomes a size filter on the COMBINED population
+    # of the joined bucket row (identical drop semantics to the former
+    # union-count + double anti-join — a key missing from either side
+    # never produced candidates anyway), and the pairs explode in place
     cand_long = (
-        gl.join(
-            gr,
-            (gl["__g"] == gr["__g"])
-            & (F.abs(gl["__len_l"] - gr["__len_r"]) <= d),
+        _capped_bucket_join(
+            gl.select("__g", F.struct("__id_l", "__len_l").alias("__m")),
+            gr.select("__g", F.struct("__id_r", "__len_r").alias("__m")),
+            ["__g"],
+            max_bucket_size,
         )
-        .select("__id_l", "__id_r")
+        .filter(F.abs(F.col("__l.__len_l") - F.col("__r.__len_r")) <= d)
+        .select("__l.__id_l", "__r.__id_r")
         .distinct()
     )
 
@@ -248,17 +267,14 @@ def _fuzzy_candidates(
         )
     )
     seg_keys = ["__l2", "__i", "__seg"]
-    seg_over = (
-        pl.select(*seg_keys).unionAll(si.select(*seg_keys))
-        .groupBy(*seg_keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
-        .select(*seg_keys)
-    )
     cand_seg = (
-        pl.join(seg_over, seg_keys, "left_anti")
-        .join(si.join(seg_over, seg_keys, "left_anti"), seg_keys)
-        .select("__id_l", "__id_r")
+        _capped_bucket_join(
+            pl.select(*seg_keys, F.col("__id_l").alias("__m")),
+            si.select(*seg_keys, F.col("__id_r").alias("__m")),
+            seg_keys,
+            max_bucket_size,
+        )
+        .select(F.col("__l").alias("__id_l"), F.col("__r").alias("__id_r"))
         .distinct()
     )
 
@@ -273,17 +289,14 @@ def _fuzzy_candidates(
         "__id_r",
         F.explode(F.sequence(ln_r - d, ln_r + d)).alias("__band"),
     )
-    band_over = (
-        tl.select("__band").unionAll(tr.select("__band"))
-        .groupBy("__band")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
-        .select("__band")
-    )
     cand_tiny = (
-        tl.join(band_over, "__band", "left_anti")
-        .join(tr.join(band_over, "__band", "left_anti"), "__band")
-        .select("__id_l", "__id_r")
+        _capped_bucket_join(
+            tl.select("__band", F.col("__id_l").alias("__m")),
+            tr.select("__band", F.col("__id_r").alias("__m")),
+            ["__band"],
+            max_bucket_size,
+        )
+        .select(F.col("__l").alias("__id_l"), F.col("__r").alias("__id_r"))
         .distinct()
     )
 
