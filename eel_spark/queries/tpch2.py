@@ -580,9 +580,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataStream:
     de-correlated into a single per-order aggregate: n_supp ≥ 2 and
     n_late_supp = 1 together are exactly the two correlated subqueries.
 
-    Scale: one scan of lineitem⋈orders feeds both branches; the per-order
-    stats table is far smaller than lineitem, so the rejoin broadcasts
-    under AQE. No correlated per-row subquery execution anywhere.
+    Scale: a TWO-LEVEL aggregation of lineitem⋈orders carries
+    everything — level 1 collapses to one row per (order, supplier)
+    with a was-it-ever-late flag (map-side partials, no Expand), level
+    2 counts suppliers/late-suppliers per order and carries the late
+    supplier id itself, so the qualifying order's single waiting
+    supplier pops out of the filtered aggregate directly. The pre-r14
+    layout ran a separate distinct(late-pairs) branch and
+    sort-merge-joined it back (a second full shuffle of the joined rows
+    plus an SMJ), and a one-level multi-distinct rewrite measured
+    SLOWER (two count_distincts + collect_set force a 3-way Expand of
+    the aggregation input). n_late_supp = 1 bounds the set at one
+    element per surviving row. No correlated per-row subquery execution
+    anywhere.
     """
     orders = table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'") \
         .projection("o_orderkey", "o_orderdate").df
@@ -593,20 +603,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataStream:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    late = (
-        lo.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("__late")
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("__late").alias("n_late_supp"),
+        F.collect_set(
+            F.when(F.col("__late") == 1, F.col("l_suppkey"))
+        ).alias("late_supps"),
     )
     supp = table(spark, sf_dir, "supplier").projection("s_suppkey", "s_name").df
     out = (
-        late.join(stats, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select(F.explode("late_supps").alias("l_suppkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
