@@ -238,6 +238,80 @@ def _probe_cells(
     return ranked.select("__qid", "__qv", "cell_id")
 
 
+def ivf_scored_candidates(
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe-all scored-candidate table: every (query, corpus vector)
+    pair with the corpus row's IVF cell and cosine — columns
+    (query_id, id, cell_id, cos).
+
+    With every cell probed, :func:`ivf_topk`'s candidate set IS this
+    table (each corpus row lives in exactly one cell and each query
+    probes each cell once), and a probe-n run's candidate set is exactly
+    the subset whose cell_id falls in the query's n nearest cells
+    (:func:`probe_cells`). Pin one copy and an exact (probe-all) ranking
+    plus any approximate (probe-n) ranking read the SAME scored rows:
+    the corpus cell assignment and the per-pair cosine fold run once
+    instead of once per probe configuration. Cosines are bit-identical
+    to ivf_topk's (same double casts, same argument order), so rankings
+    derived from this table match it exactly."""
+    corpus = _assign_cells(
+        ensure_parallelism(vectors_df).select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        ),
+        centroids,
+        "__v",
+    )
+    q = F.broadcast(
+        queries_df.select(
+            F.col(query_id_col).alias("__qid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+        )
+    )
+    return corpus.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        "cell_id",
+        vectors.cosine(F.col("__v"), F.col("__qv")).alias("cos"),
+    )
+
+
+def topk_from_scored(
+    scored: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Rank a (query, candidate, cos) table with the same two-phase
+    salted exact top-k every similarity path uses (tie-break: cos DESC,
+    id ASC) — the public entry for callers that stage scored candidates
+    once (:func:`ivf_scored_candidates`) and rank subsets of them."""
+    return _topk_per_query(scored, query_id_col, id_col, k)
+
+
+def probe_cells(
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Public (query_id, cell_id) probe set — each query's ``n_probe``
+    nearest cells, one row per (query, cell). Same ranking and tie-break
+    as the probe step inside :func:`ivf_topk` (shared ``_probe_cells``),
+    so filtering :func:`ivf_scored_candidates` rows by this set yields
+    exactly ivf_topk's probe-n candidate set."""
+    return _probe_cells(
+        queries_df, centroids, query_id_col, vec_col, n_probe
+    ).select(F.col("__qid").alias(query_id_col), "cell_id")
+
+
 def ivf_topk(
     vectors_df: DataFrame,
     queries_df: DataFrame,

@@ -663,8 +663,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     (cos DESC, vec_id) tie-break — so the probe-all configuration is
     hash-comparable against a DuckDB exact-cosine top-10. The output IS
     the probe-all IVF result (centroid training → cell assignment →
-    probe ranking → per-cell candidate join → salted top-k all
-    oracle-checked end to end, operators/similarity.py:197).
+    scored candidates → salted top-k all oracle-checked end to end,
+    operators/similarity.ivf_scored_candidates). Both probe
+    configurations rank subsets of ONE pinned scored-candidate table,
+    so the corpus assignment and cosine fold run once (r15, §2.4/§5).
 
     The APPROXIMATE configuration keeps its recall gate in-query: the
     production n_probe=6 run is recall-checked against the exact rows
@@ -675,8 +677,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     emb = table(spark, sf_dir, "embeddings").df
     # sample_mod=4: centroid training scans ~1/4 of the corpus — seeds and
     # means only need a representative sample, never the full table
-    # cents feeds BOTH ivf runs — pin (persist + registry-tracked
-    # release) so the two training iterations run once
+    # cents feeds centroid-derived branches — pin (persist +
+    # registry-tracked release) so the two training iterations run once
     cents = pin(
         similarity.train_centroids(
             emb, n_cells=_IVF_CELLS, iterations=2, sample_mod=4
@@ -685,28 +687,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # ONE corpus cell-assignment + cosine pass feeds BOTH probe
+    # configurations: the probe-all candidate set is every (query,
+    # vector) pair, and the n_probe=6 candidate set is exactly the
+    # subset whose cell_id falls in the query's 6 nearest cells — so
+    # pin the scored table once instead of running ivf_topk end to end
+    # twice (the old shape re-assigned the corpus and re-folded every
+    # cosine for each configuration; §2.4/§5).
+    scored = pin(similarity.ivf_scored_candidates(emb, queries, cents))
     # probe-all: n_probe = n_cells ⇒ every corpus vector is a candidate
     # for every query ⇒ exact. Feeds the output AND the recall reference.
-    exact = pin(
-        similarity.ivf_topk(emb, queries, cents, k=10, n_probe=_IVF_CELLS)
+    exact = pin(similarity.topk_from_scored(scored, k=10))
+    probes = similarity.probe_cells(queries, cents, n_probe=6)
+    approx = similarity.topk_from_scored(
+        scored.join(F.broadcast(probes), ["query_id", "cell_id"], "left_semi"),
+        k=10,
     )
-    approx = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=6)
-    hits = (
-        approx.join(exact.select("query_id", "vec_id"),
-                    ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+    # mean recall over the QUERY SET = |approx ∩ exact| / (k · n_queries):
+    # every query contributes hits_q/k, a query with no overlapping (or
+    # no) approximate rows contributes 0 to the numerator — the same
+    # zero-anchoring the old per-query groupBy + left-join + fill chain
+    # enforced, in ONE global count each side (r15: 3 exchanges → 1).
+    # The gate boolean is provably unchanged: hit counts are integers,
+    # so |mean − 0.75| ≥ 1/(k·n_queries) − ulp ≫ any FP reordering drift.
+    nhits = approx.join(
+        F.broadcast(exact.select("query_id", "vec_id")),
+        ["query_id", "vec_id"], "left_semi",
+    ).agg(F.count(F.lit(1)).alias("__nhits"))
+    nq = queries.select("query_id").distinct().agg(
+        F.count(F.lit(1)).alias("__nq")
     )
-    # anchor on the QUERY SET, not on queries that happened to get hits:
-    # a query whose approximate top-10 shares nothing with the exact rows
-    # (or that returned none) must drag the mean down as recall 0, or the
-    # gate silently averages only the healthy queries
-    per_q = (
-        queries.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .na.fill({"recall_at_10": 0.0})
+    gate = nhits.crossJoin(F.broadcast(nq)).select(
+        (F.col("__nhits") / (10.0 * F.col("__nq"))).alias("__mean_recall")
     )
-    gate = per_q.agg(F.avg("recall_at_10").alias("__mean_recall"))
     return (
         exact.crossJoin(F.broadcast(gate))
         .filter(F.col("__mean_recall") >= 0.75)

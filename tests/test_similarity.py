@@ -60,6 +60,31 @@ def test_ivf_matches_brute_force_on_clusters(clustered):
         assert top1[q] == bf_map[(q, 1)]
 
 
+def test_scored_candidates_reproduce_ivf_topk(clustered):
+    # the r15 staged-scoring path: one scored-candidate table feeds both a
+    # probe-all ranking and a probe-n ranking; each must equal the
+    # corresponding end-to-end ivf_topk run row for row (same cosines,
+    # same tie-breaks), or the staging is not a pure refactor
+    queries = clustered.filter("vec_id IN (0, 10, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(clustered, n_cells=3, iterations=3)
+    scored = similarity.ivf_scored_candidates(clustered, queries, cents)
+    exact = similarity.topk_from_scored(scored, k=3)
+    ref_all = similarity.ivf_topk(clustered, queries, cents, k=3, n_probe=3)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, ref_all.collect())
+    )
+    probes = similarity.probe_cells(queries, cents, n_probe=2)
+    approx = similarity.topk_from_scored(
+        scored.join(probes, ["query_id", "cell_id"], "left_semi"), k=3
+    )
+    ref_2 = similarity.ivf_topk(clustered, queries, cents, k=3, n_probe=2)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, ref_2.collect())
+    )
+
+
 def test_train_centroids_deterministic(clustered):
     a = similarity.train_centroids(clustered, n_cells=3, iterations=2).collect()
     b = similarity.train_centroids(clustered, n_cells=3, iterations=2).collect()
