@@ -1,7 +1,9 @@
 """Headline benchmark: runs the flagship query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The stdout line is kept under 1 KB
+(driver tail captures clip longer lines); per-pass detail and floor
+deltas are emitted as a second JSON line on stderr.
 
 Each query is executed with a noop-sink write (full pipeline, no driver
 collect of payload). Two warmup passes precede the timed pass:
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 HEADLINE = [
@@ -131,6 +134,11 @@ def main() -> None:
         if any(name in p for p in passes)
     }
     total = round(sum(timings.values()), 3)
+    # STDOUT carries ONLY the driver-contract line, kept well under 1 KB:
+    # the r13 round-over-round comparison was voided because the growing
+    # detail payload (steady passes, per-query floor deltas) pushed the
+    # one-line JSON past the driver's tail capture and clipped it
+    # unparseable. Detail now goes to stderr as a second JSON line.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -139,19 +147,26 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # value/queries measure STEADY-STATE (a timed cold target-SF pass
         # precedes them, absorbing ~8 s of one-time whole-stage-codegen
-        # JIT); cold_total/cold_queries are that first target-SF pass —
-        # the basis comparable to the r1-r4 benches, which had no warm
-        # target-SF pass
+        # JIT); detail's cold_total/cold_queries are that first target-SF
+        # pass — the basis comparable to the r1-r4 benches, which had no
+        # warm target-SF pass. pipeline_prepare_corpus trains its unigram
+        # LM once per process by operator contract ("train once per
+        # corpus, score on every call") — the cold pass pays the
+        # training; steady passes re-score against the staged vocab.
         "methodology": (
             "steady-state, per-query min of 2 passes "
-            "(timed cold target-SF pass precedes)"
+            "(timed cold target-SF pass precedes; "
+            "pipeline LM trains once per process, paid by the cold pass)"
         ),
         "cold_total": round(sum(cold.values()), 3),
-        "cold_queries": cold,
-        "steady_passes": passes,
     }
     if errors:
         out["errors"] = errors
+    detail: dict[str, object] = {
+        "metric": "headline_queries_detail",
+        "cold_queries": cold,
+        "steady_passes": passes,
+    }
     # regression tracking: per-query delta vs the committed round floor
     # (BENCH_FLOOR.json, updated each round from the driver's BENCH_r{N})
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json")
@@ -159,13 +174,14 @@ def main() -> None:
         with open(floor_path) as fh:
             floor = json.load(fh)
         prev = floor.get("queries", {})
-        out["vs_floor"] = {
+        detail["vs_floor"] = {
             n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
         }
         # total-vs-total is only meaningful over the SAME query set — an
         # errored (dropped) query would otherwise read as a huge speedup
         if floor.get("value") and not errors and set(timings) == set(prev):
-            out["vs_floor_total"] = round(total - floor["value"], 3)
+            detail["vs_floor_total"] = round(total - floor["value"], 3)
+    print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -721,6 +721,63 @@ def reciprocal_rank_fusion(
     return _topk_per_query(fused, query_col, id_col, k, value_col="score")
 
 
+def rrf_from_ranks(
+    ranked: DataFrame,
+    rank_cols: Sequence[str],
+    id_col: str,
+    query_col: str = "query_id",
+    k: int = 10,
+    k_rrf: int = 60,
+    weights: Sequence[float] | None = None,
+) -> DataFrame:
+    """RRF over a FUSED ranking table: one row per (query, doc) with a
+    nullable rank column per system (the shape
+    ``similarity._topk_per_query_multi`` emits; null ⇒ the doc is not in
+    that system's top-k). Same math and output as
+    :func:`reciprocal_rank_fusion` — bit-identical scores: per row the
+    non-null contributions w_s/(k_rrf + rank_s) are sorted ascending and
+    folded from 0.0, exactly ``_fold_scores``'s deterministic sum over
+    the per-system bests (the input grain is already (query, doc)-unique
+    per system, so the per-system max-dedup is the identity here).
+
+    The win over the list-of-tables form (§2.4): when all systems rank
+    the same candidate table, the N-way union + per-system dedup
+    aggregate + (query, doc) fold aggregate collapse into a single
+    PROJECTION — the fused score needs no shuffle at all, only the final
+    shared salted top-k does."""
+    if not rank_cols:
+        raise ValueError("rank_cols must name at least one ranking")
+    ws = list(weights) if weights is not None else [1.0] * len(rank_cols)
+    if len(ws) != len(rank_cols):
+        raise ValueError(f"{len(rank_cols)} rank_cols but {len(ws)} weights")
+    bad = [w for w in ws if not (float(w) > 0.0)]
+    if bad:
+        raise ValueError(
+            f"RRF weights must be positive (got {bad}): a zero weight "
+            "silently erases a system and a negative one inverts it"
+        )
+    from eel_spark.operators.similarity import _topk_per_query
+
+    comps = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.lit(float(w))
+                    / (F.lit(float(k_rrf)) + F.col(rc).cast("double"))
+                    for w, rc in zip(ws, rank_cols)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    fused = ranked.select(
+        query_col,
+        id_col,
+        F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x).alias("score"),
+    )
+    return _topk_per_query(fused, query_col, id_col, k, value_col="score")
+
+
 def retrieval_metrics(
     ranked: DataFrame,
     qrels: DataFrame,

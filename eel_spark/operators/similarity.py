@@ -68,6 +68,86 @@ def _topk_per_query(
     )
 
 
+def _topk_per_query_multi(
+    scored: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    dims: dict[str, tuple[str, bool]],
+    n_salt: int = 32,
+) -> DataFrame:
+    """N exact per-query top-k rankings of ONE table in ONE shuffle pair.
+
+    ``dims`` maps a dimension name to ``(value_col, ascending)``; the
+    output has one row per (query, id) that ranks in ANY dimension's
+    top-k, with a nullable ``rank_<name>`` per dimension (null ⇒ not in
+    that dimension's top-k). Equivalent to N independent
+    :func:`_topk_per_query` calls, but all N share the (query, salt)
+    phase-1 exchange and the (query) phase-2 exchange: every window
+    partitions by the same key, so Catalyst plans one Exchange per phase
+    and N sorts — the input is scanned and shuffled once instead of N
+    times (§2.4).
+
+    Exactness per dimension matches ``_topk_per_query``'s argument: a
+    global top-k row is in its salt partition's top-k, so phase 1 never
+    drops a winner. Phase 2 ranks the pooled survivors of ALL
+    dimensions, so each dimension's ordering puts its OWN phase-1
+    survivors first (survivor flag DESC before the value order): rows
+    kept only for another dimension sort strictly after every survivor
+    of this one and cannot displace or interleave them — survivors'
+    row_numbers equal the ranks they'd get ranked alone."""
+    salt_name = "__salt"
+    while salt_name in scored.columns:
+        salt_name = "_" + salt_name
+    orders = {
+        name: [
+            F.asc(vc) if asc else F.desc(vc),
+            F.asc(id_col),
+        ]
+        for name, (vc, asc) in dims.items()
+    }
+    salted = scored.withColumn(
+        salt_name, F.pmod(F.xxhash64(F.col(id_col)), n_salt)
+    )
+    w_local = {
+        name: Window.partitionBy(query_id_col, salt_name).orderBy(*o)
+        for name, o in orders.items()
+    }
+    for name in dims:
+        salted = salted.withColumn(
+            f"__lr_{name}", F.row_number().over(w_local[name])
+        )
+    survivors = salted.filter(
+        " OR ".join(f"__lr_{n} <= {int(k)}" for n in dims)
+    ).select(
+        query_id_col,
+        id_col,
+        *[F.col(vc) for vc in dict.fromkeys(vc for vc, _ in dims.values())],
+        *[(F.col(f"__lr_{n}") <= k).alias(f"__sv_{n}") for n in dims],
+    )
+    for name in dims:
+        w_global = Window.partitionBy(query_id_col).orderBy(
+            F.desc(f"__sv_{name}"), *orders[name]
+        )
+        survivors = survivors.withColumn(
+            f"__gr_{name}", F.row_number().over(w_global)
+        )
+    ranked = survivors.select(
+        query_id_col,
+        id_col,
+        *[
+            F.when(
+                F.col(f"__sv_{n}") & (F.col(f"__gr_{n}") <= k),
+                F.col(f"__gr_{n}"),
+            ).alias(f"rank_{n}")
+            for n in dims
+        ],
+    )
+    return ranked.filter(
+        " OR ".join(f"rank_{n} IS NOT NULL" for n in dims)
+    )
+
+
 def brute_force_topk(
     vectors_df: DataFrame,
     queries_df: DataFrame,

@@ -569,27 +569,25 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reciprocal Rank Fusion (operators/retrieval.reciprocal_rank_fusion —
     Cormack et al.'s rank-only combiner, the standard hybrid-retrieval
     baseline). ONE match-bounded corpus scan feeds BOTH base rankings
-    (the (query, doc) aggregate is pinned — tokens intersect the
-    broadcast-literal union term set before the explode, so nothing
-    token-volume-sized shuffles); each ranking is a salted exact top-k
-    (no full-corpus window), and the fusion is one union + one
-    map-side-combinable (query, doc) groupBy + the same salted top-k.
+    (tokens intersect the broadcast-literal union term set before the
+    explode, so nothing token-volume-sized shuffles), and both rankings
+    are computed by one fused salted top-k (_topk_per_query_multi: one
+    shuffle pair for N ranking dimensions — r15, §2.4); the bounded
+    (≤ 2·k·n_queries rows) ranked table is pinned for the fusion's two
+    branches, and the fusion is one union + one map-side-combinable
+    (query, doc) groupBy + the same salted top-k.
     ``score_num`` is the fused score scaled by lcm(61..70) and rounded
     back to the exact integer numerator — the engine-neutral form (§6)
     that gates the operator's float arithmetic to within half an ulp."""
-    from eel_spark.caching import pin
-    from eel_spark.operators.retrieval import (
-        _matched_tf,
-        reciprocal_rank_fusion,
-    )
-    from eel_spark.operators.similarity import _topk_per_query
+    from eel_spark.operators.retrieval import _matched_tf, rrf_from_ranks
+    from eel_spark.operators.similarity import _topk_per_query_multi
 
     docs = table(spark, sf_dir, "documents").df
     pairs = [
         (qid, t) for qid, ts in sorted(_RRF_QUERIES.items()) for t in ts
     ]
     qdf = spark.createDataFrame(pairs, "query_id string, term string")
-    agg = pin(
+    agg = (
         _matched_tf(docs, "text", "doc_id", list(_RRF_TERMS))
         .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
@@ -598,23 +596,31 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms"),
             F.max("dl").alias("dl"),
         )
-    )
-    lex = _topk_per_query(
-        agg.select("query_id", "doc_id", "tfsum"),
-        "query_id", "doc_id", _RRF_K, value_col="tfsum",
-    ).select("query_id", "doc_id", "rank")
-    cov = _topk_per_query(
-        agg.select(
-            "query_id", "doc_id",
+        .select(
+            "query_id", "doc_id", "tfsum",
             (
                 F.col("n_terms") * F.lit(1000000)
                 - F.least(F.col("dl"), F.lit(999999))
             ).cast("long").alias("covscore"),
-        ),
-        "query_id", "doc_id", _RRF_K, value_col="covscore",
-    ).select("query_id", "doc_id", "rank")
-    fused = reciprocal_rank_fusion(
-        [lex, cov], "doc_id", "query_id", k=_RRF_K, k_rrf=_RRF_KRRF
+        )
+    )
+    # BOTH base rankings in one shuffle pair (r15, §2.4): the old shape
+    # pinned agg and ran two independent salted top-ks over it — two
+    # (query, salt) exchanges + two (query) exchanges + a persist —
+    # then unioned the two rank tables back together for the fusion.
+    # _topk_per_query_multi ranks both dimensions behind ONE exchange
+    # per phase (same partition keys ⇒ one shuffle, two sorts), and
+    # rrf_from_ranks turns the fusion into a projection (scores
+    # bit-identical to reciprocal_rank_fusion's sorted fold — pinned by
+    # tests/test_retrieval.py), so the whole query is one linear plan:
+    # no pin, no union, the corpus scanned and ranked exactly once.
+    ranked = _topk_per_query_multi(
+        agg, "query_id", "doc_id", _RRF_K,
+        {"lex": ("tfsum", False), "cov": ("covscore", False)},
+    )
+    fused = rrf_from_ranks(
+        ranked, ["rank_lex", "rank_cov"], "doc_id", "query_id",
+        k=_RRF_K, k_rrf=_RRF_KRRF,
     )
     return fused.select(
         "query_id", "doc_id", "rank",

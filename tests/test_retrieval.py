@@ -563,6 +563,100 @@ def test_rrf_rejects_bad_inputs(spark):
         reciprocal_rank_fusion([a, a], "doc_id", weights=[1.0])
 
 
+def test_rrf_from_ranks_bit_equals_list_form(spark):
+    """The r15 fused-projection RRF must be BIT-identical (scores
+    included — same sorted float fold) to the list-of-tables operator on
+    the same rankings, including a doc present in only one system and
+    non-unit weights."""
+    from eel_spark.operators.retrieval import (
+        reciprocal_rank_fusion,
+        rrf_from_ranks,
+    )
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2),
+         ("q2", 21, 1), ("q2", 20, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    want = sorted(
+        map(tuple, reciprocal_rank_fusion(
+            [a, b], "doc_id", k=4, k_rrf=60, weights=[1.0, 0.5]
+        ).collect())
+    )
+    wide = a.select(
+        "query_id", "doc_id", F.col("rank").alias("rank_a")
+    ).join(
+        b.select("query_id", "doc_id", F.col("rank").alias("rank_b")),
+        ["query_id", "doc_id"],
+        "full_outer",
+    )
+    got = sorted(
+        map(tuple, rrf_from_ranks(
+            wide, ["rank_a", "rank_b"], "doc_id",
+            k=4, k_rrf=60, weights=[1.0, 0.5],
+        ).collect())
+    )
+    assert got == want  # exact, floats included
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_from_ranks(wide, [], "doc_id")
+    with pytest.raises(ValueError, match="weights"):
+        rrf_from_ranks(wide, ["rank_a", "rank_b"], "doc_id", weights=[1.0])
+    with pytest.raises(ValueError, match="positive"):
+        rrf_from_ranks(wide, ["rank_a"], "doc_id", weights=[0.0])
+
+
+def test_topk_per_query_multi_equals_independent_topks(spark):
+    """One fused shuffle pair (_topk_per_query_multi) must reproduce N
+    independent _topk_per_query rankings exactly, including ties broken
+    by id and rows surviving for only one dimension."""
+    from eel_spark.operators.similarity import (
+        _topk_per_query,
+        _topk_per_query_multi,
+    )
+
+    rows = [
+        ("q1", i, float(i % 7), float((13 * i) % 11)) for i in range(40)
+    ] + [("q2", i, float(i % 3), float(i)) for i in range(25)]
+    scored = spark.createDataFrame(
+        rows, "query_id string, doc_id long, va double, vb double"
+    )
+    multi = _topk_per_query_multi(
+        scored, "query_id", "doc_id", 5,
+        {"a": ("va", False), "b": ("vb", True)},
+    ).collect()
+    got_a = sorted(
+        (r["query_id"], r["doc_id"], r["rank_a"])
+        for r in multi if r["rank_a"] is not None
+    )
+    got_b = sorted(
+        (r["query_id"], r["doc_id"], r["rank_b"])
+        for r in multi if r["rank_b"] is not None
+    )
+    want_a = sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in _topk_per_query(
+            scored, "query_id", "doc_id", 5, value_col="va"
+        ).collect()
+    )
+    want_b = sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in _topk_per_query(
+            scored, "query_id", "doc_id", 5, value_col="vb", ascending=True
+        ).collect()
+    )
+    assert got_a == want_a
+    assert got_b == want_b
+    # every emitted row ranks in at least one dimension
+    assert all(
+        r["rank_a"] is not None or r["rank_b"] is not None for r in multi
+    )
+
+
 def test_rrf_hybrid_bm25_plus_ann_jvm_only(spark, stats_store):
     """The intended composition: BM25 lexical top-k fused with an
     embedding top-k, all JVM-side, fused ranks deterministic."""
