@@ -1144,9 +1144,25 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
         TX.token_count("text").alias("n_tokens"),
         F.md5(TX.normalized_text("text").cast("binary")).alias("h"),
     ).filter(F.col("n_tokens") >= 10)
-    survivors = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    kept = scored.join(survivors.select("doc_id"), "doc_id", "left_semi")
-    out = kept.groupBy("lang", "source").agg(
+    # exact dedup AND survivor attributes in ONE aggregation (r15, §2.4):
+    # the survivor is by definition the min-doc_id row of its h-group, so
+    # min_by pulls the survivor's (lang, source, n_tokens) through the
+    # same map-side-combinable agg — the old shape semi-joined survivors
+    # back to the corpus per consumer, re-running the scan + tokenize +
+    # md5 chain per branch (5 documents scans in the plan, now 3). The
+    # dedup exchange stays text-free (§2.3: shuffle keys, not payloads —
+    # an r15 variant that rode the 1/4 text sample through this shuffle
+    # measured SLOWER same-window, 1.41 → 1.55 s), and survivors stays
+    # UNPINNED (a pinned variant also measured slower: the persist
+    # serializes the stats branch and the LM-sample build behind a
+    # cache-write barrier, where recomputing the narrow agg twice runs
+    # the two branches' scans concurrently).
+    survivors = scored.groupBy("h").agg(
+        F.min_by(
+            F.struct("doc_id", "lang", "source", "n_tokens"), "doc_id"
+        ).alias("s")
+    ).select("s.*")
+    out = survivors.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
@@ -1159,14 +1175,12 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataStream:
     # the tokenize/join volume — and the sample is content-hash-chosen,
     # identical on every run and partitioning.
     # pinned: three branches consume this table (the clean scoring arm,
-    # the junk twin derived from it, and — on a memo miss — LM training),
-    # and uncached each re-runs the tokenize+md5+dedup chain behind the
-    # semi-join. Caching the ~1/4-sample (doc_id, text) rows measured
-    # 1.06 → 0.88 s on the sf0.1 bench slot; pinning the wider `kept`
-    # table as well measured NEGATIVE (cache write cost exceeds its
-    # cheap recompute), so only this boundary is pinned.
+    # the junk twin derived from it, and — on a memo miss — LM training).
+    # The semi-join probes the PINNED survivor ids (no tokenize+md5
+    # re-run behind it), and text never shuffles: the sample filter and
+    # id semi-join apply at the scan.
     kept_docs = pin(
-        docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
         .filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
         .select("doc_id", "text")
     )
