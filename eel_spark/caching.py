@@ -40,25 +40,22 @@ def _pins() -> list:
     return pins
 
 
-def pin(df, eager: bool = False):
+def pin(df):
     """Persist (MEMORY_AND_DISK) a multiply-read intermediate and track
     it for ``release_pins``.
 
-    ``eager`` materializes the cache with ONE count() job before any
-    consumer touches it. A lazily-pinned table is populated by whichever
-    consumer scans it first; under AQE several branches (broadcast
-    subqueries + the main query) materialize concurrently, and on a COLD
-    JVM those racing first readers serialize on per-block locks while
-    occupying every core slot (measured on the sf0.1 minhash slot: six
-    racing 32-task jobs at ~6× the single-job time). Eager wins there.
-    At STEADY state the same measurement inverts — the extra count()
-    pass costs more than the (now-fast) race — so the default stays
-    lazy; flip it for cold-dominated multi-branch workloads."""
+    Population is LAZY: whichever consumer scans the pin first builds
+    it. An eager variant (materialize with one count() before any
+    consumer) was measured in r14: on a COLD JVM, racing first readers
+    (AQE broadcast subqueries + main query) serialize on per-block
+    locks and eager wins; at STEADY state the extra count() pass costs
+    more than the (now-fast) race, so lazy is the right default for
+    the measured query set. Re-add the knob from history (r14/r15) if
+    a cold-dominated multi-branch workload ever needs it — it shipped
+    one round with no caller and was removed as dead API (r15)."""
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
-        df.count()
     _pins().append(df)
     return df
 

@@ -135,21 +135,34 @@ def _bucket_pairs(
     cache write, no broadcast anti-join. ``member_cols`` lists the
     columns each member carries; the FIRST must be the orderable id
     (array_sort orders struct members field-by-field, so id_a < id_b is
-    structural). Bucket buffers are bounded by the cap (uncapped callers
-    accept Σ|bucket|² by contract — the documented dedup_exact-first
-    pipeline order)."""
+    structural). Bucket buffers are bounded by the cap; UNCAPPED callers
+    (max_bucket_size=None) degrade to the pre-fusion band self-join
+    (r15 ADVICE): without a cap there is no bound on a bucket's
+    collect_list buffer, and one degenerate dup-heavy bucket would
+    become a single-task OOM — the self-join streams the identical
+    Σ|bucket|² pairs without per-row buffering (members are unique per
+    bucket — one banded row per (band, doc) — so a<b yields the same
+    pair set in the same orientation: struct comparison and array_sort
+    both order field-by-field)."""
     member = (
         F.struct(*[F.col(c) for c in member_cols])
         if len(member_cols) > 1
         else F.col(member_cols[0])
     )
+    if max_bucket_size is None:
+        left = banded.select("band", "key", member.alias("__a"))
+        right = banded.select("band", "key", member.alias("__b"))
+        return (
+            left.join(right, ["band", "key"])
+            .filter(F.col("__a") < F.col("__b"))
+            .select("__a", "__b")
+        )
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list(member).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     # sorted members behind their own projection boundary: array_sort
     # inlined into the downstream explodes would re-sort per element (the
     # re-evaluation trap _shingle_sig_tables documents)

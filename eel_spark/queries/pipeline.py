@@ -374,7 +374,16 @@ def _gate_on_planted_recall(
     job. The SinglePartition exchange the window needs moves only the
     final pair set (tiny by construction); the values are identical
     (collect_set drops the NULLs the when() leaves on non-planted
-    rows)."""
+    rows).
+
+    BOUNDEDNESS ASSUMPTION (r15 ADVICE): the global window funnels the
+    full emitted pair set through one task, which is safe ONLY because
+    every caller bounds it — the LSH arms cap their buckets
+    (max_bucket_size=500/200: pair volume ≤ bands · Σ min(|bucket|,
+    cap)² over capped buckets) and the planted sets are n_planted-sized.
+    A caller that removes its cap must NOT reuse this gate shape;
+    uncapped pair sets should keep the partitioned pin + aggregate +
+    crossJoin(broadcast) form this replaced."""
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     recall = (
         F.size(

@@ -194,6 +194,28 @@ def test_minhash_max_bucket_size_skips_giant_groups(spark):
                {(r["id_a"], r["id_b"]) for r in uncapped.collect()})
 
 
+def test_uncapped_bucket_pairs_stream_and_match_capped(spark):
+    """Uncapped callers (max_bucket_size=None) must degrade to the
+    streaming band self-join (r15 ADVICE: no unbounded collect_list
+    buffer) AND produce exactly the pairs the fused capped path yields
+    under a never-binding cap."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(i, base + (" extra" * (i % 3))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = dedup.minhash_near_duplicates(df, "text", "doc_id", threshold=0.3)
+    capped = dedup.minhash_near_duplicates(
+        df, "text", "doc_id", threshold=0.3, max_bucket_size=10**6
+    )
+    got_u = sorted(map(tuple, uncapped.collect()))
+    got_c = sorted(map(tuple, capped.collect()))
+    assert got_u == got_c and got_u
+    # the uncapped plan streams: no collect_list aggregation buffer
+    uplan = uncapped._jdf.queryExecution().toString()
+    assert "collect_list" not in uplan
+    cplan = capped._jdf.queryExecution().toString()
+    assert "collect_list" in cplan
+
+
 def test_ngram_contamination_planted(spark):
     """Planted overlap: an eval doc quoting a 13-gram from one corpus doc
     must flag exactly that pair; disjoint docs must not be flagged."""
