@@ -650,6 +650,11 @@ AUDIT_PINNED = [
     "pipeline_prepare_corpus",
     "q21_waiting_suppliers",
     "dedup_minhash_pairs",
+    # in the pinned set since the round-close regen caught its committed
+    # dump stale: the uncapped-_bucket_pairs fallback (876ed60) changed
+    # this slot's plan (fusion -> streaming band self-join) one commit
+    # AFTER the audit dumps were generated
+    "dedup_simhash_pairs",
 ]
 AUDIT_MARKERS = (
     "Exchange",
