@@ -223,23 +223,54 @@ def train_centroids(
     # SLOWER at 8× and 64× sf0.1 (2.70 s vs 1.80 s; 4.72 s vs 3.71 s for 3
     # rounds — SURVEY §8): 2·dim aggregate buffers per group cost more than
     # generating the pipelined exploded rows. Kept the measured winner.
+    #
+    # The loop carries centroids as the PACKED one-row broadcast form
+    # (r15): the old per-iteration groupBy(cell_id) that reassembled
+    # (pos, mean) rows into arrays was a second shuffle + stage barrier
+    # whose only consumer was _assign_cells' pack aggregate — folding the
+    # array rebuild into the pack's own one-row projection removes one
+    # serial barrier per iteration (the chain is latency-bound: n_cells×
+    # dim rows). Means, per-array pos order and the cell set are
+    # bit-identical (array_sort on struct(cell_id, pos, mean) orders by
+    # pos within a cell; cells with no members vanish from __flat exactly
+    # as they vanished from the old groupBy); the packed-struct ORDER
+    # differs (sorted by cell_id vs collect_list arrival) but the
+    # array_min argmin in _assign_cells_packed is order-independent.
+    cents = "__cents"
+    while cents in v.columns:
+        cents = "_" + cents
+    packed = centroids.agg(
+        F.collect_list(F.struct("cell_id", "centroid")).alias(cents)
+    )
     for _ in range(iterations):
-        assigned = _assign_cells(v, centroids, "__v")
-        centroids = (
+        assigned = _assign_cells_packed(v, packed, cents, "__v")
+        cellmeans = (
             assigned.select("cell_id", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cell_id", "pos")
             .agg(F.avg("val").alias("mean"))
-            .groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("mean")))
-                    ),
-                    lambda s: s.mean,
-                ).alias("centroid")
-            )
         )
-    return centroids
+        flat = F.col("__flat")
+        cell_ids = F.array_sort(
+            F.array_distinct(F.transform(flat, lambda e: e.cell_id))
+        )
+        packed = cellmeans.agg(
+            F.collect_list(F.struct("cell_id", "pos", "mean")).alias("__flat")
+        ).select(
+            F.transform(
+                cell_ids,
+                lambda c: F.struct(
+                    c.alias("cell_id"),
+                    F.transform(
+                        F.array_sort(F.filter(flat, lambda e: e.cell_id == c)),
+                        lambda e: e.mean,
+                    ).alias("centroid"),
+                ),
+            ).alias(cents)
+        )
+    return packed.select(F.explode(cents).alias("__c")).select(
+        F.col("__c.cell_id").alias("cell_id"),
+        F.col("__c.centroid").alias("centroid"),
+    )
 
 
 def _assign_cells(
@@ -266,6 +297,19 @@ def _assign_cells(
     packed = centroids.agg(
         F.collect_list(F.struct("cell_id", "centroid")).alias(cents)
     )
+    return _assign_cells_packed(df, packed, cents, vec_expr, dist_col)
+
+
+def _assign_cells_packed(
+    df: DataFrame, packed: DataFrame, cents: str, vec_expr: str,
+    dist_col: str | None = None,
+) -> DataFrame:
+    """:func:`_assign_cells` core over a PRE-PACKED one-row centroid
+    table (column ``cents``: array<struct<cell_id, centroid>>) — the
+    k-means loop calls this directly so the pack aggregate can carry the
+    array rebuild of the mean update (one barrier fewer per iteration);
+    ``cents`` must not collide with a ``df`` column (callers pick it
+    against ``df.columns``)."""
     best = F.array_min(
         F.transform(
             cents,
